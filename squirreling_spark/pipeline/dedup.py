@@ -1,0 +1,187 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are pure DataFrame built-ins (whole-stage codegen, no Python
+boundary) and are deterministic under any partitioning — hashes are md5-based
+so results are reproducible across engines and cluster sizes.
+
+Scale design:
+- exact_dedup: one hash-shuffle on the fingerprint; map-side partial agg.
+- minhash_lsh_*: O(docs × num_hashes) signature computation row-local, then
+  one shuffle on (band, key). Candidate pairs come from bucket joins, never
+  an all-pairs product. This is THE near-dup path at 100 TB.
+- simhash: row-local fold over tokens (no explode, no shuffle until the
+  final fingerprint grouping).
+- ngram_jaccard_pairs: quadratic verifier — only for small blocks or as the
+  refine step after LSH candidate generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Normalization shared by fingerprints: collapse whitespace, lowercase.
+_NORM = "lower(trim(regexp_replace({col}, '\\\\s+', ' ')))"
+
+
+def normalized_fingerprint(col: str) -> F.Column:
+    return F.expr(f"md5({_NORM.format(col=col)})")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on normalized text: one representative (min id) per
+    fingerprint plus the duplicate count."""
+    return (
+        df.select(
+            F.col(id_col), normalized_fingerprint(text_col).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(text_col: str, k: int = 3) -> F.Column:
+    """k-token shingles as array<string>; docs shorter than k tokens fall
+    back to the whole text as a single shingle."""
+    toks = f"split({text_col}, ' ')"
+    gram = ", ".join(f"element_at({toks}, i + {j})" for j in range(k))
+    return F.expr(
+        f"CASE WHEN size({toks}) < {k} THEN array({text_col}) ELSE "
+        f"transform(sequence(1, size({toks}) - {k - 1}), "
+        f"i -> concat_ws(' ', {gram})) END"
+    )
+
+
+def minhash_signature(
+    text_col: str, num_hashes: int = 32, shingle_k: int = 3
+) -> F.Column:
+    """MinHash signature as array<string>: hash j of a doc is the
+    lexicographic min of md5(j || ':' || shingle). md5 keys make the
+    signature engine- and partition-independent."""
+    sh = shingles(text_col, shingle_k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                sh, lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s))
+            )
+        ),
+    )
+
+
+def minhash_lsh_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_key) rows — one per LSH band."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(text_col, num_hashes, shingle_k)
+    banded = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.array_join(
+            F.slice(sig, b * rows_per_band + 1, rows_per_band), "|"
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(banded).alias("band_idx", "band_key")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (id_a < id_b) that share ≥1 LSH
+    band bucket. The join is bucket-local: shuffle on (band_idx, band_key),
+    never an all-pairs product."""
+    b = minhash_lsh_bands(df, text_col, id_col, num_hashes, bands, shingle_k)
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(text_col: str, bits: int = 48) -> F.Column:
+    """SimHash fingerprint as a bit string, computed as a row-local fold:
+    each token votes ±1 per bit position using its md5; bit = 1 when the
+    vote sum is positive. No shuffle, no UDF — pure codegen expressions."""
+    assert bits <= 128
+    toks = f"split({text_col}, ' ')"
+    # bit b of md5(token): hex digit (b div 4), then bit (3 - b % 4) of it.
+    # NB: integer division must be `div` — CAST(b/4 AS INT) truncates in
+    # Spark but rounds in DuckDB; shiftright() spelled as a function for
+    # Spark-SQL compatibility.
+    bit = (
+        "shiftright(instr('0123456789abcdef', "
+        "substring(md5(t), (b div 4) + 1, 1)) - 1, 3 - b % 4) & 1"
+    )
+    votes = (
+        f"aggregate({toks}, "
+        f"transform(sequence(0, {bits - 1}), x -> 0), "
+        f"(acc, t) -> zip_with(acc, transform(sequence(0, {bits - 1}), "
+        f"b -> CAST(({bit}) * 2 - 1 AS INT)), (a, v) -> a + v))"
+    )
+    return F.expr(
+        f"concat_ws('', transform({votes}, s -> CASE WHEN s > 0 THEN '1' ELSE '0' END))"
+    )
+
+
+def simhash_dedup(df: DataFrame, text_col: str, id_col: str, bits: int = 48) -> DataFrame:
+    """Group docs by identical SimHash fingerprint (near-dup clusters)."""
+    return (
+        df.select(F.col(id_col), simhash(text_col, bits).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard within a blocking key. Quadratic in block
+    size — use as the verify step on LSH candidates (or small blocks)."""
+    sh = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("block"),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+    )

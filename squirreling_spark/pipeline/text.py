@@ -1,0 +1,126 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All codegen'd built-ins — no Python in the loop —
+so they run at full scan speed over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "de", "que", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+
+
+def tokens(text_col: str) -> Column:
+    """Whitespace tokenization of pre-normalized text."""
+    return F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Token count (whitespace + BPE-ish subword estimate), char count,
+    distinct-token count, mean token length."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    # BPE-ish proxy: ~1 token per 4 chars, at least one per word.
+    bpe = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc + F.greatest(F.ceil(F.length(t) / 4).cast("int"), F.lit(1)),
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(total_len.cast("double") / n, 6).alias("mean_token_len"),
+        bpe.alias("n_bpe_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality score in [0,1]: stopword ratio, type-token ratio,
+    length band. Deterministic closed-form — reproducible at any scale."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), sw)).cast("double")
+    stop_ratio = F.round(
+        F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc + F.when(t.isin(*STOPWORDS["en"]), 1).otherwise(0),
+        ).cast("double")
+        / n,
+        6,
+    )
+    ttr = F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6)
+    len_band = (
+        F.when((n >= 20) & (n <= 2000), F.lit(1.0))
+        .when(n >= 5, F.lit(0.5))
+        .otherwise(F.lit(0.0))
+    )
+    score = F.round(
+        (F.least(stop_ratio * 4, F.lit(1.0)) + ttr + len_band) / 3, 6
+    )
+    return df.select(
+        F.col(id_col),
+        stop_ratio.alias("stopword_ratio"),
+        ttr.alias("type_token_ratio"),
+        len_band.alias("length_band"),
+        n_stop.alias("n_stopword_types"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-profile language ID: count hits per language's stopword
+    list, argmax with lexicographic tie-break (plus a CJK codepoint check)."""
+    toks = tokens(text_col)
+
+    def hit_counter(words):
+        # F.aggregate requires an exactly-2-arg merge lambda; bind the
+        # stopword list via closure.
+        return lambda acc, tok: acc + F.when(tok.isin(*words), 1).otherwise(0)
+
+    scores = [
+        F.struct(
+            F.aggregate(toks, F.lit(0), hit_counter(words)).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(STOPWORDS.items())
+    ]
+    # array_max on struct(hits, lang): max hits, ties broken by lang DESC —
+    # invert lang ordering is not needed for a deterministic heuristic; the
+    # comparison is lexicographic over (hits, lang).
+    best = F.array_max(F.array(*scores))
+    has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
+    pred = F.when(has_cjk, F.lit("zh")).otherwise(
+        F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(
+            F.lit("unknown")
+        )
+    )
+    return df.select(
+        F.col(id_col), pred.alias("pred_lang"), best.getField("hits").alias("hits")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Document fingerprints: exact md5 of normalized text, order-invariant
+    md5 of the sorted distinct token set, and a locality-ish prefix hash."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    toks = F.split(norm, " ")
+    bag = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_exact"),
+        bag.alias("fp_bag"),
+        F.md5(F.substring(norm, 1, 64)).alias("fp_prefix"),
+    )

@@ -1,1 +1,392 @@
-"""Placeholder — populated in a later milestone."""
+"""Training-data pipeline operators as inventory queries (BASELINE.json
+north star): dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard /
+embedding-cosine), similarity search (brute force + IVF), text analysis
+(tokens / quality / lang-id / fingerprint), multimodal metadata,
+sessionization and tumbling windows over the events stream.
+
+Every implementation lives in squirreling_spark.pipeline.* as a reusable
+DataFrame operator; the oracles mirror the exact same deterministic math in
+DuckDB dialect (md5-keyed hashes, decimal sums, rounded doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from squirreling_spark.inventory import query
+from squirreling_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from squirreling_spark.pipeline.similarity import cosine, cosine_topk_bruteforce
+from squirreling_spark.pipeline.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from squirreling_spark.qutil import dsum, o_dsum, t
+
+# DuckDB fragments shared across oracles ------------------------------------
+
+_D_TOKS = "string_split(text, ' ')"
+_D_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_D_SHINGLES = f"""
+    CASE WHEN len({_D_TOKS}) < 3 THEN [text]
+    ELSE list_transform(generate_series(1, len({_D_TOKS}) - 2),
+         i -> concat_ws(' ', {_D_TOKS}[i], {_D_TOKS}[i+1], {_D_TOKS}[i+2]))
+    END
+"""
+_D_COS = """
+    round(list_sum(list_transform(generate_series(1, 64), i -> a.emb[i] * b.emb[i]))
+          / sqrt(list_sum(list_transform(a.emb, x -> x * x))
+               * list_sum(list_transform(b.emb, x -> x * x))), 6)
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_D_NORM}) AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_q(spark, sf):
+    """Exact dedup via normalized-text md5 (pipeline/dedup.py). One
+    fingerprint shuffle; scales linearly."""
+    return exact_dedup(t(spark, sf, "documents"), "text", "doc_id")
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_D_SHINGLES} AS shingles FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 31),
+               j -> list_min(list_transform(shingles,
+                      s -> md5(j::VARCHAR || ':' || s)))) AS sig
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, u.b AS band_idx,
+             array_to_string(sig[u.b * 4 + 1 : u.b * 4 + 4], '|') AS band_key
+      FROM sig, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) u
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh_q(spark, sf):
+    """MinHash (32 hashes) + LSH (8 bands × 4) candidate pairs
+    (pipeline/dedup.py). md5-keyed minhashes are engine-independent; the
+    candidate join is bucket-local — the 100 TB near-dup path."""
+    return minhash_lsh_candidates(
+        t(spark, sf, "documents"), "text", "doc_id", num_hashes=32, bands=8
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(list_transform(generate_series(0, 47), b ->
+             CASE WHEN list_sum(list_transform({_D_TOKS}, t ->
+               (((instr('0123456789abcdef',
+                        substring(md5(t), (b // 4) + 1, 1)) - 1)
+                 >> (3 - b % 4)) & 1) * 2 - 1)) > 0
+             THEN '1' ELSE '0' END), '') AS simhash
+    FROM documents
+    """,
+)
+def dedup_simhash_q(spark, sf):
+    """48-bit SimHash fingerprint per document (pipeline/dedup.py) — a
+    row-local fold over tokens, no shuffle at all until clustering."""
+    d = t(spark, sf, "documents")
+    return d.select("doc_id", simhash("text", bits=48).alias("simhash"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, list_distinct({_D_SHINGLES}) AS sh FROM documents
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard
+    FROM p
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def dedup_ngram_jaccard_q(spark, sf):
+    """Top-20 most-similar pairs by 3-gram Jaccard within a language block
+    (pipeline/dedup.py). Quadratic verifier — the refine stage behind LSH."""
+    pairs = ngram_jaccard_pairs(
+        t(spark, sf, "documents"), "text", "doc_id", block_col="lang"
+    )
+    return pairs.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(20)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_D_COS} AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, sim FROM p WHERE sim >= 0.45
+    """,
+)
+def dedup_embedding_cosine_q(spark, sf):
+    """Embedding near-duplicate pairs: cosine ≥ 0.45 (pipeline/similarity.py
+    cosine — double-cast fold, bit-identical to the oracle)."""
+    e = t(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.45)
+    )
+
+
+@query(
+    "knn_bruteforce",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    s AS (
+      SELECT b.vec_id AS q_id, a.vec_id AS vec_id, {_D_COS} AS sim
+      FROM e a JOIN e b ON b.vec_id < 10 AND a.vec_id != b.vec_id
+    ),
+    r AS (
+      SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, vec_id) AS rank
+      FROM s
+    )
+    SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 5
+    """,
+)
+def knn_bruteforce_q(spark, sf):
+    """Exact cosine top-5 neighbors for 10 query vectors
+    (pipeline/similarity.py): broadcast queries, one corpus pass, windowed
+    top-k — the exact-ANN baseline."""
+    e = t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return cosine_topk_bruteforce(queries, e, k=5)
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({_D_TOKS}) AS n_tokens,
+           len(list_distinct({_D_TOKS})) AS n_distinct,
+           round(list_sum(list_transform({_D_TOKS}, x -> length(x)))::DOUBLE
+                 / len({_D_TOKS}), 6) AS mean_token_len,
+           list_sum(list_transform({_D_TOKS},
+             x -> greatest(CAST(ceil(length(x) / 4.0) AS INT), 1))) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_stats_q(spark, sf):
+    """Token counting: whitespace tokens + BPE-ish subword estimate
+    (pipeline/text.py)."""
+    return token_stats(t(spark, sf, "documents"), "text", "doc_id")
+
+
+@query(
+    "text_quality",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             round(list_sum(list_transform(t, x -> CASE WHEN x IN
+               ('the','a','of','and','to','in','is') THEN 1 ELSE 0 END))::DOUBLE
+               / n, 6) AS stopword_ratio,
+             round(len(list_distinct(t))::DOUBLE / n, 6) AS type_token_ratio,
+             CASE WHEN n >= 20 AND n <= 2000 THEN 1.0
+                  WHEN n >= 5 THEN 0.5 ELSE 0.0 END AS length_band,
+             len(list_intersect(list_distinct(t),
+               ['the','a','of','and','to','in','is']))::DOUBLE AS n_stopword_types
+      FROM s
+    )
+    SELECT doc_id, stopword_ratio, type_token_ratio, length_band,
+           n_stopword_types,
+           round((least(stopword_ratio * 4, 1.0) + type_token_ratio
+                  + length_band) / 3, 6) AS quality
+    FROM m
+    """,
+)
+def text_quality_q(spark, sf):
+    """Quality scoring: stopword ratio, type-token ratio, length band →
+    composite score (pipeline/text.py)."""
+    return quality_score(t(spark, sf, "documents"), "text", "doc_id")
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, string_split(text, ' ') AS t, text FROM documents
+    ),
+    h AS (
+      SELECT doc_id, text,
+        list_sum(list_transform(t, x -> CASE WHEN x IN ('der','die','das','und','ist') THEN 1 ELSE 0 END)) AS h_de,
+        list_sum(list_transform(t, x -> CASE WHEN x IN ('the','a','of','and','to','in','is') THEN 1 ELSE 0 END)) AS h_en,
+        list_sum(list_transform(t, x -> CASE WHEN x IN ('el','la','los','de','que','es') THEN 1 ELSE 0 END)) AS h_es,
+        list_sum(list_transform(t, x -> CASE WHEN x IN ('le','la','les','et','est') THEN 1 ELSE 0 END)) AS h_fr
+      FROM s
+    )
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'unknown'
+                WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+                WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+                WHEN h_en >= h_de THEN 'en'
+                ELSE 'de' END AS pred_lang,
+           greatest(h_de, h_en, h_es, h_fr) AS hits
+    FROM h
+    """,
+)
+def text_lang_id_q(spark, sf):
+    """Stopword-profile language ID (pipeline/text.py). Argmax over
+    per-language hit counts; ties break to the lexicographically larger
+    language code (struct-max semantics, mirrored by the oracle's CASE)."""
+    return lang_id(t(spark, sf, "documents"), "text", "doc_id")
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_D_NORM}) AS fp_exact,
+           md5(array_to_string(list_sort(list_distinct(
+             string_split({_D_NORM}, ' '))), ' ')) AS fp_bag,
+           md5(substring({_D_NORM}, 1, 64)) AS fp_prefix
+    FROM documents
+    """,
+)
+def text_fingerprint_q(spark, sf):
+    """Document fingerprinting: exact, token-bag (order-invariant), and
+    prefix hashes (pipeline/text.py)."""
+    return fingerprint(t(spark, sf, "documents"), "text", "doc_id")
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha,
+           source
+    FROM documents
+    """,
+)
+def multimodal_meta_q(spark, sf):
+    """Binary-column plumbing: byte length + sha256 over the payload
+    treated as opaque bytes (the decode path for real image/audio columns
+    is pipeline/multimodal.py — Arrow-batched mapInPandas)."""
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha"),
+        "source",
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH o AS (
+      SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT event_id, user_id,
+           sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM o
+    """,
+)
+def events_sessionize_q(spark, sf):
+    """Sessionization: 30-min inactivity gap starts a new session —
+    lag + running sum over a per-user window (the batch analogue of the
+    streaming session operator in streaming/)."""
+    ev = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(is_new)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_seq"),
+    )
+
+
+@query(
+    "events_tumbling_window",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           {o_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window_q(spark, sf):
+    """Tumbling 1-hour window aggregation over the events stream — uses
+    Spark's native window() operator (identical semantics under
+    readStream for true streaming)."""
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
