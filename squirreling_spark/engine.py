@@ -1,0 +1,174 @@
+"""Public API façade mirroring the reference engine's entry points.
+
+Reference: hyparam/squirreling src/index.js exports ``executeSql``,
+``parseSql``, ``planSql``, ``collect``, ``extractTables``
+(src/execute/execute.js:30-56, src/plan/plan.js:21).
+
+Spark-first equivalents:
+- ``executeSql(spark, tables=..., query=..., functions=...)`` registers the
+  per-query table namespace as temp views (reference src/types.d.ts:26 —
+  tables are a flat name→source map), registers UDFs, and returns a
+  ``QueryResult`` whose rows stream lazily via ``toLocalIterator`` (the
+  analogue of the reference's pull-based AsyncRow generator).
+- ``parseSql`` → Catalyst parse check (no execution).
+- ``planSql`` → the optimized/physical plan string (``df.explain`` content).
+- ``extractTables`` → referenced table names from the parsed plan.
+- Cancellation: ``QueryResult.cancel()`` → ``cancelJobGroup`` (the analogue
+  of the reference's AbortSignal, src/execute/yield.js:12-30).
+"""
+
+from __future__ import annotations
+
+import threading
+import uuid
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from squirreling_spark.functions.registry import FunctionSpec, register_functions
+
+
+class TableNotFoundError(Exception):
+    """Raised with the list of available tables (reference
+    src/validation/tables.js:166-211)."""
+
+
+def _register_tables(spark: SparkSession, tables: dict[str, Any]) -> None:
+    for name, source in tables.items():
+        if isinstance(source, DataFrame):
+            df = source
+        elif isinstance(source, str):
+            # Path to parquet/csv/json by extension.
+            if source.endswith(".csv"):
+                df = spark.read.option("header", "true").csv(source)
+            elif source.endswith(".json") or source.endswith(".jsonl"):
+                df = spark.read.json(source)
+            else:
+                df = spark.read.parquet(source)
+        elif isinstance(source, list):
+            # list-of-dicts in-memory table (reference memorySource,
+            # src/backend/dataSource.js:29-71).
+            df = spark.createDataFrame(source)
+        else:
+            raise TypeError(f"unsupported table source for {name!r}: {type(source)}")
+        df.createOrReplaceTempView(name)
+
+
+def extract_tables(spark: SparkSession, query: str) -> list[str]:
+    """Table names referenced by the query (reference ``extractTables``)."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(query)
+    except Exception as exc:  # parse error — surface as ValueError
+        raise ValueError(f"parse error: {exc}") from exc
+    names: list[str] = []
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if cls in ("UnresolvedRelation",):
+            names.append(node.tableName())
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+        # subqueries live in expressions; cheap fallback below handles them
+
+    try:
+        walk(plan)
+    except Exception:
+        pass
+    if not names:
+        # Fallback: regex-free conservative scan via catalyst's collectLeaves
+        # is overkill here; resolve by attempting analysis.
+        import re
+
+        names = re.findall(r"(?:from|join)\s+([a-zA-Z_][a-zA-Z0-9_.]*)", query, re.I)
+    seen, out = set(), []
+    for n in names:
+        if n.lower() not in seen:
+            seen.add(n.lower())
+            out.append(n)
+    return out
+
+
+def parse_sql(spark: SparkSession, query: str) -> bool:
+    """Parse-only validation (reference ``parseSql``). Raises on bad SQL."""
+    spark._jsparkSession.sessionState().sqlParser().parsePlan(query)
+    return True
+
+
+def plan_sql(spark: SparkSession, query: str, mode: str = "formatted") -> str:
+    """Optimized + physical plan text (reference ``planSql``)."""
+    df = spark.sql(query)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+@dataclass
+class QueryResult:
+    """Streaming result handle (reference QueryResults: columns / rows() /
+    numRows, src/types.d.ts:11-16)."""
+
+    df: DataFrame
+    job_group: str
+    _spark: SparkSession = field(repr=False, default=None)
+
+    @property
+    def columns(self) -> list[str]:
+        return self.df.columns
+
+    def rows(self, prefetch: bool = True) -> Iterator[dict[str, Any]]:
+        """Lazy row iterator — executes partition-by-partition like the
+        reference's pull-based AsyncRow stream."""
+        for row in self.df.toLocalIterator(prefetchPartitions=prefetch):
+            yield row.asDict(recursive=True)
+
+    def collect(self) -> list[dict[str, Any]]:
+        return [r.asDict(recursive=True) for r in self.df.collect()]
+
+    def num_rows(self) -> int:
+        return self.df.count()
+
+    def cancel(self) -> None:
+        """Cooperative cancellation (reference AbortSignal semantics)."""
+        self._spark.sparkContext.cancelJobGroup(self.job_group)
+
+
+def execute_sql(
+    spark: SparkSession,
+    query: str,
+    tables: dict[str, Any] | None = None,
+    functions: dict[str, FunctionSpec] | None = None,
+) -> QueryResult:
+    """Run SQL over a per-query table namespace with optional scalar UDFs —
+    the reference's ``executeSql({tables, query, functions})``."""
+    if tables:
+        _register_tables(spark, tables)
+    if functions:
+        register_functions(spark, functions)
+
+    job_group = f"squirreling-{uuid.uuid4().hex[:12]}"
+    spark.sparkContext.setJobGroup(job_group, query[:200], interruptOnCancel=True)
+    try:
+        df = spark.sql(query)
+    except Exception as exc:
+        msg = str(exc)
+        if "TABLE_OR_VIEW_NOT_FOUND" in msg:
+            available = sorted(
+                t.name for t in spark.catalog.listTables() if t.isTemporary
+            )
+            raise TableNotFoundError(
+                f"{msg.splitlines()[0]} — available tables: {available}"
+            ) from exc
+        raise
+    return QueryResult(df=df, job_group=job_group, _spark=spark)
+
+
+# camelCase aliases matching the reference export names
+executeSql = execute_sql
+parseSql = parse_sql
+planSql = plan_sql
+extractTables = extract_tables

@@ -40,4 +40,5 @@ def load_all() -> None:
         queries_nested,
         queries_window,
         queries_pipeline,
+        queries_spatial,
     )

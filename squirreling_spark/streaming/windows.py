@@ -1,0 +1,93 @@
+"""Structured Streaming operators over the events stream.
+
+The reference engine's "streaming" is incremental pull-based row delivery
+(SURVEY §2.5: no watermarks or event-time semantics). These operators are
+the genuine streaming upgrades a Spark-native engine provides — the same
+transformations run identically on ``spark.read`` (batch) and
+``spark.readStream`` (incremental with state + late-data handling):
+
+- ``tumbling_counts``: per-window per-type counts with a watermark bounding
+  state. At 100 TB/day the state is O(windows × types), not O(events).
+- ``session_aggregate``: native ``session_window`` (gap-based sessions) —
+  the streaming equivalent of queries_pipeline.events_sessionize.
+- ``stateful_user_counter``: custom stateful operator via
+  ``applyInPandasWithState`` — the escape hatch for semantics the built-in
+  operators can't express (reference §2 'custom operators' guidance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window counts; watermark bounds streaming state."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_aggregate(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessions per user via native session_window."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_COUNTER_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("total_events", LongType()),
+    ]
+)
+_STATE_SCHEMA = StructType([StructField("count", LongType())])
+
+
+def stateful_user_counter(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: running per-user event count via
+    applyInPandasWithState (arbitrary state semantics beyond built-ins)."""
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        count = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"user_id": [key[0]], "total_events": [count]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_COUNTER_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,77 @@
+"""API façade tests (reference src/index.js surface: executeSql / parseSql /
+planSql / extractTables, error shapes from src/validation/)."""
+
+import pytest
+
+from squirreling_spark.engine import (
+    TableNotFoundError,
+    execute_sql,
+    extract_tables,
+    parse_sql,
+    plan_sql,
+)
+
+
+def test_execute_sql_memory_table(spark):
+    res = execute_sql(
+        spark,
+        "SELECT active, count(*) AS cnt FROM users GROUP BY active",
+        tables={
+            "users": [
+                {"id": 1, "name": "Alice", "active": True},
+                {"id": 2, "name": "Bob", "active": False},
+                {"id": 3, "name": "Charlie", "active": True},
+            ]
+        },
+    )
+    assert res.columns == ["active", "cnt"]
+    rows = {r["active"]: r["cnt"] for r in res.collect()}
+    assert rows == {True: 2, False: 1}
+
+
+def test_execute_sql_parquet_path(spark, sf001):
+    res = execute_sql(
+        spark,
+        "SELECT count(*) AS n FROM r",
+        tables={"r": f"{sf001}/region.parquet"},
+    )
+    assert res.collect() == [{"n": 5}]
+
+
+def test_rows_iterator_streams(spark):
+    res = execute_sql(
+        spark, "SELECT id FROM t ORDER BY id", tables={"t": [{"id": i} for i in range(10)]}
+    )
+    it = res.rows()
+    assert next(it) == {"id": 0}
+    assert next(it) == {"id": 1}
+
+
+def test_table_not_found_lists_available(spark):
+    execute_sql(spark, "SELECT 1", tables={"known_table": [{"a": 1}]})
+    with pytest.raises(TableNotFoundError, match="available tables"):
+        execute_sql(spark, "SELECT * FROM no_such_table_xyz")
+
+
+def test_parse_sql_valid_and_invalid(spark):
+    assert parse_sql(spark, "SELECT 1 AS x")
+    with pytest.raises(Exception):
+        parse_sql(spark, "SELEKT 1 FORM t")
+
+
+def test_plan_sql_shows_physical_plan(spark, sf001):
+    execute_sql(spark, "SELECT 1", tables={"li": f"{sf001}/lineitem.parquet"})
+    plan = plan_sql(spark, "SELECT l_orderkey FROM li WHERE l_quantity > 10")
+    assert "Physical Plan" in plan
+
+
+def test_extract_tables(spark):
+    names = extract_tables(
+        spark, "SELECT * FROM a JOIN b ON a.x = b.y WHERE a.z IN (SELECT z FROM c)"
+    )
+    assert set(n.lower() for n in names) >= {"a", "b"}
+
+
+def test_cancellation_api(spark):
+    res = execute_sql(spark, "SELECT 1 AS x", tables={})
+    res.cancel()  # no job running — must not raise

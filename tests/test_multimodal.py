@@ -1,0 +1,49 @@
+"""Multimodal plumbing tests: schema, Arrow batch shape, pruning behavior.
+The codec is a deterministic stub; the Spark-side pipeline is real."""
+
+from pyspark.sql import functions as F
+
+from squirreling_spark.pipeline.multimodal import (
+    MEDIA_SCHEMA,
+    decode_image,
+    media_metadata,
+    resize_plan,
+)
+
+
+def _media_df(spark):
+    rows = [
+        ("m1", "image", "png", b"\x89PNG-fake-1", (64, 48, None, None)),
+        ("m2", "image", "jpeg", b"\xff\xd8-fake-2", (1920, 1080, None, None)),
+        ("m3", "audio", "wav", b"RIFF-fake-3", (None, None, 1500, 16000)),
+        ("m4", "image", "png", None, (32, 32, None, None)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_image_shapes(spark):
+    df = _media_df(spark)
+    out = decode_image(df.filter(F.col("kind") == "image"))
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert set(rows) == {"m1", "m2", "m4"}
+    assert rows["m1"]["n_pixels"] == rows["m1"]["width"] * rows["m1"]["height"]
+    assert rows["m4"]["checksum"] is None  # null payload → null decode
+    # deterministic: same payload, same fake decode
+    again = {r["media_id"]: r for r in decode_image(df).collect()}
+    assert again["m1"]["checksum"] == rows["m1"]["checksum"]
+
+
+def test_media_metadata_skips_payload(spark, tmp_path):
+    df = _media_df(spark)
+    path = str(tmp_path / "media.parquet")
+    df.write.mode("overwrite").parquet(path)
+    meta = media_metadata(spark.read.parquet(path).drop("payload").withColumn(
+        "payload", F.lit(None).cast("binary")))
+    assert meta.count() == 4
+
+
+def test_resize_plan(spark):
+    df = _media_df(spark)
+    plans = {r["media_id"]: r for r in resize_plan(df, max_dim=256).collect()}
+    assert plans["m2"]["target_w"] == 256  # 1920x1080 → long edge 256
+    assert plans["m1"]["scale"] == 1.0  # already smaller than 256

@@ -1,0 +1,99 @@
+"""Physical-property tests — the Spark re-expression of the reference's
+behavioral layer (SURVEY §5.4): instead of counting cells/rows pulled, we
+assert the *plan shape* that guarantees the property at any scale.
+
+- predicate pushdown → PushedFilters in the parquet scan
+- column pruning → ReadSchema contains only referenced columns
+- ORDER BY + LIMIT → TakeOrderedAndProject (bounded memory top-k)
+- small dim join → BroadcastHashJoin (no fact-side shuffle)
+- aggregation → partial (map-side) aggregate before the exchange
+- relational/pipeline queries → no Python evaluator in the plan
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from squirreling_spark import inventory
+
+inventory.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(name, spark):
+    df = inventory.QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = inventory.QUERIES["filter_where"](spark, SF)
+    plan = formatted(df)
+    assert "PushedFilters" in plan
+    # at least the equality + range conjuncts are pushed
+    assert "l_linestatus" in plan.split("PushedFilters")[1][:400]
+
+
+def test_column_pruning(spark):
+    df = inventory.QUERIES["scan_project"](spark, SF)
+    plan = formatted(df)
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_comment" not in read_schema and "l_tax" not in read_schema
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of("topk", spark)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dim_join_broadcasts(spark):
+    plan = plan_of("join_inner", spark)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_anti_join_operators(spark):
+    assert "Semi" in plan_of("join_semi", spark)
+    assert "Anti" in plan_of("join_anti", spark)
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    plan = plan_of("hash_agg_q1", spark)
+    # partial then final hash aggregate = map-side combine
+    assert plan.count("HashAggregate") >= 2
+    assert "partial" in plan.lower()
+
+
+def test_no_python_in_relational_queries(spark):
+    for name in ["hash_agg_q1", "join_inner", "window_row_number", "topk",
+                 "dedup_minhash_lsh", "dedup_simhash", "text_quality"]:
+        plan = plan_of(name, spark)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+            f"{name} fell off the JVM fast path"
+        )
+
+
+def test_count_star_metadata_only(spark):
+    df = inventory.QUERIES["count_star"](spark, SF)
+    plan = plan_of("count_star", spark)
+    # spark answers parquet count(*) from row-group metadata via
+    # a LocalTableScan/empty-schema scan — no data columns read
+    f = formatted(df)
+    if "ReadSchema" in f:
+        read_schema = f.split("ReadSchema")[1].splitlines()[0]
+        assert "struct<>" in read_schema.replace(" ", "")
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    df = inventory.QUERIES["hash_agg_q1"](spark, SF)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen stages in plan toString
+    assert "*(1)" in plan and "*(2)" in plan

@@ -1,0 +1,46 @@
+"""Pushdown negotiation tests for the Python DataSource — the Spark
+analogue of the reference's trackingSource tests
+(test/execute/trackingSource.js: count what the source actually served)."""
+
+from pyspark.sql import functions as F
+
+from squirreling_spark.sources.api_source import register
+
+
+def test_full_scan(spark):
+    register(spark)
+    df = spark.read.format("paged_api").option("num_rows", "100").load()
+    assert df.count() == 100
+    assert df.columns == ["id", "name", "value", "category"]
+
+
+def test_filter_pushdown_range(spark):
+    register(spark)
+    df = (
+        spark.read.format("paged_api")
+        .option("num_rows", "1000")
+        .option("page_size", "100")
+        .load()
+    )
+    out = df.filter((F.col("id") >= 950) & (F.col("id") < 960))
+    rows = out.collect()
+    assert len(rows) == 10
+    assert sorted(r["id"] for r in rows) == list(range(950, 960))
+
+
+def test_unsupported_filter_compensated(spark):
+    """Filters the source declines (category = 2) must still be applied —
+    Spark's compensation mirrors reference execute.js:355-362."""
+    register(spark)
+    df = spark.read.format("paged_api").option("num_rows", "50").load()
+    rows = df.filter((F.col("category") == 2) & (F.col("id") < 20)).collect()
+    assert all(r["category"] == 2 and r["id"] < 20 for r in rows)
+    assert {r["id"] for r in rows} == {2, 7, 12, 17}
+
+
+def test_deterministic_rows(spark):
+    register(spark)
+    df = spark.read.format("paged_api").option("num_rows", "10").load()
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, df.collect()))
+    assert a == b

