@@ -41,4 +41,5 @@ def load_all() -> None:
         queries_window,
         queries_pipeline,
         queries_spatial,
+        queries_extras,
     )

@@ -55,20 +55,38 @@ def shingles(text_col: str, k: int = 3) -> F.Column:
     )
 
 
-def minhash_signature(
-    text_col: str, num_hashes: int = 32, shingle_k: int = 3
-) -> F.Column:
-    """MinHash signature as array<string>: hash j of a doc is the
-    lexicographic min of md5(j || ':' || shingle). md5 keys make the
-    signature engine- and partition-independent."""
-    sh = shingles(text_col, shingle_k)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                sh, lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s))
-            )
-        ),
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig array<string>) — MinHash signature per document: hash j is
+    the lexicographic min of md5(j || ':' || shingle).
+
+    Plan shape matters here: shingles are exploded to (id, shingle) rows
+    FIRST, each row computes its ``num_hashes`` md5s exactly once, and the
+    per-document min is a map-side-combined aggregate. Building the
+    signature as one nested array expression instead would get re-inlined
+    by CollapseProject into every downstream use — O(bands ×) recomputation
+    of the md5s (measured 100× slower at sf0.1)."""
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("s")
+    )
+    hashed = exploded.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("s"))).alias(f"h{j}")
+            for j in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
+    )
+    return sig.select(
+        F.col(id_col),
+        F.array(*[f"h{j}" for j in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -82,14 +100,14 @@ def minhash_lsh_bands(
 ) -> DataFrame:
     """(id, band_idx, band_key) rows — one per LSH band."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(text_col, num_hashes, shingle_k)
+    sig_df = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     banded = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.array_join(
-            F.slice(sig, b * rows_per_band + 1, rows_per_band), "|"
+            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|"
         ),
     )
-    return df.select(
+    return sig_df.select(
         F.col(id_col), F.posexplode(banded).alias("band_idx", "band_key")
     )
 
@@ -127,19 +145,22 @@ def simhash(text_col: str, bits: int = 48) -> F.Column:
     each token votes ±1 per bit position using its md5; bit = 1 when the
     vote sum is positive. No shuffle, no UDF — pure codegen expressions."""
     assert bits <= 128
-    toks = f"split({text_col}, ' ')"
-    # bit b of md5(token): hex digit (b div 4), then bit (3 - b % 4) of it.
+    # md5 once per token: fold over pre-hashed tokens — inlining md5 into
+    # the per-bit lambda would recompute it `bits`× per token (measured
+    # ~4× slower at sf0.1).
+    hashes = f"transform(split({text_col}, ' '), t -> md5(t))"
+    # bit b of an md5 hex: hex digit (b div 4), then bit (3 - b % 4) of it.
     # NB: integer division must be `div` — CAST(b/4 AS INT) truncates in
     # Spark but rounds in DuckDB; shiftright() spelled as a function for
     # Spark-SQL compatibility.
     bit = (
         "shiftright(instr('0123456789abcdef', "
-        "substring(md5(t), (b div 4) + 1, 1)) - 1, 3 - b % 4) & 1"
+        "substring(h, (b div 4) + 1, 1)) - 1, 3 - b % 4) & 1"
     )
     votes = (
-        f"aggregate({toks}, "
+        f"aggregate({hashes}, "
         f"transform(sequence(0, {bits - 1}), x -> 0), "
-        f"(acc, t) -> zip_with(acc, transform(sequence(0, {bits - 1}), "
+        f"(acc, h) -> zip_with(acc, transform(sequence(0, {bits - 1}), "
         f"b -> CAST(({bit}) * 2 - 1 AS INT)), (a, v) -> a + v))"
     )
     return F.expr(

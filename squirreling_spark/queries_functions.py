@@ -260,15 +260,18 @@ def cast_funcs(spark, sf):
            median(l_quantity) AS med_qty,
            percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q25,
            percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS q75,
-           percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS med_price
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS med_price,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS approx_q90
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def median_percentile(spark, sf):
-    """MEDIAN / PERCENTILE_CONT WITHIN GROUP (reference exact sort +
-    linear interpolation, src/expression/evaluate.js:314-350 — same
-    definition in Spark and DuckDB)."""
+    """MEDIAN / PERCENTILE_CONT WITHIN GROUP / APPROX_QUANTILE (reference
+    implements all three as exact sort + linear interpolation,
+    src/expression/evaluate.js:314-350 — APPROX_QUANTILE keeps that exact
+    semantics here; Spark's genuinely-approximate approx_percentile is
+    available when sketch-grade speed matters at scale)."""
     li = t(spark, sf, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.median("l_quantity").alias("med_qty"),
@@ -277,6 +280,9 @@ def median_percentile(spark, sf):
         F.expr(
             "percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
         ).alias("med_price"),
+        F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity)").alias(
+            "approx_q90"
+        ),
     )
 
 
