@@ -35,6 +35,26 @@ class TableNotFoundError(Exception):
     src/validation/tables.js:166-211)."""
 
 
+class ColumnNotFoundError(Exception):
+    """Raised with the list of available columns (reference
+    src/validation/tables.js:166-211)."""
+
+
+class UnknownFunctionError(Exception):
+    """Raised with a did-you-mean suggestion (reference
+    src/validation/parseErrors.js:105-178)."""
+
+
+def _edit_distance(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 def _register_tables(spark: SparkSession, tables: dict[str, Any]) -> None:
     for name, source in tables.items():
         if isinstance(source, DataFrame):
@@ -120,16 +140,26 @@ class QueryResult:
     def columns(self) -> list[str]:
         return self.df.columns
 
+    def _enter_group(self) -> None:
+        # Job groups are thread-local: attach the group in the thread that
+        # actually submits the job, so cancel() from any thread reaches it.
+        self._spark.sparkContext.setJobGroup(
+            self.job_group, "squirreling query", interruptOnCancel=True
+        )
+
     def rows(self, prefetch: bool = True) -> Iterator[dict[str, Any]]:
         """Lazy row iterator — executes partition-by-partition like the
         reference's pull-based AsyncRow stream."""
+        self._enter_group()
         for row in self.df.toLocalIterator(prefetchPartitions=prefetch):
             yield row.asDict(recursive=True)
 
     def collect(self) -> list[dict[str, Any]]:
+        self._enter_group()
         return [r.asDict(recursive=True) for r in self.df.collect()]
 
     def num_rows(self) -> int:
+        self._enter_group()
         return self.df.count()
 
     def cancel(self) -> None:
@@ -156,13 +186,29 @@ def execute_sql(
         df = spark.sql(query)
     except Exception as exc:
         msg = str(exc)
+        first = msg.splitlines()[0]
         if "TABLE_OR_VIEW_NOT_FOUND" in msg:
             available = sorted(
                 t.name for t in spark.catalog.listTables() if t.isTemporary
             )
             raise TableNotFoundError(
-                f"{msg.splitlines()[0]} — available tables: {available}"
+                f"{first} — available tables: {available}"
             ) from exc
+        if "UNRESOLVED_COLUMN" in msg:
+            raise ColumnNotFoundError(first) from exc
+        if "UNRESOLVED_ROUTINE" in msg:
+            import re
+
+            m = re.search(r"routine `?(\w+)`?", msg)
+            bad = (m.group(1) if m else "").lower()
+            known = [r.name for r in spark.catalog.listFunctions()]
+            if bad and known:
+                best = min(known, key=lambda k: _edit_distance(bad, k.lower()))
+                if _edit_distance(bad, best.lower()) <= 3:
+                    raise UnknownFunctionError(
+                        f"{first} — did you mean {best.upper()}?"
+                    ) from exc
+            raise UnknownFunctionError(first) from exc
         raise
     return QueryResult(df=df, job_group=job_group, _spark=spark)
 

@@ -62,27 +62,32 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, sig array<string>) — MinHash signature per document: hash j is
-    the lexicographic min of md5(j || ':' || shingle).
+    """(id, sig array<bigint>) — MinHash signature per document.
 
-    Plan shape matters here: shingles are exploded to (id, shingle) rows
-    FIRST, each row computes its ``num_hashes`` md5s exactly once, and the
-    per-document min is a map-side-combined aggregate. Building the
-    signature as one nested array expression instead would get re-inlined
-    by CollapseProject into every downstream use — O(bands ×) recomputation
-    of the md5s (measured 100× slower at sf0.1)."""
+    Hash family: one md5 per shingle supplies two 48-bit integers (a, b);
+    hash j is ``min over shingles of (a + j*b)`` — the classic universal
+    a+jb family, engine-exact in integer arithmetic (no overflow:
+    a + 31b < 2^54). One md5 instead of ``num_hashes`` md5s per shingle.
+
+    Plan shape matters: shingles are exploded to (id, shingle) rows FIRST,
+    each row hashes exactly once, and the per-document min is a
+    map-side-combined aggregate. Building the signature as one nested
+    array expression instead would get re-inlined by CollapseProject into
+    every downstream use — O(bands ×) recomputation (measured 100× slower
+    at sf0.1)."""
     exploded = df.select(
         F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("s")
     )
     hashed = exploded.select(
         F.col(id_col),
-        *[
-            F.md5(F.concat(F.lit(f"{j}:"), F.col("s"))).alias(f"h{j}")
-            for j in range(num_hashes)
-        ],
+        F.expr("cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint)").alias("a"),
+        F.expr("cast(conv(substring(md5(s), 13, 12), 16, 10) as bigint)").alias("b"),
     )
     sig = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
+        *[
+            F.min(F.col("a") + j * F.col("b")).alias(f"h{j}")
+            for j in range(num_hashes)
+        ]
     )
     return sig.select(
         F.col(id_col),
@@ -104,7 +109,11 @@ def minhash_lsh_bands(
     banded = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.array_join(
-            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|"
+            F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+            "|",
         ),
     )
     return sig_df.select(
@@ -144,24 +153,20 @@ def simhash(text_col: str, bits: int = 48) -> F.Column:
     """SimHash fingerprint as a bit string, computed as a row-local fold:
     each token votes ±1 per bit position using its md5; bit = 1 when the
     vote sum is positive. No shuffle, no UDF — pure codegen expressions."""
-    assert bits <= 128
-    # md5 once per token: fold over pre-hashed tokens — inlining md5 into
-    # the per-bit lambda would recompute it `bits`× per token (measured
-    # ~4× slower at sf0.1).
-    hashes = f"transform(split({text_col}, ' '), t -> md5(t))"
-    # bit b of an md5 hex: hex digit (b div 4), then bit (3 - b % 4) of it.
-    # NB: integer division must be `div` — CAST(b/4 AS INT) truncates in
-    # Spark but rounds in DuckDB; shiftright() spelled as a function for
-    # Spark-SQL compatibility.
-    bit = (
-        "shiftright(instr('0123456789abcdef', "
-        "substring(h, (b div 4) + 1, 1)) - 1, 3 - b % 4) & 1"
+    assert bits <= 48
+    # One md5 per token, parsed once to a 48-bit integer; per-bit votes are
+    # then pure shifts. Bit b is bit (bits-1-b) of the integer — identical
+    # to reading hex digit (b div 4), bit (3 - b % 4).
+    hashes = (
+        f"transform(split({text_col}, ' '), "
+        "t -> cast(conv(substring(md5(t), 1, 12), 16, 10) as bigint))"
     )
     votes = (
         f"aggregate({hashes}, "
         f"transform(sequence(0, {bits - 1}), x -> 0), "
         f"(acc, h) -> zip_with(acc, transform(sequence(0, {bits - 1}), "
-        f"b -> CAST(({bit}) * 2 - 1 AS INT)), (a, v) -> a + v))"
+        f"b -> CAST((shiftright(h, {bits - 1} - b) & 1) * 2 - 1 AS INT)), "
+        f"(a, v) -> a + v))"
     )
     return F.expr(
         f"concat_ws('', transform({votes}, s -> CASE WHEN s > 0 THEN '1' ELSE '0' END))"

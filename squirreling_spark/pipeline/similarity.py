@@ -72,15 +72,15 @@ def cosine_topk_bruteforce(
 def assign_cells(
     corpus: DataFrame,
     centroids: DataFrame,
+    c_id: str = "vec_id",
     c_vec: str = "embedding",
     cent_id: str = "cent_id",
     cent_vec: str = "cent_vec",
 ) -> DataFrame:
-    """IVF build: tag every corpus row with its nearest centroid cell."""
+    """IVF build: tag every corpus row with its nearest centroid cell.
+    Centroids broadcast; one pass over the corpus, rank-1 per row."""
     sim = cosine(F.col(c_vec), F.col(cent_vec))
-    w = Window.partitionBy(*corpus.columns).orderBy(
-        F.desc(F.round(sim, 6)), F.col(cent_id)
-    )
+    w = Window.partitionBy(c_id).orderBy(F.desc(F.round(sim, 6)), F.col(cent_id))
     return (
         corpus.crossJoin(F.broadcast(centroids))
         .withColumn("__r", F.row_number().over(w))

@@ -69,12 +69,23 @@ def dedup_exact_q(spark, sf):
     WITH sh AS (
       SELECT doc_id, {_D_SHINGLES} AS shingles FROM documents
     ),
+    ab AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> {{
+               'a': list_sum(list_transform(generate_series(1, 12),
+                      i -> (instr('0123456789abcdef', md5(s)[i]) - 1)::BIGINT
+                           << (4 * (12 - i))))::BIGINT,
+               'b': list_sum(list_transform(generate_series(1, 12),
+                      i -> (instr('0123456789abcdef', md5(s)[i + 12]) - 1)::BIGINT
+                           << (4 * (12 - i))))::BIGINT
+             }}) AS hs
+      FROM sh
+    ),
     sig AS (
       SELECT doc_id,
              list_transform(generate_series(0, 31),
-               j -> list_min(list_transform(shingles,
-                      s -> md5(j::VARCHAR || ':' || s)))) AS sig
-      FROM sh
+               j -> list_min(list_transform(hs, x -> x.a + j * x.b))) AS sig
+      FROM ab
     ),
     bands AS (
       SELECT doc_id, u.b AS band_idx,
@@ -88,9 +99,10 @@ def dedup_exact_q(spark, sf):
     """,
 )
 def dedup_minhash_lsh_q(spark, sf):
-    """MinHash (32 hashes) + LSH (8 bands × 4) candidate pairs
-    (pipeline/dedup.py). md5-keyed minhashes are engine-independent; the
-    candidate join is bucket-local — the 100 TB near-dup path."""
+    """MinHash (32 hashes, a+jb family off one md5) + LSH (8 bands × 4)
+    candidate pairs (pipeline/dedup.py). md5-derived integers make the
+    signature engine-independent; the candidate join is bucket-local — the
+    100 TB near-dup path."""
     return minhash_lsh_candidates(
         t(spark, sf, "documents"), "text", "doc_id", num_hashes=32, bands=8
     )
@@ -99,14 +111,20 @@ def dedup_minhash_lsh_q(spark, sf):
 @query(
     "dedup_simhash",
     oracle=f"""
+    WITH hs AS (
+      SELECT doc_id,
+             list_transform({_D_TOKS},
+               t -> list_sum(list_transform(generate_series(1, 12),
+                      i -> (instr('0123456789abcdef', md5(t)[i]) - 1)::BIGINT
+                           << (4 * (12 - i))))::BIGINT) AS hv
+      FROM documents
+    )
     SELECT doc_id,
            array_to_string(list_transform(generate_series(0, 47), b ->
-             CASE WHEN list_sum(list_transform({_D_TOKS}, t ->
-               (((instr('0123456789abcdef',
-                        substring(md5(t), (b // 4) + 1, 1)) - 1)
-                 >> (3 - b % 4)) & 1) * 2 - 1)) > 0
+             CASE WHEN list_sum(list_transform(hv,
+               v -> ((v >> (47 - b)) & 1) * 2 - 1)) > 0
              THEN '1' ELSE '0' END), '') AS simhash
-    FROM documents
+    FROM hs
     """,
 )
 def dedup_simhash_q(spark, sf):
@@ -198,6 +216,73 @@ def knn_bruteforce_q(spark, sf):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return cosine_topk_bruteforce(queries, e, k=5)
+
+
+_D_COS_QA = _D_COS.replace("a.emb", "q.emb").replace("b.emb", "a.emb")
+_D_COS_QC = _D_COS.replace("a.emb", "q.emb").replace("b.emb", "c.cent")
+_D_COS_EC = _D_COS.replace("a.emb", "e.emb").replace("b.emb", "c.cent")
+
+
+@query(
+    "knn_ivf",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id AS cent_id, emb AS cent FROM e WHERE vec_id % 50 = 0
+    ),
+    ass AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_D_COS_EC} DESC, c.cent_id) AS rn
+        FROM e, c) x WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS q_id, emb FROM e WHERE vec_id < 10
+    ),
+    probes AS (
+      SELECT q_id, cell FROM (
+        SELECT q.q_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {_D_COS_QC.replace('q.emb', 'q.emb')} DESC,
+                                           c.cent_id) AS rn
+        FROM q, c) x WHERE rn <= 2
+    ),
+    s AS (
+      SELECT p.q_id, a.vec_id, {_D_COS_QA} AS sim
+      FROM probes p
+      JOIN ass ON ass.cell = p.cell
+      JOIN e a ON a.vec_id = ass.vec_id
+      JOIN q ON q.q_id = p.q_id
+      WHERE a.vec_id != p.q_id
+    ),
+    r AS (
+      SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, vec_id) AS rank
+      FROM s
+    )
+    SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 5
+    """,
+)
+def knn_ivf_q(spark, sf):
+    """IVF approximate top-k (pipeline/similarity.py): corpus bucketed by
+    nearest centroid (every 50th vector as centroid), queries probe the 2
+    nearest cells only — the scanned-row reduction that makes ANN viable at
+    100 TB (cells become partition-pruned buckets on disk)."""
+    from squirreling_spark.pipeline.similarity import assign_cells, ivf_topk
+
+    e = t(spark, sf, "embeddings")
+    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    corpus_cells = assign_cells(e, centroids)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk(queries, corpus_cells, centroids, k=5, nprobe=2)
 
 
 @query(

@@ -4,7 +4,9 @@ planSql / extractTables, error shapes from src/validation/)."""
 import pytest
 
 from squirreling_spark.engine import (
+    ColumnNotFoundError,
     TableNotFoundError,
+    UnknownFunctionError,
     execute_sql,
     extract_tables,
     parse_sql,
@@ -72,6 +74,50 @@ def test_extract_tables(spark):
     assert set(n.lower() for n in names) >= {"a", "b"}
 
 
+def test_column_not_found(spark):
+    with pytest.raises(ColumnNotFoundError):
+        execute_sql(
+            spark, "SELECT nope FROM ct", tables={"ct": [{"a": 1}]}
+        ).collect()
+
+
+def test_unknown_function_suggestion(spark):
+    with pytest.raises(UnknownFunctionError, match="did you mean"):
+        execute_sql(spark, "SELECT lowerr(a) FROM ft", tables={"ft": [{"a": "x"}]})
+
+
 def test_cancellation_api(spark):
     res = execute_sql(spark, "SELECT 1 AS x", tables={})
     res.cancel()  # no job running — must not raise
+
+
+def test_cancel_running_query(spark):
+    """Mid-query cancellation (the reference's AbortSignal semantics:
+    abort rejects rather than truncates, CHANGELOG 0.4.x)."""
+    import threading
+    import time
+
+    slow = execute_sql(
+        spark,
+        """
+        SELECT count(*) AS n FROM (
+          SELECT a.id FROM big a CROSS JOIN big b CROSS JOIN big c
+        )
+        """,
+        tables={"big": [{"id": i} for i in range(2000)]},
+    )
+    errors = []
+
+    def run():
+        try:
+            slow.collect()
+            errors.append("completed")
+        except Exception:
+            errors.append("cancelled")
+
+    th = threading.Thread(target=run)
+    th.start()
+    time.sleep(2.0)
+    slow.cancel()
+    th.join(timeout=60)
+    assert errors == ["cancelled"]
