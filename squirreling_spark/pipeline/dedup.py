@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from squirreling_spark.qutil import spread
+
 # Normalization shared by fingerprints: collapse whitespace, lowercase.
 _NORM = "lower(trim(regexp_replace({col}, '\\\\s+', ' ')))"
 
@@ -75,7 +77,7 @@ def minhash_signatures(
     array expression instead would get re-inlined by CollapseProject into
     every downstream use — O(bands ×) recomputation (measured 100× slower
     at sf0.1)."""
-    exploded = df.select(
+    exploded = spread(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("s")
     )
     hashed = exploded.select(
@@ -176,7 +178,8 @@ def simhash(text_col: str, bits: int = 48) -> F.Column:
 def simhash_dedup(df: DataFrame, text_col: str, id_col: str, bits: int = 48) -> DataFrame:
     """Group docs by identical SimHash fingerprint (near-dup clusters)."""
     return (
-        df.select(F.col(id_col), simhash(text_col, bits).alias("simhash"))
+        spread(df.select(id_col, text_col))
+        .select(F.col(id_col), simhash(text_col, bits).alias("simhash"))
         .groupBy("simhash")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
     )
@@ -191,7 +194,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Pairwise n-gram Jaccard within a blocking key. Quadratic in block
     size — use as the verify step on LSH candidates (or small blocks)."""
-    sh = df.select(
+    sh = spread(df.select(id_col, block_col, text_col)).select(
         F.col(id_col),
         F.col(block_col).alias("block"),
         F.array_distinct(shingles(text_col, shingle_k)).alias("sh"),

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from squirreling_spark.qutil import spread
+
 
 def _to_double(col: Column) -> Column:
     return col.cast("array<double>")
@@ -58,7 +60,8 @@ def cosine_topk_bruteforce(
     similarity rounded before ranking so ordering is reproducible."""
     sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), round_digits)
     scored = (
-        corpus.join(F.broadcast(queries), F.col(q_id) != F.col(c_id))
+        spread(corpus)  # vector math is CPU-bound: use every core
+        .join(F.broadcast(queries), F.col(q_id) != F.col(c_id))
         .select(q_id, c_id, sim.alias("sim"))
     )
     w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
@@ -82,7 +85,8 @@ def assign_cells(
     sim = cosine(F.col(c_vec), F.col(cent_vec))
     w = Window.partitionBy(c_id).orderBy(F.desc(F.round(sim, 6)), F.col(cent_id))
     return (
-        corpus.crossJoin(F.broadcast(centroids))
+        spread(corpus)
+        .crossJoin(F.broadcast(centroids))
         .withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") == 1)
         .drop("__r", cent_vec)

@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from squirreling_spark.qutil import spread
+
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is"],
     "de": ["der", "die", "das", "und", "ist"],
@@ -35,7 +37,7 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.lit(0),
         lambda acc, t: acc + F.greatest(F.ceil(F.length(t) / 4).cast("int"), F.lit(1)),
     )
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
         n.alias("n_tokens"),
@@ -70,7 +72,7 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     score = F.round(
         (F.least(stop_ratio * 4, F.lit(1.0)) + ttr + len_band) / 3, 6
     )
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         stop_ratio.alias("stopword_ratio"),
         ttr.alias("type_token_ratio"),
@@ -107,7 +109,7 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.lit("unknown")
         )
     )
-    return df.select(
+    return spread(df).select(
         F.col(id_col), pred.alias("pred_lang"), best.getField("hits").alias("hits")
     )
 
@@ -118,7 +120,7 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     toks = F.split(norm, " ")
     bag = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         F.md5(norm).alias("fp_exact"),
         bag.alias("fp_bag"),

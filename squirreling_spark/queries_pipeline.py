@@ -129,8 +129,11 @@ def dedup_minhash_lsh_q(spark, sf):
 )
 def dedup_simhash_q(spark, sf):
     """48-bit SimHash fingerprint per document (pipeline/dedup.py) — a
-    row-local fold over tokens, no shuffle at all until clustering."""
-    d = t(spark, sf, "documents")
+    row-local fold over tokens; input spread across cores first (single
+    row-group files scan as one task)."""
+    from squirreling_spark.qutil import spread
+
+    d = spread(t(spark, sf, "documents").select("doc_id", "text"))
     return d.select("doc_id", simhash("text", bits=48).alias("simhash"))
 
 

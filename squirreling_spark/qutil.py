@@ -67,3 +67,18 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return events_with_ts(spark, sf_dir)
     return load_table(spark, sf_dir, name)
+
+
+def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input has fewer
+    partitions — used before compute-heavy stages (hashing, vector math).
+
+    Parquet can't split below row-group granularity, so a small/single-row-
+    group file scans as ~1 task; any CPU-bound stage pipelined on top of it
+    serializes. Redistributing the (small) input rows first costs one cheap
+    shuffle and unlocks full-cluster parallelism for the expensive stage —
+    the standard shape whenever compute-per-row ≫ row size, at any scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
