@@ -172,11 +172,18 @@ def execute_sql(
     query: str,
     tables: dict[str, Any] | None = None,
     functions: dict[str, FunctionSpec] | None = None,
+    cache_tables: list[str] | None = None,
 ) -> QueryResult:
     """Run SQL over a per-query table namespace with optional scalar UDFs —
-    the reference's ``executeSql({tables, query, functions})``."""
+    the reference's ``executeSql({tables, query, functions})``.
+
+    ``cache_tables`` memoizes the named tables across queries
+    (``df.cache()`` — the reference's cachedDataSource cell memoization,
+    src/backend/dataSource.js:80-129, at DataFrame granularity)."""
     if tables:
         _register_tables(spark, tables)
+    for name in cache_tables or []:
+        spark.catalog.cacheTable(name)
     if functions:
         register_functions(spark, functions)
 

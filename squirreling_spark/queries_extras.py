@@ -82,6 +82,71 @@ def json_pack(spark, sf):
 
 
 @query(
+    "null_semantics",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS x
+      FROM orders
+    )
+    SELECT
+      count(*) AS n_rows,
+      count(x) AS n_non_null,
+      count(*) - count(x) AS n_null,
+      CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sum_skips_null,
+      sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS is_null_count,
+      sum(CASE WHEN x IS NOT NULL THEN 1 ELSE 0 END) AS not_null_count,
+      sum(CASE WHEN x + 1 IS NULL THEN 1 ELSE 0 END) AS arith_propagates,
+      sum(CASE WHEN (x > 0) IS NULL THEN 1 ELSE 0 END) AS cmp_is_3vl,
+      sum(CASE WHEN coalesce(x, -1) = -1 THEN 1 ELSE 0 END) AS coalesced
+    FROM v
+    """,
+)
+def null_semantics(spark, sf):
+    """NULL handling matrix: IS [NOT] NULL, null propagation through
+    arithmetic, three-valued comparison logic, aggregate null-skipping
+    (reference deviates on comparisons — x = NULL → false,
+    src/expression/binary.js:33-35 — available via dialect.cmp_null_false;
+    the engine default follows standard SQL, which the oracle checks)."""
+    o = t(spark, sf, "orders")
+    x = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    v = o.select("o_orderkey", x.alias("x"))
+    return v.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("x").alias("n_non_null"),
+        (F.count(F.lit(1)) - F.count("x")).alias("n_null"),
+        F.sum(F.col("x").cast("decimal(27,6)")).cast("double").alias("sum_skips_null"),
+        F.sum(F.when(F.col("x").isNull(), 1).otherwise(0)).alias("is_null_count"),
+        F.sum(F.when(F.col("x").isNotNull(), 1).otherwise(0)).alias("not_null_count"),
+        F.sum(F.when((F.col("x") + 1).isNull(), 1).otherwise(0)).alias(
+            "arith_propagates"
+        ),
+        F.sum(F.when((F.col("x") > 0).isNull(), 1).otherwise(0)).alias("cmp_is_3vl"),
+        F.sum(
+            F.when(F.coalesce(F.col("x"), F.lit(-1)) == -1, 1).otherwise(0)
+        ).alias("coalesced"),
+    )
+
+
+@query("approx_sketches")  # rows-only: sketch algorithms differ per engine
+def approx_sketches(spark, sf):
+    """Approximate sketches — HLL distinct counts and quantile sketches
+    (Spark-native; genuinely approximate, so no cross-engine oracle —
+    the driver records a rows-only check). At 100 TB these replace exact
+    COUNT(DISTINCT)/percentile where a shuffle-free single pass matters."""
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.expr("approx_percentile(l_quantity, array(0.5, 0.9), 10000)").alias(
+            "approx_quantiles"
+        ),
+    )
+
+
+@query(
     "regex_occurrence",
     oracle="""
     SELECT p_partkey,

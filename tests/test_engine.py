@@ -86,6 +86,18 @@ def test_unknown_function_suggestion(spark):
         execute_sql(spark, "SELECT lowerr(a) FROM ft", tables={"ft": [{"a": "x"}]})
 
 
+def test_cache_tables(spark):
+    res = execute_sql(
+        spark,
+        "SELECT count(*) AS n FROM cached_t",
+        tables={"cached_t": [{"a": i} for i in range(50)]},
+        cache_tables=["cached_t"],
+    )
+    assert res.collect() == [{"n": 50}]
+    assert spark.catalog.isCached("cached_t")
+    spark.catalog.uncacheTable("cached_t")
+
+
 def test_cancellation_api(spark):
     res = execute_sql(spark, "SELECT 1 AS x", tables={})
     res.cancel()  # no job running — must not raise
