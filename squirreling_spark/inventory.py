@@ -42,4 +42,5 @@ def load_all() -> None:
         queries_pipeline,
         queries_spatial,
         queries_extras,
+        queries_analytics,
     )
