@@ -43,4 +43,5 @@ def load_all() -> None:
         queries_spatial,
         queries_extras,
         queries_analytics,
+        queries_analytics2,
     )
