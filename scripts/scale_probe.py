@@ -1,0 +1,103 @@
+"""Scale probe: replicate sf0.1 10× (≈ sf1: 6M lineitem rows, 50k docs)
+and measure the headline operators to verify near-linear scaling. Writes
+the replicated data to /tmp (never touches /root/testdata) and prints a
+table of sf0.1 vs sf1 timings with the scaling factor.
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from squirreling_spark import inventory
+from squirreling_spark.session import get_spark
+from squirreling_spark.qutil import events_with_ts
+
+inventory.load_all()
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sq_scale_sf1"
+FACTOR = 10
+
+KEY_OFFSETS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+}
+COPY = ["region", "nation", "supplier", "part"]
+
+QUERIES = [
+    "hash_agg_q1",
+    "join_inner",
+    "topk",
+    "q3_shipping_priority",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "knn_bruteforce",
+    "events_sessionize",
+]
+
+
+def replicate(spark):
+    import os
+
+    if os.path.exists(f"{DST}/_done"):
+        return
+    for name in COPY:
+        spark.read.parquet(f"{SRC}/{name}.parquet").write.mode("overwrite").parquet(
+            f"{DST}/{name}.parquet"
+        )
+    for name, keys in KEY_OFFSETS.items():
+        df = (
+            events_with_ts(spark, SRC)
+            if name == "events"
+            else spark.read.parquet(f"{SRC}/{name}.parquet")
+        )
+        n_max = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
+        rep = df.crossJoin(spark.range(FACTOR).withColumnRenamed("id", "__rep"))
+        for k in keys:
+            rep = rep.withColumn(k, F.col(k) + F.col("__rep") * n_max[k])
+        rep = rep.drop("__rep")
+        if name == "events":
+            # keep the source's long-nanos encoding so events_with_ts
+            # reads replicated data identically
+            rep = rep.withColumn("ts", F.unix_micros("ts") * 1000)
+        rep.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+    open(f"{DST}/_done", "w").write("ok")
+
+
+def time_query(name, sf_dir):
+    fn = inventory.QUERIES[name]
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(get_spark("scale-probe"), sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    spark = get_spark("scale-probe")
+    replicate(spark)
+    # events in DST are pre-converted (µs timestamps) — queries call
+    # events_with_ts which expects ns; patch by reading directly:
+    print(f"{'query':26s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>6s}")
+    for name in QUERIES:
+        t_small = time_query(name, SRC)
+        t_big = time_query(name, DST)
+        print(
+            f"{name:26s} {t_small:8.2f} {t_big:8.2f} {t_big / max(t_small, 1e-9):6.1f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -97,3 +97,16 @@ def register_functions(
         if not isinstance(spec, FunctionSpec):
             spec = FunctionSpec(apply=spec)
         spark.udf.register(name, make_udf(spec))
+
+
+def register_udtf(spark: SparkSession, name: str, cls, return_type: str) -> None:
+    """Register a user-defined TABLE function (rows out per input row) —
+    beyond the reference, whose table functions are hard-coded
+    (UNNEST/EXPLODE/JSON_EACH only, src/execute/execute.js:153-242).
+
+    ``cls`` is a plain class with an ``eval(self, *args)`` generator method
+    yielding output tuples; usable in SQL FROM clauses and LATERAL joins.
+    """
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register(name, udtf(cls, returnType=return_type))

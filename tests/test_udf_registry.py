@@ -51,6 +51,42 @@ def test_async_udf_batched(spark):
     assert [r["tagged"] for r in res.collect()] == ["<a>", "<b>", "<c>"]
 
 
+def test_expensive_udf_invocation_count(spark):
+    """The reference's expensive.test.js, with a REAL invocation counter
+    (Spark accumulator): an expensive UDF attached after a filter runs for
+    exactly the surviving rows; a query not reading the UDF column runs it
+    zero times (column pruning)."""
+    sc = spark.sparkContext
+    calls = sc.accumulator(0)
+
+    def expensive(s):
+        calls.add(1)
+        return s + "!"
+
+    from pyspark.sql.functions import udf
+
+    exp_udf = udf(expensive, StringType()).asNondeterministic()
+    df = spark.createDataFrame([(i, f"n{i}") for i in range(1000)], ["id", "name"])
+
+    # (a) filter first → UDF evaluated only for survivors (collect, not
+    # count — count() would prune the UDF column entirely, see (b))
+    out = df.filter(F.col("id") >= 995).select("id", exp_udf("name").alias("x"))
+    assert len(out.collect()) == 5
+    assert calls.value == 5
+
+    # (b) UDF column attached but never selected → pruned, zero evaluations
+    calls2 = sc.accumulator(0)
+
+    def expensive2(s):
+        calls2.add(1)
+        return s
+
+    exp2 = udf(expensive2, StringType()).asNondeterministic()
+    wide = df.withColumn("pricey", exp2("name"))
+    assert wide.select("id").filter(F.col("id") < 10).count() == 10
+    assert calls2.value == 0
+
+
 def test_expensive_udf_not_pushed_into_scan(spark):
     """Plan discipline replacing reference lazy cells: an expensive
     (non-deterministic) UDF projected after a filter must stay above the
