@@ -82,6 +82,32 @@ def json_pack(spark, sf):
 
 
 @query(
+    "alias_chaining",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice * 0.9 AS discounted,
+           discounted * 0.07 AS tax,
+           discounted + tax AS final_price
+    FROM orders
+    """,
+)
+def alias_chaining(spark, sf):
+    """Lateral column aliases: later SELECT items referencing earlier
+    aliases (reference src/plan/plan.js:174-189; Spark ≥3.4 resolves
+    implicitly)."""
+    register_views(spark, sf, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               o_totalprice * 0.9 AS discounted,
+               discounted * 0.07 AS tax,
+               discounted + tax AS final_price
+        FROM orders
+        """
+    )
+
+
+@query(
     "null_semantics",
     oracle="""
     WITH v AS (

@@ -1,0 +1,95 @@
+"""Edge fixtures from the reference test suite (FIXTURES.md §1): empty
+tables with declared schemas, all-NULL rows, empty aggregation inputs,
+joins with no matches."""
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+    ]
+)
+
+
+def _empty(spark):
+    return spark.createDataFrame([], SCHEMA)
+
+
+def test_empty_table_ops(spark):
+    e = _empty(spark)
+    assert e.count() == 0
+    assert e.filter(F.col("id") > 0).count() == 0
+    assert e.select(F.upper("name").alias("u")).collect() == []
+    assert e.distinct().count() == 0
+    assert e.orderBy("id").limit(5).collect() == []
+
+
+def test_empty_aggregate_semantics(spark):
+    e = _empty(spark)
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("id").alias("s"),
+        F.avg("id").alias("a"),
+        F.min("id").alias("mn"),
+        F.max("id").alias("mx"),
+    ).collect()[0]
+    # SQL semantics: COUNT=0, every other aggregate NULL over empty input
+    # (matches reference: empty SUM/AVG → NULL, evaluate.js:267-290)
+    assert row["n"] == 0
+    assert row["s"] is None and row["a"] is None
+    assert row["mn"] is None and row["mx"] is None
+    # GROUP BY over empty input → zero groups
+    assert e.groupBy("name").count().collect() == []
+
+
+def test_all_null_row_behavior(spark):
+    df = spark.createDataFrame([(None, None), (1, "a")], SCHEMA)
+    assert df.filter(F.col("id").isNull()).count() == 1
+    # null group key forms its own group
+    groups = {r["name"]: r["c"] for r in
+              df.groupBy("name").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert groups == {None: 1, "a": 1}
+    # DISTINCT treats NULLs as equal
+    assert df.select("name").distinct().count() == 2
+
+
+def test_join_null_keys_never_match(spark):
+    """NULL join keys match nothing (reference src/execute/join.js:224-348;
+    standard SQL equi-join semantics)."""
+    a = spark.createDataFrame([(None, "x"), (1, "y")], SCHEMA.fieldNames())
+    b = spark.createDataFrame([(None, "p"), (1, "q")], SCHEMA.fieldNames())
+    inner = a.join(b, a["id"] == b["id"]).count()
+    assert inner == 1  # only the 1=1 pair
+    left = a.join(b, a["id"] == b["id"], "left").count()
+    assert left == 2  # null-key row survives with null padding
+
+
+def test_join_empty_side(spark):
+    a = spark.createDataFrame([(1, "x")], SCHEMA.fieldNames())
+    e = _empty(spark)
+    assert a.join(e, a["id"] == e["id"]).count() == 0
+    assert a.join(e, a["id"] == e["id"], "left").count() == 1
+    assert e.join(a, e["id"] == a["id"], "right").count() == 1
+
+
+def test_union_empty_and_set_ops(spark):
+    a = spark.createDataFrame([(1, "x")], SCHEMA.fieldNames())
+    e = _empty(spark)
+    assert a.unionByName(e).count() == 1
+    assert a.intersect(e).count() == 0
+    assert a.subtract(e).count() == 1
+
+
+def test_window_over_empty(spark):
+    from pyspark.sql import Window
+
+    e = _empty(spark)
+    w = Window.partitionBy("name").orderBy("id")
+    assert e.withColumn("rn", F.row_number().over(w)).collect() == []
