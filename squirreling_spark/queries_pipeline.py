@@ -415,6 +415,70 @@ def multimodal_meta_q(spark, sf):
 
 
 @query(
+    "pipeline_compose",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             round(len(list_distinct({_D_TOKS}))::DOUBLE
+                   / len({_D_TOKS}), 6) AS ttr,
+             len({_D_TOKS}) AS n
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, lang, ttr FROM q
+      WHERE ttr >= 0.3 AND n >= 20
+    ),
+    dedup AS (
+      SELECT min(doc_id) AS doc_id
+      FROM (SELECT doc_id, md5({_D_NORM}) AS fp FROM documents) f
+      GROUP BY fp
+    )
+    SELECT k.lang,
+           count(*) AS n_docs,
+           {o_dsum('k.ttr')} AS sum_ttr,
+           count(e.vec_id) AS n_with_embedding
+    FROM kept k
+    JOIN dedup d ON k.doc_id = d.doc_id
+    LEFT JOIN embeddings e ON e.vec_id = k.doc_id
+    GROUP BY k.lang
+    """,
+)
+def pipeline_compose(spark, sf):
+    """End-to-end corpus-prep composite: quality filter (type-token ratio +
+    length) → exact-dedup survivors → join embedding availability →
+    per-language stats. The shape of a real 100 TB data-prep job: each
+    stage is one of this engine's operators, fused into a single Catalyst
+    plan (one pass over documents feeds both branches)."""
+    docs = t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    q = docs.select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("ttr"),
+        F.size(toks).alias("n"),
+    )
+    kept = q.filter((F.col("ttr") >= 0.3) & (F.col("n") >= 20)).select(
+        "doc_id", "lang", "ttr"
+    )
+    dedup_keep = (
+        exact_dedup(docs, "text", "doc_id").select(F.col("keep_id").alias("doc_id"))
+    )
+    emb = t(spark, sf, "embeddings").select("vec_id")
+    return (
+        kept.join(dedup_keep, "doc_id")
+        .join(emb, kept.doc_id == emb.vec_id, "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dsum("ttr", "sum_ttr"),
+            F.count("vec_id").alias("n_with_embedding"),
+        )
+    )
+
+
+@query(
     "events_sessionize",
     oracle="""
     WITH o AS (

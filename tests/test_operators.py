@@ -1,0 +1,68 @@
+"""Unit tests for the custom operators (positional_join, json_each) —
+semantics beyond what the oracle queries exercise."""
+
+from pyspark.sql import functions as F
+
+from squirreling_spark.operators.json_each import json_each, json_each_array
+from squirreling_spark.operators.positional_join import positional_join
+
+
+def test_positional_join_null_pads_shorter(spark):
+    longer = spark.createDataFrame([(i, f"L{i}") for i in range(5)], ["id", "lv"])
+    shorter = spark.createDataFrame([(i, f"R{i}") for i in range(3)], ["rid", "rv"])
+    out = positional_join(longer, shorter, ["id"], ["rid"]).orderBy("id")
+    rows = out.collect()
+    assert len(rows) == 5
+    assert rows[0]["lv"] == "L0" and rows[0]["rv"] == "R0"
+    assert rows[3]["rv"] is None and rows[4]["rv"] is None  # padded
+
+
+def test_positional_join_shorter_left(spark):
+    a = spark.createDataFrame([(1, "a")], ["id", "v"])
+    b = spark.createDataFrame([(i, f"b{i}") for i in range(3)], ["rid", "w"])
+    out = positional_join(a, b, ["id"], ["rid"])
+    assert out.count() == 3
+    assert out.filter(F.col("v").isNull()).count() == 2
+
+
+def test_json_each_object(spark):
+    df = spark.createDataFrame(
+        [(1, '{"a": "1", "b": "x"}'), (2, '{"c": "y"}')], ["id", "j"]
+    )
+    rows = sorted(
+        (r["id"], r["key"], r["value"])
+        for r in json_each(df, "j", id_cols=["id"]).collect()
+    )
+    assert rows == [(1, "a", "1"), (1, "b", "x"), (2, "c", "y")]
+
+
+def test_json_each_array(spark):
+    df = spark.createDataFrame([(1, '["x", "y"]')], ["id", "j"])
+    rows = sorted(
+        (r["id"], r["index"], r["value"])
+        for r in json_each_array(df, "j", id_cols=["id"]).collect()
+    )
+    assert rows == [(1, 0, "x"), (1, 1, "y")]
+
+
+def test_json_each_invalid_json_drops_row(spark):
+    df = spark.createDataFrame([(1, "not json"), (2, '{"k": "v"}')], ["id", "j"])
+    rows = json_each(df, "j", id_cols=["id"]).collect()
+    assert [(r["id"], r["key"]) for r in rows] == [(2, "k")]
+
+
+def test_spatial_constructors_sql(spark):
+    from squirreling_spark.functions.spatial import register_spatial
+
+    register_spatial(spark)
+    row = spark.sql(
+        """
+        SELECT st_astext(st_makeenvelope(0.0, 0.0, 2.0, 3.0)) AS env,
+               st_geomfromtext('POINT (1 2)') AS gj,
+               st_contains(st_makeenvelope(0.0, 0.0, 2.0, 3.0),
+                           'POINT (1 2)') AS inside
+        """
+    ).collect()[0]
+    assert row["env"] == "POLYGON ((0 0, 2 0, 2 3, 0 3, 0 0))"
+    assert '"Point"' in row["gj"]
+    assert row["inside"] is True
