@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -105,8 +106,32 @@ class PagedApiReader(DataSourceReader):
             yield _row_for(i)
 
 
+class PagedApiStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same paged 'API': offsets are row ids;
+    each batch serves up to ``batch_size`` new records. The streaming
+    mirror of the reference's incremental pull-based row delivery — but
+    with real exactly-once offset tracking."""
+
+    def __init__(self, options: dict):
+        self.num_rows = int(options.get("num_rows", 1000))
+        self.batch_size = int(options.get("batch_size", 100))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        end = min(pos + self.batch_size, self.num_rows)
+        rows = [_row_for(i) for i in range(pos, end)]
+        return iter(rows), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(_row_for(i) for i in range(start["pos"], end["pos"]))
+
+
 class PagedApiDataSource(DataSource):
-    """``spark.read.format("paged_api").option("num_rows", N)``."""
+    """``spark.read.format("paged_api")`` (batch) and
+    ``spark.readStream.format("paged_api")`` (micro-batch stream)."""
 
     @classmethod
     def name(cls) -> str:
@@ -117,6 +142,9 @@ class PagedApiDataSource(DataSource):
 
     def reader(self, schema: StructType) -> PagedApiReader:
         return PagedApiReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> PagedApiStreamReader:
+        return PagedApiStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -38,6 +38,39 @@ def test_unsupported_filter_compensated(spark):
     assert {r["id"] for r in rows} == {2, 7, 12, 17}
 
 
+def test_streaming_source_exactly_once(spark, tmp_path):
+    """The same API served as a micro-batch stream: every record arrives
+    exactly once across batches (offset tracking)."""
+    register(spark)
+    stream = (
+        spark.readStream.format("paged_api")
+        .option("num_rows", "350")
+        .option("batch_size", "100")
+        .load()
+    )
+    import time
+
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("api_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) FROM api_stream_sink").collect()[0][0] >= 350:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT id FROM api_stream_sink").collect()
+    ids = sorted(r["id"] for r in rows)
+    assert ids == list(range(350))  # all rows, no dupes, no gaps
+
+
 def test_deterministic_rows(spark):
     register(spark)
     df = spark.read.format("paged_api").option("num_rows", "10").load()
