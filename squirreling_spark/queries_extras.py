@@ -156,6 +156,22 @@ def null_semantics(spark, sf):
     )
 
 
+@query("current_datetime")  # rows-only: evaluation instants differ per engine
+def current_datetime(spark, sf):
+    """Niladic CURRENT_DATE / CURRENT_TIMESTAMP (reference
+    src/parse/functions.js:25-35 — no parens needed). Values depend on the
+    evaluation instant, so the driver records a rows-only check; the test
+    asserts internal consistency instead."""
+    return spark.sql(
+        """
+        SELECT current_date() AS today,
+               current_timestamp() AS now,
+               year(current_date()) AS this_year,
+               current_date() = to_date(current_timestamp()) AS consistent
+        """
+    )
+
+
 @query("approx_sketches")  # rows-only: sketch algorithms differ per engine
 def approx_sketches(spark, sf):
     """Approximate sketches — HLL distinct counts and quantile sketches

@@ -99,6 +99,7 @@ def regex_funcs(spark, sf):
            round(sqrt(l_extendedprice), 8) AS sq,
            round(sin(l_discount), 12) AS sn,
            round(cos(l_discount), 12) AS cs,
+           round(cot(l_discount + 1), 12) AS ct,
            round(atan2(l_discount, l_tax), 12) AS at2,
            round(degrees(l_discount), 9) AS dg,
            round(radians(l_quantity), 9) AS rd,
@@ -128,6 +129,7 @@ def math_funcs(spark, sf):
         F.round(F.sqrt("l_extendedprice"), 8).alias("sq"),
         F.round(F.sin("l_discount"), 12).alias("sn"),
         F.round(F.cos("l_discount"), 12).alias("cs"),
+        F.round(F.cot(F.col("l_discount") + 1), 12).alias("ct"),
         F.round(F.atan2("l_discount", "l_tax"), 12).alias("at2"),
         F.round(F.degrees("l_discount"), 9).alias("dg"),
         F.round(F.radians("l_quantity"), 9).alias("rd"),
