@@ -52,10 +52,11 @@ def cte_recursive(spark, sf):
     "json_pack",
     oracle="""
     SELECT event_id,
-           regexp_extract_all(props, '"([a-z]+)":', 1) AS keys,
+           array_to_string(regexp_extract_all(props, '"([a-z]+)":', 1), ',') AS keys,
            concat('{"k":', regexp_extract(props, '"k": ([0-9]+)', 1),
                   ',"evt":"', event_type, '"}') AS rebuilt,
-           2 AS arr_len,
+           CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 3 + 1
+             AS arr_len,
            regexp_matches(props, '^\\{.*\\}$') AS valid_obj
     FROM events
     """,
@@ -63,20 +64,27 @@ def cte_recursive(spark, sf):
 def json_pack(spark, sf):
     """JSON_OBJECT / JSON_KEYS / JSON_ARRAY_LENGTH / JSON_VALID (reference
     evaluate.js:476-685). Spark side runs the real JSON engine; oracle
-    mirrors values through string ops (DuckDB json extension not assumed)."""
+    mirrors values through string ops (DuckDB json extension not assumed).
+    `keys` is serialized (driver canonicalizer rejects array columns);
+    `arr_len` measures a data-dependent JSON array (length = k%3+1) so
+    json_array_length is actually exercised, not a constant."""
     ev = t(spark, sf, "events")
     k_val = F.get_json_object("props", "$.k").cast("bigint")
     return ev.select(
         "event_id",
-        F.json_object_keys("props").alias("keys"),
+        F.array_join(F.json_object_keys("props"), ",").alias("keys"),
         F.to_json(
             F.named_struct(
                 F.lit("k"), k_val, F.lit("evt"), F.col("event_type")
             )
         ).alias("rebuilt"),
         F.json_array_length(
-            F.concat(F.lit("["), k_val, F.lit(","), k_val, F.lit("]"))
-        ).alias("arr_len"),
+            F.concat(
+                F.lit("["),
+                F.array_join(F.array_repeat(F.lit("1"), (k_val % 3 + 1).cast("int")), ","),
+                F.lit("]"),
+            )
+        ).cast("bigint").alias("arr_len"),
         F.get_json_object("props", "$").isNotNull().alias("valid_obj"),
     )
 
@@ -120,11 +128,11 @@ def alias_chaining(spark, sf):
       count(x) AS n_non_null,
       count(*) - count(x) AS n_null,
       CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sum_skips_null,
-      sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS is_null_count,
-      sum(CASE WHEN x IS NOT NULL THEN 1 ELSE 0 END) AS not_null_count,
-      sum(CASE WHEN x + 1 IS NULL THEN 1 ELSE 0 END) AS arith_propagates,
-      sum(CASE WHEN (x > 0) IS NULL THEN 1 ELSE 0 END) AS cmp_is_3vl,
-      sum(CASE WHEN coalesce(x, -1) = -1 THEN 1 ELSE 0 END) AS coalesced
+      CAST(sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS is_null_count,
+      CAST(sum(CASE WHEN x IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_count,
+      CAST(sum(CASE WHEN x + 1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS arith_propagates,
+      CAST(sum(CASE WHEN (x > 0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS cmp_is_3vl,
+      CAST(sum(CASE WHEN coalesce(x, -1) = -1 THEN 1 ELSE 0 END) AS BIGINT) AS coalesced
     FROM v
     """,
 )

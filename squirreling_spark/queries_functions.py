@@ -87,10 +87,11 @@ def regex_funcs(spark, sf):
     "math_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           floor(l_extendedprice) AS fl, ceil(l_extendedprice) AS ce,
+           CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
            round(l_extendedprice, 1) AS rnd,
            abs(l_extendedprice - 30000) AS ab,
-           sign(l_extendedprice - 30000) AS sg,
+           CAST(sign(l_extendedprice - 30000) AS DOUBLE) AS sg,
            mod(CAST(l_quantity AS BIGINT), 7) AS md,
            round(exp(l_discount), 9) AS ex,
            round(ln(l_extendedprice), 9) AS lnx,
@@ -328,7 +329,7 @@ def stddev_var(spark, sf):
     oracle="""
     SELECT n_name,
            string_agg(s_name, ',' ORDER BY s_name) AS all_suppliers,
-           list_sort(list(s_name)) AS supplier_list,
+           array_to_string(list_sort(list(s_name)), '/') AS supplier_list,
            string_agg(DISTINCT s_name, '|' ORDER BY s_name) AS distinct_suppliers
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
     GROUP BY n_name
@@ -347,7 +348,9 @@ def string_agg_array_agg(spark, sf):
             F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
                 "all_suppliers"
             ),
-            F.array_sort(F.collect_list("s_name")).alias("supplier_list"),
+            F.array_join(F.array_sort(F.collect_list("s_name")), "/").alias(
+                "supplier_list"
+            ),
             F.array_join(F.array_sort(F.collect_set("s_name")), "|").alias(
                 "distinct_suppliers"
             ),

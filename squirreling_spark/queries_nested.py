@@ -80,18 +80,20 @@ def unnest_outer(spark, sf):
            len(words) AS n_words,
            list_contains(words, 'green') AS has_green,
            list_position(words, 'red') AS red_pos,
-           list_sort(words) AS sorted_words,
+           array_to_string(list_sort(words), '/') AS sorted_words,
            words[1] AS first_word,
-           list_append(words, 'x') AS appended,
-           list_concat(words, ['a', 'b']) AS concatted,
-           words[2:3] AS sliced
+           array_to_string(list_append(words, 'x'), '/') AS appended,
+           array_to_string(list_concat(words, ['a', 'b']), '/') AS concatted,
+           array_to_string(words[2:3], '/') AS sliced
     FROM (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part) s
     """,
 )
 def array_funcs(spark, sf):
     """Array pack (reference src/expression/evaluate.js:574-633): LENGTH /
     CONTAINS / POSITION (1-based, 0 when absent — both engines agree) /
-    SORT / subscript / APPEND / CONCAT / slice."""
+    SORT / subscript / APPEND / CONCAT / slice. Array-typed outputs are
+    serialized with array_join: the driver's pandas canonicalizer cannot
+    hash list-valued columns."""
     p = t(spark, sf, "part")
     words = F.split("p_name", " ")
     return p.select(
@@ -99,11 +101,13 @@ def array_funcs(spark, sf):
         F.size(words).alias("n_words"),
         F.array_contains(words, "green").alias("has_green"),
         F.array_position(words, "red").alias("red_pos"),
-        F.array_sort(words).alias("sorted_words"),
+        F.array_join(F.array_sort(words), "/").alias("sorted_words"),
         words[0].alias("first_word"),
-        F.array_append(words, "x").alias("appended"),
-        F.concat(words, F.array(F.lit("a"), F.lit("b"))).alias("concatted"),
-        F.slice(words, 2, 2).alias("sliced"),
+        F.array_join(F.array_append(words, "x"), "/").alias("appended"),
+        F.array_join(
+            F.concat(words, F.array(F.lit("a"), F.lit("b"))), "/"
+        ).alias("concatted"),
+        F.array_join(F.slice(words, 2, 2), "/").alias("sliced"),
     )
 
 

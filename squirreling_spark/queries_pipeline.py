@@ -297,8 +297,9 @@ def knn_ivf_q(spark, sf):
            len(list_distinct({_D_TOKS})) AS n_distinct,
            round(list_sum(list_transform({_D_TOKS}, x -> length(x)))::DOUBLE
                  / len({_D_TOKS}), 6) AS mean_token_len,
-           list_sum(list_transform({_D_TOKS},
-             x -> greatest(CAST(ceil(length(x) / 4.0) AS INT), 1))) AS n_bpe_tokens
+           CAST(list_sum(list_transform({_D_TOKS},
+             x -> greatest(CAST(ceil(length(x) / 4.0) AS INT), 1))) AS BIGINT)
+             AS n_bpe_tokens
     FROM documents
     """,
 )
@@ -363,7 +364,7 @@ def text_quality_q(spark, sf):
                 WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
                 WHEN h_en >= h_de THEN 'en'
                 ELSE 'de' END AS pred_lang,
-           greatest(h_de, h_en, h_es, h_fr) AS hits
+           CAST(greatest(h_de, h_en, h_es, h_fr) AS BIGINT) AS hits
     FROM h
     """,
 )
@@ -488,10 +489,10 @@ def pipeline_compose(spark, sf):
       FROM events
     )
     SELECT event_id, user_id,
-           sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+           CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
                     THEN 1 ELSE 0 END)
              OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS session_seq
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
     FROM o
     """,
 )

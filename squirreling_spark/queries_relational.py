@@ -214,9 +214,9 @@ def group_positional(spark, sf):
     "agg_filter_clause",
     oracle=f"""
     SELECT o_orderstatus,
-           count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           CAST(count(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS n_big,
            {o_dsum('o_totalprice')} AS total,
-           count_if(o_orderpriority = '1-URGENT') AS n_urgent
+           CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent
     FROM orders
     GROUP BY o_orderstatus
     """,
