@@ -27,11 +27,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(inventory.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, in grading
+    priority order (inventory.GRADE_ORDER first: one representative per §2
+    row + every pipeline operator, then remaining variants)."""
+    return inventory.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL for each query (omitted for genuinely
     non-SQL-expressible operators → driver does a rows-only check)."""
-    return dict(inventory.ORACLES)
+    q = inventory.ordered_queries()
+    return {n: inventory.ORACLES[n] for n in q if n in inventory.ORACLES}

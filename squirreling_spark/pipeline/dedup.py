@@ -151,6 +151,99 @@ def minhash_lsh_candidates(
     )
 
 
+def hyperplane_lsh_candidates(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH candidate pairs for embedding near-dup — the
+    100 TB path that replaces the all-pairs cosine self-join.
+
+    Signature bit p = sign(v · h_p) where hyperplane h_p has deterministic
+    integer weights w(p,d) = ((p*131 + d*97) mod 1001) - 500 — a fixed
+    pseudo-random pattern both engines can reproduce exactly (no RNG, no
+    seed shipping). sign-LSH: P(bit match) = 1 - angle/pi, so banding the
+    bits buckets vectors by angular similarity.
+
+    Plan shape: per-row codegen'd dot products (planes × dim multiplies,
+    no shuffle), band keys built WITHOUT a shared signature intermediate
+    (each bit feeds exactly one band, so CollapseProject re-inlining — the
+    MinHash trap above — cannot multiply work), then posexplode to
+    (id, band_idx, band_key) and a bucket-local self-join. Never an
+    all-pairs product: the shuffle key is (band_idx, band_key)."""
+    rows_per_band = planes // bands
+    emb = F.col(vec_col).cast("array<double>")
+
+    def bit(p: int) -> F.Column:
+        weights = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: ((F.lit(p * 131) + d * 97) % 1001 - 500).cast("double"),
+        )
+        dot = F.aggregate(
+            F.zip_with(emb, weights, lambda x, w: x * w),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    band_keys = F.array(
+        *[
+            F.concat(
+                *[bit(p) for p in range(b * rows_per_band, (b + 1) * rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = spread(df.select(id_col, vec_col)).select(
+        F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    left, right = banded.alias("l"), banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def embedding_lsh_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.45,
+    planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs: hyperplane-LSH candidate generation +
+    exact-cosine verification on candidates only. Output (id_a, id_b, sim)
+    with sim >= threshold. Candidates that never share a band are missed
+    (sign-LSH recall < 1) — the standard recall/cost trade; raise
+    planes/bands for higher recall. Compare dedup_embedding_cosine: same
+    verifier, O(n^2) candidates."""
+    from squirreling_spark.pipeline.similarity import cosine
+
+    cand = hyperplane_lsh_candidates(df, vec_col, id_col, planes, bands, dim)
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__ea"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__eb"))
+    sim = F.round(cosine(F.col("__ea"), F.col("__eb")), 6)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def simhash(text_col: str, bits: int = 48) -> F.Column:
     """SimHash fingerprint as a bit string, computed as a row-local fold:
     each token votes ±1 per bit position using its md5; bit = 1 when the

@@ -114,6 +114,76 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Fused one-pass document profile: token stats + quality + language ID
+    + fingerprints in a single select. At scale this is the operationally
+    right shape — the four analyses share tokenization, and fusing them
+    means one scan and zero joins; Catalyst CSE evaluates the shared
+    subexpressions (split / distinct) once per row."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    ndis = F.size(F.array_distinct(toks))
+    sumlen = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    bpe = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, x: acc
+        + F.greatest(F.ceil(F.length(x) / 4).cast("int"), F.lit(1)),
+    )
+
+    def hits(words):
+        return F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, tok: acc + F.when(tok.isin(*words), 1).otherwise(0),
+        )
+
+    lang_scores = [
+        F.struct(hits(words).alias("hits"), F.lit(lang).alias("lang"))
+        for lang, words in sorted(STOPWORDS.items())
+    ]
+    best = F.array_max(F.array(*lang_scores))
+    has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
+    pred = F.when(has_cjk, F.lit("zh")).otherwise(
+        F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(
+            F.lit("unknown")
+        )
+    )
+
+    stop_ratio = F.round(hits(STOPWORDS["en"]).cast("double") / n, 6)
+    ttr = F.round(ndis.cast("double") / n, 6)
+    len_band = (
+        F.when((n >= 20) & (n <= 2000), F.lit(1.0))
+        .when(n >= 5, F.lit(0.5))
+        .otherwise(F.lit(0.0))
+    )
+    quality = F.round(
+        (F.least(stop_ratio * 4, F.lit(1.0)) + ttr + len_band) / 3, 6
+    )
+
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    norm_toks = F.split(norm, " ")
+    return spread(df).select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        n.alias("n_tokens"),
+        ndis.alias("n_distinct"),
+        F.round(sumlen.cast("double") / n, 6).alias("mean_token_len"),
+        bpe.cast("bigint").alias("n_bpe_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        ttr.alias("type_token_ratio"),
+        len_band.alias("length_band"),
+        quality.alias("quality"),
+        pred.alias("pred_lang"),
+        best.getField("hits").cast("bigint").alias("lang_hits"),
+        F.md5(norm).alias("fp_exact"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(norm_toks)), " ")
+        ).alias("fp_bag"),
+        F.md5(F.substring(norm, 1, 64)).alias("fp_prefix"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Document fingerprints: exact md5 of normalized text, order-invariant
     md5 of the sorted distinct token set, and a locality-ish prefix hash."""

@@ -65,21 +65,30 @@ def string_funcs(spark, sf):
            regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
            regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
            regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
-           regexp_matches(p_name, 'g.*d') AS has_gd
+           regexp_matches(p_name, 'g.*d') AS has_gd,
+           regexp_extract_all(p_name, '([a-z]+)', 1)[2] AS second_match,
+           regexp_extract_all(p_name, '([a-z]+)', 1)[-1] AS last_match,
+           len(regexp_extract_all(p_name, '([a-z]+)', 1)) AS n_matches
     FROM part
     """,
 )
 def regex_funcs(spark, sf):
     """Regex pack (reference src/expression/regexp.js:17-170):
-    REGEXP_EXTRACT (group), REGEXP_REPLACE (all-occurrences), REGEXP_MATCHES.
+    REGEXP_EXTRACT (group), REGEXP_REPLACE (all-occurrences),
+    REGEXP_MATCHES, plus REGEXP_SUBSTR occurrence semantics (positive /
+    negative occurrence index, match count) via regexp_extract_all.
     Patterns restricted to the RE2 ∩ Java-regex common dialect."""
     p = t(spark, sf, "part")
+    all_m = F.regexp_extract_all("p_name", F.lit("([a-z]+)"), 1)
     return p.select(
         "p_partkey",
         F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
         F.regexp_extract("p_name", "([a-z]+) ([a-z]+)", 2).alias("second_word"),
         F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
         F.col("p_name").rlike("g.*d").alias("has_gd"),
+        F.element_at(all_m, 2).alias("second_match"),
+        F.element_at(all_m, -1).alias("last_match"),
+        F.size(all_m).alias("n_matches"),
     )
 
 

@@ -192,6 +192,50 @@ def dedup_embedding_cosine_q(spark, sf):
 
 
 @query(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    bits AS (
+      SELECT vec_id, p,
+             CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                    i -> emb[i] * (((p * 131 + (i - 1) * 97) % 1001) - 500)::DOUBLE))
+                  >= 0 THEN '1' ELSE '0' END AS bit
+      FROM e, generate_series(0, 15) g(p)
+    ),
+    bandkeys AS (
+      SELECT vec_id, p // 4 AS band_idx,
+             string_agg(bit, '' ORDER BY p) AS band_key
+      FROM bits GROUP BY vec_id, p // 4
+    ),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM bandkeys l JOIN bandkeys r
+        ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+       AND l.vec_id < r.vec_id
+    )
+    SELECT id_a, id_b, sim FROM (
+      SELECT id_a, id_b, {_D_COS.replace('a.emb', 'ea.emb').replace('b.emb', 'eb.emb')} AS sim
+      FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+    ) WHERE sim >= 0.45
+    """,
+)
+def dedup_embedding_lsh_q(spark, sf):
+    """Embedding near-dup, scale path (pipeline/dedup.py
+    embedding_lsh_dedup): 16 sign-hyperplane bits (deterministic integer
+    weights) -> 4 LSH bands -> bucket-local candidate join -> exact cosine
+    >= 0.45 on candidates only. Same verifier as dedup_embedding_cosine
+    but candidates come from a band join, not an O(n^2) product — this is
+    the variant that survives 100 TB."""
+    from squirreling_spark.pipeline.dedup import embedding_lsh_dedup
+
+    return embedding_lsh_dedup(
+        t(spark, sf, "embeddings"), "embedding", "vec_id", threshold=0.45
+    )
+
+
+@query(
     "knn_bruteforce",
     oracle=f"""
     WITH e AS (
