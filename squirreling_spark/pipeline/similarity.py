@@ -4,13 +4,15 @@
   cast to double so results are bit-identical across engines and partition
   layouts.
 - ``cosine_topk_bruteforce``: exact baseline. Query side is broadcast; the
-  corpus streams through one pass, and per-query top-k is a
-  TakeOrderedAndProject-style window — O(corpus) per query, no quadratic
-  shuffle. Right answer up to ~10^3 queries × any corpus size.
+  corpus streams through one pass; per-query top-k is a two-stage
+  (partition-local then global) ranking so no task ever receives a whole
+  query's corpus — see ``_topk_per_query``. Right answer up to ~10^3
+  queries × any corpus size.
 - ``ivf_topk``: the scale path. Corpus is bucketed by nearest centroid
-  (inverted file); a query probes only ``nprobe`` cells, cutting scanned
-  rows by ~|cells|/nprobe. Centroid assignment is one broadcast join; at
-  100 TB the corpus is written bucketed-by-cell so probes prune partitions.
+  (inverted file — assignment is a map-side-combining ``max_by``
+  aggregate); a query probes only ``nprobe`` cells, cutting scanned rows
+  by ~|cells|/nprobe. Centroids broadcast; at 100 TB the corpus is
+  written bucketed-by-cell so probes prune partitions.
 """
 
 from __future__ import annotations
@@ -46,6 +48,35 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(norm2(a) * norm2(b))
 
 
+def _topk_per_query(
+    scored: DataFrame, k: int, q_id: str, c_id: str
+) -> DataFrame:
+    """Skew-safe per-query top-k over (q_id, c_id, sim) rows.
+
+    A single ``Window.partitionBy(q_id)`` would shuffle O(corpus × queries)
+    rows into #queries partitions — with few queries that's a handful of
+    giant tasks at scale. Instead: (1) local top-k per (physical partition,
+    q_id) — the shuffle key includes the input partition id, so the same
+    row volume spreads over #partitions × #queries balanced buckets and
+    each task ranks a bounded slice; (2) global top-k over the surviving
+    ≤ #partitions × k rows per query — trivially small."""
+    local = scored.withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__pid", q_id).orderBy(
+        F.col("sim").desc(), F.col(c_id)
+    )
+    pruned = (
+        local.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr", "__pid")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "sim", "rank")
+    )
+
+
 def cosine_topk_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
@@ -56,20 +87,16 @@ def cosine_topk_bruteforce(
     c_vec: str = "embedding",
     round_digits: int = 6,
 ) -> DataFrame:
-    """Exact top-k by cosine for each query vector. Queries broadcast;
-    similarity rounded before ranking so ordering is reproducible."""
+    """Exact top-k by cosine for each query vector. Queries broadcast; the
+    corpus streams through one pass; similarity rounded before ranking so
+    ordering is reproducible; ranking via the skew-safe two-stage top-k."""
     sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), round_digits)
     scored = (
         spread(corpus)  # vector math is CPU-bound: use every core
         .join(F.broadcast(queries), F.col(q_id) != F.col(c_id))
         .select(q_id, c_id, sim.alias("sim"))
     )
-    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(q_id, c_id, "sim", "rank")
-    )
+    return _topk_per_query(scored, k, q_id, c_id)
 
 
 def assign_cells(
@@ -81,16 +108,25 @@ def assign_cells(
     cent_vec: str = "cent_vec",
 ) -> DataFrame:
     """IVF build: tag every corpus row with its nearest centroid cell.
-    Centroids broadcast; one pass over the corpus, rank-1 per row."""
-    sim = cosine(F.col(c_vec), F.col(cent_vec))
-    w = Window.partitionBy(c_id).orderBy(F.desc(F.round(sim, 6)), F.col(cent_id))
+    Centroids broadcast; one pass over the corpus. Nearest-centroid is a
+    ``max_by`` HASH AGGREGATE, not a window: the partial (map-side) merge
+    keeps one candidate per corpus row per task, so the corpus × centroids
+    product collapses before the shuffle — a row_number window here would
+    sort-and-shuffle the whole product. Tie-break: highest sim, then
+    smallest centroid id (struct comparison on (sim, -cent_id))."""
+    sim = F.round(cosine(F.col(c_vec), F.col(cent_vec)), 6)
+    other_cols = [c for c in corpus.columns if c != c_id]
     return (
         spread(corpus)
         .crossJoin(F.broadcast(centroids))
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .drop("__r", cent_vec)
-        .withColumnRenamed(cent_id, "cell")
+        .groupBy(c_id)
+        .agg(
+            F.max_by(
+                F.col(cent_id), F.struct(sim, (-F.col(cent_id)).alias("nid"))
+            ).alias("cell"),
+            *[F.first(c).alias(c) for c in other_cols],
+        )
+        .select(c_id, *other_cols, "cell")
     )
 
 
@@ -121,9 +157,4 @@ def ivf_topk(
         .filter(F.col(q_id) != F.col(c_id))
         .select(q_id, c_id, sim.alias("sim"))
     )
-    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(q_id, c_id, "sim", "rank")
-    )
+    return _topk_per_query(scored, k, q_id, c_id)

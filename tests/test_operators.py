@@ -25,6 +25,34 @@ def test_positional_join_shorter_left(spark):
     assert out.filter(F.col("v").isNull()).count() == 2
 
 
+def test_positional_join_numbering_is_parallel(spark):
+    """The numbering stage must not funnel rows through one task (the
+    round-1 implementation used row_number over a global window — a
+    single-task WindowExec). Two-level numbering keeps the data side
+    multi-partition and window-free, and stays correct on scrambled,
+    multi-partition input."""
+    from squirreling_spark.operators.positional_join import _RN, _with_rn
+
+    n = 5000
+    df = (
+        spark.range(n)
+        .select((F.col("id") * 2654435761 % n).alias("k"))
+        .repartition(8)
+    )
+    numbered = _with_rn(df, ["k"])
+    # No WindowExec over the data: the only window is the per-partition
+    # offsets cumsum (one row per partition), which sits under a broadcast.
+    data_plan = numbered._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in data_plan.split("BroadcastExchange")[0]
+    # The numbered output keeps the input's parallelism.
+    assert numbered.rdd.getNumPartitions() > 1
+    rows = numbered.select("k", _RN).collect()
+    by_rn = sorted((r[_RN], r["k"]) for r in rows)
+    assert [rn for rn, _ in by_rn] == list(range(1, n + 1))
+    ks = [k for _, k in by_rn]
+    assert ks == sorted(ks)
+
+
 def test_json_each_object(spark):
     df = spark.createDataFrame(
         [(1, '{"a": "1", "b": "x"}'), (2, '{"c": "y"}')], ["id", "j"]

@@ -97,3 +97,36 @@ def test_whole_stage_codegen_on_hot_path(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # '*(n)' prefixes mark WholeStageCodegen stages in plan toString
     assert "*(1)" in plan and "*(2)" in plan
+
+
+def test_knn_topk_is_two_stage(spark):
+    """Per-query top-k must not be one Window.partitionBy(q_id) over the
+    full corpus-x-queries product (#queries giant tasks at scale): the
+    local stage partitions by (__pid, q_id)."""
+    plan = plan_of("knn_bruteforce", spark)
+    assert plan.count("Window") >= 2
+    assert "__pid" in plan
+
+
+def test_assign_cells_is_aggregate_not_window(spark):
+    """IVF centroid assignment is a map-side-combining max_by aggregate:
+    the corpus-x-centroids product collapses before the shuffle."""
+    from squirreling_spark.pipeline.similarity import assign_cells
+    from squirreling_spark.qutil import t
+
+    emb = t(spark, SF, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    df = assign_cells(emb, cents)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" in plan and "partial" in plan.lower()
+    assert "Window" not in plan
+
+
+def test_positional_join_no_global_window(spark):
+    plan = plan_of("positional_join", spark)
+    # the only windows allowed are over the one-row-per-partition offsets
+    # (they sit under a BroadcastExchange); the data path is window-free
+    for segment in plan.split("BroadcastExchange")[:1]:
+        assert "Window" not in segment
