@@ -36,16 +36,59 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DataType, StringType
 
 
+class UdfArityError(TypeError):
+    """Wrong number of arguments for a registered UDF (reference validates
+    ``arguments: {min,max}`` at parse time, src/validation/functions.js:
+    262-294)."""
+
+    def __init__(self, name: str, got: int, lo: int, hi: int | None):
+        expected = (
+            str(lo)
+            if lo == hi
+            else f"{lo}..{hi}" if hi is not None else f">= {lo}"
+        )
+        super().__init__(
+            f"function {name!r} expects {expected} argument(s), got {got}"
+        )
+        self.name, self.got, self.min_args, self.max_args = name, got, lo, hi
+
+
 @dataclass
 class FunctionSpec:
     """A scalar UDF: sync or async ``apply``, Spark return type, and
-    whether it is expensive (→ fenced from Catalyst reordering)."""
+    whether it is expensive (→ fenced from Catalyst reordering).
+    ``min_args``/``max_args`` bound the accepted arity (reference
+    ``arguments: {min,max}``); when omitted they are inferred from
+    ``apply``'s signature. ``max_args=None`` with ``min_args`` set means
+    unbounded varargs."""
 
     apply: Callable[..., Any]
     return_type: DataType | str = StringType()
     expensive: bool = False
     max_concurrency: int = 64
     vectorized: bool = False  # apply takes/returns pandas Series
+    min_args: int | None = None
+    max_args: int | None = None
+
+
+def _infer_arity(fn: Callable) -> tuple[int, int | None]:
+    lo = hi = 0
+    for p in inspect.signature(fn).parameters.values():
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD):
+            hi += 1
+            if p.default is p.empty:
+                lo += 1
+        elif p.kind == p.VAR_POSITIONAL:
+            return lo, None
+    return lo, hi
+
+
+def _resolved_arity(spec: FunctionSpec) -> tuple[int, int | None]:
+    if spec.min_args is not None or spec.max_args is not None:
+        return spec.min_args or 0, spec.max_args
+    return _infer_arity(spec.apply)
+
+
 
 
 def _async_batched(fn: Callable, max_concurrency: int):
@@ -69,24 +112,45 @@ def _async_batched(fn: Callable, max_concurrency: int):
     return batch_eval
 
 
-def make_udf(spec: FunctionSpec):
-    """Compile a FunctionSpec to a Spark column function."""
+def make_udf(spec: FunctionSpec, name: str = "<udf>"):
+    """Compile a FunctionSpec to a Spark column function with arity
+    enforcement (reference validates ``arguments: {min,max}`` at parse
+    time; Spark binds Python UDFs late, so the check runs as an evaluator
+    prologue): wrong-arity calls raise a structured ``UdfArityError``
+    naming the function and the accepted range — eagerly for DataFrame-API
+    calls, from the worker for SQL calls."""
+    lo, hi = _resolved_arity(spec)
     if inspect.iscoroutinefunction(spec.apply):
-        evaluator = _async_batched(spec.apply, spec.max_concurrency)
-        udf = F.pandas_udf(evaluator, returnType=spec.return_type)
+        inner = _async_batched(spec.apply, spec.max_concurrency)
     elif spec.vectorized:
-        udf = F.pandas_udf(spec.apply, returnType=spec.return_type)
+        inner = spec.apply
     else:
         fn = spec.apply
-        udf = F.pandas_udf(
-            lambda *cols: pd.Series(
-                [fn(*args) for args in zip(*(c.tolist() for c in cols))]
-            ),
-            returnType=spec.return_type,
+        inner = lambda *cols: pd.Series(  # noqa: E731
+            [fn(*args) for args in zip(*(c.tolist() for c in cols))]
         )
+
+    def _arity_ok(n: int) -> bool:
+        return n >= lo and (hi is None or n <= hi)
+
+    def evaluator(*cols):
+        if not _arity_ok(len(cols)):
+            raise UdfArityError(name, len(cols), lo, hi)
+        return inner(*cols)
+
+    udf = F.pandas_udf(evaluator, returnType=spec.return_type)
     if spec.expensive:
         udf = udf.asNondeterministic()
-    return udf
+
+    def checked(*cols):
+        # DataFrame-API calls get the clear error eagerly, not from an
+        # executor traceback.
+        if not _arity_ok(len(cols)):
+            raise UdfArityError(name, len(cols), lo, hi)
+        return udf(*cols)
+
+    checked.__wrapped_udf__ = udf
+    return checked
 
 
 def register_functions(
@@ -96,7 +160,8 @@ def register_functions(
     for name, spec in functions.items():
         if not isinstance(spec, FunctionSpec):
             spec = FunctionSpec(apply=spec)
-        spark.udf.register(name, make_udf(spec))
+        compiled = make_udf(spec, name=name)
+        spark.udf.register(name, getattr(compiled, "__wrapped_udf__", compiled))
 
 
 def register_udtf(spark: SparkSession, name: str, cls, return_type: str) -> None:

@@ -66,6 +66,18 @@ class PagedApiReader(DataSourceReader):
         self.lo = 0
         self.hi = self.num_rows  # exclusive
         self.pushed: list[Filter] = []
+        # Scan-negotiation limit/offset hints (reference src/types.d.ts:
+        # 103-106). Spark's Python DataSource API has no pushLimit hook, so
+        # these arrive as read options. The reference's invariant
+        # (src/execute/execute.js:342-344): a source may apply limit/offset
+        # ONLY when it applied the whole WHERE — otherwise post-filtering
+        # would drop rows a larger fetch should have supplied. We mirror
+        # that: the hints take effect only if pushFilters declined nothing.
+        # They are fetch-reduction hints; the query's own .limit()/.offset()
+        # still guarantees correctness on top.
+        self.limit = int(options["limit"]) if "limit" in options else None
+        self.offset = int(options.get("offset", 0))
+        self.fully_pushed = True
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         unsupported = []
@@ -87,13 +99,20 @@ class PagedApiReader(DataSourceReader):
                 unsupported.append(f)
             if applied:
                 self.pushed.append(f)
+        self.fully_pushed = not unsupported
         return unsupported  # Spark re-applies these — compensation path
 
     def partitions(self) -> list[PagePartition]:
+        lo, hi = self.lo, self.hi
+        if self.limit is not None and self.fully_pushed:
+            # Key-ordered API: offset skips ids, limit caps the fetch — the
+            # difference between one page and all pages on a real API.
+            lo = min(lo + self.offset, hi)
+            hi = min(hi, lo + self.limit)
         pages = []
-        start = self.lo
-        while start < self.hi:
-            end = min(start + self.page_size, self.hi)
+        start = lo
+        while start < hi:
+            end = min(start + self.page_size, hi)
             pages.append(PagePartition(start, end))
             start = end
         return pages or [PagePartition(0, 0)]

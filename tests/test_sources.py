@@ -77,3 +77,61 @@ def test_deterministic_rows(spark):
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, df.collect()))
     assert a == b
+
+
+def test_limit_hint_fetches_fewer_pages():
+    """Scan-negotiation limit/offset (reference src/types.d.ts:103-106):
+    with all filters applied, the limit hint caps the page fetch; with a
+    declined (compensated) filter it must NOT apply (reference invariant
+    src/execute/execute.js:342-344)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from squirreling_spark.sources.api_source import PagedApiReader
+
+    # no filters: 1000 rows / 100-row pages = 10 pages; limit 150 -> 2
+    r = PagedApiReader(None, {"num_rows": "1000", "page_size": "100"})
+    assert len(r.partitions()) == 10
+    r = PagedApiReader(
+        None, {"num_rows": "1000", "page_size": "100", "limit": "150"}
+    )
+    assert len(r.partitions()) == 2
+    # offset skips key-range pages too
+    r = PagedApiReader(
+        None,
+        {"num_rows": "1000", "page_size": "100", "limit": "100",
+         "offset": "500"},
+    )
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].start == 500
+    # pushed range filter composes with the limit
+    r = PagedApiReader(
+        None, {"num_rows": "1000", "page_size": "100", "limit": "150"}
+    )
+    rest = r.pushFilters([GreaterThanOrEqual(("id",), 700)])
+    assert list(rest) == []
+    assert [(p.start, p.end) for p in r.partitions()] == [(700, 800), (800, 850)]
+    # declined filter -> limit hint must be ignored (Spark compensates the
+    # filter AFTER the scan, so a capped fetch would drop matching rows)
+    r = PagedApiReader(
+        None, {"num_rows": "1000", "page_size": "100", "limit": "150"}
+    )
+    rest = r.pushFilters([EqualTo(("category",), 3)])
+    assert len(list(rest)) == 1
+    assert len(r.partitions()) == 10
+
+
+def test_limit_hint_end_to_end(spark):
+    """.option('limit') reduces rows fetched; the query's own .limit() on
+    top keeps exact semantics."""
+    from squirreling_spark.sources.api_source import register
+
+    register(spark)
+    df = (
+        spark.read.format("paged_api")
+        .option("num_rows", 1000)
+        .option("page_size", 100)
+        .option("limit", 150)
+        .load()
+    )
+    assert df.count() == 150
+    assert df.limit(120).count() == 120

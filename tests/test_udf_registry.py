@@ -105,3 +105,47 @@ def test_expensive_udf_not_pushed_into_scan(spark):
     # plan tree printout)
     assert plan.index("pythonUDF") < plan.index("Filter") or "BatchEvalPython" not in plan
     assert sorted(r["x"] for r in out.collect()) == ["name98!", "name99!"]
+
+
+def test_fixed_arity_enforced_at_analysis_time(spark):
+    """Reference validates arguments {min,max} at parse time
+    (src/validation/functions.js:262-294): Spark binds Python UDFs late,
+    so the structured arity error surfaces at call time, naming the
+    function and the accepted count."""
+    import pytest
+
+    from squirreling_spark.functions.registry import register_functions
+
+    register_functions(
+        spark,
+        {"two_arg_fn": FunctionSpec(apply=lambda a, b: f"{a}|{b}")},
+    )
+    df = spark.createDataFrame([("x", "y")], ["a", "b"])
+    df.createOrReplaceTempView("t_arity")
+    assert spark.sql(
+        "SELECT two_arg_fn(a, b) AS r FROM t_arity"
+    ).collect()[0]["r"] == "x|y"
+    with pytest.raises(Exception) as e:
+        spark.sql("SELECT two_arg_fn(a) FROM t_arity").collect()
+    assert "two_arg_fn" in str(e.value)
+
+
+def test_ranged_arity_raises_udf_arity_error(spark):
+    """min/max-bounded varargs UDF: wrong arity raises a structured
+    UdfArityError naming the function and the expected range."""
+    import pytest
+
+    from squirreling_spark.functions.registry import UdfArityError
+
+    spec = FunctionSpec(
+        apply=lambda *args: "|".join(str(a) for a in args),
+        min_args=1,
+        max_args=3,
+    )
+    fn = make_udf(spec, name="joiner")
+    df = spark.createDataFrame([("x", "y")], ["a", "b"])
+    assert df.select(fn("a", "b").alias("r")).collect()[0]["r"] == "x|y"
+    with pytest.raises(UdfArityError, match=r"joiner.*1\.\.3.*got 4"):
+        fn("a", "b", "a", "b")
+    with pytest.raises(UdfArityError, match="got 0"):
+        fn()
