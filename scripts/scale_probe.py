@@ -40,7 +40,11 @@ QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_quality",
+    "text_digest",
     "knn_bruteforce",
+    "knn_ivf",
+    "dedup_embedding_lsh",
+    "positional_join",
     "events_sessionize",
 ]
 

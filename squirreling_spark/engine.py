@@ -30,19 +30,69 @@ from pyspark.sql import DataFrame, SparkSession
 from squirreling_spark.functions.registry import FunctionSpec, register_functions
 
 
-class TableNotFoundError(Exception):
+class QueryError(Exception):
+    """Base for structured query errors. ``position`` (when Spark provides
+    a query context) is {"start", "line", "column", "fragment"} — the
+    position annotation the reference attaches to its errors
+    (src/validation/parseErrors.js:105-178)."""
+
+    def __init__(self, message: str, position: dict | None = None):
+        if position:
+            message = (
+                f"{message} (at line {position['line']}:{position['column']}"
+                f", near {position['fragment']!r})"
+            )
+        super().__init__(message)
+        self.position = position
+
+
+class TableNotFoundError(QueryError):
     """Raised with the list of available tables (reference
     src/validation/tables.js:166-211)."""
 
 
-class ColumnNotFoundError(Exception):
+class ColumnNotFoundError(QueryError):
     """Raised with the list of available columns (reference
     src/validation/tables.js:166-211)."""
 
 
-class UnknownFunctionError(Exception):
+class UnknownFunctionError(QueryError):
     """Raised with a did-you-mean suggestion (reference
     src/validation/parseErrors.js:105-178)."""
+
+
+def _position_of(exc: Exception, query: str) -> dict | None:
+    """Extract (line, column, fragment) from a Spark exception's query
+    context, mapping the context's character offset into the original
+    query text."""
+    get_ctx = getattr(exc, "getQueryContext", None)
+    if get_ctx is None:
+        return None
+    try:
+        contexts = get_ctx() or []
+    except Exception:
+        return None
+    for ctx in contexts:
+        try:
+            start = ctx.startIndex()
+            fragment = ctx.fragment()
+        except Exception:
+            continue
+        if start is None or start < 0:
+            # No offset: fall back to locating the fragment textually.
+            if fragment and fragment in query:
+                start = query.index(fragment)
+            else:
+                continue
+        line = query.count("\n", 0, start) + 1
+        column = start - (query.rfind("\n", 0, start) + 1)
+        return {
+            "start": start,
+            "line": line,
+            "column": column + 1,
+            "fragment": fragment,
+        }
+    return None
 
 
 def _edit_distance(a: str, b: str) -> int:
@@ -194,15 +244,16 @@ def execute_sql(
     except Exception as exc:
         msg = str(exc)
         first = msg.splitlines()[0]
+        pos = _position_of(exc, query)
         if "TABLE_OR_VIEW_NOT_FOUND" in msg:
             available = sorted(
                 t.name for t in spark.catalog.listTables() if t.isTemporary
             )
             raise TableNotFoundError(
-                f"{first} — available tables: {available}"
+                f"{first} — available tables: {available}", pos
             ) from exc
         if "UNRESOLVED_COLUMN" in msg:
-            raise ColumnNotFoundError(first) from exc
+            raise ColumnNotFoundError(first, pos) from exc
         if "UNRESOLVED_ROUTINE" in msg:
             import re
 
@@ -213,9 +264,9 @@ def execute_sql(
                 best = min(known, key=lambda k: _edit_distance(bad, k.lower()))
                 if _edit_distance(bad, best.lower()) <= 3:
                     raise UnknownFunctionError(
-                        f"{first} — did you mean {best.upper()}?"
+                        f"{first} — did you mean {best.upper()}?", pos
                     ) from exc
-            raise UnknownFunctionError(first) from exc
+            raise UnknownFunctionError(first, pos) from exc
         raise
     return QueryResult(df=df, job_group=job_group, _spark=spark)
 

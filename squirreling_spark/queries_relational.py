@@ -201,12 +201,14 @@ def group_having(spark, sf):
 )
 def group_positional(spark, sf):
     """GROUP BY positional refs (reference src/parse/parse.js:391-419) —
-    positions resolve to the SELECT list, identical result to named grouping."""
+    positions resolve to the SELECT list, identical result to named
+    grouping. Uses sql() with a DataFrame parameter binding instead of
+    mutating the session's view namespace."""
     o = t(spark, sf, "orders")
-    o.createOrReplaceTempView("orders")
     return spark.sql(
         "SELECT o_orderstatus, o_orderpriority, count(*) AS n "
-        "FROM orders GROUP BY 1, 2"
+        "FROM {orders} GROUP BY 1, 2",
+        orders=o,
     )
 
 

@@ -86,6 +86,25 @@ def test_unknown_function_suggestion(spark):
         execute_sql(spark, "SELECT lowerr(a) FROM ft", tables={"ft": [{"a": "x"}]})
 
 
+def test_errors_carry_query_positions(spark):
+    """Reference errors carry query positions (src/validation/
+    parseErrors.js:105-178): ours expose {line, column, fragment} mapped
+    from Spark's query context, and the message names the location."""
+    with pytest.raises(ColumnNotFoundError) as e:
+        execute_sql(
+            spark,
+            "SELECT a,\n       nmae\nFROM pt",
+            tables={"pt": [{"a": 1, "name": "x"}]},
+        )
+    pos = e.value.position
+    assert pos and pos["line"] == 2 and pos["fragment"] == "nmae"
+    assert "line 2" in str(e.value)
+    with pytest.raises(UnknownFunctionError) as e:
+        execute_sql(spark, "SELECT uppre(a) FROM pt", tables={"pt": [{"a": "x"}]})
+    assert e.value.position and e.value.position["line"] == 1
+    assert "did you mean" in str(e.value)
+
+
 def test_cache_tables(spark):
     res = execute_sql(
         spark,
