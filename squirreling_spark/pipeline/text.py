@@ -184,6 +184,88 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    pre-tokenization step for LLM training sequences. Row-local: tokens →
+    per-chunk slices → posexplode; one scan, no shuffle, no Python. Chunk
+    count uses pure integer arithmetic so any engine reproduces it:
+    1 + (n - window + stride - 1) div stride for n > window, else 1."""
+    stride = window - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # int/int is double division in both engines; floor of a non-negative
+    # quotient == integer division, exactly representable at these sizes.
+    n_chunks = (
+        F.when(n <= window, F.lit(1))
+        .otherwise(F.floor((n - window + stride - 1) / F.lit(stride)) + 1)
+        .cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.array_join(F.slice(toks, j * stride + 1, window), " "),
+    )
+    return spread(df).select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment from a salted md5 of the id
+    — stable across runs, engines, partitionings, and appends (a given doc
+    never migrates between splits when the corpus grows). Row-local."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"), F.col(id_col).cast("string"))), 1, 4), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return spread(df).select(
+        F.col(id_col), bucket.cast("bigint").alias("bucket"), split.alias("split")
+    )
+
+
+# PII patterns restricted to the RE2 ∩ Java-regex common dialect so the
+# same pattern strings run in Spark and the DuckDB oracle.
+PII_PATTERNS = {
+    "email": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "phone": "[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}",
+    "url": "https?://[^ ]+",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Redact emails/phones/URLs with typed placeholder tokens and report
+    per-category hit counts. Chained regexp_replace — row-local codegen,
+    scan-speed at any scale."""
+    scrubbed = F.col(text_col)
+    counts = {}
+    for kind, pat in PII_PATTERNS.items():
+        counts[kind] = F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return spread(df).select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed"),
+        *[c.cast("bigint").alias(f"n_{k}") for k, c in counts.items()],
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Document fingerprints: exact md5 of normalized text, order-invariant
     md5 of the sorted distinct token set, and a locality-ish prefix hash."""

@@ -192,6 +192,135 @@ def dedup_embedding_cosine_q(spark, sf):
 
 
 @query(
+    "docs_chunk",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, string_split(text, ' ') AS tk,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, tk, n,
+             CASE WHEN n <= 64 THEN 1
+                  ELSE CAST(floor((n - 64 + 47) / 48.0) AS INT) + 1
+             END AS nc
+      FROM s
+    )
+    SELECT doc_id, n AS n_tokens, j AS chunk_idx,
+           array_to_string(tk[j*48+1 : j*48+64], ' ') AS chunk_text
+    FROM (SELECT doc_id, tk, n,
+                 unnest(generate_series(0, nc - 1)) AS j
+          FROM c)
+    """,
+)
+def docs_chunk_q(spark, sf):
+    """Document chunking into 64-token windows with 16-token overlap
+    (stride 48) — the pre-tokenization step for LLM training sequences
+    (pipeline/text.py chunk_documents). Row-local transform+posexplode:
+    one scan, no shuffle."""
+    from squirreling_spark.pipeline.text import chunk_documents
+
+    return chunk_documents(
+        t(spark, sf, "documents"), "text", "doc_id", window=64, overlap=16
+    )
+
+
+@query(
+    "docs_split",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5('split:' || CAST(doc_id AS VARCHAR)) AS hh
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(((instr('0123456789abcdef', hh[1]) - 1) * 4096
+               + (instr('0123456789abcdef', hh[2]) - 1) * 256
+               + (instr('0123456789abcdef', hh[3]) - 1) * 16
+               + (instr('0123456789abcdef', hh[4]) - 1)) % 100
+             AS BIGINT) AS bucket,
+           CASE WHEN ((instr('0123456789abcdef', hh[1]) - 1) * 4096
+                    + (instr('0123456789abcdef', hh[2]) - 1) * 256
+                    + (instr('0123456789abcdef', hh[3]) - 1) * 16
+                    + (instr('0123456789abcdef', hh[4]) - 1)) % 100 < 80
+                     THEN 'train'
+                WHEN ((instr('0123456789abcdef', hh[1]) - 1) * 4096
+                    + (instr('0123456789abcdef', hh[2]) - 1) * 256
+                    + (instr('0123456789abcdef', hh[3]) - 1) * 16
+                    + (instr('0123456789abcdef', hh[4]) - 1)) % 100 < 90
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def docs_split_q(spark, sf):
+    """Deterministic 80/10/10 train/val/test split from a salted md5 of
+    the document id (pipeline/text.py hash_split) — stable across runs,
+    engines, partitionings, and corpus growth."""
+    from squirreling_spark.pipeline.text import hash_split
+
+    return hash_split(t(spark, sf, "documents"), "doc_id")
+
+
+@query(
+    "text_scrub",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or https://ex.com/d/'
+                  || CAST(doc_id AS VARCHAR) || ' tel 555-123-4567' AS t0
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, t0,
+             len(regexp_extract_all(t0,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_email,
+             regexp_replace(t0,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+               '<EMAIL>', 'g') AS t1
+      FROM w
+    ),
+    p AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}'))
+               AS n_phone,
+             regexp_replace(t1, '[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}',
+               '<PHONE>', 'g') AS t2
+      FROM e
+    )
+    SELECT doc_id,
+           regexp_replace(t2, 'https?://[^ ]+', '<URL>', 'g') AS scrubbed,
+           CAST(n_email AS BIGINT) AS n_email,
+           CAST(n_phone AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t2, 'https?://[^ ]+')) AS BIGINT)
+             AS n_url
+    FROM p
+    """,
+)
+def text_scrub_q(spark, sf):
+    """PII scrubbing (pipeline/text.py scrub_pii): redact emails, phone
+    numbers, and URLs with typed placeholders + per-category counts.
+    Synthetic PII is appended deterministically so the scrubber provably
+    fires (the test corpus has none naturally); patterns restricted to
+    the RE2 ∩ Java-regex common dialect."""
+    from squirreling_spark.pipeline.text import scrub_pii
+
+    docs = t(spark, sf, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://ex.com/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" tel 555-123-4567"),
+        ).alias("t"),
+    )
+    return scrub_pii(with_pii, "t", "doc_id")
+
+
+@query(
     "dedup_embedding_lsh",
     oracle=f"""
     WITH e AS (

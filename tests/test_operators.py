@@ -94,3 +94,37 @@ def test_spatial_constructors_sql(spark):
     assert row["env"] == "POLYGON ((0 0, 2 0, 2 3, 0 3, 0 0))"
     assert '"Point"' in row["gj"]
     assert row["inside"] is True
+
+
+def test_chunk_documents_overlap_and_short_docs(spark):
+    from squirreling_spark.pipeline.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(150))  # 150 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, "tiny doc")], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, "text", "doc_id", window=64, overlap=16)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    # 150 tokens, stride 48: chunks start at 0/48/96 -> 3 chunks
+    assert sorted(i for d, i in rows if d == 1) == [0, 1, 2]
+    assert sorted(i for d, i in rows if d == 2) == [0]
+    c0 = rows[(1, 0)]["chunk_text"].split(" ")
+    c1 = rows[(1, 1)]["chunk_text"].split(" ")
+    assert len(c0) == 64 and c0[48:] == c1[:16]  # 16-token overlap
+    # final chunk reaches the last token
+    assert rows[(1, 2)]["chunk_text"].split(" ")[-1] == "w149"
+    assert rows[(2, 0)]["chunk_text"] == "tiny doc"
+
+
+def test_hash_split_is_stable_and_near_proportional(spark):
+    from squirreling_spark.pipeline.text import hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.repartition(13), "doc_id").collect()
+    }
+    assert a == b  # partitioning-independent
+    frac_train = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.75 < frac_train < 0.85
