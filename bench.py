@@ -47,7 +47,9 @@ HEADLINE = [
     "events_sessionize",
 ]
 
-RUNS = 2
+# Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps
+# co-tenant / page-cache noise observed between otherwise-identical runs.
+RUNS = 3
 
 
 def main() -> None:
@@ -59,18 +61,20 @@ def main() -> None:
     # Touch every table once so parquet footers/file listings are cached.
     inventory.QUERIES["count_star"](spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        fn = inventory.QUERIES[name]
-        best = float("inf")
-        for _ in range(RUNS):
+    # Rounds are interleaved (run every query, then repeat) so a transient
+    # co-tenant CPU/IO burst degrades one ROUND of each query instead of
+    # every run of whichever query it straddles; best-of per query.
+    best: dict[str, float] = {n: float("inf") for n in names}
+    for _ in range(RUNS):
+        for name in names:
+            fn = inventory.QUERIES[name]
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             # noop sink executes the complete physical plan without paying
             # driver-side row transfer — engine throughput, not py4j.
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 4)
+            best[name] = min(best[name], time.perf_counter() - start)
+    timings = {n: round(best[n], 4) for n in names}
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

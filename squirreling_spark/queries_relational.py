@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from squirreling_spark.inventory import query
-from squirreling_spark.qutil import davg, dsum, o_davg, o_dsum, t
+from squirreling_spark.qutil import davg, dsum, o_davg, o_dsum, spread, t
 
 
 @query(
@@ -145,8 +145,10 @@ def hash_agg_q1(spark, sf):
     """HashAggregate flagship: TPC-H Q1 pricing summary (reference
     src/execute/streamingAggregate.js:88-206 is the bounded-memory analogue;
     Spark does partial map-side aggregation before the group-key shuffle, so
-    state is O(#groups) per task at any scale)."""
-    li = t(spark, sf, "lineitem")
+    state is O(#groups) per task at any scale). ``spread`` parallelizes the
+    decimal-heavy partial aggregate when the input is a single row group
+    (the local fixtures); on a real many-file table it is a no-op."""
+    li = spread(t(spark, sf, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -179,7 +181,10 @@ def hash_agg_q1(spark, sf):
 def group_having(spark, sf):
     """GROUP BY + HAVING + COUNT(DISTINCT) (reference HAVING runs against the
     group context row, src/execute/aggregates.js:84-188). COUNT DISTINCT in
-    Spark expands to a two-phase aggregate — no per-group sets on the driver."""
+    Spark expands to a two-phase aggregate — no per-group sets on the
+    driver. No ``spread`` here: Expand's output shuffles for the distinct
+    phase regardless, so a pre-repartition only adds an exchange (measured
+    net-negative at sf0.1)."""
     li = t(spark, sf, "lineitem")
     return (
         li.groupBy("l_suppkey")
