@@ -62,6 +62,25 @@ def session_aggregate(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup — the stream analogue of
+    pipeline/dedup.exact_dedup. ``dropDuplicatesWithinWatermark`` keeps one
+    row per key and EXPIRES key state past the watermark, so state is
+    O(keys-per-watermark-window), not O(stream history) — the property that
+    makes continuous ingest dedup viable at 100 TB/day. On a batch frame it
+    degrades to plain dropDuplicates (same semantics, finite input)."""
+    if events.isStreaming:
+        return events.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(key_cols)
+    return events.dropDuplicates(key_cols)
+
+
 _COUNTER_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

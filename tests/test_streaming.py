@@ -80,3 +80,25 @@ def test_stateful_user_counter(spark, events_dir):
     for r in got_df.collect():
         final[r["user_id"]] = max(final.get(r["user_id"], 0), r["total_events"])
     assert final == expected
+
+
+def test_stream_dedup_exactly_one_per_key(spark, events_dir):
+    """Streaming dedup keeps one row per key with watermark-bounded state;
+    stream output matches batch dropDuplicates key-set."""
+    from squirreling_spark.streaming.windows import stream_dedup
+
+    batch_df = spark.read.parquet(events_dir)
+    # duplicate the stream 3x so the dedup provably fires
+    tripled = batch_df.union(batch_df).union(batch_df)
+    expected_keys = {
+        r["user_id"] for r in stream_dedup(tripled, ["user_id"]).collect()
+    }
+    dup_dir = events_dir + "_dups"
+    tripled.write.mode("overwrite").parquet(dup_dir)
+    stream = spark.readStream.schema(batch_df.schema).parquet(dup_dir)
+    out = _run_stream(
+        spark, stream_dedup(stream, ["user_id"]), "dedup_sink", mode="append"
+    )
+    rows = out.collect()
+    assert {r["user_id"] for r in rows} == expected_keys
+    assert len(rows) == len(expected_keys)  # exactly one row per key
