@@ -99,6 +99,57 @@ def cosine_topk_bruteforce(
     return _topk_per_query(scored, k, q_id, c_id)
 
 
+def label_centroids(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Element-wise mean vector per label — the k-means / IVF-build
+    primitive. posexplode to (label, dim, value) rows, then a decimal-exact
+    partial-aggregated mean per (label, dim), then re-assembled in dim
+    order. The (label, dim) key space is labels × dim — high-cardinality
+    enough to spread, bounded enough that the final per-label rollup is
+    tiny. Decimal accumulation keeps centroids identical under any
+    partitioning (plain double sums drift with partition layout)."""
+    exploded = spread(df).select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "v"),
+    )
+    per_dim = exploded.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("v").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mean_v"))
+            ).alias("__pairs"),
+            F.first("n").alias("n_vectors"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            F.transform(
+                F.col("__pairs"),
+                lambda p: F.format_string(
+                    f"%.{round_digits}f", F.round(p.getField("mean_v"), round_digits)
+                ),
+            ).alias("centroid_parts"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            F.array_join("centroid_parts", "/").alias("centroid"),
+        )
+    )
+
+
 def assign_cells(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -266,6 +266,50 @@ def scrub_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def pack_sequences(
+    chunks: DataFrame,
+    token_col: str,
+    order_cols: list[str],
+    shard_col: str,
+    budget: int = 512,
+) -> DataFrame:
+    """Greedy token-budget packing: assign ordered chunks to training
+    sequences of ≤ ``budget`` tokens. Greedy fill is inherently sequential
+    (each bin depends on every prior chunk), so it cannot be a window
+    expression; it runs as an Arrow-batched ``applyInPandas`` per shard —
+    shards (e.g. the hash_split bucket or a date partition) pack
+    independently and in parallel, which is how a 100 TB corpus keeps the
+    sequential step bounded: O(shard size) per task, deterministic given
+    the (shard, order_cols) sort. Oversized single chunks get a bin of
+    their own."""
+    import pandas as pd
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in chunks.schema.fields
+    )
+    schema = f"{out_fields}, seq_idx BIGINT, seq_tokens BIGINT"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        seq_idx, seq_tokens = [], []
+        cur_seq, cur_tok = 0, 0
+        for tok in pdf[token_col]:
+            tok = int(tok)
+            if cur_tok > 0 and cur_tok + tok > budget:
+                cur_seq += 1
+                cur_tok = 0
+            seq_idx.append(cur_seq)
+            cur_tok += tok
+            seq_tokens.append(cur_tok)
+        pdf["seq_idx"] = pd.Series(seq_idx, dtype="int64")
+        # per-row running count is finalized below into the bin total
+        totals = pdf.groupby("seq_idx")[token_col].sum().astype("int64")
+        pdf["seq_tokens"] = pdf["seq_idx"].map(totals)
+        return pdf
+
+    return chunks.groupBy(shard_col).applyInPandas(pack, schema=schema)
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Document fingerprints: exact md5 of normalized text, order-invariant
     md5 of the sorted distinct token set, and a locality-ish prefix hash."""

@@ -364,6 +364,65 @@ def dedup_embedding_lsh_q(spark, sf):
     )
 
 
+@query("docs_pack")  # rows-only: greedy packing isn't SQL-expressible
+def docs_pack_q(spark, sf):
+    """Chunk → split-shard → greedy token-budget packing (pipeline/text.py
+    pack_sequences): the full sequence-prep chain. Greedy fill is
+    sequential per shard (applyInPandas); no DuckDB oracle — covered by
+    unit tests instead (tests/test_operators.py)."""
+    from squirreling_spark.pipeline.text import (
+        chunk_documents,
+        hash_split,
+        pack_sequences,
+    )
+
+    docs = t(spark, sf, "documents")
+    chunks = chunk_documents(docs, "text", "doc_id").withColumn(
+        "n_tok", F.size(F.split("chunk_text", " "))
+    )
+    sharded = chunks.join(hash_split(docs, "doc_id").select("doc_id", "split"), "doc_id")
+    return pack_sequences(
+        sharded, "n_tok", ["doc_id", "chunk_idx"], "split", budget=512
+    )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH x AS (
+      SELECT d.lang, e.embedding::DOUBLE[] AS emb
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    per_dim AS (
+      SELECT lang, i AS dim,
+             CAST(sum(CAST(emb[i] AS DECIMAL(27,6))) AS DOUBLE) / count(*)
+               AS mean_v,
+             count(*) AS n
+      FROM x, generate_series(1, 64) g(i)
+      GROUP BY lang, i
+    )
+    SELECT lang AS label,
+           CAST(min(n) AS BIGINT) AS n_vectors,
+           string_agg(printf('%.6f', round(mean_v, 6)), '/' ORDER BY dim)
+             AS centroid
+    FROM per_dim
+    GROUP BY lang
+    """,
+)
+def embedding_centroids_q(spark, sf):
+    """Per-language embedding centroids (pipeline/similarity.py
+    label_centroids): the k-means/IVF-build primitive. Decimal-exact
+    element-wise means, serialized to fixed-precision strings (driver
+    canonicalizer rejects raw arrays; printf keeps both engines'
+    double→text identical)."""
+    from squirreling_spark.pipeline.similarity import label_centroids
+
+    d = t(spark, sf, "documents").select("doc_id", "lang")
+    e = t(spark, sf, "embeddings")
+    joined = e.join(d, e.vec_id == d.doc_id).select("lang", "embedding")
+    return label_centroids(joined, "embedding", "lang")
+
+
 @query(
     "knn_bruteforce",
     oracle=f"""

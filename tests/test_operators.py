@@ -128,3 +128,34 @@ def test_hash_split_is_stable_and_near_proportional(spark):
     assert a == b  # partitioning-independent
     frac_train = sum(1 for v in a.values() if v == "train") / len(a)
     assert 0.75 < frac_train < 0.85
+
+
+def test_pack_sequences_greedy_budget(spark):
+    from squirreling_spark.pipeline.text import pack_sequences
+
+    rows = [
+        # (shard, doc, idx, tokens) - budget 100
+        ("a", 1, 0, 60), ("a", 1, 1, 60),   # 60 | 60 -> two bins
+        ("a", 2, 0, 30), ("a", 2, 1, 10),   # join bin 1 (60+30+10)
+        ("a", 3, 0, 150),                   # oversize -> own bin
+        ("a", 4, 0, 50),
+        ("b", 9, 0, 10),                    # other shard packs separately
+    ]
+    df = spark.createDataFrame(rows, ["shard", "doc_id", "chunk_idx", "n_tok"])
+    out = pack_sequences(
+        df, "n_tok", ["doc_id", "chunk_idx"], "shard", budget=100
+    )
+    got = {
+        (r["shard"], r["doc_id"], r["chunk_idx"]): (r["seq_idx"], r["seq_tokens"])
+        for r in out.collect()
+    }
+    assert got[("a", 1, 0)] == (0, 60)
+    assert got[("a", 1, 1)][0] == 1            # 60+60 > 100 -> new bin
+    assert got[("a", 2, 0)][0] == 1            # 60+30 fits
+    assert got[("a", 2, 1)] == (1, 100)        # bin 1 filled exactly
+    assert got[("a", 3, 0)] == (2, 150)        # oversize chunk, own bin
+    assert got[("a", 4, 0)] == (3, 50)
+    assert got[("b", 9, 0)] == (0, 10)         # shards pack independently
+    # no bin over budget except single oversize chunks
+    for (shard, doc, idx), (seq, tot) in got.items():
+        assert tot <= 100 or tot == 150
