@@ -93,3 +93,59 @@ def test_window_over_empty(spark):
     e = _empty(spark)
     w = Window.partitionBy("name").orderBy("id")
     assert e.withColumn("rn", F.row_number().over(w)).collect() == []
+
+
+def test_chunking_and_scrub_edge_inputs(spark):
+    """Empty/short text through the round-2 text operators."""
+    from squirreling_spark.pipeline.text import chunk_documents, scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "a@b.co https://x.y 555-123-4567")],
+        ["doc_id", "text"],
+    )
+    chunks = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+        for r in chunk_documents(df, "text", "doc_id").collect()
+    }
+    # split('') -> [''] -> one (empty) chunk; never zero rows per doc
+    assert chunks[(1, 0)] == "" and chunks[(2, 0)] == "one"
+
+    scrubbed = {r["doc_id"]: r for r in scrub_pii(df, "text", "doc_id").collect()}
+    assert scrubbed[1]["n_email"] == 0 and scrubbed[1]["scrubbed"] == ""
+    s3 = scrubbed[3]
+    assert s3["n_email"] == 1 and s3["n_url"] == 1 and s3["n_phone"] == 1
+    assert "<EMAIL>" in s3["scrubbed"] and "@" not in s3["scrubbed"]
+
+
+def test_hyperplane_lsh_self_consistency(spark):
+    """Identical vectors share every band; orthogonal-ish random vectors
+    mostly don't. Candidate set never contains self-pairs or dupes."""
+    import random
+
+    from squirreling_spark.pipeline.dedup import hyperplane_lsh_candidates
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = [
+        (1, base),
+        (2, list(base)),                       # exact duplicate
+        (3, [v + rng.uniform(-0.01, 0.01) for v in base]),  # near-dup
+        (4, [rng.uniform(-1, 1) for _ in range(64)]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in hyperplane_lsh_candidates(df, "embedding", "vec_id").collect()
+    }
+    assert (1, 2) in pairs          # identical -> all bands match
+    assert (1, 3) in pairs          # tiny perturbation -> same signs
+    assert all(a < b for a, b in pairs)
+
+
+def test_positional_join_empty_side(spark):
+    from squirreling_spark.operators.positional_join import positional_join
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
+    b = spark.createDataFrame([], "rid INT, w STRING")
+    out = positional_join(a, b, ["id"], ["rid"]).collect()
+    assert len(out) == 2 and all(r["w"] is None for r in out)
