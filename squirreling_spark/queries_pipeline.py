@@ -28,7 +28,7 @@ from squirreling_spark.pipeline.text import (
     quality_score,
     token_stats,
 )
-from squirreling_spark.qutil import dsum, o_dsum, t
+from squirreling_spark.qutil import dsum, o_dsum, spread as qspread, t
 
 # DuckDB fragments shared across oracles ------------------------------------
 
@@ -361,6 +361,73 @@ def dedup_embedding_lsh_q(spark, sf):
 
     return embedding_lsh_dedup(
         t(spark, sf, "embeddings"), "embedding", "vec_id", threshold=0.45
+    )
+
+
+@query(
+    "text_ngram_top",
+    oracle=f"""
+    WITH grams AS (
+      SELECT unnest(CASE WHEN len({_D_TOKS}) < 2 THEN []::VARCHAR[]
+             ELSE list_transform(generate_series(1, len({_D_TOKS}) - 1),
+                  i -> concat_ws(' ', {_D_TOKS}[i], {_D_TOKS}[i+1]))
+             END) AS gram
+      FROM documents
+    )
+    SELECT gram, count(*) AS n
+    FROM grams GROUP BY gram
+    ORDER BY n DESC, gram LIMIT 25
+    """,
+)
+def text_ngram_top_q(spark, sf):
+    """Corpus heavy-hitters: top-25 bigrams. explode → map-side-combined
+    count → TakeOrderedAndProject: the entire corpus statistic costs one
+    shuffle of distinct grams (not token instances) and bounded driver
+    memory — the shape that holds at 100 TB."""
+    docs = qspread(t(spark, sf, "documents"))
+    toks = F.split("text", " ")
+    grams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(25)
+    )
+
+
+@query(
+    "docs_length_histogram",
+    oracle=f"""
+    SELECT CAST(floor(len({_D_TOKS}) / 25.0) AS BIGINT) * 25 AS bucket_lo,
+           count(*) AS n_docs,
+           CAST(min(len({_D_TOKS})) AS BIGINT) AS min_tokens,
+           CAST(max(len({_D_TOKS})) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def docs_length_histogram_q(spark, sf):
+    """Token-length histogram (25-token buckets) — the length-distribution
+    profile every corpus-curation pass starts with. Pure map-side-combined
+    aggregate over a row-local bucket key."""
+    docs = qspread(t(spark, sf, "documents"))
+    n = F.size(F.split("text", " "))
+    bucket = (F.floor(n / F.lit(25.0)) * 25).cast("bigint")
+    return (
+        docs.groupBy(bucket.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(n).cast("bigint").alias("min_tokens"),
+            F.max(n).cast("bigint").alias("max_tokens"),
+        )
     )
 
 
