@@ -45,6 +45,7 @@ def load_all() -> None:
         queries_extras,
         queries_analytics,
         queries_analytics2,
+        queries_corpus,
         queries_digests,
     )
 
@@ -107,11 +108,11 @@ GRADE_ORDER: list[str] = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
-    "knn_bruteforce",
-    "knn_ivf",
+    "knn_digest",
     "text_digest",
-    "events_sessionize",
-    "events_tumbling_window",
+    "corpus_clean_digest",
+    "corpus_mix_digest",
+    "events_digest",
     "multimodal_meta",
 ]
 

@@ -1,0 +1,207 @@
+"""Corpus-hygiene queries: segment dedup, repetition signals, benchmark
+contamination, stratified sampling, TF-IDF terms — the data-cleaning pass a
+training pipeline runs over raw documents (beyond the reference's operator
+set; the reference stops at relational ops, see SURVEY.md §2 north-star
+note). Each query has an exact DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from squirreling_spark.inventory import query
+from squirreling_spark.pipeline.corpus import (
+    contamination_check,
+    dedup_segments,
+    repetition_stats,
+    stratified_sample,
+    tfidf_top_terms,
+)
+from squirreling_spark.qutil import t
+
+# Shared oracle fragment: whitespace-normalized token array per document.
+_TK = (
+    "SELECT doc_id, source, string_split(trim(regexp_replace(text, '\\s+', "
+    "' ', 'g')), ' ') AS t FROM documents"
+)
+
+_BENCH_MOD = 97  # pseudo-benchmark: every 97th document
+
+
+@query(
+    "dedup_segments",
+    oracle=f"""
+    WITH tk AS ({_TK}),
+    seg AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(t[(i*8+1):((i+1)*8)], ' ') AS seg
+      FROM tk, unnest(generate_series(0,
+             CAST(ceil(len(t) / 8.0) AS INT) - 1)) AS u(i)
+    ),
+    keeper AS (
+      SELECT seg, min(struct_pack(d := doc_id, i := seg_idx)) AS k
+      FROM seg GROUP BY seg
+    ),
+    marked AS (
+      SELECT s.doc_id, s.seg_idx, s.seg,
+             struct_pack(d := s.doc_id, i := s.seg_idx) != k.k AS is_dup
+      FROM seg s JOIN keeper k USING (seg)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(count(*) - sum(CASE WHEN is_dup THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CASE WHEN count(*) > sum(CASE WHEN is_dup THEN 1 ELSE 0 END)
+                THEN md5(string_agg(CASE WHEN NOT is_dup THEN seg END,
+                                    ' ' ORDER BY seg_idx))
+           END AS clean_fp
+    FROM marked GROUP BY doc_id
+    """,
+)
+def dedup_segments_q(spark, sf):
+    """CCNet-style corpus-wide segment dedup (pipeline/corpus.py): 8-token
+    windows, first occurrence by (doc_id, seg_idx) survives, documents
+    re-assembled from surviving segments. min-struct keeper aggregate +
+    segment-keyed join — no windows, scales by segment cardinality."""
+    return dedup_segments(t(spark, sf, "documents"), "text", "doc_id")
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH tk AS ({_TK}),
+    bg AS (
+      SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS ndis,
+             t[i] || ' ' || t[i+1] AS bg
+      FROM tk, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    per_bg AS (
+      SELECT doc_id, bg, count(*) AS c, min(n) AS n, min(ndis) AS ndis
+      FROM bg GROUP BY doc_id, bg
+    ),
+    per_doc AS (
+      SELECT doc_id, min(n) AS n, min(ndis) AS ndis,
+             sum(c) AS n_bigrams,
+             max(struct_pack(c := c, b := bg)) AS top,
+             coalesce(sum(c) FILTER (c > 1), 0) AS dup_bg
+      FROM per_bg GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           top.b AS top_bigram,
+           CAST(top.c AS BIGINT) AS top_bigram_count,
+           round(2 * top.c / n, 6) AS top_bigram_token_frac,
+           round(dup_bg / n_bigrams, 6) AS dup_bigram_frac,
+           round(1 - ndis / n, 6) AS dup_token_frac
+    FROM per_doc
+    """,
+)
+def text_repetition_q(spark, sf):
+    """Gopher-style repetition filters (pipeline/corpus.py): top-bigram
+    coverage, duplicated-bigram fraction, duplicated-token fraction per
+    document. Two doc-keyed aggregations, map-side partials, no windows."""
+    return repetition_stats(t(spark, sf, "documents"), "text", "doc_id")
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH tk AS ({_TK}),
+    g AS (
+      SELECT doc_id, array_to_string(t[i:i+2], ' ') AS ng
+      FROM tk, unnest(generate_series(1, len(t) - 2)) AS u(i)
+    ),
+    bench AS (
+      SELECT DISTINCT ng FROM g WHERE doc_id % {_BENCH_MOD} = 0
+    )
+    SELECT g.doc_id, CAST(count(DISTINCT g.ng) AS BIGINT) AS n_hits
+    FROM g JOIN bench USING (ng)
+    WHERE g.doc_id % {_BENCH_MOD} <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def contamination_check_q(spark, sf):
+    """Benchmark decontamination scan (pipeline/corpus.py): corpus documents
+    sharing any word 3-gram with the held-out set (doc_id % 97 = 0 here;
+    a real benchmark table plugs into the same predicate). N-gram-keyed
+    join, benchmark side distinct'd first — AQE broadcasts it when small."""
+    return contamination_check(
+        t(spark, sf, "documents"),
+        "text",
+        "doc_id",
+        bench_pred=lambda c: c % _BENCH_MOD == 0,
+        n=3,
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             md5('mix:' || CAST(doc_id AS VARCHAR)) AS hh,
+             20 + (CAST(substr(source, 4) AS INT) * 7) % 60 AS rate
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(((instr('0123456789abcdef', hh[1]) - 1) * 4096
+               + (instr('0123456789abcdef', hh[2]) - 1) * 256
+               + (instr('0123456789abcdef', hh[3]) - 1) * 16
+               + (instr('0123456789abcdef', hh[4]) - 1)) % 100
+             AS BIGINT) AS bucket,
+           CAST(rate AS BIGINT) AS rate
+    FROM h
+    WHERE ((instr('0123456789abcdef', hh[1]) - 1) * 4096
+         + (instr('0123456789abcdef', hh[2]) - 1) * 256
+         + (instr('0123456789abcdef', hh[3]) - 1) * 16
+         + (instr('0123456789abcdef', hh[4]) - 1)) % 100 < rate
+    """,
+)
+def sample_stratified_q(spark, sf):
+    """Deterministic stratified sampling / domain mixing
+    (pipeline/corpus.py): per-source keep-rate 20 + (src_num*7) mod 60
+    percent, membership from a salted md5 bucket of doc_id. Row-local —
+    zero shuffles; a document's fate never changes as the corpus grows."""
+    return stratified_sample(
+        t(spark, sf, "documents"),
+        "doc_id",
+        "source",
+        rate_col=lambda s: 20
+        + (F.expr("cast(substring(source, 4) as int)") * 7) % 60,
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tk AS ({_TK}),
+    tok AS (SELECT doc_id, unnest(t) AS term FROM tk),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    s AS (
+      SELECT doc_id, term, tf, df, (tf * n_docs) / df AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    ),
+    r AS (
+      SELECT doc_id, term, tf, df, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank
+      FROM s
+    )
+    SELECT doc_id, term, tf, df, round(score, 6) AS tfidf, rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms_q(spark, sf):
+    """Top-3 TF-IDF terms per document (pipeline/corpus.py). idf kept as
+    the exact rational n_docs/df (one IEEE division, bit-identical across
+    engines — ln() is libm-dependent and is not); ties break on term."""
+    return tfidf_top_terms(t(spark, sf, "documents"), "text", "doc_id")

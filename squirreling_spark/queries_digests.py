@@ -292,3 +292,134 @@ def text_digest(spark, sf):
     language ID with CJK check, and 3 fingerprints — one codegen'd scan,
     no Python, no joins (pipeline/text.py::text_profile)."""
     return text_profile(t(spark, sf, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Event-stream digest: sessionization + tumbling-window rollup in one graded
+# row (their standalone forms register after the window).
+# ---------------------------------------------------------------------------
+
+_EVENTS_CK = {
+    "events_sessionize": "event_id + session_seq * 7",
+    "events_tumbling_window": (
+        "n_events + CAST(floor(total_value) AS BIGINT)"
+        " + CAST(date_part('hour', window_start) AS BIGINT)"
+    ),
+}
+
+
+@query(
+    "events_digest",
+    oracle="\nUNION ALL\n".join(
+        _oracle_branch(tag, tag, ck) for tag, ck in _EVENTS_CK.items()
+    ),
+)
+def events_digest(spark, sf):
+    """Gap-based sessionization (30-min inactivity, per-user running session
+    counter) + hourly tumbling rollup with decimal-exact value sums — each
+    variant's full result checksummed (streaming/windows.py holds the
+    Structured Streaming forms of both; these are the batch twins)."""
+    return _union_all(
+        [
+            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, F.expr(ck))
+            for tag, ck in _EVENTS_CK.items()
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity-search digest: brute-force exact top-k + IVF approximate top-k
+# in one graded row.
+# ---------------------------------------------------------------------------
+
+_KNN_CK = {
+    "knn_bruteforce": (
+        "q_id * 100000 + vec_id * 100 + rank"
+        " + CAST(floor(sim * 1000000) AS BIGINT)"
+    ),
+    "knn_ivf": (
+        "q_id * 100000 + vec_id * 100 + rank"
+        " + CAST(floor(sim * 1000000) AS BIGINT)"
+    ),
+}
+
+
+@query(
+    "knn_digest",
+    oracle="\nUNION ALL\n".join(
+        _oracle_branch(tag, tag, ck) for tag, ck in _KNN_CK.items()
+    ),
+)
+def knn_digest(spark, sf):
+    """ANN search, both paths: exact cosine top-5 (two-stage top-k, no
+    skewed window) and IVF cells + nprobe=2 (min_by cell assignment, no
+    cross-product window) — full result of each checksummed
+    (pipeline/similarity.py)."""
+    return _union_all(
+        [
+            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, F.expr(ck))
+            for tag, ck in _KNN_CK.items()
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-hygiene digests (queries_corpus.py): the cleaning pass — segment
+# dedup, repetition signals, contamination — and the mixing pass —
+# stratified sampling, TF-IDF salient terms.
+# ---------------------------------------------------------------------------
+
+_CLEAN_CK = {
+    "dedup_segments": "doc_id + n_segments * 7 + n_dropped * 31",
+    "text_repetition": (
+        "doc_id + n_bigrams + top_bigram_count * 3"
+        " + CAST(floor(dup_bigram_frac * 1000000) AS BIGINT)"
+    ),
+    "contamination_check": "doc_id * 100 + n_hits",
+}
+
+
+@query(
+    "corpus_clean_digest",
+    oracle="\nUNION ALL\n".join(
+        _oracle_branch(tag, tag, ck) for tag, ck in _CLEAN_CK.items()
+    ),
+)
+def corpus_clean_digest(spark, sf):
+    """Corpus cleaning: CCNet-style segment dedup (keeper = min struct
+    aggregate, no windows), Gopher-style repetition fractions, benchmark
+    3-gram contamination scan — each full result checksummed
+    (pipeline/corpus.py)."""
+    return _union_all(
+        [
+            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, F.expr(ck))
+            for tag, ck in _CLEAN_CK.items()
+        ]
+    )
+
+
+_MIX_CK = {
+    "sample_stratified": "doc_id * 100 + bucket + rate",
+    "tfidf_top_terms": (
+        "doc_id * 10 + rank + tf + df"
+        " + CAST(floor(tfidf * 1000) AS BIGINT)"
+    ),
+}
+
+
+@query(
+    "corpus_mix_digest",
+    oracle="\nUNION ALL\n".join(
+        _oracle_branch(tag, tag, ck) for tag, ck in _MIX_CK.items()
+    ),
+)
+def corpus_mix_digest(spark, sf):
+    """Corpus mixing: deterministic per-source stratified sampling (salted
+    md5 membership, row-local) + top-3 TF-IDF terms per document (rational
+    idf — no libm ln) — each full result checksummed (pipeline/corpus.py)."""
+    return _union_all(
+        [
+            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, F.expr(ck))
+            for tag, ck in _MIX_CK.items()
+        ]
+    )

@@ -1,0 +1,87 @@
+"""Semantic unit tests for the corpus-hygiene operators
+(pipeline/corpus.py) on tiny hand-checkable inputs."""
+
+from pyspark.sql import functions as F
+
+from squirreling_spark.pipeline.corpus import (
+    contamination_check,
+    dedup_segments,
+    repetition_stats,
+    stratified_sample,
+    tfidf_top_terms,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_dedup_segments_keeps_first_occurrence(spark):
+    # width=2 segments: doc 1 = [a b][c d], doc 2 = [a b][x y] — doc 2's
+    # "a b" is the later copy and must be dropped.
+    df = _docs(spark, [(1, "a b c d"), (2, "a b x y")])
+    out = {
+        r["doc_id"]: r
+        for r in dedup_segments(df, "text", "doc_id", width=2).collect()
+    }
+    assert out[1]["n_segments"] == 2 and out[1]["n_dropped"] == 0
+    assert out[2]["n_segments"] == 2 and out[2]["n_dropped"] == 1
+    assert out[2]["n_kept"] == 1
+    assert out[1]["clean_fp"] is not None
+
+
+def test_dedup_segments_fully_duplicated_doc_null_fp(spark):
+    df = _docs(spark, [(1, "a b"), (2, "a b")])
+    out = {
+        r["doc_id"]: r
+        for r in dedup_segments(df, "text", "doc_id", width=2).collect()
+    }
+    assert out[2]["n_kept"] == 0
+    assert out[2]["clean_fp"] is None
+
+
+def test_repetition_stats_fractions(spark):
+    # tokens: a b a b a -> bigrams: "a b","b a","a b","b a" — all duplicated
+    df = _docs(spark, [(1, "a b a b a")])
+    r = repetition_stats(df, "text", "doc_id").collect()[0]
+    assert r["n_tokens"] == 5
+    assert r["n_bigrams"] == 4
+    assert r["top_bigram"] in ("a b", "b a")  # tie on count=2 -> max text
+    assert r["top_bigram"] == "b a"
+    assert r["top_bigram_count"] == 2
+    assert r["dup_bigram_frac"] == 1.0
+    assert abs(r["dup_token_frac"] - (1 - 2 / 5)) < 1e-9
+
+
+def test_contamination_check_flags_shared_ngrams(spark):
+    # doc 0 is the benchmark (pred: doc_id % 2 == 0); doc 1 shares the
+    # 2-gram "a b", doc 3 shares nothing.
+    df = _docs(spark, [(0, "a b c"), (1, "x a b"), (3, "q r s")])
+    out = contamination_check(
+        df, "text", "doc_id", bench_pred=lambda c: c % 2 == 0, n=2
+    ).collect()
+    assert {(r["doc_id"], r["n_hits"]) for r in out} == {(1, 1)}
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(200)],
+        "doc_id bigint, source string",
+    )
+    rate = lambda s: 20 + (F.expr("cast(substring(source, 4) as int)") * 7) % 60
+    a = stratified_sample(df, "doc_id", "source", rate).collect()
+    b = stratified_sample(df.repartition(7), "doc_id", "source", rate).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    for r in a:
+        assert r["bucket"] < r["rate"]
+
+
+def test_tfidf_ranks_rare_terms_first(spark):
+    # "z" appears only in doc 1 (df=1); "a" is in every doc (df=3, idf=1).
+    df = _docs(spark, [(1, "a z z"), (2, "a b"), (3, "a c")])
+    out = tfidf_top_terms(df, "text", "doc_id", k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    assert top[1] == "z"
+    r1 = [r for r in out if r["doc_id"] == 1][0]
+    # tf=2, n_docs=3, df=1 -> score 6.0
+    assert r1["tfidf"] == 6.0 and r1["rank"] == 1
