@@ -209,3 +209,46 @@ def ivf_topk(
         .select(q_id, c_id, sim.alias("sim"))
     )
     return _topk_per_query(scored, k, q_id, c_id)
+
+
+def knn_join_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 3,
+    planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate kNN self-join: every vector's top-k neighbors, at scale.
+
+    The all-pairs kNN join (corpus x corpus) is the one similarity shape
+    brute force can never survive — O(n^2) rows at 100 TB. Here candidates
+    come from the same deterministic sign-hyperplane LSH bands as
+    embedding_lsh_dedup (pipeline/dedup.py): only pairs sharing >= 1 band
+    are scored with exact cosine, then ranked per vector by the skew-safe
+    two-stage top-k. Vectors whose true neighbors never collide in a band
+    are missed (sign-LSH recall < 1) — raise planes/bands for recall.
+
+    Plan shape: band self-join keyed on (band_idx, band_key) — evenly
+    hash-partitioned, never a cross product; candidate pairs symmetrized
+    by a cheap union (a neighbor list is directional); two embedding
+    joins on id; no window ever sees more than one partition x id slice."""
+    from squirreling_spark.pipeline.dedup import hyperplane_lsh_candidates
+
+    cand = hyperplane_lsh_candidates(df, vec_col, id_col, planes, bands, dim)
+    sym = cand.union(
+        cand.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__ea"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__eb"))
+    scored = (
+        sym.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.col("id_a").alias("q_id"),
+            F.col("id_b").alias("vec_id"),
+            F.round(cosine(F.col("__ea"), F.col("__eb")), 6).alias("sim"),
+        )
+    )
+    return _topk_per_query(scored, k, "q_id", "vec_id")

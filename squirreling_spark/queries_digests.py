@@ -341,6 +341,10 @@ _KNN_CK = {
         "q_id * 100000 + vec_id * 100 + rank"
         " + CAST(floor(sim * 1000000) AS BIGINT)"
     ),
+    "knn_join_lsh": (
+        "q_id * 100000 + vec_id * 100 + rank"
+        " + CAST(floor(sim * 1000000) AS BIGINT)"
+    ),
 }
 
 
@@ -351,10 +355,11 @@ _KNN_CK = {
     ),
 )
 def knn_digest(spark, sf):
-    """ANN search, both paths: exact cosine top-5 (two-stage top-k, no
-    skewed window) and IVF cells + nprobe=2 (min_by cell assignment, no
-    cross-product window) — full result of each checksummed
-    (pipeline/similarity.py)."""
+    """ANN search, all three paths: exact cosine top-5 (two-stage top-k,
+    no skewed window), IVF cells + nprobe=2 (min_by cell assignment, no
+    cross-product window), and the LSH-banded kNN self-join (every
+    vector's neighbors without an O(n^2) product) — full result of each
+    checksummed (pipeline/similarity.py)."""
     return _union_all(
         [
             _digest_branch(inventory.QUERIES[tag](spark, sf), tag, F.expr(ck))

@@ -588,6 +588,61 @@ def knn_ivf_q(spark, sf):
 
 
 @query(
+    "knn_join_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    bits AS (
+      SELECT vec_id, p,
+             CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                    i -> emb[i] * (((p * 131 + (i - 1) * 97) % 1001) - 500)::DOUBLE))
+                  >= 0 THEN '1' ELSE '0' END AS bit
+      FROM e, generate_series(0, 15) g(p)
+    ),
+    bandkeys AS (
+      SELECT vec_id, p // 4 AS band_idx,
+             string_agg(bit, '' ORDER BY p) AS band_key
+      FROM bits GROUP BY vec_id, p // 4
+    ),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM bandkeys l JOIN bandkeys r
+        ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+       AND l.vec_id < r.vec_id
+    ),
+    sym AS (
+      SELECT id_a, id_b FROM cand
+      UNION ALL
+      SELECT id_b AS id_a, id_a AS id_b FROM cand
+    ),
+    s AS (
+      SELECT sym.id_a AS q_id, sym.id_b AS vec_id,
+             {_D_COS.replace('a.emb', 'ea.emb').replace('b.emb', 'eb.emb')} AS sim
+      FROM sym JOIN e ea ON ea.vec_id = sym.id_a
+               JOIN e eb ON eb.vec_id = sym.id_b
+    ),
+    r AS (
+      SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, vec_id) AS rank
+      FROM s
+    )
+    SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 3
+    """,
+)
+def knn_join_lsh_q(spark, sf):
+    """Approximate kNN self-join (pipeline/similarity.py knn_join_lsh):
+    every vector's top-3 neighbors among hyperplane-LSH band candidates —
+    the all-pairs-kNN shape that brute force can't survive at 100 TB.
+    Same deterministic sign-LSH bands as dedup_embedding_lsh, exact cosine
+    on candidates only, skew-safe two-stage per-vector top-k."""
+    from squirreling_spark.pipeline.similarity import knn_join_lsh
+
+    return knn_join_lsh(t(spark, sf, "embeddings"), "embedding", "vec_id", k=3)
+
+
+@query(
     "text_token_stats",
     oracle=f"""
     SELECT doc_id,

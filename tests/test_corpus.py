@@ -85,3 +85,21 @@ def test_tfidf_ranks_rare_terms_first(spark):
     r1 = [r for r in out if r["doc_id"] == 1][0]
     # tf=2, n_docs=3, df=1 -> score 6.0
     assert r1["tfidf"] == 6.0 and r1["rank"] == 1
+
+
+def test_knn_join_lsh_finds_identical_neighbors(spark):
+    from squirreling_spark.pipeline.similarity import knn_join_lsh
+
+    # Identical vectors share every LSH band, so recall is guaranteed for
+    # exact duplicates; cosine then ranks the duplicate first (sim 1.0).
+    rows = [
+        (1, [1.0, 0.0, 0.5, 0.0]),
+        (2, [1.0, 0.0, 0.5, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.5]),
+        (4, [0.0, 1.0, 0.0, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = knn_join_lsh(df, "embedding", "vec_id", k=1, planes=8, bands=4, dim=4)
+    top = {r["q_id"]: (r["vec_id"], r["sim"]) for r in out.collect()}
+    assert top[1] == (2, 1.0) and top[2] == (1, 1.0)
+    assert top[3] == (4, 1.0) and top[4] == (3, 1.0)

@@ -130,3 +130,38 @@ def test_positional_join_no_global_window(spark):
     # (they sit under a BroadcastExchange); the data path is window-free
     for segment in plan.split("BroadcastExchange")[:1]:
         assert "Window" not in segment
+
+
+def test_dedup_segments_no_window_partial_min(spark):
+    """Keeper selection must be a partial-aggregated min(struct), never a
+    row_number window over segment groups (single-hot-key risk)."""
+    plan = plan_of("dedup_segments", spark)
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    assert "partial_collect_list" in plan  # doc re-assembly map-side too
+
+
+def test_tfidf_topk_is_group_limited(spark):
+    """Per-doc top-k must run as partial+final WindowGroupLimit (rank
+    pushdown), not a bare window over all scored rows."""
+    plan = plan_of("tfidf_top_terms", spark)
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "Partial" in plan.split("WindowGroupLimit")[2][:200]
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    """The distinct'd benchmark n-gram set must be the build/broadcast side
+    and per-doc hit counting must partially aggregate before the shuffle."""
+    plan = plan_of("contamination_check", spark)
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+
+
+def test_knn_join_lsh_no_cross_product(spark):
+    """Candidate generation must join on band keys — a nested-loop product
+    over the corpus would be the O(n^2) shape LSH exists to avoid."""
+    plan = plan_of("knn_join_lsh", spark)
+    assert "band_key" in plan
+    assert "CartesianProduct" not in plan
+    # the only BroadcastNestedLoopJoin allowed is none at all here
+    assert "BroadcastNestedLoopJoin" not in plan
