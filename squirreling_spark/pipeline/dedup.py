@@ -244,6 +244,103 @@ def embedding_lsh_dedup(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, label) — label = min node id in the node's connected
+    component. Turns near-dup PAIRS (LSH candidates) into duplicate GROUPS,
+    the step that picks one canonical document per cluster.
+
+    Algorithm: iterative min-label propagation with pointer-jumping.
+    Each round every node takes the min label over {itself} ∪ neighbors;
+    the current (node -> label) mapping is ALSO fed back as shortcut edges
+    in both directions, so labels hop through their representative instead
+    of one edge per round — O(log diameter) rounds instead of O(diameter)
+    (the large-star/small-star idea from Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14).
+
+    Scale shape per round: one hash-shuffle join on node id + one min
+    aggregate (map-side combined). `localCheckpoint` truncates lineage so
+    the plan stays O(1) across rounds (on a real cluster prefer
+    `spark.sparkContext.setCheckpointDir` + `.checkpoint()` for fault
+    tolerance; localCheckpoint trades that for speed). Convergence is a
+    one-row scalar probe (sum of labels — strictly decreasing until
+    fixpoint), not a data collect.
+
+    Determinism: labels are min-folds over node ids — identical under any
+    partitioning or execution order.
+    """
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .localCheckpoint(eager=True)  # pair generation (LSH) runs once
+    )
+    labels = (
+        und.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev = labels.agg(F.sum("label")).collect()[0][0]  # scalar probe
+    for _ in range(max_iter):
+        shortcuts = labels.filter(F.col("node") != F.col("label"))
+        hop = und.unionByName(
+            shortcuts.select(
+                F.col("node").alias("s"), F.col("label").alias("d")
+            )
+        ).unionByName(
+            shortcuts.select(
+                F.col("label").alias("s"), F.col("node").alias("d")
+            )
+        )
+        msgs = hop.join(labels, hop["s"] == labels["node"]).select(
+            F.col("d").alias("node"), F.col("label")
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("label")).collect()[0][0]
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) for every document in a near-dup
+    cluster: MinHash+LSH candidate pairs -> connected components ->
+    canonical id = min doc id per component. The full 100 TB dedup story:
+    bucket-local candidate generation, O(log diameter) clustering, and a
+    per-cluster size so a downstream filter can keep `doc_id = cluster_id`
+    (one representative) or weight by cluster size."""
+    pairs = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_k
+    )
+    cc = connected_components(pairs, "id_a", "id_b", max_iter)
+    sizes = cc.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return cc.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 def simhash(text_col: str, bits: int = 48) -> F.Column:
     """SimHash fingerprint as a bit string, computed as a row-local fold:
     each token votes ±1 per bit position using its md5; bit = 1 when the

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from squirreling_spark import inventory
+from squirreling_spark import queries_pipeline  # noqa: F401  (registers the dedup_minhash_lsh oracle this module's cluster oracle builds on)
 from squirreling_spark.inventory import query
 from squirreling_spark.pipeline.corpus import (
     contamination_check,
@@ -16,6 +18,7 @@ from squirreling_spark.pipeline.corpus import (
     stratified_sample,
     tfidf_top_terms,
 )
+from squirreling_spark.pipeline.dedup import dedup_clusters
 from squirreling_spark.qutil import t
 
 # Shared oracle fragment: whitespace-normalized token array per document.
@@ -205,3 +208,44 @@ def tfidf_top_terms_q(spark, sf):
     the exact rational n_docs/df (one IEEE division, bit-identical across
     engines — ln() is libm-dependent and is not); ties break on term."""
     return tfidf_top_terms(t(spark, sf, "documents"), "text", "doc_id")
+
+
+# Near-dup CLUSTERS: LSH candidate pairs -> connected components. The
+# oracle reuses the dedup_minhash_lsh pair SQL (registered by
+# queries_pipeline, imported above) and closes it transitively with a
+# recursive CTE — min reachable id == the propagation fixpoint.
+_PAIRS_SQL = inventory.ORACLES["dedup_minhash_lsh"]
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    )
+    SELECT s AS doc_id,
+           least(s, min(d)) AS cluster_id,
+           CAST(count(DISTINCT d) FILTER (WHERE d <> s) + 1 AS BIGINT)
+             AS cluster_size
+    FROM reach GROUP BY s
+    """,
+)
+def dedup_clusters_q(spark, sf):
+    """Duplicate GROUPS from MinHash+LSH pairs via distributed connected
+    components (pipeline/dedup.py::connected_components): min-label
+    propagation with pointer-jumping shortcut edges — O(log diameter)
+    rounds, one node-keyed shuffle per round. Output (doc_id, cluster_id,
+    cluster_size); keep `doc_id = cluster_id` for one canonical doc per
+    near-dup cluster. This is the step between candidate pairs and an
+    actually-deduplicated corpus at 100 TB."""
+    return dedup_clusters(
+        t(spark, sf, "documents"), "text", "doc_id", num_hashes=32, bands=8
+    )

@@ -87,6 +87,42 @@ def test_tfidf_ranks_rare_terms_first(spark):
     assert r1["tfidf"] == 6.0 and r1["rank"] == 1
 
 
+def test_connected_components_chain_and_cycle(spark):
+    from squirreling_spark.pipeline.dedup import connected_components
+
+    # Component A is a 6-node chain (diameter 5 — needs pointer-jumping to
+    # converge in < 5 rounds), component B is a 3-cycle, C a lone pair.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (11, 12), (12, 10),
+         (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    out = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_dedup_clusters_groups_near_dups(spark):
+    from squirreling_spark.pipeline.dedup import dedup_clusters
+
+    # Docs 1/2/3 are identical (one cluster of 3); 4 is unique (no pairs →
+    # absent from the output, by contract only clustered docs appear).
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, txt), (2, txt), (3, txt), (4, "completely different words here entirely")],
+        "doc_id bigint, text string",
+    )
+    out = dedup_clusters(df, "text", "doc_id", num_hashes=16, bands=4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert all(r["cluster_id"] == 1 and r["cluster_size"] == 3
+               for r in rows.values())
+
+
 def test_knn_join_lsh_finds_identical_neighbors(spark):
     from squirreling_spark.pipeline.similarity import knn_join_lsh
 
