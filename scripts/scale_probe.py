@@ -46,6 +46,9 @@ QUERIES = [
     "dedup_embedding_lsh",
     "positional_join",
     "events_sessionize",
+    "range_join_events",
+    "sessions_overlap",
+    "dedup_clusters",
 ]
 
 

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from squirreling_spark.inventory import query
 from squirreling_spark.operators.asof_join import asof_join
+from squirreling_spark.operators.range_join import interval_overlap_join, range_join
 from squirreling_spark.qutil import dsum, o_dsum, t
 
 
@@ -37,6 +38,122 @@ def asof_join_events(spark, sf):
         right_cols=["click_id", "click_value"], suffix="",
     )
     return joined.select("event_id", "user_id", "ts", "click_id", "click_value")
+
+
+_RJ_US = 1800 * 1_000_000  # ±30 min incident window, in microseconds
+
+
+@query(
+    "range_join_events",
+    oracle=f"""
+    SELECT i.event_id AS incident_id,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users,
+           {o_dsum('c.value')} AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase' AND value > 200) i
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON epoch_us(c.ts) BETWEEN epoch_us(i.ts) - {_RJ_US}
+                            AND epoch_us(i.ts) + {_RJ_US}
+    GROUP BY i.event_id
+    """,
+)
+def range_join_events(spark, sf):
+    """Point-in-interval join (operators/range_join.py): every click within
+    ±30 min of a high-value purchase, aggregated per incident. Spark alone
+    plans the BETWEEN as a nested loop; the binned operator makes it a hash
+    equi-join on 1-hour time bins (each interval spans ≤2 bins). The DuckDB
+    oracle runs the raw inequality join (its IEJoin) — an independent
+    algorithm validating the binning."""
+    ev = t(spark, sf, "events")
+    incidents = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 200)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        (F.unix_micros("ts") - F.lit(_RJ_US)).alias("lo"),
+        (F.unix_micros("ts") + F.lit(_RJ_US)).alias("hi"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("value").alias("click_value_raw"),
+        F.unix_micros("ts").alias("pt"),
+    )
+    j = range_join(clicks, incidents, "pt", "lo", "hi", bin_width=2 * _RJ_US)
+    return j.groupBy("incident_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+        F.countDistinct("click_user").cast("bigint").alias("n_users"),
+        dsum("click_value_raw", "click_value"),
+    )
+
+
+@query(
+    "sessions_overlap",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+      FROM events
+    ), s AS (
+      SELECT user_id, us,
+             sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS seq
+      FROM o
+    ), sess AS (
+      SELECT user_id, CAST(seq AS BIGINT) AS seq,
+             min(us) AS lo, max(us) AS hi
+      FROM s GROUP BY user_id, seq
+    )
+    SELECT a.user_id AS user_a, a.seq AS seq_a,
+           b.user_id AS user_b, b.seq AS seq_b,
+           CAST(least(a.hi, b.hi) - greatest(a.lo, b.lo) AS BIGINT)
+             AS overlap_us
+    FROM sess a JOIN sess b
+      ON a.lo <= b.hi AND b.lo <= a.hi AND a.user_id < b.user_id
+    """,
+)
+def sessions_overlap(spark, sf):
+    """Concurrent sessions: interval-interval overlap self-join
+    (operators/range_join.py::interval_overlap_join) over per-user session
+    spans (30-min-gap sessionization), emitting each cross-user overlapping
+    pair once with its overlap duration. Binned on 1-hour buckets with
+    first-shared-bin pair ownership — a hash join, where the naive plan is
+    an O(sessions^2) nested loop. Oracle: DuckDB IEJoin on the raw
+    inequalities."""
+    ev = t(spark, sf, "events")
+    us = F.unix_micros("ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    s = ev.select(
+        "user_id",
+        us.alias("us"),
+        F.sum(is_new)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("seq"),
+    )
+    sess = s.groupBy("user_id", "seq").agg(
+        F.min("us").alias("lo"), F.max("us").alias("hi")
+    )
+    a = sess.select(
+        F.col("user_id").alias("user_a"), F.col("seq").alias("seq_a"),
+        F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("user_b"), F.col("seq").alias("seq_b"),
+        F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"),
+    )
+    j = interval_overlap_join(
+        a, b, "lo_a", "hi_a", "lo_b", "hi_b", bin_width=3600 * 1_000_000
+    )
+    return j.filter(F.col("user_a") < F.col("user_b")).select(
+        "user_a", "seq_a", "user_b", "seq_b",
+        (F.least("hi_a", "hi_b") - F.greatest("lo_a", "lo_b"))
+        .cast("bigint")
+        .alias("overlap_us"),
+    )
 
 
 @query(

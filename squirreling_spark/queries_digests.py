@@ -305,6 +305,13 @@ _EVENTS_CK = {
         "n_events + CAST(floor(total_value) AS BIGINT)"
         " + CAST(date_part('hour', window_start) AS BIGINT)"
     ),
+    "range_join_events": (
+        "incident_id * 1000 + n_clicks * 10 + n_users"
+        " + CAST(floor(click_value) AS BIGINT)"
+    ),
+    "sessions_overlap": (
+        "user_a * 31 + seq_a * 7 + user_b * 13 + seq_b + overlap_us % 1000000"
+    ),
 }
 
 
@@ -316,9 +323,10 @@ _EVENTS_CK = {
 )
 def events_digest(spark, sf):
     """Gap-based sessionization (30-min inactivity, per-user running session
-    counter) + hourly tumbling rollup with decimal-exact value sums — each
-    variant's full result checksummed (streaming/windows.py holds the
-    Structured Streaming forms of both; these are the batch twins)."""
+    counter) + hourly tumbling rollup with decimal-exact value sums + binned
+    point-in-interval range join (operators/range_join.py) — each variant's
+    full result checksummed (streaming/windows.py holds the Structured
+    Streaming forms of the first two; these are the batch twins)."""
     return _union_all(
         [
             _digest_branch(inventory.QUERIES[tag](spark, sf), tag, F.expr(ck))
@@ -381,6 +389,7 @@ _CLEAN_CK = {
         " + CAST(floor(dup_bigram_frac * 1000000) AS BIGINT)"
     ),
     "contamination_check": "doc_id * 100 + n_hits",
+    "dedup_clusters": "doc_id + cluster_id * 7 + cluster_size * 31",
 }
 
 
@@ -393,8 +402,9 @@ _CLEAN_CK = {
 def corpus_clean_digest(spark, sf):
     """Corpus cleaning: CCNet-style segment dedup (keeper = min struct
     aggregate, no windows), Gopher-style repetition fractions, benchmark
-    3-gram contamination scan — each full result checksummed
-    (pipeline/corpus.py)."""
+    3-gram contamination scan, and MinHash-pair connected-components
+    clustering (pipeline/corpus.py, pipeline/dedup.py) — each full result
+    checksummed."""
     return _union_all(
         [
             _digest_branch(inventory.QUERIES[tag](spark, sf), tag, F.expr(ck))

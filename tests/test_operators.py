@@ -53,6 +53,69 @@ def test_positional_join_numbering_is_parallel(spark):
     assert ks == sorted(ks)
 
 
+def test_range_join_matches_naive_and_hash_plans(spark):
+    from squirreling_spark.operators.range_join import range_join
+
+    pts = spark.createDataFrame(
+        [(i, float(i * 7 % 100)) for i in range(200)], ["pid", "x"]
+    )
+    iv = spark.createDataFrame(
+        [(j, float(j * 13 % 90), float(j * 13 % 90 + 15)) for j in range(40)],
+        ["iid", "lo", "hi"],
+    )
+    out = range_join(pts, iv, "x", "lo", "hi", bin_width=16.0)
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.crossJoin(iv)
+        .filter((F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+        .collect()
+    )
+    assert got == naive and len(got) > 0
+    # The whole point: an equi-join (hash/sort-merge), never a nested loop.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_each_pair_once(spark):
+    from squirreling_spark.operators.range_join import interval_overlap_join
+
+    # Long intervals spanning many shared bins — the dedup rule (first
+    # shared bin owns the pair) must still emit each overlapping pair
+    # exactly once; includes touching endpoints (closed-interval overlap).
+    a = spark.createDataFrame(
+        [(1, 0.0, 100.0), (2, 50.0, 60.0), (3, 200.0, 300.0)],
+        ["aid", "lo_a", "hi_a"],
+    )
+    b = spark.createDataFrame(
+        [(10, 90.0, 250.0), (11, 100.0, 100.0), (12, 301.0, 400.0)],
+        ["bid", "lo_b", "hi_b"],
+    )
+    out = interval_overlap_join(a, b, "lo_a", "hi_a", "lo_b", "hi_b", 16.0)
+    got = sorted((r["aid"], r["bid"]) for r in out.collect())
+    naive = sorted(
+        (r["aid"], r["bid"])
+        for r in a.crossJoin(b)
+        .filter(
+            (F.col("lo_a") <= F.col("hi_b")) & (F.col("lo_b") <= F.col("hi_a"))
+        )
+        .collect()
+    )
+    assert got == naive == [(1, 10), (1, 11), (3, 10)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    from squirreling_spark.operators.range_join import range_join
+
+    pts = spark.createDataFrame([(1, 5.0), (2, 500.0)], ["pid", "x"])
+    iv = spark.createDataFrame([(1, 0.0, 10.0)], ["iid", "lo", "hi"])
+    out = range_join(pts, iv, "x", "lo", "hi", bin_width=8.0, how="left")
+    rows = {r["pid"]: r["iid"] for r in out.collect()}
+    assert rows == {1: 1, 2: None}
+
+
 def test_json_each_object(spark):
     df = spark.createDataFrame(
         [(1, '{"a": "1", "b": "x"}'), (2, '{"c": "y"}')], ["id", "j"]
