@@ -45,6 +45,30 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    text_col: str,
+    id_col: str,
+    seen_fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Daily-ingest dedup: from a NEW batch, keep one representative per
+    fingerprint (min id) that is ALSO absent from the historical ``seen``
+    fingerprint store — the incremental counterpart of ``exact_dedup`` for
+    a continuously-growing corpus.
+
+    Output: (fingerprint, keep_id, n_copies) for genuinely-new content
+    only; union the fingerprints back into the store after the batch
+    commits. Scale shape: one map-combined aggregate on the batch (small)
+    + one LEFT ANTI join against the store keyed on the fingerprint — at
+    100 TB the store side is a bucketed table on fingerprint
+    (sources/sinks.py) so the anti join co-locates without a store-side
+    shuffle; only the day's batch shuffles."""
+    batch = exact_dedup(new_docs, text_col, id_col)
+    store = seen.select(F.col(seen_fp_col).alias("fingerprint")).distinct()
+    return batch.join(store, "fingerprint", "left_anti")
+
+
 def shingles(text_col: str, k: int = 3) -> F.Column:
     """k-token shingles as array<string>; docs shorter than k tokens fall
     back to the whole text as a single shingle."""

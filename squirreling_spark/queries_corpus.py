@@ -249,3 +249,46 @@ def dedup_clusters_q(spark, sf):
     return dedup_clusters(
         t(spark, sf, "documents"), "text", "doc_id", num_hashes=32, bands=8
     )
+
+
+_FP_NORM = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, {_FP_NORM} AS fingerprint FROM documents
+    ),
+    seen AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 3 = 0),
+    batch AS (
+      SELECT fingerprint, min(doc_id) AS keep_id,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM fp WHERE doc_id % 3 <> 0 GROUP BY fingerprint
+    )
+    SELECT b.fingerprint, b.keep_id, b.n_copies
+    FROM batch b LEFT JOIN seen s USING (fingerprint)
+    WHERE s.fingerprint IS NULL
+    """,
+)
+def dedup_incremental_q(spark, sf):
+    """Incremental (daily-batch) dedup: docs with doc_id % 3 == 0 play the
+    historical fingerprint store; the rest are the new batch. Batch-local
+    exact dedup + LEFT ANTI join against the store
+    (pipeline/dedup.py::incremental_dedup) — at 100 TB the store is
+    bucketed on fingerprint so only the day's batch shuffles."""
+    from squirreling_spark.pipeline.dedup import (
+        incremental_dedup,
+        normalized_fingerprint,
+    )
+
+    docs = t(spark, sf, "documents")
+    seen = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(normalized_fingerprint("text").alias("fingerprint"))
+    )
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    out = incremental_dedup(batch, seen, "text", "doc_id")
+    return out.select(
+        "fingerprint", "keep_id", F.col("n_copies").cast("bigint").alias("n_copies")
+    )

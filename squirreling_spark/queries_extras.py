@@ -217,3 +217,56 @@ def regex_occurrence(spark, sf):
         F.element_at(all_m, -1).alias("last_match"),
         F.size(all_m).alias("n_matches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (pipeline/profile.py): per-column stats in one pass.
+# The oracle is generated per column so both sides share the same portable
+# min/max string formatting (double -> decimal(27,6), timestamp -> micros).
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "string"),
+]
+
+
+def _o_fmt(expr: str, typ: str) -> str:
+    if typ == "double":
+        return f"CAST(CAST({expr} AS DECIMAL(27,6)) AS VARCHAR)"
+    if typ == "timestamp":
+        return f"strftime({expr}, '%Y-%m-%d %H:%M:%S.%f')"
+    return f"CAST({expr} AS VARCHAR)"
+
+
+def _o_profile_col(c: str, typ: str) -> str:
+    return f"""
+    SELECT '{c}' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+           CAST(count(*) - count({c}) AS DOUBLE) / count(*) AS null_frac,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           {_o_fmt(f'min({c})', typ)} AS min_str,
+           {_o_fmt(f'max({c})', typ)} AS max_str
+    FROM orders"""
+
+
+@query(
+    "table_profile_orders",
+    oracle="\nUNION ALL\n".join(
+        _o_profile_col(c, typ) for c, typ in _PROFILE_COLS
+    ),
+)
+def table_profile_orders(spark, sf):
+    """Per-column profile of orders — null rate, exact distinct count,
+    portable min/max strings — in ONE aggregate pass
+    (pipeline/profile.py::table_profile). The ANALYZE step a pipeline
+    runs between transformations; exact=False swaps in
+    approx_count_distinct for wide tables at scale."""
+    from squirreling_spark.pipeline.profile import table_profile
+
+    return table_profile(t(spark, sf, "orders"))

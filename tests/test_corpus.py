@@ -123,6 +123,27 @@ def test_dedup_clusters_groups_near_dups(spark):
                for r in rows.values())
 
 
+def test_table_profile_single_pass_stats(spark):
+    from squirreling_spark.pipeline.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, None, 2.5), (2, "a", 0.5), (3, "a", None)],
+        "id bigint, s string, v double",
+    )
+    out = {r["col_name"]: r for r in table_profile(df).collect()}
+    assert set(out) == {"id", "s", "v"}
+    assert out["id"]["n_rows"] == 3 and out["id"]["n_null"] == 0
+    assert out["id"]["n_distinct"] == 3
+    assert out["id"]["min_str"] == "1" and out["id"]["max_str"] == "3"
+    assert out["s"]["n_null"] == 1 and abs(out["s"]["null_frac"] - 1 / 3) < 1e-12
+    assert out["s"]["n_distinct"] == 1
+    # typed (not lexicographic) min/max: 0.5 < 2.5 despite "2.500000" < "0.5..."
+    assert out["v"]["min_str"] == "0.500000" and out["v"]["max_str"] == "2.500000"
+    # approx path (no oracle — HLL estimates are engine-specific) still runs
+    ap = {r["col_name"]: r for r in table_profile(df, exact=False).collect()}
+    assert ap["id"]["n_distinct"] >= 2
+
+
 def test_knn_join_lsh_finds_identical_neighbors(spark):
     from squirreling_spark.pipeline.similarity import knn_join_lsh
 

@@ -165,3 +165,36 @@ def test_knn_join_lsh_no_cross_product(spark):
     assert "CartesianProduct" not in plan
     # the only BroadcastNestedLoopJoin allowed is none at all here
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q4_exists_is_semi_join(spark):
+    """The correlated EXISTS must decorrelate to ONE LeftSemi hash join —
+    never a per-row subquery or a nested loop."""
+    plan = plan_of("q4_order_priority", spark)
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_is_anti_join(spark):
+    plan = plan_of("q16_supplier_count", spark)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_having_subquery_is_semi_join_over_partial_agg(spark):
+    """The IN-over-grouped-HAVING must aggregate lineitem once (map-side
+    partial combine) and semi-join orders against the aggregated keys."""
+    plan = plan_of("q18_large_volume", spark)
+    assert "LeftSemi" in plan
+    assert "partial_sum" in plan
+
+
+def test_range_join_is_hash_join(spark):
+    """The binned rewrite's whole point: BETWEEN joins plan as hash
+    equi-joins on the bin key, never BroadcastNestedLoopJoin."""
+    for q in ("range_join_events", "sessions_overlap"):
+        plan = plan_of(q, spark)
+        assert "__sq_range_bin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
