@@ -1,0 +1,125 @@
+"""K-means (Lloyd) over an embedding column — pure DataFrame rounds.
+
+The clustering primitive behind two training-data jobs:
+- semantic curation / SemDeDup-style pruning (cluster the corpus by
+  embedding, then dedup or downsample WITHIN clusters — Abbas et al. 2023),
+- IVF index training (the centroids feed ``similarity.assign_cells`` /
+  ``ivf_topk``; today's queries use ad-hoc every-Nth-vector centroids).
+
+Scale shape per iteration (the whole point at 100 TB):
+- assignment: centroids (k rows) broadcast, ONE streaming pass over the
+  corpus; nearest-centroid is a map-side-combining ``max_by`` aggregate
+  (similarity.assign_cells), so the corpus × k product collapses inside
+  each task — no window, no shuffle of the product;
+- update: element-wise mean keyed on (cluster, dim) — k × dim keys,
+  map-side partial sums, then a k-row rollup. Decimal accumulation keeps
+  centroids bit-identical under any partitioning; components are rounded
+  to ``round_digits`` each round so the fixpoint is engine-reproducible.
+- ``localCheckpoint`` truncates plan lineage between rounds (k-row
+  DataFrames; on a real cluster prefer ``checkpoint()`` for fault
+  tolerance at the cost of an HDFS write).
+
+Determinism: seeds are the ``k`` lowest-id vectors (no RNG to ship),
+assignment tie-breaks on (sim DESC, centroid id ASC), means are
+decimal-exact — the full run is reproducible across engines, which is how
+the DuckDB oracle for ``kmeans_embeddings`` can replay it exactly.
+
+Empty clusters simply drop out of the centroid set (both engines derive
+centroids from the assignment groupBy); k shrinks rather than re-seeding —
+the standard Lloyd behavior when a seed loses all members.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from squirreling_spark.pipeline.similarity import assign_cells
+from squirreling_spark.qutil import spread
+
+
+def _mean_centroids(
+    assigned: DataFrame, round_digits: int
+) -> DataFrame:
+    """(cent_id, cent_vec, n_vecs) — decimal-exact element-wise mean per
+    cluster, components rounded, array rebuilt in dimension order."""
+    per_dim = (
+        assigned.select(
+            "cell", F.posexplode("__v").alias("dim", "v")
+        )
+        .groupBy("cell", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                round_digits,
+            ).alias("mean_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        per_dim.groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mean_v"))
+            ).alias("__pairs"),
+            F.min("n").alias("n_vecs"),
+        )
+        .select(
+            F.col("cell").alias("cent_id"),
+            F.transform(
+                "__pairs", lambda p: p.getField("mean_v")
+            ).alias("cent_vec"),
+            "n_vecs",
+        )
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 2,
+    round_digits: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``iters`` Lloyd rounds; returns ``(assignments, clusters)``:
+    assignments = (id, cluster) for every input row (last round);
+    clusters = (cluster_id, n_vecs, centroid) with the centroid serialized
+    to a fixed-precision '/'-joined string (portable across engines; raw
+    array outputs crash the driver canonicalizer)."""
+    emb = spread(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+    )
+    cents = (
+        emb.orderBy("__id")
+        .limit(k)
+        .select(
+            F.col("__id").alias("cent_id"), F.col("__v").alias("cent_vec")
+        )
+        .localCheckpoint(eager=True)
+    )
+    assigned = None
+    for _ in range(iters):
+        assigned = assign_cells(emb, cents, c_id="__id", c_vec="__v")
+        cents = _mean_centroids(assigned, round_digits).localCheckpoint(
+            eager=True
+        )
+    assignments = assigned.select(
+        F.col("__id").alias(id_col), F.col("cell").alias("cluster")
+    )
+    clusters = cents.select(
+        F.col("cent_id").alias("cluster_id"),
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.array_join(
+            F.transform(
+                "cent_vec",
+                lambda v: F.format_string(f"%.{round_digits}f", v),
+            ),
+            "/",
+        ).alias("centroid"),
+    )
+    return assignments, clusters

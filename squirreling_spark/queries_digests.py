@@ -340,38 +340,51 @@ def events_digest(spark, sf):
 # in one graded row.
 # ---------------------------------------------------------------------------
 
+_SIM_CK = (
+    "q_id * 100000 + vec_id * 100 + rank"
+    " + CAST(floor(sim * 1000000) AS BIGINT)"
+)
+# kmeans centroid checksum: parse the '/'-joined fixed-precision string
+# back to doubles and sum — value-sensitive, and both engines fold
+# left-to-right so the double sum is bit-identical. Engine-specific
+# spellings of the same arithmetic (Spark HOF vs DuckDB list fns).
+_KM_SPARK_CK = (
+    "cluster_id * 100000 + n_vecs + CAST(floor(aggregate("
+    "transform(split(centroid, '/'), s -> CAST(s AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (a, b) -> a + b) * 1000) AS BIGINT)"
+)
+_KM_DUCK_CK = (
+    "cluster_id * 100000 + n_vecs + CAST(floor(list_sum("
+    "list_transform(string_split(centroid, '/'), "
+    "s -> CAST(s AS DOUBLE))) * 1000) AS BIGINT)"
+)
+# tag -> (spark checksum expr, duckdb checksum expr)
 _KNN_CK = {
-    "knn_bruteforce": (
-        "q_id * 100000 + vec_id * 100 + rank"
-        " + CAST(floor(sim * 1000000) AS BIGINT)"
-    ),
-    "knn_ivf": (
-        "q_id * 100000 + vec_id * 100 + rank"
-        " + CAST(floor(sim * 1000000) AS BIGINT)"
-    ),
-    "knn_join_lsh": (
-        "q_id * 100000 + vec_id * 100 + rank"
-        " + CAST(floor(sim * 1000000) AS BIGINT)"
-    ),
+    "knn_bruteforce": (_SIM_CK, _SIM_CK),
+    "knn_ivf": (_SIM_CK, _SIM_CK),
+    "knn_join_lsh": (_SIM_CK, _SIM_CK),
+    "kmeans_embeddings": (_KM_SPARK_CK, _KM_DUCK_CK),
 }
 
 
 @query(
     "knn_digest",
     oracle="\nUNION ALL\n".join(
-        _oracle_branch(tag, tag, ck) for tag, ck in _KNN_CK.items()
+        _oracle_branch(tag, tag, dck) for tag, (_, dck) in _KNN_CK.items()
     ),
 )
 def knn_digest(spark, sf):
-    """ANN search, all three paths: exact cosine top-5 (two-stage top-k,
-    no skewed window), IVF cells + nprobe=2 (min_by cell assignment, no
-    cross-product window), and the LSH-banded kNN self-join (every
-    vector's neighbors without an O(n^2) product) — full result of each
-    checksummed (pipeline/similarity.py)."""
+    """ANN + clustering, all four paths: exact cosine top-5 (two-stage
+    top-k, no skewed window), IVF cells + nprobe=2 (min_by cell
+    assignment, no cross-product window), the LSH-banded kNN self-join
+    (every vector's neighbors without an O(n^2) product), and two Lloyd
+    k-means rounds (broadcast-centroid max_by assignment, decimal-exact
+    means) — full result of each checksummed
+    (pipeline/similarity.py, pipeline/cluster.py)."""
     return _union_all(
         [
-            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, F.expr(ck))
-            for tag, ck in _KNN_CK.items()
+            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, F.expr(sck))
+            for tag, (sck, _) in _KNN_CK.items()
         ]
     )
 

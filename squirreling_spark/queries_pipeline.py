@@ -897,3 +897,82 @@ def events_tumbling_window_q(spark, sf):
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means clustering (pipeline/cluster.py): the semantic-curation / IVF
+# training primitive. The oracle replays BOTH Lloyd rounds exactly —
+# deterministic seeds (k lowest vec_ids), rounded-cosine assignment with
+# (sim DESC, cid ASC) tie-break, decimal-exact rounded means.
+# ---------------------------------------------------------------------------
+
+def _d_cos_ec(cent: str) -> str:
+    return f"""
+    round(list_sum(list_transform(generate_series(1, 64),
+                                  i -> e.emb[i] * {cent}[i]))
+          / sqrt(list_sum(list_transform(e.emb, x -> x * x))
+               * list_sum(list_transform({cent}, x -> x * x))), 6)
+"""
+
+
+_D_KM_MEAN = """
+    SELECT cid, i AS dim,
+           round(CAST(sum(CAST(emb[i] AS DECIMAL(27,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_v,
+           count(*) AS n
+    FROM {src}, generate_series(1, 64) g(i)
+    GROUP BY cid, i
+"""
+
+
+@query(
+    "kmeans_embeddings",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, emb AS cent FROM e ORDER BY vec_id LIMIT 8
+    ),
+    a1 AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_d_cos_ec('c.cent')} DESC, c.cid)
+                 AS rn
+        FROM e, c0 c) x WHERE rn = 1
+    ),
+    m1 AS ({_D_KM_MEAN.format(src='a1')}),
+    c1 AS (
+      SELECT cid, list(mean_v ORDER BY dim) AS cent FROM m1 GROUP BY cid
+    ),
+    a2 AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_d_cos_ec('c.cent')} DESC, c.cid)
+                 AS rn
+        FROM e, c1 c) x WHERE rn = 1
+    ),
+    m2 AS ({_D_KM_MEAN.format(src='a2')})
+    SELECT cid AS cluster_id,
+           CAST(min(n) AS BIGINT) AS n_vecs,
+           string_agg(printf('%.6f', mean_v), '/' ORDER BY dim) AS centroid
+    FROM m2 GROUP BY cid
+    """,
+)
+def kmeans_embeddings_q(spark, sf):
+    """Two Lloyd rounds of k=8 k-means over the embeddings table
+    (pipeline/cluster.py): broadcast-centroid max_by assignment (one
+    corpus pass per round, no window over the corpus x k product) +
+    decimal-exact rounded means. Output = final per-cluster size and
+    centroid string. The oracle unrolls both rounds in SQL — the
+    assignment argmax, the tie-break, and the mean arithmetic are
+    engine-identical, so this iterative algorithm gets a full value-hash
+    check, not a rows-only one."""
+    from squirreling_spark.pipeline.cluster import kmeans
+
+    _, clusters = kmeans(
+        t(spark, sf, "embeddings"), "embedding", "vec_id", k=8, iters=2
+    )
+    return clusters

@@ -160,3 +160,47 @@ def test_knn_join_lsh_finds_identical_neighbors(spark):
     top = {r["q_id"]: (r["vec_id"], r["sim"]) for r in out.collect()}
     assert top[1] == (2, 1.0) and top[2] == (1, 1.0)
     assert top[3] == (4, 1.0) and top[4] == (3, 1.0)
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from squirreling_spark.pipeline.cluster import kmeans
+
+    # two tight groups on opposite axes; seeds (2 lowest ids) fall one in
+    # each group, so 2 Lloyd rounds must separate them perfectly
+    rows = [
+        (0, [1.0, 0.0, 0.1, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.1]),
+        (2, [0.9, 0.0, 0.1, 0.0]),
+        (3, [0.0, 0.9, 0.0, 0.1]),
+        (4, [1.0, 0.1, 0.0, 0.0]),
+        (5, [0.1, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    assignments, clusters = kmeans(df, "embedding", "vec_id", k=2, iters=2)
+    a = {r["vec_id"]: r["cluster"] for r in assignments.collect()}
+    assert len(a) == 6
+    assert a[0] == a[2] == a[4]
+    assert a[1] == a[3] == a[5]
+    assert a[0] != a[1]
+    c = {r["cluster_id"]: r for r in clusters.collect()}
+    assert sorted(c) == [0, 1]
+    assert all(r["n_vecs"] == 3 for r in c.values())
+    # centroid string: dim fixed-precision components, '/'-joined
+    parts = c[0]["centroid"].split("/")
+    assert len(parts) == 4
+    assert all("." in p for p in parts)
+
+
+def test_kmeans_empty_cluster_drops_out(spark):
+    from squirreling_spark.pipeline.cluster import kmeans
+
+    # all vectors identical: every row assigns to seed 0 (tie-break on
+    # lowest centroid id); seed 1's cluster vanishes instead of erroring
+    df = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(4)],
+        "vec_id bigint, embedding array<double>",
+    )
+    _, clusters = kmeans(df, "embedding", "vec_id", k=2, iters=2)
+    rows = clusters.collect()
+    assert len(rows) == 1
+    assert rows[0]["cluster_id"] == 0 and rows[0]["n_vecs"] == 4
