@@ -250,3 +250,30 @@ def tfidf_top_terms(
             "rank",
         )
     )
+
+
+def adaptive_quality_filter(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    pct: float = 0.5,
+) -> DataFrame:
+    """FineWeb-style adaptive filtering: keep rows whose quality score
+    reaches their GROUP's ``pct``-percentile — a per-source (per-domain,
+    per-language) cutoff instead of one global threshold, so a noisy
+    source doesn't flood the corpus and a clean one isn't over-pruned.
+
+    Returns the surviving rows plus the ``cutoff`` column. Scale shape:
+    the cutoff table is one row per group (tiny -> broadcast back, no
+    second shuffle of the corpus); the percentile itself is exact
+    (percentile_cont collects each group's scores — fine for thousands of
+    groups; at extreme group cardinality swap in approx_percentile, which
+    keeps a bounded sketch and a map-side partial merge)."""
+    cut = df.groupBy(group_col).agg(
+        F.expr(
+            f"percentile_cont({pct}) WITHIN GROUP (ORDER BY {score_col})"
+        ).alias("cutoff")
+    )
+    return df.join(F.broadcast(cut), group_col).filter(
+        F.col(score_col) >= F.col("cutoff")
+    )

@@ -365,6 +365,34 @@ def dedup_clusters(
     )
 
 
+def cluster_representatives(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Pick the SURVIVOR of each near-dup cluster by a quality policy —
+    the decision step after ``dedup_clusters``: keep the highest-quality
+    member (ties -> lowest id), not blindly the lowest id. ``quality`` is
+    any (id, score) relation: n_chars, a model score, a composite.
+
+    Output: (cluster_id, keep_id, keep_quality, cluster_size). Scale
+    shape: one id-keyed join (clustered docs only — a small fraction of
+    the corpus) + one map-side-combining ``max_by`` aggregate per
+    cluster; no window ever sees more than one cluster's rows, and the
+    partial merge keeps a single candidate per task."""
+    joined = clusters.select(cluster_col, id_col).join(quality, id_col)
+    return joined.groupBy(cluster_col).agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col(quality_col), (-F.col(id_col)).alias("nid")),
+        ).alias("keep_id"),
+        F.max(quality_col).alias("keep_quality"),
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+    )
+
+
 def simhash(text_col: str, bits: int = 48) -> F.Column:
     """SimHash fingerprint as a bit string, computed as a row-local fold:
     each token votes ±1 per bit position using its md5; bit = 1 when the

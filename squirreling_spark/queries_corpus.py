@@ -292,3 +292,93 @@ def dedup_incremental_q(spark, sf):
     return out.select(
         "fingerprint", "keep_id", F.col("n_copies").cast("bigint").alias("n_copies")
     )
+
+
+_CC_SQL = inventory.ORACLES["dedup_clusters"]
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH base AS ({_CC_SQL}),
+    j AS (
+      SELECT b.cluster_id, b.doc_id, d.n_chars
+      FROM base b JOIN documents d USING (doc_id)
+    ),
+    r AS (
+      SELECT cluster_id, doc_id, n_chars,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS csize
+      FROM j
+    )
+    SELECT cluster_id, doc_id AS keep_id,
+           CAST(n_chars AS BIGINT) AS keep_quality,
+           CAST(csize AS BIGINT) AS cluster_size
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_keep_best_q(spark, sf):
+    """Survivor selection per near-dup cluster: MinHash+LSH pairs ->
+    connected components -> keep the HIGHEST-QUALITY member (quality =
+    n_chars here; ties -> lowest doc_id) instead of blindly the lowest id
+    (pipeline/dedup.py::cluster_representatives — map-side max_by, no
+    cross-cluster window). The step that turns dedup clustering into the
+    actual keep/drop decision a corpus pipeline ships."""
+    from squirreling_spark.pipeline.dedup import cluster_representatives
+
+    docs = t(spark, sf, "documents")
+    clusters = dedup_clusters(docs, "text", "doc_id", num_hashes=32, bands=8)
+    reps = cluster_representatives(
+        clusters,
+        docs.select("doc_id", F.col("n_chars").alias("quality")),
+    )
+    return reps.select(
+        "cluster_id",
+        "keep_id",
+        F.col("keep_quality").cast("bigint").alias("keep_quality"),
+        "cluster_size",
+    )
+
+
+@query(
+    "quality_adaptive_filter",
+    oracle="""
+    WITH cut AS (
+      SELECT source,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars) AS cutoff
+      FROM documents GROUP BY source
+    ),
+    k AS (
+      SELECT d.source, cutoff, doc_id, n_chars >= cutoff AS keep
+      FROM documents d JOIN cut USING (source)
+    )
+    SELECT source, cutoff,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(doc_id) FILTER (WHERE keep), 0) AS BIGINT)
+             AS kept_id_sum
+    FROM k GROUP BY source, cutoff
+    """,
+)
+def quality_adaptive_filter_q(spark, sf):
+    """Per-source adaptive quality cutoff (keep docs at/above their
+    source's median length — pipeline/corpus.py::adaptive_quality_filter):
+    the FineWeb-style alternative to a global threshold. Summary output
+    per source: cutoff, totals, and the surviving-id sum (value-checks
+    WHICH rows survived, not just how many)."""
+    from squirreling_spark.pipeline.corpus import adaptive_quality_filter
+
+    docs = t(spark, sf, "documents")
+    kept = adaptive_quality_filter(docs, "n_chars", "source", 0.5)
+    kept_stats = kept.groupBy("source").agg(
+        F.first("cutoff").alias("cutoff"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+    )
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    return kept_stats.join(totals, "source").select(
+        "source", "cutoff", "n_total", "n_kept", "kept_id_sum"
+    )

@@ -204,3 +204,40 @@ def test_kmeans_empty_cluster_drops_out(spark):
     rows = clusters.collect()
     assert len(rows) == 1
     assert rows[0]["cluster_id"] == 0 and rows[0]["n_vecs"] == 4
+
+
+def test_cluster_representatives_picks_best_quality(spark):
+    from squirreling_spark.pipeline.dedup import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (7, 70), (8, 70)],
+        "doc_id bigint, cluster_id bigint",
+    )
+    quality = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (7, 1.0), (8, 1.0)],
+        "doc_id bigint, quality double",
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in cluster_representatives(clusters, quality).collect()
+    }
+    # cluster 10: quality tie 9.0 between ids 2 and 3 -> lowest id wins
+    assert out[10]["keep_id"] == 2 and out[10]["keep_quality"] == 9.0
+    assert out[10]["cluster_size"] == 3
+    # cluster 70: full tie -> lowest id
+    assert out[70]["keep_id"] == 7 and out[70]["cluster_size"] == 2
+
+
+def test_adaptive_quality_filter_per_group_cutoff(spark):
+    from squirreling_spark.pipeline.corpus import adaptive_quality_filter
+
+    # source A scores 1..4 (median 2.5), source B scores 100..400
+    # (median 250): a global threshold would drop all of A or keep all
+    # of B; the per-group cutoff keeps the top half of EACH
+    rows = [("A", 1, 1.0), ("A", 2, 2.0), ("A", 3, 3.0), ("A", 4, 4.0),
+            ("B", 5, 100.0), ("B", 6, 200.0), ("B", 7, 300.0), ("B", 8, 400.0)]
+    df = spark.createDataFrame(rows, "source string, id bigint, score double")
+    kept = adaptive_quality_filter(df, "score", "source", 0.5)
+    ids = sorted(r["id"] for r in kept.collect())
+    assert ids == [3, 4, 7, 8]
+    assert all(r["score"] >= r["cutoff"] for r in kept.collect())
