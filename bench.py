@@ -45,6 +45,13 @@ HEADLINE = [
     "text_quality",
     "knn_bruteforce",
     "events_sessionize",
+    # round-2 operators (timed since round 3)
+    "kmeans_embeddings",
+    "range_join_events",
+    "dedup_clusters",
+    "table_profile_orders",
+    "q3_shipping_priority",
+    "q18_large_volume",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps
@@ -59,35 +66,46 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in inventory.QUERIES]
     # Touch every table once so parquet footers/file listings are cached.
-    inventory.QUERIES["count_star"](spark, sf_dir).collect()
+    try:
+        inventory.QUERIES["count_star"](spark, sf_dir).collect()
+    except Exception as exc:  # noqa: BLE001 — warmup is best-effort
+        print(f"BENCH WARMUP ERROR: {exc}", file=sys.stderr)
 
     # Rounds are interleaved (run every query, then repeat) so a transient
     # co-tenant CPU/IO burst degrades one ROUND of each query instead of
     # every run of whichever query it straddles; best-of per query.
     best: dict[str, float] = {n: float("inf") for n in names}
+    errors: dict[str, str] = {}
     for _ in range(RUNS):
         for name in names:
+            if name in errors:
+                continue  # failed once; don't burn two more passes on it
             fn = inventory.QUERIES[name]
             start = time.perf_counter()
-            df = fn(spark, sf_dir)
-            # noop sink executes the complete physical plan without paying
-            # driver-side row transfer — engine throughput, not py4j.
-            df.write.format("noop").mode("overwrite").save()
+            try:
+                df = fn(spark, sf_dir)
+                # noop sink executes the complete physical plan without
+                # paying driver-side row transfer — engine, not py4j.
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 — one bad query must
+                # not zero the whole round's perf evidence; record + go on.
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+                continue
             best[name] = min(best[name], time.perf_counter() - start)
-    timings = {n: round(best[n], 4) for n in names}
+    timings = {n: round(best[n], 4) for n in names if n not in errors}
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs_per_query": RUNS,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs_per_query": RUNS,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -61,7 +61,6 @@ GRADE_ORDER: list[str] = [
     # §2.1 plan operators + §2.5 shapes
     "scan_project",
     "filter_where",
-    "filter_like",
     "single_row",
     "count_star",
     "scalar_agg",
@@ -75,7 +74,6 @@ GRADE_ORDER: list[str] = [
     "sort_nulls_first",
     "setop_digest",
     "join_inner",
-    "join_left",
     "join_variants_digest",
     "positional_join",
     "subquery_digest",
@@ -114,6 +112,12 @@ GRADE_ORDER: list[str] = [
     "corpus_mix_digest",
     "events_digest",
     "multimodal_meta",
+    # round-2 operator families + TPC-H shapes (freed slots: filter_like /
+    # join_left — their §2 rows stay covered by filter_where+null_semantics
+    # and join_inner+join_variants_digest; standalone forms remain
+    # registered after the window, enforced by the local parity gate)
+    "analytics_digest",
+    "tpch_digest",
 ]
 
 

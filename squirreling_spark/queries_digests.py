@@ -91,8 +91,8 @@ def setop_digest(spark, sf):
 
 # ---------------------------------------------------------------------------
 # Join variants (reference src/execute/join.js): right/full outer, semi,
-# anti, equi+residual, theta, USING in one graded query (inner and left
-# stay standalone in the graded window).
+# anti, equi+residual, theta, USING in one graded query (inner stays
+# standalone in the graded window; left registers after it).
 # ---------------------------------------------------------------------------
 
 # Checksum expressions as SQL text: the same fragment is valid in both
@@ -422,6 +422,99 @@ def corpus_clean_digest(spark, sf):
         [
             _digest_branch(inventory.QUERIES[tag](spark, sf), tag, F.expr(ck))
             for tag, ck in _CLEAN_CK.items()
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytics digest: the round-2 operators that previously registered beyond
+# the graded window — single-pass table profiling, incremental dedup,
+# cluster survivor selection, per-source adaptive quality filtering — each
+# full result checksummed in one graded row.
+# ---------------------------------------------------------------------------
+
+_ANALYTICS_CK = {
+    "table_profile_orders": (
+        "n_rows + n_null * 7 + n_distinct * 3 + length(col_name)"
+        " + length(min_str) + length(max_str) * 11"
+        " + CAST(floor(null_frac * 1000000) AS BIGINT)"
+    ),
+    "dedup_incremental": (
+        "keep_id * 7 + n_copies * 31 + ascii(substring(fingerprint, 1, 1))"
+    ),
+    "dedup_keep_best": (
+        "cluster_id * 13 + keep_id * 7 + keep_quality + cluster_size * 31"
+    ),
+    "quality_adaptive_filter": (
+        "length(source) + CAST(floor(cutoff) AS BIGINT) * 3"
+        " + n_total * 7 + n_kept * 13 + kept_id_sum"
+    ),
+}
+
+
+@query(
+    "analytics_digest",
+    oracle="\nUNION ALL\n".join(
+        _oracle_branch(tag, tag, ck) for tag, ck in _ANALYTICS_CK.items()
+    ),
+)
+def analytics_digest(spark, sf):
+    """Single-pass per-column table profile (pipeline/profile.py), daily-
+    batch incremental dedup vs a fingerprint store, highest-quality
+    survivor per near-dup cluster (max_by, no cross-cluster window), and
+    per-source adaptive quality cutoffs (percentile + broadcast join) —
+    each variant's full result checksummed."""
+    return _union_all(
+        [
+            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, F.expr(ck))
+            for tag, ck in _ANALYTICS_CK.items()
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H digest: the multi-join analytical shapes (Q3/Q4/Q5/Q13/Q16/Q18
+# adapted to this schema) — join ordering, semi/anti decorrelation,
+# broadcast dim chains, partial aggregation — in one graded row.
+# ---------------------------------------------------------------------------
+
+_TPCH_CK = {
+    "q3_shipping_priority": (
+        "l_orderkey + CAST(floor(revenue) AS BIGINT)"
+        " + length(o_orderpriority) * 7"
+    ),
+    "q4_order_priority": "order_count * 7 + length(o_orderpriority)",
+    "q5_local_supplier": (
+        "CAST(floor(revenue) AS BIGINT) + length(n_name) * 7"
+    ),
+    "q13_customer_distribution": "c_count * 1000 + custdist",
+    "q16_supplier_count": (
+        "length(p_brand) + length(p_type) * 3 + p_size * 7"
+        " + supplier_cnt * 13"
+    ),
+    "q18_large_volume": (
+        "c_custkey + o_orderkey * 3 + total_qty * 7"
+        " + CAST(floor(o_totalprice) AS BIGINT)"
+    ),
+}
+
+
+@query(
+    "tpch_digest",
+    oracle="\nUNION ALL\n".join(
+        _oracle_branch(tag, tag, ck) for tag, ck in _TPCH_CK.items()
+    ),
+)
+def tpch_digest(spark, sf):
+    """TPC-H Q3/Q4/Q5/Q13/Q16/Q18 shapes adapted to this schema: fact-fact-
+    dim join chains with broadcast dims, correlated EXISTS/IN decorrelated
+    to semi joins, NOT IN as broadcast anti join, distinct-count and
+    two-level aggregations — each query's full result checksummed
+    (queries_analytics.py holds the standalone forms)."""
+    return _union_all(
+        [
+            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, F.expr(ck))
+            for tag, ck in _TPCH_CK.items()
         ]
     )
 

@@ -178,8 +178,11 @@ def dedup_ngram_jaccard_q(spark, sf):
     """,
 )
 def dedup_embedding_cosine_q(spark, sf):
-    """Embedding near-duplicate pairs: cosine ≥ 0.45 (pipeline/similarity.py
-    cosine — double-cast fold, bit-identical to the oracle)."""
+    """EXACT all-pairs verifier for embedding near-dup — O(n^2) nested-loop
+    by construction; registered only as the small-scale correctness
+    baseline for ``dedup_embedding_lsh``, which is the default (and only
+    100 TB-viable) path. Never use this in a bench headline or composite
+    pipeline; at scale, run the LSH bands and verify candidates only."""
     e = t(spark, sf, "embeddings")
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))

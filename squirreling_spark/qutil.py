@@ -53,14 +53,26 @@ def o_davg(expr: str) -> str:
 
 
 def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load events; its parquet ``ts`` is TIMESTAMP(NANOS) which Spark's
-    vectorized reader rejects, so read nanos as long and convert to
-    microsecond timestamps (DuckDB truncates ns->us the same way)."""
+    """Load events with ``ts`` normalized to TIMESTAMP, adapting to however
+    the parquet file stores it (this has changed across testdata
+    generations):
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so we read
+      nanos as long (``nanosAsLong`` conf) and truncate to microseconds,
+      matching DuckDB's native ns->us truncation.
+    - timestamp[us] (current testdata): arrives as TIMESTAMP_NTZ; cast to
+      TIMESTAMP. With the session timezone pinned (UTC) this preserves the
+      wall-clock value exactly, so both engines agree.
+    - TIMESTAMP: pass through.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
