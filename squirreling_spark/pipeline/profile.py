@@ -41,21 +41,31 @@ def table_profile(df: DataFrame, exact: bool = True) -> DataFrame:
     (the wide-table scale path; estimates are engine-specific)."""
     cols = df.dtypes
     aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    cd_aggs = []
     for c, typ in cols:
         nd = (
             F.countDistinct(F.col(c))
             if exact
             else F.approx_count_distinct(F.col(c))
         )
+        cd_aggs.append(nd.cast("bigint").alias(f"__nd_{c}"))
         aggs += [
             F.count(F.col(c)).cast("bigint").alias(f"__cnt_{c}"),
-            nd.cast("bigint").alias(f"__nd_{c}"),
             # typed min/max FIRST, then portable string formatting —
             # min over formatted strings would be lexicographic.
             _fmt(F.min(F.col(c)), typ).alias(f"__min_{c}"),
             _fmt(F.max(F.col(c)), typ).alias(f"__max_{c}"),
         ]
-    one = df.agg(*aggs)
+    # Distinct counts run as their OWN aggregate, cross-joined back (both
+    # sides are one row). Fusing k COUNT(DISTINCT)s with the plain aggs
+    # forces Catalyst's Expand plan — every row replicated k+1 times
+    # through the partial aggregate — measured 3-5x slower than the two
+    # independent jobs at equal output. exact=False (approx_count_distinct
+    # HLL sketches) fuses fine and skips the second scan entirely.
+    if exact:
+        one = df.agg(*aggs).crossJoin(df.agg(*cd_aggs))
+    else:
+        one = df.agg(*aggs, *cd_aggs)
     per_col = F.array(
         *[
             F.struct(

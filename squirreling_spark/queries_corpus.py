@@ -382,3 +382,61 @@ def quality_adaptive_filter_q(spark, sf):
     return kept_stats.join(totals, "source").select(
         "source", "cutoff", "n_total", "n_kept", "kept_id_sum"
     )
+
+
+@query(
+    "ngram_lm_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                          ' ') AS tk
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM (
+        SELECT doc_id, tk,
+               unnest(generate_series(1, len(tk) - 1)) AS i
+        FROM tok WHERE len(tk) >= 2
+      )
+    ),
+    ref AS (SELECT * FROM bg WHERE doc_id % 5 = 0),
+    c2 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+      FROM ref GROUP BY w1, w2
+    ),
+    c1 AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM ref GROUP BY w1
+    ),
+    v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM ref),
+    sc AS (
+      SELECT bg.doc_id, coalesce(c2.c2, 0) AS c2, coalesce(c1.c1, 0) AS c1
+      FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(count(*) FILTER (WHERE c2 = 0) AS BIGINT) AS n_oov,
+             CAST(sum(c2) AS BIGINT) AS sum_c2,
+             CAST(sum(c1) AS BIGINT) AS sum_c1
+      FROM sc GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, n_oov,
+           CAST(n_oov AS DOUBLE) / n_bigrams AS oov_rate,
+           CAST(sum_c2 + n_bigrams AS DOUBLE)
+             / (sum_c1 + n_bigrams * v) AS lm_score
+    FROM per, v
+    """,
+)
+def ngram_lm_score_q(spark, sf):
+    """CCNet-style bigram-LM quality scoring
+    (pipeline/corpus.py::ngram_lm_score): docs with doc_id % 5 == 0 play
+    the trusted reference slice; every document gets an OOV rate and a
+    pooled add-one likelihood score. All per-bigram math stays in integer
+    counts (exact, order-independent); one double division per document."""
+    from squirreling_spark.pipeline.corpus import ngram_lm_score
+
+    docs = t(spark, sf, "documents")
+    ref = docs.filter(F.col("doc_id") % 5 == 0)
+    return ngram_lm_score(docs, ref, "text", "doc_id")

@@ -174,25 +174,26 @@ def hash_agg_q1(spark, sf):
            count(DISTINCT l_orderkey) AS n_orders,
            {o_dsum('l_extendedprice')} AS revenue
     FROM lineitem
-    GROUP BY l_suppkey
+    GROUP BY 1
     HAVING count(DISTINCT l_orderkey) > 10
     """,
 )
 def group_having(spark, sf):
-    """GROUP BY + HAVING + COUNT(DISTINCT) (reference HAVING runs against the
-    group context row, src/execute/aggregates.js:84-188). COUNT DISTINCT in
-    Spark expands to a two-phase aggregate — no per-group sets on the
-    driver. No ``spread`` here: Expand's output shuffles for the distinct
-    phase regardless, so a pre-repartition only adds an exchange (measured
-    net-negative at sf0.1)."""
+    """GROUP BY positional ref + HAVING + COUNT(DISTINCT) in one slot —
+    the full §2.5 'GROUP BY positional / HAVING' row (reference positional
+    refs src/parse/parse.js:391-419; HAVING runs against the group context
+    row, src/execute/aggregates.js:84-188). Runs through spark.sql with a
+    DataFrame parameter binding so the SQL-surface positional resolution
+    is what's under test. COUNT DISTINCT expands to a two-phase aggregate
+    — no per-group sets on the driver."""
     li = t(spark, sf, "lineitem")
-    return (
-        li.groupBy("l_suppkey")
-        .agg(
-            F.countDistinct("l_orderkey").alias("n_orders"),
-            dsum("l_extendedprice", "revenue"),
-        )
-        .filter(F.col("n_orders") > 10)
+    return spark.sql(
+        "SELECT l_suppkey, count(DISTINCT l_orderkey) AS n_orders, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) "
+        "AS revenue "
+        "FROM {lineitem} GROUP BY 1 "
+        "HAVING count(DISTINCT l_orderkey) > 10",
+        lineitem=li,
     )
 
 

@@ -98,12 +98,21 @@ def test_connected_components_chain_and_cycle(spark):
          (20, 21)],
         "id_a bigint, id_b bigint",
     )
-    out = {r["node"]: r["label"] for r in connected_components(edges).collect()}
-    assert out == {
+    expect = {
         1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+    # Driver union-find arm (default: small edge list).
+    out = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    assert out == expect
+    # Distributed pointer-jumping arm must produce the identical labeling
+    # (driver_threshold=0 forces it).
+    dist = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert dist == expect
 
 
 def test_dedup_clusters_groups_near_dups(spark):
@@ -241,3 +250,31 @@ def test_adaptive_quality_filter_per_group_cutoff(spark):
     ids = sorted(r["id"] for r in kept.collect())
     assert ids == [3, 4, 7, 8]
     assert all(r["score"] >= r["cutoff"] for r in kept.collect())
+
+
+def test_ngram_lm_score_counts_and_oov(spark):
+    from squirreling_spark.pipeline.corpus import ngram_lm_score
+
+    # Reference: one doc "a b a b" -> bigrams (a,b) (b,a) (a,b):
+    # c2(a,b)=2, c2(b,a)=1, c1(a)=2, c1(b)=1, V=2 distinct second tokens.
+    ref = spark.createDataFrame(
+        [(0, "a b a b")], "doc_id bigint, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b"),      # one bigram, seen: c2=2, c1=2
+            (2, "z q"),      # one bigram, fully OOV
+            (3, "a"),        # no bigrams -> absent from output
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           ngram_lm_score(corpus, ref, "text", "doc_id").collect()}
+    assert set(out) == {1, 2}
+    r1, r2 = out[1], out[2]
+    assert r1["n_bigrams"] == 1 and r1["n_oov"] == 0
+    # (sum_c2 + n) / (sum_c1 + n*V) = (2+1)/(2+2) = 0.75
+    assert r1["lm_score"] == 0.75 and r1["oov_rate"] == 0.0
+    assert r2["n_bigrams"] == 1 and r2["n_oov"] == 1
+    # (0+1)/(0+2) = 0.5
+    assert r2["lm_score"] == 0.5 and r2["oov_rate"] == 1.0
