@@ -252,3 +252,80 @@ def knn_join_lsh(
         )
     )
     return _topk_per_query(scored, k, "q_id", "vec_id")
+
+
+def label_outliers(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The k LEAST-typical vectors of each label: decimal-exact label
+    centroid, cosine(vector, own-label centroid), bottom-k per label —
+    the mislabeled-point / noisy-example detector of an embedding-curated
+    corpus (flag for review or drop before training).
+
+    Scale shape: centroids are labels × dim rows (map-side-combined
+    decimal means) broadcast back to the corpus; similarity is one
+    codegen'd pass; the per-label bottom-k reuses the skew-safe two-stage
+    ranking (partition-local prune, then a tiny global rank) so a label
+    with half the corpus never lands in one task."""
+    cents_arr = (
+        spread(df)
+        .select(
+            F.col(label_col).alias("__lbl"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "dim", "v"
+            ),
+        )
+        .groupBy("__lbl", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                round_digits,
+            ).alias("mean_v")
+        )
+        .groupBy("__lbl")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mean_v"))
+            ).alias("__pairs")
+        )
+        .select(
+            "__lbl",
+            F.transform("__pairs", lambda p: p.getField("mean_v")).alias(
+                "__cent"
+            ),
+        )
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("__cent")), round_digits)
+    scored = (
+        spread(df)
+        .join(F.broadcast(cents_arr), F.col(label_col) == F.col("__lbl"))
+        .select(
+            F.col(id_col),
+            F.col(label_col).alias("label"),
+            sim.alias("sim"),
+        )
+    )
+    # bottom-k = top-k over ascending sim: two-stage, like _topk_per_query
+    # but ordered (sim ASC, id) and partitioned by label.
+    local = scored.withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__pid", "label").orderBy(
+        F.col("sim").asc(), F.col(id_col)
+    )
+    pruned = (
+        local.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr", "__pid")
+    )
+    w = Window.partitionBy("label").orderBy(F.col("sim").asc(), F.col(id_col))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "label", "sim", "rank")
+    )

@@ -979,3 +979,51 @@ def kmeans_embeddings_q(spark, sf):
         t(spark, sf, "embeddings"), "embedding", "vec_id", k=8, iters=2
     )
     return clusters
+
+
+@query(
+    "embedding_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    per_dim AS (
+      SELECT label, i AS dim,
+             round(CAST(sum(CAST(emb[i] AS DECIMAL(27,6))) AS DOUBLE)
+                   / count(*), 6) AS mean_v
+      FROM e, generate_series(1, 64) g(i)
+      GROUP BY label, i
+    ),
+    c AS (
+      SELECT label, list(mean_v ORDER BY dim) AS cent
+      FROM per_dim GROUP BY label
+    ),
+    s AS (
+      SELECT e.vec_id, e.label,
+             round(list_sum(list_transform(generate_series(1, 64),
+                                           i -> e.emb[i] * c.cent[i]))
+                   / sqrt(list_sum(list_transform(e.emb, x -> x * x))
+                        * list_sum(list_transform(c.cent, x -> x * x))), 6)
+               AS sim
+      FROM e JOIN c USING (label)
+    ),
+    r AS (
+      SELECT vec_id, label, sim,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY sim, vec_id) AS rank
+      FROM s
+    )
+    SELECT vec_id, label, sim, rank FROM r WHERE rank <= 5
+    """,
+)
+def embedding_outliers_q(spark, sf):
+    """Per-label embedding outliers (pipeline/similarity.py::
+    label_outliers): each label's 5 vectors least similar to their own
+    label centroid — the SemDeDup-adjacent curation step that surfaces
+    mislabeled / noisy examples. Decimal-exact centroids, rounded cosine,
+    skew-safe two-stage bottom-k."""
+    from squirreling_spark.pipeline.similarity import label_outliers
+
+    return label_outliers(
+        t(spark, sf, "embeddings"), "embedding", "vec_id", "label", k=5
+    )

@@ -110,3 +110,55 @@ def stateful_user_counter(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER join: pair each left event with the right-side
+    events of the same ``key`` whose timestamp falls in
+    ``[left.ts, left.ts + max_delay]`` — the click-to-conversion /
+    impression-to-action shape.
+
+    Both sides carry a watermark and the join condition bounds the event
+    time range, so Spark can expire buffered rows: state is
+    O(events-per-watermark-window) per side, never the full history —
+    what makes a continuous 100 TB/day correlation job viable. On batch
+    frames the same expression runs as a plain join (parity-testable).
+
+    Output: (key, l_ts, l_event_id, l_value, r_ts, r_event_id, r_value).
+    """
+    l = left.select(
+        F.col(key).alias("k"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("value").alias("l_value"),
+    )
+    r = right.select(
+        F.col(key).alias("r_k"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    if left.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("k") == F.col("r_k"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond).select(
+        F.col("k").alias("key"),
+        "l_ts",
+        "l_event_id",
+        "l_value",
+        "r_ts",
+        "r_event_id",
+        "r_value",
+    )

@@ -198,3 +198,22 @@ def test_range_join_is_hash_join(spark):
         assert "__sq_range_bin" in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_table_profile_splits_distincts_from_plain_stats(spark):
+    """Exact distinct counts must run as their own aggregate (Expand is
+    inherent to multi-column COUNT DISTINCT) cross-joined to the plain
+    stats — fused, the min/max/count rows ride the k+1-times-replicated
+    Expand too (measured 3-5x slower). One Expand, 1-row cross join."""
+    plan = plan_of("table_profile_orders", spark)
+    assert plan.count("Expand") == 1
+    assert "Cross" in plan or "CartesianProduct" in plan
+
+
+def test_embedding_outliers_two_stage_bottom_k(spark):
+    """Per-label bottom-k must prune partition-locally before the global
+    rank (no single-label straggler task), and the centroid join must
+    broadcast."""
+    plan = plan_of("embedding_outliers", spark)
+    assert plan.count("WindowGroupLimit") >= 2  # local + global stage
+    assert "BroadcastHashJoin" in plan

@@ -102,3 +102,32 @@ def test_stream_dedup_exactly_one_per_key(spark, events_dir):
     rows = out.collect()
     assert {r["user_id"] for r in rows} == expected_keys
     assert len(rows) == len(expected_keys)  # exactly one row per key
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Stream-stream interval join (watermarked both sides, time-bounded
+    state) produces exactly the batch join's pairs."""
+    from squirreling_spark.streaming.windows import stream_interval_join
+
+    batch_df = spark.read.parquet(events_dir)
+    clicks_b = batch_df.filter(F.col("event_type") == "click")
+    purchases_b = batch_df.filter(F.col("event_type") == "purchase")
+    expected = {
+        (r["key"], r["l_event_id"], r["r_event_id"])
+        for r in stream_interval_join(
+            clicks_b, purchases_b, "user_id"
+        ).collect()
+    }
+    assert expected, "fixture must produce at least one joined pair"
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    joined = stream_interval_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        "user_id",
+    )
+    out = _run_stream(spark, joined, "ssjoin_sink", mode="append")
+    got = {
+        (r["key"], r["l_event_id"], r["r_event_id"]) for r in out.collect()
+    }
+    assert got == expected
