@@ -49,6 +49,10 @@ QUERIES = [
     "range_join_events",
     "sessions_overlap",
     "dedup_clusters",
+    "kmeans_embeddings",
+    "table_profile_orders",
+    "ngram_lm_score",
+    "embedding_outliers",
 ]
 
 

@@ -364,3 +364,45 @@ def ngram_lm_score(
             / (F.col("sum_c1") + F.col("n_bigrams") * F.col("v"))
         ).alias("lm_score"),
     )
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Boilerplate exposure per document: the corpus's ``top_n`` most
+    frequent bigrams are taken as the boilerplate set ("click here",
+    "all rights", nav-bar fragments), and each document reports what
+    fraction of its bigrams fall in that set — the C4/Gopher-style signal
+    for template-heavy pages that length/stopword filters miss.
+
+    Scale shape: global bigram counts are one map-side-combined groupBy
+    on high-cardinality keys; the top-n set is tiny (TakeOrdered) and
+    broadcasts back; the per-doc rollup is one more combining groupBy.
+    Ties at the top-n boundary break on bigram text so the set is
+    deterministic across engines and partitionings."""
+    bg = _bigrams(df, text_col, id_col)
+    top = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.desc("__cnt"), "w1", "w2")
+        .limit(top_n)
+        .select("w1", "w2", F.lit(1).alias("__boiler"))
+    )
+    marked = bg.join(F.broadcast(top), ["w1", "w2"], "left")
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum(F.coalesce(F.col("__boiler"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_boiler"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        "n_boiler",
+        (F.col("n_boiler").cast("double") / F.col("n_bigrams")).alias(
+            "boiler_frac"
+        ),
+    )

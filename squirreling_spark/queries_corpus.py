@@ -440,3 +440,48 @@ def ngram_lm_score_q(spark, sf):
     docs = t(spark, sf, "documents")
     ref = docs.filter(F.col("doc_id") % 5 == 0)
     return ngram_lm_score(docs, ref, "text", "doc_id")
+
+
+@query(
+    "boilerplate_frac",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                          ' ') AS tk
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM (
+        SELECT doc_id, tk,
+               unnest(generate_series(1, len(tk) - 1)) AS i
+        FROM tok WHERE len(tk) >= 2
+      )
+    ),
+    top AS (
+      SELECT w1, w2, 1 AS boiler
+      FROM bg GROUP BY w1, w2
+      ORDER BY count(*) DESC, w1, w2 LIMIT 20
+    ),
+    m AS (
+      SELECT bg.doc_id, top.boiler
+      FROM bg LEFT JOIN top USING (w1, w2)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(sum(boiler), 0) AS BIGINT) AS n_boiler,
+           CAST(coalesce(sum(boiler), 0) AS DOUBLE) / count(*)
+             AS boiler_frac
+    FROM m GROUP BY doc_id
+    """,
+)
+def boilerplate_frac_q(spark, sf):
+    """Per-document boilerplate exposure
+    (pipeline/corpus.py::boilerplate_stats): fraction of each document's
+    bigrams that belong to the corpus's 20 most frequent bigrams — the
+    template-page signal. Counts stay integer (exact, order-independent);
+    one double division per document."""
+    from squirreling_spark.pipeline.corpus import boilerplate_stats
+
+    return boilerplate_stats(t(spark, sf, "documents"), "text", "doc_id")

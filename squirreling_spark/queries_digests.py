@@ -358,12 +358,17 @@ _KM_DUCK_CK = (
     "list_transform(string_split(centroid, '/'), "
     "s -> CAST(s AS DOUBLE))) * 1000) AS BIGINT)"
 )
+_OUTLIER_CK = (
+    "vec_id * 100 + label * 7 + rank"
+    " + CAST(floor(sim * 1000000) AS BIGINT)"
+)
 # tag -> (spark checksum expr, duckdb checksum expr)
 _KNN_CK = {
     "knn_bruteforce": (_SIM_CK, _SIM_CK),
     "knn_ivf": (_SIM_CK, _SIM_CK),
     "knn_join_lsh": (_SIM_CK, _SIM_CK),
     "kmeans_embeddings": (_KM_SPARK_CK, _KM_DUCK_CK),
+    "embedding_outliers": (_OUTLIER_CK, _OUTLIER_CK),
 }
 
 
@@ -524,6 +529,15 @@ _MIX_CK = {
     "tfidf_top_terms": (
         "doc_id * 10 + rank + tf + df"
         " + CAST(floor(tfidf * 1000) AS BIGINT)"
+    ),
+    "ngram_lm_score": (
+        "doc_id * 7 + n_bigrams + n_oov * 31"
+        " + CAST(floor(oov_rate * 1000000) AS BIGINT)"
+        " + CAST(floor(lm_score * 1000000000) AS BIGINT)"
+    ),
+    "boilerplate_frac": (
+        "doc_id * 3 + n_bigrams + n_boiler * 13"
+        " + CAST(floor(boiler_frac * 1000000) AS BIGINT)"
     ),
 }
 

@@ -278,3 +278,27 @@ def test_ngram_lm_score_counts_and_oov(spark):
     assert r2["n_bigrams"] == 1 and r2["n_oov"] == 1
     # (0+1)/(0+2) = 0.5
     assert r2["lm_score"] == 0.5 and r2["oov_rate"] == 1.0
+
+
+def test_boilerplate_stats_flags_template_bigrams(spark):
+    from squirreling_spark.pipeline.corpus import boilerplate_stats
+
+    # "click here" appears in 3 docs -> it is the global top bigram with
+    # top_n=1; doc 4 contains none of it.
+    df = _docs(
+        spark,
+        [
+            (1, "click here now"),
+            (2, "click here please"),
+            (3, "always click here"),
+            (4, "completely unrelated text"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_stats(df, "text", "doc_id", top_n=1).collect()
+    }
+    # doc 1: bigrams [click here, here now] -> 1 of 2 boilerplate
+    assert out[1]["n_bigrams"] == 2 and out[1]["n_boiler"] == 1
+    assert out[1]["boiler_frac"] == 0.5
+    assert out[4]["n_boiler"] == 0 and out[4]["boiler_frac"] == 0.0
