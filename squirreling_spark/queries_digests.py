@@ -454,6 +454,29 @@ _ANALYTICS_CK = {
         "length(source) + CAST(floor(cutoff) AS BIGINT) * 3"
         " + n_total * 7 + n_kept * 13 + kept_id_sum"
     ),
+    # Spark-superset SQL surface (reference rejects these outright):
+    # grouping sets with GROUPING() markers, CUBE, PIVOT, and the
+    # distribution window functions.
+    "rollup_agg": (
+        "n + CAST(floor(qty) AS BIGINT) + g_flag * 7 + g_status * 13"
+        " + length(coalesce(l_returnflag, ''))"
+        " + length(coalesce(l_linestatus, '')) * 3"
+    ),
+    "cube_agg": (
+        "n + CAST(floor(total) AS BIGINT)"
+        " + length(coalesce(o_orderstatus, '')) * 7"
+        " + length(coalesce(o_orderpriority, '')) * 3"
+    ),
+    "pivot_status": (
+        "length(o_orderpriority) * 7"
+        " + CAST(floor(coalesce(F, 0) + coalesce(O, 0) * 2"
+        " + coalesce(P, 0) * 3) AS BIGINT)"
+    ),
+    "window_distribution": (
+        "c_custkey + CAST(floor(pct_rank * 1000000) AS BIGINT) * 3"
+        " + CAST(floor(cume * 1000000) AS BIGINT)"
+        " + length(coalesce(second_name, ''))"
+    ),
 }
 
 
