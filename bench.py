@@ -52,6 +52,7 @@ HEADLINE = [
     "table_profile_orders",
     "q3_shipping_priority",
     "q18_large_volume",
+    "asof_join_events",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

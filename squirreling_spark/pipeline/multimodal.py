@@ -123,3 +123,39 @@ def resize_plan(df: DataFrame, max_dim: int = 256) -> DataFrame:
         F.ceil(F.col("meta.width") * scale).cast("int").alias("target_w"),
         F.ceil(F.col("meta.height") * scale).cast("int").alias("target_h"),
     )
+
+
+def _le_uint(payload_col: str, pos: int, nbytes: int):
+    """Little-endian unsigned int read from a binary column, built from
+    per-byte hex→int conversions — pure JVM expressions, no UDF."""
+    total = F.lit(0).cast("bigint")
+    for i in range(nbytes):
+        b = F.conv(
+            F.hex(F.expr(f"substring({payload_col}, {pos + i}, 1)")), 16, 10
+        ).cast("bigint")
+        total = total + b * (256 ** i)
+    return total
+
+
+def bmp_dimensions(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL (non-stub) image metadata extraction for BMP payloads, entirely
+    JVM-side: validate the 'BM' magic, read the little-endian width/height
+    from the BITMAPINFOHEADER (byte offsets 19-22 / 23-26, 1-based) with
+    per-byte hex arithmetic — no image library, no Python, whole-stage
+    codegen. The pattern for any fixed-offset binary format (WAV sample
+    rates, PNG IHDR after a 4-byte byteswap, …): decode headers at scan
+    speed and reserve the Python/Arrow path for actual pixel work.
+
+    Output: (media_id, is_bmp, bmp_width, bmp_height) — dimensions NULL
+    for non-BMP payloads."""
+    is_bmp = (F.octet_length(F.col(payload_col)) >= 26) & (
+        F.expr(f"substring({payload_col}, 1, 2)") == F.lit(b"BM")
+    )
+    w = _le_uint(payload_col, 19, 4)
+    h = _le_uint(payload_col, 23, 4)
+    return df.select(
+        "media_id",
+        is_bmp.alias("is_bmp"),
+        F.when(is_bmp, w).cast("int").alias("bmp_width"),
+        F.when(is_bmp, h).cast("int").alias("bmp_height"),
+    )

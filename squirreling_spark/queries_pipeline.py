@@ -1027,3 +1027,50 @@ def embedding_outliers_q(spark, sf):
     return label_outliers(
         t(spark, sf, "embeddings"), "embedding", "vec_id", "label", k=5
     )
+
+
+@query(
+    "binary_header_parse",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           true AS is_bmp,
+           CAST(16 + doc_id % 1024 AS INT) AS bmp_width,
+           CAST(16 + (doc_id * 7) % 1024 AS INT) AS bmp_height
+    FROM documents
+    """,
+)
+def binary_header_parse_q(spark, sf):
+    """Real binary-format metadata extraction, end-to-end JVM-side: a
+    valid BMP header is SYNTHESIZED per document (magic + little-endian
+    BITMAPINFOHEADER via hex assembly + unhex) and then parsed back by
+    pipeline/multimodal.py::bmp_dimensions (per-byte hex arithmetic).
+    The oracle states the expected dimensions directly — the parse is
+    what's under test. No Python anywhere; whole-stage codegen
+    (decode-at-scan-speed, the multimodal header path at 100 TB)."""
+    from squirreling_spark.pipeline.multimodal import bmp_dimensions
+
+    d = t(spark, sf, "documents")
+    w = (16 + F.col("doc_id") % 1024).cast("bigint")
+    h = (16 + (F.col("doc_id") * 7) % 1024).cast("bigint")
+
+    def le_hex(col, nbytes):
+        return F.concat(
+            *[
+                F.lpad(F.hex((col / (256 ** i)).cast("bigint") % 256), 2, "0")
+                for i in range(nbytes)
+            ]
+        )
+
+    hexstr = F.concat(
+        F.lit("424D"),            # 'BM'
+        F.lit("00" * 12),         # file-header remainder
+        le_hex(F.lit(40), 4),     # BITMAPINFOHEADER size
+        le_hex(w, 4),
+        le_hex(h, 4),
+        F.lit("00" * 8),          # pad past the read window
+    )
+    df = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.unhex(hexstr).alias("payload"),
+    )
+    return bmp_dimensions(df)

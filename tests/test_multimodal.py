@@ -47,3 +47,33 @@ def test_resize_plan(spark):
     plans = {r["media_id"]: r for r in resize_plan(df, max_dim=256).collect()}
     assert plans["m2"]["target_w"] == 256  # 1920x1080 → long edge 256
     assert plans["m1"]["scale"] == 1.0  # already smaller than 256
+
+
+def _bmp_bytes(width: int, height: int) -> bytes:
+    """Minimal valid-enough BMP: 'BM' magic + 12 header bytes + a
+    BITMAPINFOHEADER with little-endian width/height at offsets 18/22."""
+    import struct
+
+    header = b"BM" + b"\x00" * 12          # magic + file header remainder
+    info = struct.pack("<IiiHH", 40, width, height, 1, 24)
+    return header + info + b"\x00" * 8     # pad past the read window
+
+
+def test_bmp_dimensions_jvm_side(spark):
+    from squirreling_spark.pipeline.multimodal import bmp_dimensions
+
+    rows = [
+        ("a", _bmp_bytes(640, 480)),
+        ("b", _bmp_bytes(1, 100000)),
+        ("c", b"NOTABMP" + b"\x00" * 32),   # wrong magic
+        ("d", b"BM"),                       # too short
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {r["media_id"]: r for r in bmp_dimensions(df).collect()}
+    assert out["a"]["is_bmp"] and (out["a"]["bmp_width"], out["a"]["bmp_height"]) == (640, 480)
+    assert out["b"]["bmp_width"] == 1 and out["b"]["bmp_height"] == 100000
+    assert not out["c"]["is_bmp"] and out["c"]["bmp_width"] is None
+    assert not out["d"]["is_bmp"]
+    # the whole parse is JVM expressions — no Python evaluator in the plan
+    plan = bmp_dimensions(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
