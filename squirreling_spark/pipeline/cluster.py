@@ -79,19 +79,16 @@ def _mean_centroids(
     )
 
 
-def kmeans(
+def _lloyd(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    k: int = 8,
-    iters: int = 2,
-    round_digits: int = 6,
+    k: int,
+    iters: int,
+    round_digits: int,
 ) -> tuple[DataFrame, DataFrame]:
-    """Run ``iters`` Lloyd rounds; returns ``(assignments, clusters)``:
-    assignments = (id, cluster) for every input row (last round);
-    clusters = (cluster_id, n_vecs, centroid) with the centroid serialized
-    to a fixed-precision '/'-joined string (portable across engines; raw
-    array outputs crash the driver canonicalizer)."""
+    """Shared Lloyd loop: returns (last-round assignments, final numeric
+    centroids (cent_id, cent_vec, n_vecs))."""
     emb = spread(
         df.select(
             F.col(id_col).alias("__id"),
@@ -112,6 +109,39 @@ def kmeans(
         assigned = assign_cells(emb, cents, c_id="__id", c_vec="__v")
         cents = _mean_centroids(assigned, round_digits).persist()
         cents.count()
+    return assigned, cents
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Trained centroids in NUMERIC form (cent_id, cent_vec
+    array<double>, n_vecs) — for consumers like IVF index training, where
+    ad-hoc every-Nth-vector centroids cost real recall (measured at
+    sf0.01: nprobe=2 recall 0.46 ad-hoc vs 0.86 trained)."""
+    _, cents = _lloyd(df, vec_col, id_col, k, iters, round_digits)
+    return cents
+
+
+def kmeans(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 2,
+    round_digits: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``iters`` Lloyd rounds; returns ``(assignments, clusters)``:
+    assignments = (id, cluster) for every input row (last round);
+    clusters = (cluster_id, n_vecs, centroid) with the centroid serialized
+    to a fixed-precision '/'-joined string (portable across engines; raw
+    array outputs crash the driver canonicalizer)."""
+    assigned, cents = _lloyd(df, vec_col, id_col, k, iters, round_digits)
     assignments = assigned.select(
         F.col("__id").alias(id_col), F.col("cell").alias("cluster")
     )

@@ -1074,3 +1074,94 @@ def binary_header_parse_q(spark, sf):
         F.unhex(hexstr).alias("payload"),
     )
     return bmp_dimensions(df)
+
+
+@query(
+    "knn_ivf_trained",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, emb AS cent FROM e ORDER BY vec_id LIMIT 10
+    ),
+    a1 AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_d_cos_ec('c.cent')} DESC, c.cid)
+                 AS rn
+        FROM e, c0 c) x WHERE rn = 1
+    ),
+    m1 AS ({_D_KM_MEAN.format(src='a1')}),
+    c1 AS (
+      SELECT cid, list(mean_v ORDER BY dim) AS cent FROM m1 GROUP BY cid
+    ),
+    a2 AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_d_cos_ec('c.cent')} DESC, c.cid)
+                 AS rn
+        FROM e, c1 c) x WHERE rn = 1
+    ),
+    m2 AS ({_D_KM_MEAN.format(src='a2')}),
+    c2 AS (
+      SELECT cid AS cent_id, list(mean_v ORDER BY dim) AS cent
+      FROM m2 GROUP BY cid
+    ),
+    ass AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_d_cos_ec('c.cent')} DESC,
+                                           c.cent_id) AS rn
+        FROM e, c2 c) x WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS q_id, emb FROM e WHERE vec_id < 10
+    ),
+    probes AS (
+      SELECT q_id, cell FROM (
+        SELECT q.q_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {_D_COS_QC} DESC,
+                                           c.cent_id) AS rn
+        FROM q, c2 c) x WHERE rn <= 2
+    ),
+    s AS (
+      SELECT p.q_id, a.vec_id, {_D_COS_QA} AS sim
+      FROM probes p
+      JOIN ass ON ass.cell = p.cell
+      JOIN e a ON a.vec_id = ass.vec_id
+      JOIN q ON q.q_id = p.q_id
+      WHERE a.vec_id != p.q_id
+    ),
+    r AS (
+      SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, vec_id) AS rank
+      FROM s
+    )
+    SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 5
+    """,
+)
+def knn_ivf_trained_q(spark, sf):
+    """IVF with a k-means-TRAINED index (pipeline/cluster.py::
+    kmeans_centroids, 2 Lloyd rounds, k=10) instead of ad-hoc every-Nth
+    centroids — the standard FAISS-style build. Measured at sf0.01 the
+    trained cells nearly double recall@5 vs `knn_ivf`'s ad-hoc cells at
+    the same nprobe=2 (0.86 vs 0.46; see tests/test_ann_recall.py). The
+    oracle replays the entire pipeline — both Lloyd rounds, the final
+    cell assignment, probe ranking, and in-cell scoring — so the
+    iterative index build gets a full value-hash check."""
+    from squirreling_spark.pipeline.cluster import kmeans_centroids
+    from squirreling_spark.pipeline.similarity import assign_cells, ivf_topk
+
+    e = t(spark, sf, "embeddings")
+    cents = kmeans_centroids(e, "embedding", "vec_id", k=10, iters=2)
+    corpus_cells = assign_cells(e, cents)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk(queries, corpus_cells, cents, k=5, nprobe=2)
