@@ -367,6 +367,7 @@ _KNN_CK = {
     "knn_bruteforce": (_SIM_CK, _SIM_CK),
     "knn_ivf": (_SIM_CK, _SIM_CK),
     "knn_join_lsh": (_SIM_CK, _SIM_CK),
+    "knn_ivf_trained": (_SIM_CK, _SIM_CK),
     "kmeans_embeddings": (_KM_SPARK_CK, _KM_DUCK_CK),
     "embedding_outliers": (_OUTLIER_CK, _OUTLIER_CK),
 }
@@ -476,6 +477,12 @@ _ANALYTICS_CK = {
         "c_custkey + CAST(floor(pct_rank * 1000000) AS BIGINT) * 3"
         " + CAST(floor(cume * 1000000) AS BIGINT)"
         " + length(coalesce(second_name, ''))"
+    ),
+    # JVM-side binary header parse (synthesized BMPs round-tripped)
+    "binary_header_parse": (
+        "CAST(media_id AS BIGINT) * 3"
+        " + CASE WHEN is_bmp THEN 1 ELSE 0 END"
+        " + bmp_width * 7 + bmp_height * 13"
     ),
 }
 
