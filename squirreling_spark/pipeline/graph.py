@@ -1,0 +1,73 @@
+"""Graph analytics over the document-similarity graph: PageRank-style
+importance for importance-weighted corpus sampling (documents central in
+the near-dup/similarity graph are often canonical sources; leaves are
+often mirrors/quotes).
+
+Determinism design (the same policy as k-means/IVF): every operation is
+INTEGER arithmetic on a fixed-point scale — rank values are bigints,
+per-edge contributions use integer division, and the damping factor is
+the rational 17/20 (0.85). Sums of bigints are exact under any partition
+layout, so ``iters`` rounds replay bit-identically in any engine — which
+is how the DuckDB oracle can unroll the whole run.
+
+Scale shape per iteration: one join of the (undirected) edge list with
+the rank table on node id — hash-partitioned on a high-cardinality key —
+plus one map-side-combined sum per destination. Degrees and the node
+count are computed once. Lineage across rounds is tiny (rank rows only);
+for many rounds, persist each round like pipeline/cluster.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 2,
+) -> DataFrame:
+    """(doc_id, degree, pr_scaled) after ``iters`` damped-rank rounds over
+    the undirected edge list. ``pr_scaled`` is the rank on a 1e12
+    fixed-point scale; base term (1-d)/N and damping d=17/20 are applied
+    in integer arithmetic (floor division), so results are exact."""
+    und = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+    deg = und.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    ).select(F.col("s").alias("node"), "deg")
+    n1 = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    # pr0 = SCALE // N, carried with degree for the contribution step
+    pr = deg.crossJoin(F.broadcast(n1)).select(
+        "node", "deg", "n", F.expr(f"{SCALE} div n").alias("pr")
+    )
+    base = F.expr(f"{SCALE * 3 // 20} div n")  # (1-d)*SCALE // N, d=17/20
+    for _ in range(iters):
+        contrib = und.join(pr, und["s"] == pr["node"]).select(
+            F.col("d").alias("node"), F.expr("pr div deg").alias("c")
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("cs"))
+        pr = (
+            deg.join(sums, "node", "left")
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "node",
+                "deg",
+                "n",
+                (
+                    base
+                    + F.expr("(17 * coalesce(cs, 0)) div 20").cast("bigint")
+                ).alias("pr"),
+            )
+        )
+    return pr.select(
+        F.col("node").alias("doc_id"),
+        F.col("deg").alias("degree"),
+        F.col("pr").cast("bigint").alias("pr_scaled"),
+    )

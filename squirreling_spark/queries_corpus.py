@@ -485,3 +485,58 @@ def boilerplate_frac_q(spark, sf):
     from squirreling_spark.pipeline.corpus import boilerplate_stats
 
     return boilerplate_stats(t(spark, sf, "documents"), "text", "doc_id")
+
+
+@query(
+    "pagerank_docs",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    und AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (
+      SELECT s AS node, CAST(count(*) AS BIGINT) AS deg
+      FROM und GROUP BY s
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    p0 AS (
+      SELECT node, deg, 1000000000000 // n AS pr FROM deg, nn
+    ),
+    c1 AS (
+      SELECT u.d AS node, sum(p.pr // p.deg) AS cs
+      FROM und u JOIN p0 p ON u.s = p.node GROUP BY u.d
+    ),
+    p1 AS (
+      SELECT deg.node, deg.deg,
+             (150000000000 // n) + (17 * coalesce(c1.cs, 0)) // 20 AS pr
+      FROM deg LEFT JOIN c1 ON deg.node = c1.node, nn
+    ),
+    c2 AS (
+      SELECT u.d AS node, sum(p.pr // p.deg) AS cs
+      FROM und u JOIN p1 p ON u.s = p.node GROUP BY u.d
+    ),
+    p2 AS (
+      SELECT deg.node, deg.deg,
+             (150000000000 // n) + (17 * coalesce(c2.cs, 0)) // 20 AS pr
+      FROM deg LEFT JOIN c2 ON deg.node = c2.node, nn
+    )
+    SELECT node AS doc_id, deg AS degree, CAST(pr AS BIGINT) AS pr_scaled
+    FROM p2
+    """,
+)
+def pagerank_docs_q(spark, sf):
+    """Damped rank over the MinHash-LSH similarity graph
+    (pipeline/graph.py::pagerank, 2 rounds, d=17/20, 1e12 fixed point):
+    importance scores for importance-weighted sampling — central documents
+    in near-dup neighborhoods are often the canonical source. All-integer
+    arithmetic makes the iterative run exact, so the oracle unrolls both
+    rounds and value-hash checks them."""
+    from squirreling_spark.pipeline.dedup import minhash_lsh_candidates
+    from squirreling_spark.pipeline.graph import pagerank
+
+    pairs = minhash_lsh_candidates(
+        t(spark, sf, "documents"), "text", "doc_id", 32, 8
+    )
+    return pagerank(pairs, "id_a", "id_b", iters=2)

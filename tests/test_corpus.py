@@ -302,3 +302,23 @@ def test_boilerplate_stats_flags_template_bigrams(spark):
     assert out[1]["n_bigrams"] == 2 and out[1]["n_boiler"] == 1
     assert out[1]["boiler_frac"] == 0.5
     assert out[4]["n_boiler"] == 0 and out[4]["boiler_frac"] == 0.0
+
+
+def test_pagerank_star_graph_hand_computed(spark):
+    from squirreling_spark.pipeline.graph import pagerank
+
+    # Star: 1-2, 1-3, 1-4. N=4, deg(1)=3, deg(2..4)=1.
+    # pr0 = 1e12//4 = 250e9 each; base = 150e9//4 = 37.5e9.
+    # After 1 round: pr(1) = 37.5e9 + 17*(3*250e9)//20 = 675_000_000_000
+    # pr(2..4) = 37.5e9 + 17*(250e9//3)//20 = 108_333_333_333
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a bigint, id_b bigint"
+    )
+    out = {r["doc_id"]: r for r in
+           pagerank(edges, "id_a", "id_b", iters=1).collect()}
+    assert out[1]["degree"] == 3 and out[2]["degree"] == 1
+    assert out[1]["pr_scaled"] == 675_000_000_000
+    assert out[2]["pr_scaled"] == 108_333_333_333
+    assert out[3]["pr_scaled"] == out[4]["pr_scaled"] == out[2]["pr_scaled"]
+    # hub outranks leaves
+    assert out[1]["pr_scaled"] > out[2]["pr_scaled"]
