@@ -409,6 +409,7 @@ _CLEAN_CK = {
     ),
     "contamination_check": "doc_id * 100 + n_hits",
     "dedup_clusters": "doc_id + cluster_id * 7 + cluster_size * 31",
+    "pagerank_docs": "doc_id * 3 + degree * 7 + pr_scaled",
 }
 
 
