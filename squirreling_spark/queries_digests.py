@@ -25,24 +25,53 @@ from squirreling_spark.pipeline.text import text_profile
 from squirreling_spark.qutil import dcol, t
 
 
-def _digest_branch(df: DataFrame, tag: str, ck) -> DataFrame:
-    """(variant, n_rows, key_sum) summary of one variant's full result."""
+# Per-row hashed checksum: the old linear key_sum (sum of a*k1 + b*k2)
+# could be fooled by a compensating pair of errors (+x here, -x there).
+# Instead each row's integer key expression is canonicalized to a BIGINT
+# string, md5'd, and the first 10 hex chars (40 bits) become the row's
+# hash; the SUM of row hashes is order-independent but a cancellation now
+# requires an md5 preimage relation. 40 bits keeps the sum far from BIGINT
+# overflow (2^40 * 6M rows ≈ 6.6e18 < 2^63) even at sf1. NULL key rows
+# hash a sentinel instead of vanishing from the sum. Both engines render
+# BIGINT-as-string and md5(utf8) identically; floor-then-cast makes
+# Spark's truncating and DuckDB's rounding double→int casts agree.
+_NULL_KEY = -987654321
+
+
+def _row_hash_spark(ck_sql: str) -> str:
+    return (
+        f"CAST(conv(substring(md5(CAST(coalesce(CAST(floor({ck_sql}) "
+        f"AS BIGINT), {_NULL_KEY}) AS STRING)), 1, 10), 16, 10) AS BIGINT)"
+    )
+
+
+def _row_hash_duck(ck_sql: str) -> str:
+    return (
+        f"CAST('0x' || substring(md5(CAST(coalesce(CAST(floor({ck_sql}) "
+        f"AS BIGINT), {_NULL_KEY}) AS VARCHAR)), 1, 10) AS BIGINT)"
+    )
+
+
+def _digest_branch(df: DataFrame, tag: str, ck_sql: str) -> DataFrame:
+    """(variant, n_rows, key_sum) summary of one variant's full result —
+    key_sum is the order-independent sum of per-row md5-derived hashes."""
     return df.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.coalesce(F.sum(ck).cast("bigint"), F.lit(-1).cast("bigint")).alias(
-            "key_sum"
-        ),
+        F.coalesce(
+            F.sum(F.expr(_row_hash_spark(ck_sql))).cast("bigint"),
+            F.lit(-1).cast("bigint"),
+        ).alias("key_sum"),
     ).select(F.lit(tag).alias("variant"), "n_rows", "key_sum")
 
 
 def _oracle_branch(tag: str, origin: str, ck_sql: str) -> str:
-    """DuckDB mirror: same count+checksum over the original oracle SQL.
-    CASTs keep DuckDB's HUGEINT sum from drifting to float64."""
+    """DuckDB mirror: same count + per-row-hash sum over the original
+    oracle SQL. CASTs keep DuckDB's HUGEINT sum from drifting to float64."""
     orig = inventory.ORACLES[origin]
     return (
         f"SELECT '{tag}' AS variant, CAST(count(*) AS BIGINT) AS n_rows, "
-        f"CAST(coalesce(sum({ck_sql}), -1) AS BIGINT) AS key_sum "
-        f"FROM ({orig})"
+        f"CAST(coalesce(sum({_row_hash_duck(ck_sql)}), -1) AS BIGINT) "
+        f"AS key_sum FROM ({orig})"
     )
 
 
@@ -81,9 +110,7 @@ def setop_digest(spark, sf):
     semantics; EXCEPT over nation\\customer is empty (checksum -1 branch)."""
     return _union_all(
         [
-            _digest_branch(
-                inventory.QUERIES[tag](spark, sf), tag, F.expr(ck)
-            )
+            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, ck)
             for tag, ck in _SETOP_CK.items()
         ]
     )
@@ -124,7 +151,7 @@ def join_variants_digest(spark, sf):
     join result checksummed (reference src/execute/join.js:21-348)."""
     return _union_all(
         [
-            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, F.expr(ck))
+            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, ck)
             for tag, ck in _JOIN_CK.items()
         ]
     )
@@ -157,7 +184,7 @@ def subquery_digest(spark, sf):
     EXISTS + aggregate — each variant's full result checksummed."""
     return _union_all(
         [
-            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, F.expr(ck))
+            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, ck)
             for tag, ck in _SUBQ_CK.items()
         ]
     )
@@ -329,7 +356,7 @@ def events_digest(spark, sf):
     Streaming forms of the first two; these are the batch twins)."""
     return _union_all(
         [
-            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, F.expr(ck))
+            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, ck)
             for tag, ck in _EVENTS_CK.items()
         ]
     )
@@ -389,7 +416,7 @@ def knn_digest(spark, sf):
     (pipeline/similarity.py, pipeline/cluster.py)."""
     return _union_all(
         [
-            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, F.expr(sck))
+            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, sck)
             for tag, (sck, _) in _KNN_CK.items()
         ]
     )
@@ -427,7 +454,7 @@ def corpus_clean_digest(spark, sf):
     checksummed."""
     return _union_all(
         [
-            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, F.expr(ck))
+            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, ck)
             for tag, ck in _CLEAN_CK.items()
         ]
     )
@@ -502,7 +529,7 @@ def analytics_digest(spark, sf):
     each variant's full result checksummed."""
     return _union_all(
         [
-            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, F.expr(ck))
+            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, ck)
             for tag, ck in _ANALYTICS_CK.items()
         ]
     )
@@ -549,7 +576,7 @@ def tpch_digest(spark, sf):
     (queries_analytics.py holds the standalone forms)."""
     return _union_all(
         [
-            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, F.expr(ck))
+            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, ck)
             for tag, ck in _TPCH_CK.items()
         ]
     )
@@ -585,7 +612,7 @@ def corpus_mix_digest(spark, sf):
     idf — no libm ln) — each full result checksummed (pipeline/corpus.py)."""
     return _union_all(
         [
-            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, F.expr(ck))
+            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, ck)
             for tag, ck in _MIX_CK.items()
         ]
     )
