@@ -43,6 +43,7 @@ def load_all() -> None:
         queries_pipeline,
         queries_spatial,
         queries_extras,
+        queries_udf,
         queries_analytics,
         queries_analytics2,
         queries_corpus,
@@ -110,7 +111,11 @@ GRADE_ORDER: list[str] = [
     "corpus_clean_digest",
     "corpus_mix_digest",
     "events_digest",
-    "multimodal_meta",
+    # UDF registry — sync scalar + Arrow-vectorized + ASYNC (the
+    # reference's LLM-cell path) through engine.execute_sql, full-row
+    # oracle compare. (Freed slot: multimodal_meta, now checksummed
+    # inside analytics_digest alongside binary_header_parse.)
+    "udf_digest",
     # round-2 operator families + TPC-H shapes (freed slots: filter_like /
     # join_left — their §2 rows stay covered by filter_where+null_semantics
     # and join_inner+join_variants_digest; standalone forms remain

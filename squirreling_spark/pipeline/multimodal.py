@@ -125,15 +125,33 @@ def resize_plan(df: DataFrame, max_dim: int = 256) -> DataFrame:
     )
 
 
+def _byte_at(payload_col: str, pos) -> "F.Column":
+    """Unsigned byte value at 1-based position ``pos`` (int or Column) of a
+    binary column — hex→int conversion, pure JVM expression, no UDF.
+    Returns NULL past the end of the payload."""
+    p = F.lit(pos) if isinstance(pos, int) else pos
+    one = F.col(payload_col).substr(p, F.lit(1))
+    return F.when(
+        F.octet_length(one) == 1, F.conv(F.hex(one), 16, 10).cast("bigint")
+    )
+
+
 def _le_uint(payload_col: str, pos: int, nbytes: int):
     """Little-endian unsigned int read from a binary column, built from
     per-byte hex→int conversions — pure JVM expressions, no UDF."""
     total = F.lit(0).cast("bigint")
     for i in range(nbytes):
-        b = F.conv(
-            F.hex(F.expr(f"substring({payload_col}, {pos + i}, 1)")), 16, 10
-        ).cast("bigint")
-        total = total + b * (256 ** i)
+        total = total + _byte_at(payload_col, pos + i) * (256 ** i)
+    return total
+
+
+def _be_uint(payload_col: str, pos, nbytes: int):
+    """Big-endian unsigned int read (network byte order — PNG/JPEG).
+    ``pos`` may be an int or a Column (JPEG marker scan)."""
+    base = F.lit(pos) if isinstance(pos, int) else pos
+    total = F.lit(0).cast("bigint")
+    for i in range(nbytes):
+        total = total * 256 + _byte_at(payload_col, base + F.lit(i))
     return total
 
 
@@ -158,4 +176,106 @@ def bmp_dimensions(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         is_bmp.alias("is_bmp"),
         F.when(is_bmp, w).cast("int").alias("bmp_width"),
         F.when(is_bmp, h).cast("int").alias("bmp_height"),
+    )
+
+
+# JPEG SOFn markers that carry frame dimensions: C0-CF minus C4 (DHT),
+# C8 (JPG extension), CC (DAC).
+_SOF_MARKERS = [m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)]
+
+
+def _png_cols(payload_col: str):
+    """(is_png, width, height) — PNG signature is 8 fixed bytes, the IHDR
+    chunk is mandatory-first, so width/height sit at fixed big-endian
+    offsets 17-20 / 21-24 (1-based)."""
+    is_png = (F.octet_length(F.col(payload_col)) >= 24) & (
+        F.hex(F.expr(f"substring({payload_col}, 1, 8)"))
+        == F.lit("89504E470D0A1A0A")
+    )
+    return is_png, _be_uint(payload_col, 17, 4), _be_uint(payload_col, 21, 4)
+
+
+def _jpeg_scan_cols(df: DataFrame, payload_col: str, max_segments: int = 8):
+    """JPEG dimensions by SOF marker scan, pure JVM expressions.
+
+    Unlike BMP/PNG, JPEG has no fixed-offset header: the SOFn frame segment
+    sits after a variable number of variable-length segments (APPn, DQT,
+    COM, …), so the parse must WALK the segment chain: start after FFD8, at
+    each hop read the 2-byte big-endian segment length and advance
+    pos += 2 + len until a SOFn marker (height at pos+5, width at pos+7,
+    big-endian) or the unroll bound. The walk is unrolled ``max_segments``
+    times as chained withColumn steps — each hop's position is an aliased
+    column referenced several times, which Catalyst's CollapseProject keeps
+    materialized instead of inlining exponentially.
+
+    Returns the df with (_jpg_w, _jpg_h) columns appended (NULL when no SOF
+    found within the bound or the chain is malformed)."""
+    out = (
+        df.withColumn("_jp", F.lit(3).cast("bigint"))
+        .withColumn("_jpg_w", F.lit(None).cast("bigint"))
+        .withColumn("_jpg_h", F.lit(None).cast("bigint"))
+    )
+    for _ in range(max_segments):
+        at_marker = _byte_at(payload_col, F.col("_jp")) == 0xFF
+        mtype = _byte_at(payload_col, F.col("_jp") + 1)
+        is_sof = at_marker & mtype.isin(_SOF_MARKERS)
+        out = (
+            out.withColumn(
+                "_jpg_h",
+                F.coalesce(
+                    "_jpg_h",
+                    F.when(is_sof, _be_uint(payload_col, F.col("_jp") + 5, 2)),
+                ),
+            )
+            .withColumn(
+                "_jpg_w",
+                F.coalesce(
+                    "_jpg_w",
+                    F.when(is_sof, _be_uint(payload_col, F.col("_jp") + 7, 2)),
+                ),
+            )
+            .withColumn(
+                "_jp",
+                F.when(
+                    at_marker & ~mtype.isin(_SOF_MARKERS + [0xD8, 0xD9]),
+                    F.col("_jp") + 2 + _be_uint(payload_col, F.col("_jp") + 2, 2),
+                ),
+            )
+        )
+    return out
+
+
+def image_dimensions(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL (non-stub) image metadata extraction for BMP + PNG + JPEG,
+    entirely JVM-side — magic-byte dispatch, then the per-format header
+    read: BMP little-endian fixed offsets, PNG big-endian IHDR fixed
+    offsets, JPEG variable-length SOF marker scan. No image library, no
+    Python row path; headers decode at scan speed, reserving the
+    Arrow/Python path for actual pixel work.
+
+    Output: (media_id, fmt ∈ {bmp,png,jpeg} | NULL, width, height)."""
+    is_bmp = (F.octet_length(F.col(payload_col)) >= 26) & (
+        F.expr(f"substring({payload_col}, 1, 2)") == F.lit(b"BM")
+    )
+    is_png, png_w, png_h = _png_cols(payload_col)
+    is_jpeg = (F.octet_length(F.col(payload_col)) >= 4) & (
+        F.hex(F.expr(f"substring({payload_col}, 1, 2)")) == F.lit("FFD8")
+    )
+    scanned = _jpeg_scan_cols(df, payload_col)
+    return scanned.select(
+        "media_id",
+        F.when(is_bmp, F.lit("bmp"))
+        .when(is_png, F.lit("png"))
+        .when(is_jpeg, F.lit("jpeg"))
+        .alias("fmt"),
+        F.when(is_bmp, _le_uint(payload_col, 19, 4))
+        .when(is_png, png_w)
+        .when(is_jpeg, F.col("_jpg_w"))
+        .cast("int")
+        .alias("width"),
+        F.when(is_bmp, _le_uint(payload_col, 23, 4))
+        .when(is_png, png_h)
+        .when(is_jpeg, F.col("_jpg_h"))
+        .cast("int")
+        .alias("height"),
     )

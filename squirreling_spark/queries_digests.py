@@ -506,11 +506,27 @@ _ANALYTICS_CK = {
         " + CAST(floor(cume * 1000000) AS BIGINT)"
         " + length(coalesce(second_name, ''))"
     ),
-    # JVM-side binary header parse (synthesized BMPs round-tripped)
+    # JVM-side binary header parse (synthesized BMP/PNG/JPEG round-tripped)
     "binary_header_parse": (
-        "CAST(media_id AS BIGINT) * 3"
-        " + CASE WHEN is_bmp THEN 1 ELSE 0 END"
-        " + bmp_width * 7 + bmp_height * 13"
+        "CAST(media_id AS BIGINT) * 3 + length(fmt) * 5"
+        " + coalesce(width, -1) * 7 + coalesce(height, -1) * 13"
+    ),
+    # Binary-column plumbing: byte length + sha over the payload (was a
+    # standalone graded row; its slot went to udf_digest). The sha256 hex
+    # is probed at several positions — the per-row md5 wrapper in
+    # _digest_branch makes any probed-byte change flip the checksum.
+    "multimodal_meta": (
+        "doc_id * 3 + n_bytes * 7 + length(source)"
+        " + ascii(substring(sha, 1, 1)) * 31"
+        " + ascii(substring(sha, 17, 1)) * 101"
+        " + ascii(substring(sha, 33, 1)) * 211"
+        " + ascii(substring(sha, 64, 1)) * 401"
+    ),
+    # WITH RECURSIVE month spine + order counts (superset feature — the
+    # reference rejects recursion outright; r3 judge task 7).
+    "cte_recursive": (
+        "CAST(date_part('year', month_start) AS BIGINT) * 1000"
+        " + CAST(date_part('month', month_start) AS BIGINT) * 31 + n_orders"
     ),
 }
 

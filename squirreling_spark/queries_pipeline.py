@@ -1033,21 +1033,26 @@ def embedding_outliers_q(spark, sf):
     "binary_header_parse",
     oracle="""
     SELECT CAST(doc_id AS VARCHAR) AS media_id,
-           true AS is_bmp,
-           CAST(16 + doc_id % 1024 AS INT) AS bmp_width,
-           CAST(16 + (doc_id * 7) % 1024 AS INT) AS bmp_height
+           CASE doc_id % 3 WHEN 0 THEN 'bmp'
+                           WHEN 1 THEN 'png'
+                           ELSE 'jpeg' END AS fmt,
+           CAST(16 + doc_id % 1024 AS INT) AS width,
+           CAST(16 + (doc_id * 7) % 1024 AS INT) AS height
     FROM documents
     """,
 )
 def binary_header_parse_q(spark, sf):
-    """Real binary-format metadata extraction, end-to-end JVM-side: a
-    valid BMP header is SYNTHESIZED per document (magic + little-endian
-    BITMAPINFOHEADER via hex assembly + unhex) and then parsed back by
-    pipeline/multimodal.py::bmp_dimensions (per-byte hex arithmetic).
-    The oracle states the expected dimensions directly — the parse is
-    what's under test. No Python anywhere; whole-stage codegen
+    """Real binary-format metadata extraction for BMP + PNG + JPEG,
+    end-to-end JVM-side: a valid header is SYNTHESIZED per document (hex
+    assembly + unhex; format picked by doc_id % 3, JPEG with a
+    doc-id-dependent-length APP0 segment so the SOF marker scan actually
+    walks a varying chain) and then parsed back by
+    pipeline/multimodal.py::image_dimensions — magic dispatch, BMP
+    little-endian / PNG big-endian fixed offsets, JPEG segment walk, all
+    per-byte hex arithmetic. The oracle states the expected dimensions
+    directly — the parse is what's under test. No Python anywhere
     (decode-at-scan-speed, the multimodal header path at 100 TB)."""
-    from squirreling_spark.pipeline.multimodal import bmp_dimensions
+    from squirreling_spark.pipeline.multimodal import image_dimensions
 
     d = t(spark, sf, "documents")
     w = (16 + F.col("doc_id") % 1024).cast("bigint")
@@ -1061,7 +1066,19 @@ def binary_header_parse_q(spark, sf):
             ]
         )
 
-    hexstr = F.concat(
+    def be_hex(col, nbytes):
+        return F.concat(
+            *[
+                F.lpad(
+                    F.hex((col / (256 ** (nbytes - 1 - i))).cast("bigint") % 256),
+                    2,
+                    "0",
+                )
+                for i in range(nbytes)
+            ]
+        )
+
+    bmp_hex = F.concat(
         F.lit("424D"),            # 'BM'
         F.lit("00" * 12),         # file-header remainder
         le_hex(F.lit(40), 4),     # BITMAPINFOHEADER size
@@ -1069,11 +1086,36 @@ def binary_header_parse_q(spark, sf):
         le_hex(h, 4),
         F.lit("00" * 8),          # pad past the read window
     )
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),  # PNG signature
+        F.lit("0000000D"),          # IHDR length (13)
+        F.lit("49484452"),          # 'IHDR'
+        be_hex(w, 4),
+        be_hex(h, 4),
+        F.lit("0806000000"),        # bit depth/color/compression/filter/interlace
+        F.lit("00000000"),          # CRC (not validated by the header read)
+    )
+    app0_pad = (F.col("doc_id") % 9 + 1).cast("bigint")  # varying APP0 size
+    jpeg_hex = F.concat(
+        F.lit("FFD8"),                        # SOI
+        F.lit("FFE0"), be_hex(app0_pad + 2, 2),
+        F.repeat(F.lit("00"), app0_pad.cast("int")),      # APP0 payload
+        F.lit("FFDB"), be_hex(F.lit(7), 2), F.lit("00" * 5),  # DQT filler
+        F.lit("FFC0"), be_hex(F.lit(17), 2),  # SOF0, len 8+3*3
+        F.lit("08"), be_hex(h, 2), be_hex(w, 2),
+        F.lit("03"), F.lit("00" * 9),         # 3 components
+        F.lit("FFD9"),                        # EOI
+    )
+    hexstr = (
+        F.when(F.col("doc_id") % 3 == 0, bmp_hex)
+        .when(F.col("doc_id") % 3 == 1, png_hex)
+        .otherwise(jpeg_hex)
+    )
     df = d.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.unhex(hexstr).alias("payload"),
     )
-    return bmp_dimensions(df)
+    return image_dimensions(df)
 
 
 @query(

@@ -77,3 +77,65 @@ def test_bmp_dimensions_jvm_side(spark):
     # the whole parse is JVM expressions — no Python evaluator in the plan
     plan = bmp_dimensions(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _png_bytes(width: int, height: int) -> bytes:
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", width, height)
+        + b"\x08\x06\x00\x00\x00" + b"\x00" * 4
+    )
+
+
+def _jpeg_bytes(width: int, height: int, n_app: int = 2,
+                sof_marker: bytes = b"\xff\xc0") -> bytes:
+    import struct
+
+    out = b"\xff\xd8"
+    for i in range(n_app):                       # variable-length APPn chain
+        payload = b"\x00" * (3 + i * 5)
+        out += bytes([0xFF, 0xE0 + i]) + struct.pack(">H", 2 + len(payload)) + payload
+    out += b"\xff\xdb" + struct.pack(">H", 7) + b"\x00" * 5   # DQT filler
+    out += sof_marker + struct.pack(">H", 17)    # SOFn, len 8+3*3
+    out += b"\x08" + struct.pack(">HH", height, width)
+    out += b"\x03" + b"\x00" * 9 + b"\xff\xd9"
+    return out
+
+
+def test_image_dimensions_dispatch(spark):
+    from squirreling_spark.pipeline.multimodal import image_dimensions
+
+    rows = [
+        ("bmp", _bmp_bytes(640, 480)),
+        ("png", _png_bytes(1920, 1080)),
+        ("jpg_baseline", _jpeg_bytes(320, 200)),
+        ("jpg_progressive", _jpeg_bytes(77, 99, sof_marker=b"\xff\xc2")),
+        ("jpg_many_segs", _jpeg_bytes(11, 22, n_app=5)),
+        ("jpg_too_deep", _jpeg_bytes(1, 1, n_app=9)),   # beyond unroll bound
+        ("jpg_truncated", b"\xff\xd8\xff\xe0"),
+        ("garbage", b"\x00\x01\x02\x03" * 10),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {r["media_id"]: r for r in image_dimensions(df).collect()}
+    assert (out["bmp"]["fmt"], out["bmp"]["width"], out["bmp"]["height"]) == ("bmp", 640, 480)
+    assert (out["png"]["fmt"], out["png"]["width"], out["png"]["height"]) == ("png", 1920, 1080)
+    assert (out["jpg_baseline"]["width"], out["jpg_baseline"]["height"]) == (320, 200)
+    assert out["jpg_baseline"]["fmt"] == "jpeg"
+    # SOF2 (progressive) also carries dimensions
+    assert (out["jpg_progressive"]["width"], out["jpg_progressive"]["height"]) == (77, 99)
+    # the scan walks a 6-segment chain before hitting SOF
+    assert (out["jpg_many_segs"]["width"], out["jpg_many_segs"]["height"]) == (11, 22)
+    # beyond the unroll bound: format detected, dimensions honestly NULL
+    assert out["jpg_too_deep"]["fmt"] == "jpeg"
+    assert out["jpg_too_deep"]["width"] is None
+    assert out["jpg_truncated"]["fmt"] == "jpeg"
+    assert out["jpg_truncated"]["width"] is None
+    assert out["garbage"]["fmt"] is None
+    assert out["null"]["fmt"] is None
+    # still pure JVM expressions — no Python evaluator in the plan
+    plan = image_dimensions(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
