@@ -98,7 +98,10 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_total",
-        "value": total,
+        # A crashing query would otherwise make the headline look FASTER
+        # (fewer addends): with any error, the total is not a comparable
+        # headline number — null it and flag, and exit non-zero below.
+        "value": None if errors else total,
         "unit": "sec",
         "queries": timings,
         "runs_per_query": RUNS,
@@ -106,7 +109,11 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+        out["incomplete"] = True
+        out["partial_total"] = total
     print(json.dumps(out))
+    if errors:
+        sys.exit(3)
 
 
 if __name__ == "__main__":

@@ -53,7 +53,38 @@ QUERIES = [
     "table_profile_orders",
     "ngram_lm_score",
     "embedding_outliers",
+    # round-3 operators (r3 judge task 4)
+    "pagerank_docs",
+    "knn_ivf_trained",
+    "binary_header_parse",
 ]
+
+
+def _cc_distributed(spark, sf_dir):
+    """dedup_clusters with the DISTRIBUTED connected-components arm forced
+    (driver_threshold=0): same LSH pairs, pointer-jumping min-label
+    propagation instead of the driver union-find — the arm a >5M-edge
+    collision graph would take at 100 TB."""
+    from squirreling_spark.pipeline.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+    )
+    from squirreling_spark.qutil import t as _t
+
+    pairs = minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", 32, 8, 3
+    )
+    return connected_components(pairs, "id_a", "id_b", driver_threshold=0)
+
+
+# name -> callable probes that aren't a plain inventory query
+EXTRA = {"dedup_clusters_distarm": _cc_distributed}
+
+# Row-group-normalized baseline: sf0.1 rewritten as multi-row-group files
+# so the "1-task scan" layout effect is separated from real scaling
+# (r3: hash_agg_q1 5.2x and dedup_simhash 4.8x were suspected layout).
+MRG_DST = "/tmp/sq_sf01_mrg"
+MRG_QUERIES = ["hash_agg_q1", "dedup_simhash", "text_quality", "group_having"]
 
 
 def replicate(spark):
@@ -84,8 +115,28 @@ def replicate(spark):
     open(f"{DST}/_done", "w").write("ok")
 
 
+def write_mrg(spark):
+    """Rewrite sf0.1 as 16-partition (multi-row-group) parquet."""
+    import os
+
+    if os.path.exists(f"{MRG_DST}/_done"):
+        return
+    for name in set(COPY) | set(KEY_OFFSETS):
+        df = (
+            events_with_ts(spark, SRC)
+            if name == "events"
+            else spark.read.parquet(f"{SRC}/{name}.parquet")
+        )
+        if name == "events":
+            df = df.withColumn("ts", F.unix_micros("ts") * 1000)
+        df.repartition(16).write.mode("overwrite").parquet(
+            f"{MRG_DST}/{name}.parquet"
+        )
+    open(f"{MRG_DST}/_done", "w").write("ok")
+
+
 def time_query(name, sf_dir):
-    fn = inventory.QUERIES[name]
+    fn = EXTRA.get(name) or inventory.QUERIES[name]
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
@@ -99,11 +150,24 @@ def time_query(name, sf_dir):
 def main():
     spark = get_spark("scale-probe")
     replicate(spark)
-    # events in DST are pre-converted (µs timestamps) — queries call
-    # events_with_ts which expects ns; patch by reading directly:
+    write_mrg(spark)
+    names = QUERIES + list(EXTRA)
+    if len(sys.argv) > 1:  # probe a subset: scale_probe.py q1 q2 ...
+        names = [n for n in names if n in sys.argv[1:]]
     print(f"{'query':26s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>6s}")
-    for name in QUERIES:
+    for name in names:
         t_small = time_query(name, SRC)
+        t_big = time_query(name, DST)
+        print(
+            f"{name:26s} {t_small:8.2f} {t_big:8.2f} {t_big / max(t_small, 1e-9):6.1f}"
+        )
+    # layout-normalized rerun: same data volume, multi-row-group files
+    print(f"\n{'query':26s} {'sf0.1mrg':>8s} {'sf1':>8s} {'ratio':>6s}"
+          "   (scan-layout normalized)")
+    for name in MRG_QUERIES:
+        if len(sys.argv) > 1 and name not in sys.argv[1:]:
+            continue
+        t_small = time_query(name, MRG_DST)
         t_big = time_query(name, DST)
         print(
             f"{name:26s} {t_small:8.2f} {t_big:8.2f} {t_big / max(t_small, 1e-9):6.1f}"

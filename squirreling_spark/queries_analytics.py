@@ -8,6 +8,7 @@ input, broadcast of the dim chain, and partial aggregation above the join.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -297,7 +298,10 @@ def events_tumbling_stream(spark, sf):
             "total_value",
         )
     )
-    sink = f"sq_stream_sink_{abs(hash(sf)) % 10**8}"
+    # Stable sink name (builtin hash() is salted per process — repeated
+    # in-session calls would leak one memory-sink table per run).
+    digest = hashlib.md5(sf.encode("utf-8")).hexdigest()[:8]
+    sink = f"sq_stream_sink_{digest}"
     q = (
         agg.writeStream.format("memory")
         .queryName(sink)
@@ -305,5 +309,11 @@ def events_tumbling_stream(spark, sf):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(
+            f"streaming query did not finish within 300s"
+            f" (exception: {exc})"  # fail loudly, never grade a partial sink
+        )
     return spark.table(sink)

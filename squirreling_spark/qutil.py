@@ -82,15 +82,22 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
-    """Repartition up to the cluster's parallelism when the input has fewer
-    partitions — used before compute-heavy stages (hashing, vector math).
+    """Repartition up to the cluster's parallelism — used before
+    compute-heavy stages (hashing, vector math).
 
     Parquet can't split below row-group granularity, so a small/single-row-
     group file scans as ~1 task; any CPU-bound stage pipelined on top of it
     serializes. Redistributing the (small) input rows first costs one cheap
     shuffle and unlocks full-cluster parallelism for the expensive stage —
-    the standard shape whenever compute-per-row ≫ row size, at any scale."""
+    the standard shape whenever compute-per-row ≫ row size, at any scale.
+
+    Repartitions unconditionally: the earlier revision probed
+    ``df.rdd.getNumPartitions()`` to skip the shuffle for already-wide
+    inputs, but that forces a Java-RDD plan conversion at query-BUILD time
+    on every call — a driver-side cost per plan on a real cluster. Callers
+    apply this only to inputs known to scan narrow (single-row-group
+    files, small dimension-sized tables), where the one extra round-robin
+    shuffle of already-small data is noise; genuinely wide inputs should
+    simply not be wrapped."""
     target = df.sparkSession.sparkContext.defaultParallelism * min_factor
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    return df.repartition(target)

@@ -22,4 +22,9 @@ def sf001():
 
 @pytest.fixture(scope="session")
 def sf01():
-    return "/root/testdata/sf0.01"
+    # Default parity scale; override (e.g. /root/testdata/sf0.1 for the
+    # once-per-round full-inventory run catching scale-dependent
+    # semantics) via SPARK_GRAFT_PARITY_SF.
+    import os
+
+    return os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.01")
