@@ -145,6 +145,16 @@ def _le_uint(payload_col: str, pos: int, nbytes: int):
     return total
 
 
+def _le_uint_at(payload_col: str, pos, nbytes: int):
+    """Little-endian unsigned int read at a Column position (RIFF chunk
+    walk) — same per-byte hex arithmetic as ``_le_uint``."""
+    base = F.lit(pos) if isinstance(pos, int) else pos
+    total = F.lit(0).cast("bigint")
+    for i in range(nbytes):
+        total = total + _byte_at(payload_col, base + F.lit(i)) * (256 ** i)
+    return total
+
+
 def _be_uint(payload_col: str, pos, nbytes: int):
     """Big-endian unsigned int read (network byte order — PNG/JPEG).
     ``pos`` may be an int or a Column (JPEG marker scan)."""
@@ -246,14 +256,14 @@ def _jpeg_scan_cols(df: DataFrame, payload_col: str, max_segments: int = 8):
 
 
 def image_dimensions(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """REAL (non-stub) image metadata extraction for BMP + PNG + JPEG,
-    entirely JVM-side — magic-byte dispatch, then the per-format header
-    read: BMP little-endian fixed offsets, PNG big-endian IHDR fixed
-    offsets, JPEG variable-length SOF marker scan. No image library, no
-    Python row path; headers decode at scan speed, reserving the
+    """REAL (non-stub) image metadata extraction for BMP + PNG + JPEG +
+    GIF, entirely JVM-side — magic-byte dispatch, then the per-format
+    header read: BMP/GIF little-endian fixed offsets, PNG big-endian IHDR
+    fixed offsets, JPEG variable-length SOF marker scan. No image library,
+    no Python row path; headers decode at scan speed, reserving the
     Arrow/Python path for actual pixel work.
 
-    Output: (media_id, fmt ∈ {bmp,png,jpeg} | NULL, width, height)."""
+    Output: (media_id, fmt ∈ {bmp,png,jpeg,gif} | NULL, width, height)."""
     is_bmp = (F.octet_length(F.col(payload_col)) >= 26) & (
         F.expr(f"substring({payload_col}, 1, 2)") == F.lit(b"BM")
     )
@@ -261,21 +271,91 @@ def image_dimensions(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     is_jpeg = (F.octet_length(F.col(payload_col)) >= 4) & (
         F.hex(F.expr(f"substring({payload_col}, 1, 2)")) == F.lit("FFD8")
     )
+    is_gif = (F.octet_length(F.col(payload_col)) >= 10) & (
+        F.expr(f"substring({payload_col}, 1, 6)").isin(
+            F.lit(b"GIF87a"), F.lit(b"GIF89a")
+        )
+    )
     scanned = _jpeg_scan_cols(df, payload_col)
     return scanned.select(
         "media_id",
         F.when(is_bmp, F.lit("bmp"))
         .when(is_png, F.lit("png"))
         .when(is_jpeg, F.lit("jpeg"))
+        .when(is_gif, F.lit("gif"))
         .alias("fmt"),
         F.when(is_bmp, _le_uint(payload_col, 19, 4))
         .when(is_png, png_w)
         .when(is_jpeg, F.col("_jpg_w"))
+        .when(is_gif, _le_uint(payload_col, 7, 2))
         .cast("int")
         .alias("width"),
         F.when(is_bmp, _le_uint(payload_col, 23, 4))
         .when(is_png, png_h)
         .when(is_jpeg, F.col("_jpg_h"))
+        .when(is_gif, _le_uint(payload_col, 9, 2))
         .cast("int")
         .alias("height"),
+    )
+
+
+def wav_metadata(
+    df: DataFrame, payload_col: str = "payload", max_chunks: int = 6
+) -> DataFrame:
+    """REAL WAV/RIFF audio metadata extraction, entirely JVM-side: after
+    validating the RIFF....WAVE container magic, WALK the chunk chain
+    (chunks are [4-byte id][4-byte LE size][data], padded to even sizes)
+    to find the ``fmt `` chunk — channels/sample-rate/byte-rate/bits at
+    fixed offsets within it — and the ``data`` chunk, whose SIZE divided
+    by the byte rate gives the duration. The walk is unrolled
+    ``max_chunks`` times as chained withColumn hops (same
+    CollapseProject-friendly shape as the JPEG SOF scan); JUNK/LIST/fact
+    chunks before ``fmt `` are skipped naturally. Only the headers are
+    read — a payload truncated after the ``data`` size field still parses.
+
+    Output: (media_id, is_wav, n_channels, sample_rate, bits_per_sample,
+    duration_ms)."""
+    p = F.col(payload_col)
+    is_wav = (
+        (F.octet_length(p) >= 36)
+        & (F.expr(f"substring({payload_col}, 1, 4)") == F.lit(b"RIFF"))
+        & (F.expr(f"substring({payload_col}, 9, 4)") == F.lit(b"WAVE"))
+    )
+    out = (
+        df.withColumn("_wp", F.lit(13).cast("bigint"))  # first chunk id
+        .withColumn("_fmt_at", F.lit(None).cast("bigint"))
+        .withColumn("_data_sz", F.lit(None).cast("bigint"))
+    )
+    for _ in range(max_chunks):
+        cid = p.substr(F.col("_wp"), F.lit(4))
+        csize = _le_uint_at(payload_col, F.col("_wp") + 4, 4)
+        out = (
+            out.withColumn(
+                "_fmt_at",
+                F.coalesce(
+                    "_fmt_at", F.when(cid == F.lit(b"fmt "), F.col("_wp"))
+                ),
+            )
+            .withColumn(
+                "_data_sz",
+                F.coalesce(
+                    "_data_sz", F.when(cid == F.lit(b"data"), csize)
+                ),
+            )
+            # next chunk: header (8) + data, padded to even
+            .withColumn("_wp", F.col("_wp") + 8 + csize + csize % 2)
+        )
+    n_channels = _le_uint_at(payload_col, F.col("_fmt_at") + 10, 2)
+    sample_rate = _le_uint_at(payload_col, F.col("_fmt_at") + 12, 4)
+    byte_rate = _le_uint_at(payload_col, F.col("_fmt_at") + 16, 4)
+    bits = _le_uint_at(payload_col, F.col("_fmt_at") + 22, 2)
+    return out.select(
+        "media_id",
+        is_wav.alias("is_wav"),
+        F.when(is_wav, n_channels).cast("int").alias("n_channels"),
+        F.when(is_wav, sample_rate).cast("int").alias("sample_rate"),
+        F.when(is_wav, bits).cast("int").alias("bits_per_sample"),
+        F.when(is_wav & (byte_rate > 0), F.floor(F.col("_data_sz") * 1000 / byte_rate))
+        .cast("bigint")
+        .alias("duration_ms"),
     )

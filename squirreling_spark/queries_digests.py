@@ -528,6 +528,18 @@ _ANALYTICS_CK = {
         "CAST(date_part('year', month_start) AS BIGINT) * 1000"
         " + CAST(date_part('month', month_start) AS BIGINT) * 31 + n_orders"
     ),
+    # WAV/RIFF chunk-walk header parse (audio twin of binary_header_parse)
+    "audio_header_parse": (
+        "CAST(media_id AS BIGINT) * 3 + n_channels * 5 + sample_rate"
+        " + bits_per_sample * 7 + duration_ms * 11"
+    ),
+    # Greedy sequence packing (applyInPandas, sequential per shard) —
+    # oracle replays the greedy recurrence via recursive CTE (round 4;
+    # was rows-only).
+    "docs_pack": (
+        "doc_id * 7 + chunk_idx * 13 + n_tok + seq_idx * 31"
+        " + length(split) + seq_tokens * 3 + length(chunk_text)"
+    ),
 }
 
 

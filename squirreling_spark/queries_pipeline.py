@@ -434,12 +434,71 @@ def docs_length_histogram_q(spark, sf):
     )
 
 
-@query("docs_pack")  # rows-only: greedy packing isn't SQL-expressible
+@query(
+    "docs_pack",
+    # The greedy fill is sequential per shard, but it IS replayable in SQL:
+    # a recursive CTE advances every shard one chunk per iteration,
+    # carrying (seq_idx, running tokens) — the exact greedy recurrence.
+    oracle="""
+    WITH RECURSIVE tk AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             j AS chunk_idx,
+             array_to_string(t[(j*48+1):(j*48+64)], ' ') AS chunk_text
+      FROM tk, unnest(generate_series(0,
+            CASE WHEN len(t) <= 64 THEN 0
+                 ELSE CAST(floor((len(t) - 64 + 47) / 48.0) AS BIGINT)
+            END)) AS u(j)
+    ),
+    withtok AS (
+      SELECT c.doc_id, c.n_tokens, c.chunk_idx, c.chunk_text,
+             len(string_split(c.chunk_text, ' ')) AS n_tok,
+             CASE WHEN c.b < 80 THEN 'train'
+                  WHEN c.b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT *,
+                   CAST('0x' || substring(
+                     md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                     AS BIGINT) % 100 AS b
+            FROM chunks) c
+    ),
+    ordered AS (
+      SELECT *, row_number() OVER (PARTITION BY split
+                                   ORDER BY doc_id, chunk_idx) AS rn
+      FROM withtok
+    ),
+    step AS (
+      SELECT split, rn, doc_id, n_tokens, chunk_idx, chunk_text, n_tok,
+             CAST(0 AS BIGINT) AS seq_idx, CAST(n_tok AS BIGINT) AS cur
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.split, o.rn, o.doc_id, o.n_tokens, o.chunk_idx,
+             o.chunk_text, o.n_tok,
+             CASE WHEN s.cur + o.n_tok > 512
+                  THEN s.seq_idx + 1 ELSE s.seq_idx END,
+             CASE WHEN s.cur + o.n_tok > 512
+                  THEN CAST(o.n_tok AS BIGINT) ELSE s.cur + o.n_tok END
+      FROM step s JOIN ordered o ON o.split = s.split AND o.rn = s.rn + 1
+    )
+    SELECT doc_id, n_tokens, chunk_idx, chunk_text, n_tok, split, seq_idx,
+           CAST(sum(n_tok) OVER (PARTITION BY split, seq_idx) AS BIGINT)
+             AS seq_tokens
+    FROM step
+    """,
+)
 def docs_pack_q(spark, sf):
     """Chunk → split-shard → greedy token-budget packing (pipeline/text.py
     pack_sequences): the full sequence-prep chain. Greedy fill is
-    sequential per shard (applyInPandas); no DuckDB oracle — covered by
-    unit tests instead (tests/test_operators.py)."""
+    sequential per shard (Arrow-batched applyInPandas — shards pack
+    independently, bounding the sequential step at any corpus size); the
+    oracle replays the recurrence with a recursive CTE that steps every
+    shard one chunk per iteration. Was rows-only before round 4."""
     from squirreling_spark.pipeline.text import (
         chunk_documents,
         hash_split,
@@ -1033,18 +1092,19 @@ def embedding_outliers_q(spark, sf):
     "binary_header_parse",
     oracle="""
     SELECT CAST(doc_id AS VARCHAR) AS media_id,
-           CASE doc_id % 3 WHEN 0 THEN 'bmp'
+           CASE doc_id % 4 WHEN 0 THEN 'bmp'
                            WHEN 1 THEN 'png'
-                           ELSE 'jpeg' END AS fmt,
+                           WHEN 2 THEN 'jpeg'
+                           ELSE 'gif' END AS fmt,
            CAST(16 + doc_id % 1024 AS INT) AS width,
            CAST(16 + (doc_id * 7) % 1024 AS INT) AS height
     FROM documents
     """,
 )
 def binary_header_parse_q(spark, sf):
-    """Real binary-format metadata extraction for BMP + PNG + JPEG,
+    """Real binary-format metadata extraction for BMP + PNG + JPEG + GIF,
     end-to-end JVM-side: a valid header is SYNTHESIZED per document (hex
-    assembly + unhex; format picked by doc_id % 3, JPEG with a
+    assembly + unhex; format picked by doc_id % 4, JPEG with a
     doc-id-dependent-length APP0 segment so the SOF marker scan actually
     walks a varying chain) and then parsed back by
     pipeline/multimodal.py::image_dimensions — magic dispatch, BMP
@@ -1106,16 +1166,89 @@ def binary_header_parse_q(spark, sf):
         F.lit("03"), F.lit("00" * 9),         # 3 components
         F.lit("FFD9"),                        # EOI
     )
+    gif_hex = F.concat(
+        F.lit("474946383961"),       # 'GIF89a'
+        le_hex(w, 2),
+        le_hex(h, 2),
+        F.lit("00" * 3),             # GCT flags / bg color / aspect
+    )
     hexstr = (
-        F.when(F.col("doc_id") % 3 == 0, bmp_hex)
-        .when(F.col("doc_id") % 3 == 1, png_hex)
-        .otherwise(jpeg_hex)
+        F.when(F.col("doc_id") % 4 == 0, bmp_hex)
+        .when(F.col("doc_id") % 4 == 1, png_hex)
+        .when(F.col("doc_id") % 4 == 2, jpeg_hex)
+        .otherwise(gif_hex)
     )
     df = d.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.unhex(hexstr).alias("payload"),
     )
     return image_dimensions(df)
+
+
+@query(
+    "audio_header_parse",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           true AS is_wav,
+           CAST(1 + doc_id % 2 AS INT) AS n_channels,
+           CAST(8000 + (doc_id % 5) * 8000 AS INT) AS sample_rate,
+           CAST(16 AS INT) AS bits_per_sample,
+           CAST((doc_id % 3 + 1) * 1000 AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def audio_header_parse_q(spark, sf):
+    """Real WAV/RIFF audio metadata extraction, end-to-end JVM-side: a
+    valid WAV header is SYNTHESIZED per document — RIFF/WAVE magic, then a
+    doc-id-dependent odd-sized JUNK chunk (so the chunk walk and its
+    even-padding rule are genuinely exercised), then fmt (channels /
+    sample rate / byte rate / bits) and a data chunk header whose size
+    encodes an exact whole-second duration — and parsed back by
+    pipeline/multimodal.py::wav_metadata (bounded RIFF chunk walk,
+    per-byte hex arithmetic). The oracle states the expected metadata
+    directly — the walk is what's under test. No audio library, no
+    Python; the audio twin of binary_header_parse."""
+    from squirreling_spark.pipeline.multimodal import wav_metadata
+
+    d = t(spark, sf, "documents")
+    channels = (1 + F.col("doc_id") % 2).cast("bigint")
+    rate = (8000 + (F.col("doc_id") % 5) * 8000).cast("bigint")
+    byte_rate = (rate * channels * 2).cast("bigint")
+    secs = (F.col("doc_id") % 3 + 1).cast("bigint")
+    data_sz = (byte_rate * secs).cast("bigint")
+    junk_sz = (F.col("doc_id") % 4) * 2 + 3  # odd → exercises padding
+
+    def le_hex(col, nbytes):
+        return F.concat(
+            *[
+                F.lpad(F.hex((col / (256 ** i)).cast("bigint") % 256), 2, "0")
+                for i in range(nbytes)
+            ]
+        )
+
+    hexstr = F.concat(
+        F.lit("52494646"),            # 'RIFF'
+        le_hex(F.lit(0), 4),          # container size (not read)
+        F.lit("57415645"),            # 'WAVE'
+        F.lit("4A554E4B"),            # 'JUNK'
+        le_hex(junk_sz, 4),
+        F.repeat(F.lit("00"), (junk_sz + junk_sz % 2).cast("int")),  # + pad
+        F.lit("666D7420"),            # 'fmt '
+        le_hex(F.lit(16), 4),         # PCM fmt chunk size
+        le_hex(F.lit(1), 2),          # audio format = PCM
+        le_hex(channels, 2),
+        le_hex(rate, 4),
+        le_hex(byte_rate, 4),
+        le_hex(channels * 2, 2),      # block align
+        le_hex(F.lit(16), 2),         # bits per sample
+        F.lit("64617461"),            # 'data'
+        le_hex(data_sz, 4),           # size only; payload truncated here
+    )
+    df = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.unhex(hexstr).alias("payload"),
+    )
+    return wav_metadata(df)
 
 
 @query(

@@ -184,14 +184,26 @@ def group_having(spark, sf):
     refs src/parse/parse.js:391-419; HAVING runs against the group context
     row, src/execute/aggregates.js:84-188). Runs through spark.sql with a
     DataFrame parameter binding so the SQL-surface positional resolution
-    is what's under test. COUNT DISTINCT expands to a two-phase aggregate
-    — no per-group sets on the driver."""
+    is what's under test.
+
+    Shuffle shape: Catalyst's distinct-agg cascade exchanges twice — the
+    raw rows on (suppkey, orderkey), then the ~as-many pair aggregates on
+    suppkey (pairs are near-unique here, so the first partial agg combines
+    nothing). Pre-clustering the pruned input on the OUTER group key lets
+    hashpartitioning(l_suppkey) satisfy both aggregation levels: one
+    exchange total, measured 3.5x at sf1 (8.1s -> 2.3s, SCALING.md).
+    Tradeoff: a pathologically hot group key concentrates its rows in one
+    partition — with group-key skew prefer the default cascade or salt.
+    The inner SELECT lists only the needed columns: Catalyst does not
+    prune a parquet scan through a REPARTITION hint node, so `*` would
+    read the full width."""
     li = t(spark, sf, "lineitem")
     return spark.sql(
         "SELECT l_suppkey, count(DISTINCT l_orderkey) AS n_orders, "
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) "
         "AS revenue "
-        "FROM {lineitem} GROUP BY 1 "
+        "FROM (SELECT /*+ REPARTITION(l_suppkey) */ l_suppkey, l_orderkey, "
+        "l_extendedprice FROM {lineitem}) GROUP BY 1 "
         "HAVING count(DISTINCT l_orderkey) > 10",
         lineitem=li,
     )

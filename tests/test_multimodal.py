@@ -139,3 +139,53 @@ def test_image_dimensions_dispatch(spark):
     # still pure JVM expressions — no Python evaluator in the plan
     plan = image_dimensions(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _wav_bytes(channels: int, rate: int, secs: int, junk: int = 5) -> bytes:
+    import struct
+
+    byte_rate = rate * channels * 2
+    out = b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+    out += b"JUNK" + struct.pack("<I", junk) + b"\x00" * (junk + junk % 2)
+    out += b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                 byte_rate, channels * 2, 16)
+    out += b"data" + struct.pack("<I", byte_rate * secs)
+    return out
+
+
+def test_wav_metadata_chunk_walk(spark):
+    from squirreling_spark.pipeline.multimodal import wav_metadata
+
+    rows = [
+        ("stereo", _wav_bytes(2, 44100, 3)),
+        ("mono_odd_junk", _wav_bytes(1, 8000, 1, junk=7)),   # odd → padding
+        ("no_junk", _wav_bytes(2, 16000, 2, junk=0)),
+        ("not_riff", b"OggS" + b"\x00" * 40),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {r["media_id"]: r for r in wav_metadata(df).collect()}
+    s = out["stereo"]
+    assert s["is_wav"] and (s["n_channels"], s["sample_rate"]) == (2, 44100)
+    assert s["bits_per_sample"] == 16 and s["duration_ms"] == 3000
+    m = out["mono_odd_junk"]
+    assert (m["n_channels"], m["sample_rate"], m["duration_ms"]) == (1, 8000, 1000)
+    assert out["no_junk"]["sample_rate"] == 16000
+    assert not out["not_riff"]["is_wav"] and out["not_riff"]["sample_rate"] is None
+    assert out["null"]["sample_rate"] is None
+    plan = wav_metadata(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gif_dimensions(spark):
+    from squirreling_spark.pipeline.multimodal import image_dimensions
+
+    import struct
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    gif87 = b"GIF87a" + struct.pack("<HH", 13, 11) + b"\x00\x00\x00"
+    df = spark.createDataFrame(
+        [("g89", gif), ("g87", gif87)], "media_id string, payload binary"
+    )
+    out = {r["media_id"]: r for r in image_dimensions(df).collect()}
+    assert (out["g89"]["fmt"], out["g89"]["width"], out["g89"]["height"]) == ("gif", 320, 200)
+    assert (out["g87"]["width"], out["g87"]["height"]) == (13, 11)
