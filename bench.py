@@ -53,6 +53,15 @@ HEADLINE = [
     "q3_shipping_priority",
     "q18_large_volume",
     "asof_join_events",
+    # round-3/4 operators (timed since round 4)
+    "pagerank_docs",
+    "knn_ivf_trained",
+    "binary_header_parse",
+    "audio_header_parse",
+    "dedup_substrings",
+    "semdedup",
+    "docs_pack",
+    "udf_digest",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -502,3 +502,73 @@ def ngram_jaccard_pairs(
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
         )
     )
+
+
+def substring_dup_profile(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+) -> DataFrame:
+    """Cross-document duplicated-substring profile: slide a k-token window
+    over every document (stride 1), hash each window, and mark windows
+    whose hash occurs in MORE THAN ONE document — the window-hash
+    approximation of exact-substring training-data dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL'22 —
+    their suffix-array pass, re-expressed as a shuffle-partitioned
+    group-by so it runs on a cluster instead of one big machine).
+
+    Output per document: (doc_id, n_windows, n_dup_windows, dup_frac) —
+    dup_frac is the fraction of this doc's windows that also appear
+    verbatim elsewhere, the signal used to strip boilerplate/licenses/
+    memorizable spans before training.
+
+    Scale shape: window generation is row-local (a transform over the
+    token array, exploded only after hashing so the shuffled payload is a
+    32-char hash, not the text). Shuffles key on the window hash — high
+    cardinality, uniform by construction, no hot keys. Cross-doc presence
+    is a two-level map-combined aggregate ((hash, doc) then hash — never
+    a per-hash distinct set in memory), and the verdicts join back to the
+    exploded windows hash-to-hash. Documents shorter than k tokens
+    contribute their whole text as one window, so every doc is
+    represented."""
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    n = F.size(toks)
+    windows = F.when(
+        n < k, F.array(F.array_join(toks, " "))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+    )
+    win = (
+        spread(df.select(F.col(id_col).alias("doc_id"), windows.alias("ws")))
+        .select("doc_id", F.explode("ws").alias("w"))
+        .select("doc_id", F.md5(F.col("w")).alias("h"))
+    )
+    # hash -> appears in >1 distinct doc (map-combined two-level distinct)
+    shared = (
+        win.groupBy("h", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("h")
+        .agg((F.count(F.lit(1)) > 1).alias("is_shared"))
+    )
+    return (
+        win.join(shared, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(F.when(F.col("is_shared"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )

@@ -329,3 +329,65 @@ def label_outliers(
         .filter(F.col("rank") <= k)
         .select(id_col, "label", "sim", "rank")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: DataFrame | None = None,
+    threshold: float = 0.8,
+    cent_mod: int = 50,
+) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
+    space, then inside each cluster mark a vector as a semantic duplicate
+    if a LOWER-id vector in the same cluster sits within ``threshold``
+    cosine — keep-first greedy, deterministic under any partitioning.
+    Catches paraphrases/near-translations that survive lexical dedup.
+
+    Scale shape: the quadratic step is CLUSTER-BLOCKED — the in-cell
+    self-join keys on the cell id, so cost is Σ|cell|², bounded by cluster
+    granularity (more centroids → smaller cells → cheaper verify), never
+    the corpus square. Centroids broadcast; cell assignment is the same
+    map-combined ``max_by`` aggregate as the IVF build (no window over the
+    corpus × centroids product). Output: (vec_id, cell, n_close, is_dup) —
+    n_close = lower-id in-cell neighbors within threshold.
+
+    ``centroids`` defaults to the ad-hoc every-``cent_mod``-th-vector set
+    (deterministic); pass a k-means-trained set (pipeline/cluster.py) for
+    better cell balance at scale."""
+    if centroids is None:
+        centroids = df.filter(F.col(id_col) % cent_mod == 0).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        )
+    assigned = assign_cells(
+        df.select(id_col, vec_col), centroids, c_id=id_col, c_vec=vec_col
+    )
+    a = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+    )
+    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    close = (
+        a.join(b, "cell")
+        .filter(F.col("__idb") < F.col("__ida"))
+        .select("cell", "__ida", sim.alias("__sim"))
+        .filter(F.col("__sim") >= threshold)
+        .groupBy("__ida")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_close"))
+    )
+    return (
+        assigned.join(close, assigned[id_col] == close["__ida"], "left")
+        .select(
+            F.col(id_col).alias("vec_id"),
+            "cell",
+            F.coalesce("n_close", F.lit(0)).cast("bigint").alias("n_close"),
+            (F.coalesce("n_close", F.lit(0)) > 0).alias("is_dup"),
+        )
+    )

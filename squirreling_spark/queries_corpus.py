@@ -540,3 +540,50 @@ def pagerank_docs_q(spark, sf):
         t(spark, sf, "documents"), "text", "doc_id", 32, 8
     )
     return pagerank(pairs, "id_a", "id_b", iters=2)
+
+
+@query(
+    "dedup_substrings",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS t
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < 16 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(generate_series(1, len(t) - 15),
+                         i -> array_to_string(t[i:i+15], ' '))
+             END AS ws
+      FROM tk
+    ),
+    h AS (
+      SELECT doc_id, md5(u.w) AS h
+      FROM win, unnest(ws) AS u(w)
+    ),
+    shared AS (
+      SELECT h, count(DISTINCT doc_id) > 1 AS is_shared
+      FROM h GROUP BY h
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN is_shared THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           round(sum(CASE WHEN is_shared THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS dup_frac
+    FROM h JOIN shared USING (h)
+    GROUP BY doc_id
+    """,
+)
+def dedup_substrings_q(spark, sf):
+    """Cross-document duplicated-substring profile (pipeline/dedup.py::
+    substring_dup_profile): sliding 16-token hashed windows, per-doc
+    fraction that appears verbatim in another document — the
+    window-hash form of exact-substring dedup (Lee et al. ACL'22),
+    shuffle-partitioned on the window hash. Flags boilerplate, licenses,
+    and memorizable spans that survive document-level dedup."""
+    from squirreling_spark.pipeline.dedup import substring_dup_profile
+
+    return substring_dup_profile(t(spark, sf, "documents"), "text", "doc_id")

@@ -397,6 +397,11 @@ _KNN_CK = {
     "knn_ivf_trained": (_SIM_CK, _SIM_CK),
     "kmeans_embeddings": (_KM_SPARK_CK, _KM_DUCK_CK),
     "embedding_outliers": (_OUTLIER_CK, _OUTLIER_CK),
+    # SemDeDup: cluster-blocked semantic near-dup marking (round 4)
+    "semdedup": (
+        "vec_id * 7 + cell * 3 + n_close * 13"
+        " + CASE WHEN is_dup THEN 1 ELSE 0 END",
+    ) * 2,
 }
 
 
@@ -437,6 +442,12 @@ _CLEAN_CK = {
     "contamination_check": "doc_id * 100 + n_hits",
     "dedup_clusters": "doc_id + cluster_id * 7 + cluster_size * 31",
     "pagerank_docs": "doc_id * 3 + degree * 7 + pr_scaled",
+    # Cross-doc duplicated-substring profile (Lee et al. window-hash form;
+    # round 4)
+    "dedup_substrings": (
+        "doc_id * 3 + n_windows + n_dup_windows * 7"
+        " + CAST(floor(dup_frac * 1000000) AS BIGINT)"
+    ),
 }
 
 

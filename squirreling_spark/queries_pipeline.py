@@ -1340,3 +1340,52 @@ def knn_ivf_trained_q(spark, sf):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return ivf_topk(queries, corpus_cells, cents, k=5, nprobe=2)
+
+
+@query(
+    "semdedup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id AS cent_id, emb AS cent FROM e WHERE vec_id % 50 = 0
+    ),
+    ass AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_D_COS_EC} DESC, c.cent_id) AS rn
+        FROM e, c) x WHERE rn = 1
+    ),
+    close AS (
+      SELECT a.vec_id, CAST(count(*) AS BIGINT) AS n_close
+      FROM ass a
+      JOIN ass b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE round(list_sum(list_transform(generate_series(1, 64),
+                    i -> ea.emb[i] * eb.emb[i]))
+            / sqrt(list_sum(list_transform(ea.emb, x -> x * x))
+                 * list_sum(list_transform(eb.emb, x -> x * x))), 6) >= 0.45
+      GROUP BY a.vec_id
+    )
+    SELECT ass.vec_id, ass.cell,
+           coalesce(n_close, 0) AS n_close,
+           coalesce(n_close, 0) > 0 AS is_dup
+    FROM ass LEFT JOIN close ON close.vec_id = ass.vec_id
+    """,
+)
+def semdedup_q(spark, sf):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table
+    (pipeline/similarity.py::semdedup): cluster-blocked semantic near-dup
+    marking — cell assignment via broadcast-centroid max_by, then an
+    in-cell-only pairwise cosine against lower ids. The quadratic step is
+    bounded by cell size, never the corpus square; threshold 0.45 matches
+    the synthetic embeddings' similarity floor (same as
+    dedup_embedding_cosine)."""
+    from squirreling_spark.pipeline.similarity import semdedup
+
+    return semdedup(
+        t(spark, sf, "embeddings"), "embedding", "vec_id", threshold=0.45
+    )
