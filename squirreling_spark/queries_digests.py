@@ -575,7 +575,7 @@ def analytics_digest(spark, sf):
 
 
 # ---------------------------------------------------------------------------
-# TPC-H digest: the multi-join analytical shapes (Q3/Q4/Q5/Q13/Q16/Q18
+# TPC-H digest: the multi-join analytical shapes (Q3/Q4/Q5/Q7/Q10/Q13/Q16/Q18
 # adapted to this schema) — join ordering, semi/anti decorrelation,
 # broadcast dim chains, partial aggregation — in one graded row.
 # ---------------------------------------------------------------------------
@@ -598,6 +598,17 @@ _TPCH_CK = {
         "c_custkey + o_orderkey * 3 + total_qty * 7"
         " + CAST(floor(o_totalprice) AS BIGINT)"
     ),
+    # round-4 additions: bilateral-trade rollup and returned-items top-k
+    "q7_volume_shipping": (
+        "ascii(substring(supp_nation, 8, 1)) * 3"
+        " + ascii(substring(cust_nation, 8, 1)) * 7 + l_year"
+        " + CAST(floor(revenue) AS BIGINT)"
+    ),
+    "q10_returned_items": (
+        "c_custkey * 3 + CAST(floor(revenue) AS BIGINT)"
+        " + CAST(floor(c_acctbal) AS BIGINT) + length(n_name)"
+        " + length(c_name)"
+    ),
 }
 
 
@@ -608,7 +619,7 @@ _TPCH_CK = {
     ),
 )
 def tpch_digest(spark, sf):
-    """TPC-H Q3/Q4/Q5/Q13/Q16/Q18 shapes adapted to this schema: fact-fact-
+    """TPC-H Q3/Q4/Q5/Q7/Q10/Q13/Q16/Q18 shapes adapted to this schema: fact-fact-
     dim join chains with broadcast dims, correlated EXISTS/IN decorrelated
     to semi joins, NOT IN as broadcast anti join, distinct-count and
     two-level aggregations — each query's full result checksummed
