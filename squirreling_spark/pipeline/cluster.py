@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from squirreling_spark.pipeline.similarity import assign_cells
-from squirreling_spark.qutil import spread
+from squirreling_spark.qutil import det_round, spread
 
 
 def _mean_centroids(
@@ -53,7 +53,7 @@ def _mean_centroids(
         )
         .groupBy("cell", "dim")
         .agg(
-            F.round(
+            det_round(
                 F.sum(F.col("v").cast("decimal(27,6)")).cast("double")
                 / F.count(F.lit(1)),
                 round_digits,

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from squirreling_spark.qutil import spread
+from squirreling_spark.qutil import det_round, spread
 
 
 def _to_double(col: Column) -> Column:
@@ -283,7 +283,7 @@ def label_outliers(
         )
         .groupBy("__lbl", "dim")
         .agg(
-            F.round(
+            det_round(
                 F.sum(F.col("v").cast("decimal(27,6)")).cast("double")
                 / F.count(F.lit(1)),
                 round_digits,

@@ -979,8 +979,8 @@ def _d_cos_ec(cent: str) -> str:
 
 _D_KM_MEAN = """
     SELECT cid, i AS dim,
-           round(CAST(sum(CAST(emb[i] AS DECIMAL(27,6))) AS DOUBLE)
-                 / count(*), 6) AS mean_v,
+           floor(CAST(sum(CAST(emb[i] AS DECIMAL(27,6))) AS DOUBLE)
+                 / count(*) * 1000000 + 0.5) / 1000000 AS mean_v,
            count(*) AS n
     FROM {src}, generate_series(1, 64) g(i)
     GROUP BY cid, i
@@ -1048,8 +1048,8 @@ def kmeans_embeddings_q(spark, sf):
     ),
     per_dim AS (
       SELECT label, i AS dim,
-             round(CAST(sum(CAST(emb[i] AS DECIMAL(27,6))) AS DOUBLE)
-                   / count(*), 6) AS mean_v
+             floor(CAST(sum(CAST(emb[i] AS DECIMAL(27,6))) AS DOUBLE)
+                   / count(*) * 1000000 + 0.5) / 1000000 AS mean_v
       FROM e, generate_series(1, 64) g(i)
       GROUP BY label, i
     ),

@@ -101,3 +101,26 @@ def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     simply not be wrapped."""
     target = df.sparkSession.sparkContext.defaultParallelism * min_factor
     return df.repartition(target)
+
+
+def det_round(col: Column, digits: int = 6) -> Column:
+    """Deterministic cross-engine half-up rounding: floor(x*10^d + 0.5)/10^d.
+
+    Engines disagree on ROUND(double, d) exactly when the value sits on a
+    d-decimal tie: Spark rounds the double's exact binary expansion
+    (0.0032134999... -> 0.003213) while DuckDB's scale-multiply hits .5
+    and rounds away (-> 0.003214) — found by the sf0.1 parity sweep on a
+    label centroid whose decimal-exact mean was EXACTLY 0.0032135
+    (quantized sum 0.616992 / 192). This form runs the same IEEE multiply,
+    add, floor, divide in both engines, so ties resolve identically.
+    Use for rounding ratios of exactly-quantized values (decimal means);
+    plain ROUND stays fine for irrational results (cosines, norms)."""
+    factor = float(10 ** digits)
+    return F.floor(col * factor + F.lit(0.5)) / F.lit(factor)
+
+
+def o_det_round(expr: str, digits: int = 6) -> str:
+    """DuckDB spelling of det_round — keep adjacent so dialects stay in
+    sync."""
+    factor = 10 ** digits
+    return f"floor(({expr}) * {factor} + 0.5) / {factor}"
