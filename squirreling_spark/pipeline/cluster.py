@@ -105,10 +105,17 @@ def _lloyd(
     )
     cents.count()
     assigned = None
-    for _ in range(iters):
-        assigned = assign_cells(emb, cents, c_id="__id", c_vec="__v")
+    for it in range(iters):
+        prev = cents
+        assigned = assign_cells(emb, prev, c_id="__id", c_vec="__v")
         cents = _mean_centroids(assigned, round_digits).persist()
         cents.count()
+        # Once this round's centroids are materialized in cache, the
+        # previous round's k-row frame is dead weight — EXCEPT on the
+        # final round, where the returned `assigned` still reads it
+        # (unpersisting would force a full lineage replay on first use).
+        if it < iters - 1:
+            prev.unpersist()
     return assigned, cents
 
 

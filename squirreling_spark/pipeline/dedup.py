@@ -335,19 +335,27 @@ def connected_components(
     Determinism: labels are min-folds over node ids — identical under any
     partitioning, execution order, or arm.
     """
+    cached = None
     if driver_threshold > 0:
         # persist, NOT localCheckpoint: checkpoint materializes through the
         # RDD path where exchange reuse doesn't apply, so an upstream
         # self-join (LSH bucket join) would compute its signatures twice.
         # The SQL-path count() materializes the cache with reuse intact.
-        edges = edges.persist()
+        edges = cached = edges.persist()
         if edges.count() <= driver_threshold:
-            return _driver_union_find(edges, src, dst)
+            try:
+                # union-find collects via one Arrow transfer and returns a
+                # driver-built frame with no lineage on `edges`
+                return _driver_union_find(edges, src, dst)
+            finally:
+                cached.unpersist()
     und = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .localCheckpoint(eager=True)  # pair generation (LSH) runs once
     )
+    if cached is not None:
+        cached.unpersist()  # `und` is materialized; the edge cache is dead
     labels = (
         und.select(F.col("s").alias("node"))
         .distinct()

@@ -155,6 +155,15 @@ def _le_uint_at(payload_col: str, pos, nbytes: int):
     return total
 
 
+def _le_int32(payload_col: str, pos: int):
+    """Little-endian SIGNED int32 read. BITMAPINFOHEADER width/height are
+    signed (a negative height means a top-down pixel order BMP); recovering
+    the sign explicitly keeps the later ``int`` cast in-range under ANSI
+    mode instead of relying on non-ANSI wraparound."""
+    v = _le_uint(payload_col, pos, 4)
+    return F.when(v >= 2**31, v - F.lit(2**32).cast("bigint")).otherwise(v)
+
+
 def _be_uint(payload_col: str, pos, nbytes: int):
     """Big-endian unsigned int read (network byte order — PNG/JPEG).
     ``pos`` may be an int or a Column (JPEG marker scan)."""
@@ -179,12 +188,14 @@ def bmp_dimensions(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     is_bmp = (F.octet_length(F.col(payload_col)) >= 26) & (
         F.expr(f"substring({payload_col}, 1, 2)") == F.lit(b"BM")
     )
-    w = _le_uint(payload_col, 19, 4)
-    h = _le_uint(payload_col, 23, 4)
+    w = _le_int32(payload_col, 19)
+    h = _le_int32(payload_col, 23)
     return df.select(
         "media_id",
         is_bmp.alias("is_bmp"),
         F.when(is_bmp, w).cast("int").alias("bmp_width"),
+        # signed: negative height = top-down row order; |height| is the
+        # pixel count — callers decide which view they need
         F.when(is_bmp, h).cast("int").alias("bmp_height"),
     )
 
@@ -284,13 +295,13 @@ def image_dimensions(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         .when(is_jpeg, F.lit("jpeg"))
         .when(is_gif, F.lit("gif"))
         .alias("fmt"),
-        F.when(is_bmp, _le_uint(payload_col, 19, 4))
+        F.when(is_bmp, _le_int32(payload_col, 19))
         .when(is_png, png_w)
         .when(is_jpeg, F.col("_jpg_w"))
         .when(is_gif, _le_uint(payload_col, 7, 2))
         .cast("int")
         .alias("width"),
-        F.when(is_bmp, _le_uint(payload_col, 23, 4))
+        F.when(is_bmp, _le_int32(payload_col, 23))
         .when(is_png, png_h)
         .when(is_jpeg, F.col("_jpg_h"))
         .when(is_gif, _le_uint(payload_col, 9, 2))

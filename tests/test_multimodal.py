@@ -79,6 +79,24 @@ def test_bmp_dimensions_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_bmp_top_down_negative_height(spark):
+    """BITMAPINFOHEADER height is SIGNED int32: top-down BMPs store a
+    negative height. The parse must recover the sign explicitly (ANSI-safe
+    int cast) instead of wrapping around or erroring."""
+    from squirreling_spark.pipeline.multimodal import (
+        bmp_dimensions,
+        image_dimensions,
+    )
+
+    rows = [("td", _bmp_bytes(640, -480)), ("bu", _bmp_bytes(640, 480))]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {r["media_id"]: r for r in bmp_dimensions(df).collect()}
+    assert out["td"]["bmp_height"] == -480 and out["td"]["bmp_width"] == 640
+    assert out["bu"]["bmp_height"] == 480
+    full = {r["media_id"]: r for r in image_dimensions(df).collect()}
+    assert full["td"]["fmt"] == "bmp" and full["td"]["height"] == -480
+
+
 def _png_bytes(width: int, height: int) -> bytes:
     import struct
 
