@@ -53,6 +53,11 @@ HEADLINE = [
     "q3_shipping_priority",
     "q18_large_volume",
     "asof_join_events",
+    # round-4 TPC-H completion: scan-bandwidth, disjunctive pushdown,
+    # and the double-correlated-exists decorrelation
+    "q6_forecast_revenue",
+    "q19_disjunct_revenue",
+    "q21_waiting_supplier",
     # round-3/4 operators (timed since round 4)
     "pagerank_docs",
     "knn_ivf_trained",

@@ -46,6 +46,7 @@ def load_all() -> None:
         queries_udf,
         queries_analytics,
         queries_analytics2,
+        queries_tpch2,
         queries_corpus,
         queries_digests,
     )

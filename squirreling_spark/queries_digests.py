@@ -609,6 +609,38 @@ _TPCH_CK = {
         " + CAST(floor(c_acctbal) AS BIGINT) + length(n_name)"
         " + length(c_name)"
     ),
+    # round-4 TPC-H completion (queries_tpch2.py): all 22 shapes covered
+    "q2_min_cost_supplier": (
+        "CAST(floor(s_acctbal) AS BIGINT) + p_partkey * 3"
+        " + length(s_name) * 7 + length(n_name) + length(p_name)"
+    ),
+    "q6_forecast_revenue": "CAST(floor(revenue * 100) AS BIGINT)",
+    "q8_market_share": (
+        "o_year * 31 + CAST(floor(mkt_share * 1000000) AS BIGINT)"
+    ),
+    "q9_product_profit": (
+        "ascii(substring(nation, 8, 1)) * 3 + o_year"
+        " + CAST(floor(profit) AS BIGINT)"
+    ),
+    "q11_important_parts": (
+        "partkey * 7 + CAST(floor(value) AS BIGINT)"
+    ),
+    "q12_ship_class": (
+        "length(ship_class) * 31 + high_line_count * 3 + low_line_count"
+    ),
+    "q14_promo_effect": "CAST(floor(promo_revenue * 10000) AS BIGINT)",
+    "q15_top_supplier": (
+        "s_suppkey * 7 + CAST(floor(total_revenue) AS BIGINT)"
+        " + length(s_name)"
+    ),
+    "q17_small_quantity": "CAST(floor(avg_yearly) AS BIGINT)",
+    "q19_disjunct_revenue": "CAST(floor(revenue) AS BIGINT)",
+    "q20_promotion_candidates": "s_suppkey * 13 + length(s_name)",
+    "q21_waiting_supplier": "length(s_name) * 31 + numwait * 7",
+    "q22_lost_customers": (
+        "cntrycode * 31 + numcust * 7"
+        " + CAST(floor(totacctbal) AS BIGINT)"
+    ),
 }
 
 
@@ -619,11 +651,15 @@ _TPCH_CK = {
     ),
 )
 def tpch_digest(spark, sf):
-    """TPC-H Q3/Q4/Q5/Q7/Q10/Q13/Q16/Q18 shapes adapted to this schema: fact-fact-
-    dim join chains with broadcast dims, correlated EXISTS/IN decorrelated
-    to semi joins, NOT IN as broadcast anti join, distinct-count and
-    two-level aggregations — each query's full result checksummed
-    (queries_analytics.py holds the standalone forms)."""
+    """ALL 22 TPC-H query shapes adapted to this schema (Q1 grades
+    standalone as hash_agg_q1; the other 21 checksum here): fact-fact-dim
+    join chains with broadcast dims, correlated EXISTS/IN/MIN/AVG
+    decorrelated to semi joins and per-key aggregates, NOT IN as
+    broadcast anti join, scalar-subquery thresholds as 1-row broadcast
+    joins, disjunctive-predicate pushdown, distinct-count and two-level
+    aggregations — each query's full result checksummed
+    (queries_analytics.py and queries_tpch2.py hold the standalone
+    forms)."""
     return _union_all(
         [
             _digest_branch(inventory.QUERIES[tag](spark, sf), tag, ck)

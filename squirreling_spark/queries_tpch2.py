@@ -1,0 +1,797 @@
+"""TPC-H completion: the 13 query shapes not yet in queries_analytics.py
+(Q2, Q6, Q8, Q9, Q11, Q12, Q14, Q15, Q17, Q19, Q20, Q21, Q22), adapted to
+this testdata's reduced schema and oracle-checked against DuckDB.
+
+Together with Q1 (``hash_agg_q1``) and Q3/Q4/Q5/Q7/Q10/Q13/Q16/Q18 this
+covers all 22 TPC-H query SHAPES. The testdata has no ``partsupp`` table
+and lacks ``l_shipmode``/``l_receiptdate``/``l_commitdate``/``c_phone``/
+``p_container``, so the affected queries keep their defining STRUCTURE
+(the thing the optimizer must get right) with adapted predicates:
+
+- Q2: part→supplier pairs derived from ``SELECT DISTINCT l_partkey,
+  l_suppkey FROM lineitem`` stand in for partsupp; the correlated
+  MIN-subquery shape (min supplier per part within a region) is intact.
+- Q9: profit = revenue only (no ps_supplycost term).
+- Q11: "important stock" value from lineitem revenue per part; the
+  HAVING-against-scalar-subquery-threshold shape is intact.
+- Q12: ship-latency classes (l_shipdate vs o_orderdate + 90 days) stand
+  in for ship modes; the two-level CASE aggregation is intact.
+- Q17: avg-quantity correlation filters on p_brand only (no container).
+- Q19: OR-of-conjuncts over (brand, size, quantity) ranges — the
+  disjunctive-pushdown shape is intact.
+- Q20: shipped-quantity threshold from lineitem stands in for
+  ps_availqty; nested-agg-inside-IN is intact.
+- Q21: "late" = shipped > 60 days after order date (no receipt/commit
+  dates); the EXISTS / NOT-EXISTS double correlation is decorrelated to
+  per-order distinct-supplier counts.
+- Q22: country code = c_nationkey % 5 (no phone prefix); the
+  anti-join + scalar-average-subquery shape is intact.
+
+Reference parity: squirreling runs arbitrary SELECT shapes through its
+JS executor (/root/reference/src/execute/execute.js); these shapes all
+fall inside its documented SQL surface. 100 TB notes per query docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from squirreling_spark.inventory import query
+from squirreling_spark.qutil import dsum, o_dsum, t
+
+_TS = "timestamp_ntz"
+
+
+def _lit_ts(s: str):
+    return F.lit(s).cast(_TS)
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecasting revenue change (single-table scalar aggregate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {o_dsum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf):
+    """TPC-H Q6: all three predicates (range, between, <) push into the
+    parquet scan — the plan is scan→partial agg→final agg with no shuffle
+    of raw rows. At 100 TB this is the pure scan-bandwidth query; min/max
+    row-group statistics prune most of the file on the date range."""
+    li = t(spark, sf, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate") >= _lit_ts("1996-01-01"))
+        & (F.col("l_shipdate") < _lit_ts("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return sel.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share (two nation roles, ratio of conditional sums)
+# ---------------------------------------------------------------------------
+
+_Q8_ORACLE = """
+    SELECT o_year,
+           CAST(sum(CASE WHEN nation = 'NATION_8'
+                         THEN CAST(volume AS DECIMAL(27,6)) ELSE 0 END)
+                AS DOUBLE)
+           / CAST(sum(CAST(volume AS DECIMAL(27,6))) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer,
+           nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+@query("q8_market_share", oracle=_Q8_ORACLE)
+def q8_market_share(spark, sf):
+    """TPC-H Q8: nation joins twice in different roles (customer's nation
+    gates the region, supplier's nation feeds the share). Both nation
+    copies and region/part/supplier broadcast; only lineitem⋈orders⋈
+    customer shuffle. The share is a ratio of two decimal-exact
+    conditional sums — one aggregate pass, not two jobs."""
+    p = t(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    s = t(spark, sf, "supplier")
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= _lit_ts("1996-01-01"))
+        & (F.col("o_orderdate") < _lit_ts("1998-01-01"))
+    )
+    c = t(spark, sf, "customer")
+    n1 = t(spark, sf, "nation").alias("n1")
+    n2 = t(spark, sf, "nation").alias("n2")
+    r = t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    all_nations = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.cast("decimal(27,6)").alias("dvol"),
+            F.col("n2.n_name").alias("nation"),
+        )
+    )
+    return (
+        all_nations.groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("nation") == "NATION_8", F.col("dvol"))
+                    .otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("dvol").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year
+# ---------------------------------------------------------------------------
+
+_Q9_ORACLE = f"""
+    SELECT nation, o_year,
+           {o_dsum('amount')} AS profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+
+@query("q9_product_profit", oracle=_Q9_ORACLE)
+def q9_product_profit(spark, sf):
+    """TPC-H Q9 shape (profit = revenue; the testdata has no partsupp →
+    no supplycost term). The LIKE '%gear%' filter can't prune row groups
+    but DOES prune the part build side before broadcast; lineitem joins
+    orders on the shuffle, everything else broadcasts."""
+    p = t(spark, sf, "part").filter(F.col("p_name").like("%gear%"))
+    s = t(spark, sf, "supplier")
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    n = t(spark, sf, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum("amount", "profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock (HAVING against a scalar-subquery threshold)
+# ---------------------------------------------------------------------------
+
+_Q11_NATION = "NATION_3"
+_Q11_FRACTION = 0.005
+
+_Q11_ORACLE = f"""
+    SELECT l_partkey AS partkey,
+           {o_dsum('l_extendedprice * l_quantity')} AS value
+    FROM lineitem, supplier, nation
+    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_name = '{_Q11_NATION}'
+    GROUP BY l_partkey
+    HAVING {o_dsum('l_extendedprice * l_quantity')} > (
+      SELECT {o_dsum('l_extendedprice * l_quantity')} * {_Q11_FRACTION}
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = '{_Q11_NATION}'
+    )
+    ORDER BY value DESC, partkey
+"""
+
+
+@query("q11_important_parts", oracle=_Q11_ORACLE)
+def q11_important_parts(spark, sf):
+    """TPC-H Q11 shape (part value from lineitem revenue; no partsupp).
+    The scalar threshold is the same aggregate computed once and cross-
+    joined (broadcast, 1 row) — at 100 TB the base aggregate is computed
+    ONCE into a cached frame feeding both the per-part rollup and the
+    global threshold, not twice as the SQL literally reads."""
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation").filter(F.col("n_name") == _Q11_NATION)
+    value = (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+        "decimal(27,6)"
+    )
+    base = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("l_partkey").alias("partkey"), value.alias("dv"))
+    )
+    per_part = base.groupBy("partkey").agg(
+        F.sum("dv").alias("dsum_exact")
+    )
+    threshold = per_part.agg(
+        (F.sum("dsum_exact").cast("double") * F.lit(_Q11_FRACTION)).alias(
+            "thresh"
+        )
+    )
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("dsum_exact").cast("double") > F.col("thresh"))
+        .select(
+            "partkey", F.col("dsum_exact").cast("double").alias("value")
+        )
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping latency classes (two-level CASE aggregation)
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+    SELECT ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+             o_orderpriority
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    ) shipped
+    GROUP BY ship_class
+    ORDER BY ship_class
+"""
+
+
+@query("q12_ship_class", oracle=_Q12_ORACLE)
+def q12_ship_class(spark, sf):
+    """TPC-H Q12 shape: latency classes (shipdate vs orderdate + 90 days)
+    stand in for ship modes (column absent). One join + one two-level
+    conditional aggregation; the date filter pushes into the lineitem
+    scan so only one year shuffles."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= _lit_ts("1996-01-01"))
+        & (F.col("l_shipdate") < _lit_ts("1997-01-01"))
+    )
+    o = t(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+                F.lit("SLOW"),
+            )
+            .otherwise(F.lit("FAST"))
+            .alias("ship_class"),
+            high.alias("is_high"),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("is_high"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion effect (ratio of conditional sums, single row)
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = """
+    SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(27,6))
+                 ELSE 0 END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(27,6))) AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+@query("q14_promo_effect", oracle=_Q14_ORACLE)
+def q14_promo_effect(spark, sf):
+    """TPC-H Q14: one month of lineitem (scan-pruned) broadcast-joined to
+    part; promo share as a ratio of decimal-exact conditional sums in a
+    single aggregate pass."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= _lit_ts("1996-09-01"))
+        & (F.col("l_shipdate") < _lit_ts("1996-10-01"))
+    )
+    p = t(spark, sf, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(27,6)"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            rev.alias("drev"),
+            (F.col("p_type") == "PROMO").alias("is_promo"),
+        )
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("is_promo"), F.col("drev")).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum("drev").cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier (CTE revenue view + MAX scalar subquery)
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {o_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+@query("q15_top_supplier", oracle=_Q15_ORACLE)
+def q15_top_supplier(spark, sf):
+    """TPC-H Q15: the revenue CTE is computed ONCE (cached 100-row frame)
+    and reused by both the join and the MAX scalar subquery — the
+    classic shared-view decorrelation. Equality on total_revenue is safe
+    across engines because both sums run the identical decimal path."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= _lit_ts("1996-01-01"))
+        & (F.col("l_shipdate") < _lit_ts("1996-04-01"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "total_revenue",
+            )
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    s = t(spark, sf, "supplier")
+    return (
+        s.join(
+            F.broadcast(revenue), s.s_suppkey == F.col("supplier_no")
+        )
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated AVG subquery)
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+           / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+"""
+
+
+@query("q17_small_quantity", oracle=_Q17_ORACLE)
+def q17_small_quantity(spark, sf):
+    """TPC-H Q17 (brand filter only; no container column): the correlated
+    AVG decorrelates to a per-part aggregate joined back on partkey.
+    Quantities are integral doubles, so AVG is exact in both engines and
+    the 0.2× threshold compare is deterministic. At 100 TB the per-part
+    aggregate shuffles (partkey, sum, count) pairs — tiny next to the
+    fact table."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").filter(F.col("p_brand") == "Brand#13")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
+                .cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue (disjunction of conjunct groups)
+# ---------------------------------------------------------------------------
+
+_Q19_ORACLE = f"""
+    SELECT {o_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("q19_disjunct_revenue", oracle=_Q19_ORACLE)
+def q19_disjunct_revenue(spark, sf):
+    """TPC-H Q19 shape over (brand, size, quantity) — the OR-of-conjunct-
+    groups query. Catalyst extracts the common part-side disjunction
+    (brand ∈ {1,7,20}) below the join build side; the mixed residual
+    stays on the join. The brand IN-list is applied explicitly on the
+    part scan so the broadcast build is pre-pruned even where the
+    optimizer can't infer it."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#7", "Brand#20")
+    )
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & sz.between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & sz.between(1, 25)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & sz.between(1, 35)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — promotion candidates (nested aggregate inside IN)
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_2'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 100
+      )
+    ORDER BY s_suppkey
+"""
+
+
+@query("q20_promotion_candidates", oracle=_Q20_ORACLE)
+def q20_promotion_candidates(spark, sf):
+    """TPC-H Q20 shape (shipped quantity stands in for ps_availqty): the
+    IN-subquery with its own GROUP BY/HAVING becomes a semi join against
+    an aggregated frame. Quantity sums are integral doubles — exact.
+    The aggregate side shrinks to ≤ |suppliers| rows before the join, so
+    the semi join broadcasts at any corpus scale."""
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation").filter(F.col("n_name") == "NATION_2")
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= _lit_ts("1996-01-01"))
+        & (F.col("l_shipdate") < _lit_ts("1997-01-01"))
+    )
+    p = t(spark, sf, "part").filter(F.col("p_name").like("red%"))
+    qualified = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(qualified),
+            s.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders, nation, region
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
+
+
+@query("q21_waiting_supplier", oracle=_Q21_ORACLE)
+def q21_waiting_supplier(spark, sf):
+    """TPC-H Q21 shape ("late" = shipped > 60 days after order date; the
+    testdata has no receipt/commit dates). The EXISTS / NOT-EXISTS double
+    correlation decorrelates to ONE extra aggregate: per finalized order,
+    n_supp = distinct suppliers on the order and n_late = distinct LATE
+    suppliers. A late line survives iff n_supp ≥ 2 and n_late = 1 (its
+    own supplier is then necessarily the only late one) — two aggregates
+    on the same orderkey partitioning instead of two correlated rescans
+    of lineitem, which is the difference between 2 and 4 shuffles of the
+    fact table at 100 TB."""
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = t(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    waiting = (
+        lines.filter(F.col("is_late"))
+        .join(
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+            "left_semi",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity (anti join + scalar AVG subquery)
+# ---------------------------------------------------------------------------
+
+_Q22_ORACLE = f"""
+    SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+           {o_dsum('c_acctbal')} AS totacctbal
+    FROM (
+      SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntrycode,
+             c_acctbal, c_custkey
+      FROM customer
+      WHERE c_nationkey % 5 IN (0, 1, 2, 3)
+    ) cust
+    WHERE c_acctbal > (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
+             / count(c_acctbal)
+      FROM customer
+      WHERE c_acctbal > 1000.0 AND c_nationkey % 5 IN (0, 1, 2, 3)
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+"""
+
+
+@query("q22_lost_customers", oracle=_Q22_ORACLE)
+def q22_lost_customers(spark, sf):
+    """TPC-H Q22 shape (country code = c_nationkey % 5; no phone column):
+    well-funded customers with no RECENT orders. The scalar AVG broadcast-
+    joins (1 row), the NOT EXISTS becomes a broadcast anti join against
+    the pre-filtered recent-orders keys — at 100 TB the anti-join build
+    side is |customers with recent orders| keys, not the orders table."""
+    c = t(spark, sf, "customer").filter(
+        (F.col("c_nationkey") % 5).isin(0, 1, 2, 3)
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 1000.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(27,6)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("avg_bal")
+    )
+    recent = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= _lit_ts("2000-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .select(
+            (F.col("c_nationkey") % 5).cast("int").alias("cntrycode"),
+            "c_acctbal",
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated MIN subquery over a 5-way join)
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM part, supplier, ps, nation, region
+    WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
+      AND p_size = 15 AND p_type = 'LARGE'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND s_acctbal = (
+        SELECT min(s2.s_acctbal)
+        FROM supplier s2, ps ps2, nation n2, region r2
+        WHERE ps2.l_partkey = p_partkey AND s2.s_suppkey = ps2.l_suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+
+@query("q2_min_cost_supplier", oracle=_Q2_ORACLE)
+def q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape: distinct (partkey, suppkey) pairs from lineitem
+    stand in for partsupp; min s_acctbal stands in for min supplycost.
+    The correlated MIN decorrelates to a per-part aggregate over the SAME
+    eligible-pairs frame used by the outer join — computed once. The
+    distinct-pair extraction is one shuffle of two int columns; at 100 TB
+    this is the query's only fact-sized exchange (everything else is
+    dimension-sized and broadcasts)."""
+    li = t(spark, sf, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).distinct()
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        ps.join(F.broadcast(s), ps.suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("partkey", "s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    min_per_part = eligible.groupBy("partkey").agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    p = t(spark, sf, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    return (
+        eligible.join(
+            F.broadcast(p), F.col("partkey") == p.p_partkey
+        )
+        .join(min_per_part, "partkey")
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
