@@ -69,6 +69,79 @@ def incremental_dedup(
     return batch.join(store, "fingerprint", "left_anti")
 
 
+def _bloom_positions(fp_col, m: int, k: int) -> F.Column:
+    """The k bloom bit positions of a fingerprint, as array<bigint>.
+    Position i = md5('i:' || fp) folded to 48 bits, mod m — engine-portable
+    (the same expression is stated in DuckDB by the oracle)."""
+    return F.array(
+        *[
+            F.expr(
+                f"CAST(conv(substring(md5(concat('{i}:', {fp_col})), 1, 12),"
+                f" 16, 10) AS BIGINT) % {m}"
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_incremental_dedup(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    text_col: str,
+    id_col: str,
+    seen_fp_col: str = "fingerprint",
+    m: int = 1 << 18,
+    k: int = 5,
+) -> DataFrame:
+    """``incremental_dedup`` with a Bloom prefilter: docs whose fingerprint
+    misses ANY of its k bloom positions in the store's bit set are
+    *definitely* new and skip the exact anti join entirely; only bloom
+    HITS (true dups + false positives) pay for verification.
+
+    The "bit array" is a relation: the DISTINCT set positions of the
+    store's fingerprints — at most min(k·|store|, m) single-int rows, so
+    it broadcasts even when the store itself is billions of rows (size m
+    to the store's cardinality as usual: m = 2^18, k = 5 gives < 1% false
+    positives up to ~2^15 stored fingerprints; scale m with the store).
+    This is the classic shape for a 100 TB daily-ingest pipeline where
+    the store dwarfs the batch: the batch is checked against a broadcast
+    sketch at scan speed, and the store-side shuffle-anti-join runs only
+    over the (tiny) candidate subset. False positives cost only a wasted
+    verify; false negatives are impossible, so the result is EXACTLY
+    ``incremental_dedup``'s — which is what the oracle checks.
+
+    Output: (fingerprint, keep_id, n_copies, bloom_checked) for genuinely
+    new content; ``bloom_checked`` marks rows that needed the exact
+    verify (bloom hit but absent from the store = false positive)."""
+    batch = exact_dedup(new_docs, text_col, id_col)  # fp, keep_id, n_copies
+    store_fps = seen.select(F.col(seen_fp_col).alias("fingerprint")).distinct()
+    bloom_bits = (
+        store_fps.select(
+            F.explode(_bloom_positions("fingerprint", m, k)).alias("pos")
+        )
+        .distinct()
+    )
+    hits = (
+        batch.select(
+            "fingerprint",
+            F.explode(_bloom_positions("fingerprint", m, k)).alias("pos"),
+        )
+        .join(F.broadcast(bloom_bits), "pos", "left_semi")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == k)
+        .select("fingerprint")
+    )
+    definite_new = batch.join(F.broadcast(hits), "fingerprint", "left_anti")
+    verified_new = (
+        batch.join(F.broadcast(hits), "fingerprint", "left_semi")
+        .join(store_fps, "fingerprint", "left_anti")
+    )
+    return definite_new.withColumn(
+        "bloom_checked", F.lit(False)
+    ).unionByName(verified_new.withColumn("bloom_checked", F.lit(True)))
+
+
 def shingles(text_col: str, k: int = 3) -> F.Column:
     """k-token shingles as array<string>; docs shorter than k tokens fall
     back to the whole text as a single shingle."""

@@ -487,6 +487,12 @@ _ANALYTICS_CK = {
     "dedup_incremental": (
         "keep_id * 7 + n_copies * 31 + ascii(substring(fingerprint, 1, 1))"
     ),
+    # round 4: bloom-prefiltered incremental dedup (same result contract
+    # as dedup_incremental + the bloom_checked path marker)
+    "dedup_bloom_incremental": (
+        "keep_id * 7 + n_copies * 3 + ascii(substring(fingerprint, 1, 1))"
+        " + CASE WHEN bloom_checked THEN 31 ELSE 0 END"
+    ),
     "dedup_keep_best": (
         "cluster_id * 13 + keep_id * 7 + keep_quality + cluster_size * 31"
     ),
@@ -682,6 +688,11 @@ _MIX_CK = {
     "boilerplate_frac": (
         "doc_id * 3 + n_bigrams + n_boiler * 13"
         " + CAST(floor(boiler_frac * 1000000) AS BIGINT)"
+    ),
+    # round 4: fastText-style hashed-linear quality gate
+    "quality_classifier": (
+        "doc_id * 7 + n_tokens + CAST(floor(logit * 1000000) AS BIGINT)"
+        " + CASE WHEN keep THEN 13 ELSE 0 END"
     ),
 }
 

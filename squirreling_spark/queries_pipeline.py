@@ -1389,3 +1389,115 @@ def semdedup_q(spark, sf):
     return semdedup(
         t(spark, sf, "embeddings"), "embedding", "vec_id", threshold=0.45
     )
+
+
+# DuckDB mirror of the classifier's hashed-feature scoring ------------------
+
+_D_CLS_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+_D_CLS_BUCKET = "CAST(('0x' || substring(md5(x), 1, 8))::BIGINT % 1048576 AS BIGINT)"
+_D_CLS_W = (
+    "(CAST(('0x' || substring(md5('w:' || CAST({b} AS VARCHAR)), 1, 6))::BIGINT"
+    " AS DOUBLE) / 8388608.0 - 1.0)"
+)
+
+
+@query(
+    "quality_classifier",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_D_CLS_TOKS}) AS x FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST({_D_CLS_W.format(b=_D_CLS_BUCKET)}
+                           AS DECIMAL(38,25))) AS DOUBLE) AS wsum
+      FROM tk GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n_tokens, 0) AS n_tokens,
+           round(0.05 + CASE WHEN coalesce(n_tokens, 0) > 0
+                             THEN wsum / n_tokens ELSE 0.0 END, 6) AS logit,
+           round(0.05 + CASE WHEN coalesce(n_tokens, 0) > 0
+                             THEN wsum / n_tokens ELSE 0.0 END, 6) > 0.0
+             AS keep
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """,
+)
+def quality_classifier_q(spark, sf):
+    """fastText-style hashed-linear quality classifier
+    (pipeline/classify.py): logit = bias + mean of per-token hashed
+    weights, computed as a row-local fold over the token array — no
+    explode, no shuffle, no Python, pure whole-stage codegen: the
+    first-pass corpus quality gate scores at scan speed at 100 TB. The
+    oracle restates tokenization, bucketing, the md5-derived weights, and
+    the decimal-exact accumulation in DuckDB. The broadcast-weights path
+    for externally-trained models is proven equal in
+    tests/test_classify.py."""
+    from squirreling_spark.pipeline.classify import linear_quality_score
+
+    return linear_quality_score(
+        t(spark, sf, "documents"), "text", "doc_id"
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_bloom_incremental",
+    oracle=f"""
+    WITH batch AS (
+      SELECT md5({_D_NORM}) AS fingerprint,
+             min(doc_id) AS keep_id,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1
+    ),
+    store AS (
+      SELECT DISTINCT md5({_D_NORM}) AS fingerprint
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    bits AS (
+      SELECT DISTINCT unnest(list_transform(generate_series(0, 4),
+        i -> ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || fingerprint),
+                                1, 12))::BIGINT % 262144)) AS pos
+      FROM store
+    ),
+    hits AS (
+      SELECT fingerprint FROM (
+        SELECT b.fingerprint,
+               unnest(list_transform(generate_series(0, 4),
+                 i -> ('0x' || substring(md5(CAST(i AS VARCHAR) || ':'
+                                             || b.fingerprint),
+                                         1, 12))::BIGINT % 262144)) AS pos
+        FROM batch b) p
+      WHERE EXISTS (SELECT 1 FROM bits WHERE bits.pos = p.pos)
+      GROUP BY fingerprint HAVING count(*) = 5
+    )
+    SELECT b.fingerprint, b.keep_id, b.n_copies,
+           EXISTS (SELECT 1 FROM hits h
+                   WHERE h.fingerprint = b.fingerprint) AS bloom_checked
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM store s
+                      WHERE s.fingerprint = b.fingerprint)
+    """,
+)
+def dedup_bloom_incremental_q(spark, sf):
+    """Bloom-prefiltered incremental dedup (pipeline/dedup.py::
+    bloom_incremental_dedup): the store's "bit array" is a DISTINCT
+    position relation (≤ min(k·|store|, m) single-int rows) that
+    broadcasts even for a billions-row store; only bloom HITS pay the
+    exact anti-join verify, and false negatives are impossible so the
+    result is exactly ``incremental_dedup``'s. Store = docs with
+    doc_id % 3 == 0, batch = the rest (the `dedup_incremental` split);
+    bloom_checked marks rows that needed verification."""
+    from squirreling_spark.pipeline.dedup import (
+        bloom_incremental_dedup,
+        normalized_fingerprint,
+    )
+
+    d = t(spark, sf, "documents")
+    new_docs = d.filter(F.col("doc_id") % 3 != 0)
+    seen = d.filter(F.col("doc_id") % 3 == 0).select(
+        normalized_fingerprint("text").alias("fingerprint")
+    )
+    return bloom_incremental_dedup(
+        new_docs, seen, "text", "doc_id"
+    ).orderBy("fingerprint")

@@ -1,0 +1,123 @@
+"""Hashed-linear quality classifier: the two weight paths (row-local
+closed form vs broadcast weights table) must produce identical decisions,
+the closed form must stay shuffle-free, and the bloom-prefiltered dedup
+must equal plain incremental dedup even across planted collisions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_classifier_paths_equal(spark):
+    """Closed-form scoring == broadcast-weights scoring when the weights
+    table materializes the same hash-derived weights (both accumulate in
+    exact decimal, so equality is exact, not approximate)."""
+    from squirreling_spark.pipeline.classify import (
+        hashed_weights_table,
+        linear_quality_score,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "lorem ipsum dolor sit amet"),
+        (3, ""),
+        (4, "   "),
+        (5, "repeated repeated repeated repeated"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    n = 1 << 12
+    closed = linear_quality_score(
+        df, "text", "doc_id", n_buckets=n
+    ).orderBy("doc_id")
+    w = hashed_weights_table(spark, n)
+    joined = linear_quality_score(
+        df, "text", "doc_id", n_buckets=n, weights=w
+    ).orderBy("doc_id")
+    assert closed.collect() == joined.collect()
+
+
+def test_classifier_closed_form_no_shuffle(spark):
+    """The default path is a row-local fold: no exchange, no Python
+    evaluator — it scores at scan speed."""
+    from squirreling_spark.pipeline.classify import linear_quality_score
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    plan = (
+        linear_quality_score(df, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_classifier_empty_doc_gets_bias(spark):
+    from squirreling_spark.pipeline.classify import linear_quality_score
+
+    df = spark.createDataFrame([(1, "")], "doc_id int, text string")
+    row = linear_quality_score(df, "text", "doc_id", bias=0.25).collect()[0]
+    assert row["n_tokens"] == 0
+    assert row["logit"] == pytest.approx(0.25)
+    assert bool(row["keep"]) is True
+
+
+def test_bloom_dedup_equals_exact(spark):
+    """Bloom prefilter must not change the RESULT — only which rows pay
+    for verification. Planted: a true duplicate of a stored doc (bloom
+    hit, verified dup → dropped) and fresh docs (kept)."""
+    from squirreling_spark.pipeline.dedup import (
+        bloom_incremental_dedup,
+        incremental_dedup,
+        normalized_fingerprint,
+    )
+
+    store_docs = spark.createDataFrame(
+        [(i, f"stored document number {i}") for i in range(50)],
+        "doc_id int, text string",
+    )
+    seen = store_docs.select(
+        normalized_fingerprint("text").alias("fingerprint")
+    )
+    new_docs = spark.createDataFrame(
+        [(100, "stored document number 7"),   # exact dup of stored
+         (101, "Stored  Document   Number 9"),  # dup after normalization
+         (102, "a genuinely new document"),
+         (103, "another new one"),
+         (104, "a genuinely new document")],   # batch-internal dup
+        "doc_id int, text string",
+    )
+    got = bloom_incremental_dedup(
+        new_docs, seen, "text", "doc_id", m=1 << 14, k=5
+    )
+    want = incremental_dedup(new_docs, seen, "text", "doc_id")
+    assert (
+        sorted(r["fingerprint"] for r in got.collect())
+        == sorted(r["fingerprint"] for r in want.collect())
+    )
+    by_id = {r["keep_id"]: r for r in got.collect()}
+    assert set(by_id) == {102, 103}
+    assert by_id[102]["n_copies"] == 2  # batch-internal dup collapsed
+    # true dups of the store never appear, regardless of bloom path
+    assert 100 not in by_id and 101 not in by_id
+
+
+def test_bloom_false_positive_still_correct(spark):
+    """With a degenerate one-bit space (m=1) every position collides:
+    all batch docs become bloom candidates (false positives), all must
+    survive the exact verify. False negatives are impossible by
+    construction."""
+    from squirreling_spark.pipeline.dedup import bloom_incremental_dedup
+
+    seen = spark.createDataFrame(
+        [("deadbeef" * 4,)], "fingerprint string"
+    )
+    new_docs = spark.createDataFrame(
+        [(1, "fresh one"), (2, "fresh two")], "doc_id int, text string"
+    )
+    out = bloom_incremental_dedup(
+        new_docs, seen, "text", "doc_id", m=1, k=2
+    ).collect()
+    assert sorted(r["keep_id"] for r in out) == [1, 2]
+    assert all(r["bloom_checked"] for r in out)  # every row was verified
