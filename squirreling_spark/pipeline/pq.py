@@ -1,0 +1,274 @@
+"""Product quantization (PQ) for approximate nearest neighbour at scale
+(Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011 — the codebook behind FAISS's IVF-PQ indexes).
+
+Why this exists at 100 TB: a 64-dim float64 embedding is 512 bytes; its
+PQ code is ``m`` small ints (m=4 here → 4 bytes at ksub ≤ 256). The
+corpus-sized state that search must touch shrinks ~128×, which is the
+difference between an ANN sweep that fits in cluster memory and one that
+doesn't. Search reads ONLY the code table; the full vectors are touched
+just once at encode time (and optionally for re-ranking the final
+candidates).
+
+Spark-first shapes:
+- **Train** (`pq_codebooks`): each vector splits into ``m`` disjoint
+  subvectors; per subspace, a k-means codebook of ``ksub`` centroids.
+  All ``m`` subspace Lloyd rounds run in ONE job per iteration — the
+  subspace id is just another grouping key: assignment is a broadcast
+  join on ``sub`` + a map-combined ``max_by`` per (vector, subspace);
+  means are decimal-exact per (sub, centroid, dim). No per-subspace
+  driver loop.
+- **Encode** (`pq_encode`): one more assignment pass → (id, sub, code)
+  rows, m per vector.
+- **Search** (`pq_adc_topk`): asymmetric distance computation. The
+  query-to-centroid lookup table (queries × m × ksub rows — tiny) is
+  broadcast; each corpus CODE row joins its partial dot/norm, and the
+  per-(query, vector) totals reduce with ONE map-combined aggregate.
+  Because subspaces are disjoint, the reconstruction identities are
+  exact: dot(q, x̂) = Σ_s dot(q_s, c_s[code_s]) and |x̂|² = Σ_s |c_s|²,
+  so the approximate cosine is the EXACT cosine of the reconstruction —
+  fully deterministic and oracle-replayable. The m partial sums add in
+  fixed subspace order (conditional single-element aggregates), not in
+  shuffle order, so results are partition-independent without decimals.
+
+Determinism: seeds are the ``ksub`` lowest-id vectors (same convention
+as pipeline/cluster.py), assignment tie-breaks on (sim DESC, centroid id
+ASC), means are decimal-accumulated and det-rounded — the whole
+build+search replays bit-for-bit in DuckDB (`knn_pq_adc` oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from squirreling_spark.pipeline.similarity import (
+    _topk_per_query,
+    cosine,
+    dot,
+    norm2,
+)
+from squirreling_spark.qutil import det_round, spread
+
+
+def subspace_frame(
+    df: DataFrame, vec_col: str, id_col: str, m: int, dsub: int
+) -> DataFrame:
+    """(__id, sub, subvec): each vector exploded into its m disjoint
+    subvectors. ``inline`` of a literal struct array — row-local."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("sub"),
+                F.slice(
+                    F.col(vec_col).cast("array<double>"), s * dsub + 1, dsub
+                ).alias("subvec"),
+            )
+            for s in range(m)
+        ]
+    )
+    return df.select(F.col(id_col).alias("__id"), F.inline(slices))
+
+
+def _assign_codes(frame: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest codebook centroid per (vector, subspace): broadcast join
+    on the subspace id, then a map-side-combining max_by — the corpus ×
+    ksub product collapses inside each task (same shape as
+    similarity.assign_cells)."""
+    sim = F.round(cosine(F.col("subvec"), F.col("cent_vec")), 6)
+    return (
+        frame.join(F.broadcast(cents), "sub")
+        .groupBy("__id", "sub")
+        .agg(
+            F.max_by(
+                "cent_id",
+                F.struct(sim.alias("s"), (-F.col("cent_id")).alias("nid")),
+            ).alias("code"),
+            F.first("subvec").alias("subvec"),
+        )
+    )
+
+
+def _codebook_means(assigned: DataFrame, round_digits: int) -> DataFrame:
+    """Decimal-exact element-wise mean per (sub, code) — the subspace
+    variant of cluster._mean_centroids."""
+    per_dim = (
+        assigned.select(
+            "sub",
+            F.col("code").alias("cent_id"),
+            F.posexplode("subvec").alias("dim", "v"),
+        )
+        .groupBy("sub", "cent_id", "dim")
+        .agg(
+            det_round(
+                F.sum(F.col("v").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                round_digits,
+            ).alias("mean_v")
+        )
+    )
+    return (
+        per_dim.groupBy("sub", "cent_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mean_v"))
+            ).alias("__p")
+        )
+        .select(
+            "sub",
+            "cent_id",
+            F.transform("__p", lambda p: p.getField("mean_v")).alias(
+                "cent_vec"
+            ),
+        )
+    )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    ksub: int = 8,
+    dim: int = 64,
+    iters: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Train the m per-subspace codebooks: (sub, cent_id, cent_vec)."""
+    dsub = dim // m
+    frame = subspace_frame(spread(df), vec_col, id_col, m, dsub)
+    seed_ids = (
+        df.select(F.col(id_col).alias("__sid")).orderBy("__sid").limit(ksub)
+    )
+    cents = (
+        frame.join(
+            F.broadcast(seed_ids), frame["__id"] == F.col("__sid")
+        )
+        .select(
+            "sub",
+            F.col("__id").alias("cent_id"),
+            F.col("subvec").alias("cent_vec"),
+        )
+        .persist()
+    )
+    cents.count()
+    for it in range(iters):
+        prev = cents
+        assigned = _assign_codes(frame, prev)
+        cents = _codebook_means(assigned, round_digits).persist()
+        cents.count()
+        if it < iters - 1:
+            prev.unpersist()
+    return cents
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, sub, code) — the corpus compressed to m small ints per
+    vector. This (not the vectors) is what search reads."""
+    dsub = dim // m
+    frame = subspace_frame(spread(df), vec_col, id_col, m, dsub)
+    return _assign_codes(frame, codebooks).select(
+        F.col("__id").alias(id_col), "sub", "code"
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    dim: int = 64,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: per (query, vector), approximate cosine
+    of the query against the PQ reconstruction, computed from the code
+    table + broadcast lookup table only."""
+    dsub = dim // m
+    qsub = subspace_frame(queries, q_vec, q_id, m, dsub)
+    tbl = (
+        qsub.join(F.broadcast(codebooks), "sub")
+        .select(
+            F.col("__id").alias("__q"),
+            "sub",
+            F.col("cent_id").alias("code"),
+            dot(F.col("subvec"), F.col("cent_vec")).alias("pdot"),
+            norm2(F.col("cent_vec")).alias("pnorm2"),
+        )
+    )
+    qn = queries.select(
+        F.col(q_id).alias("__q"), norm2(F.col(q_vec)).alias("qn2")
+    )
+    parts = (
+        codes.join(F.broadcast(tbl), ["sub", "code"])
+        .groupBy(F.col("__q"), F.col(c_id))
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("sub") == s, F.col("pdot"))
+                ).alias(f"d{s}")
+                for s in range(m)
+            ],
+            *[
+                F.sum(
+                    F.when(F.col("sub") == s, F.col("pnorm2"))
+                ).alias(f"n{s}")
+                for s in range(m)
+            ],
+        )
+    )
+    adot = F.col("d0")
+    rn2 = F.col("n0")
+    for s in range(1, m):
+        adot = adot + F.col(f"d{s}")
+        rn2 = rn2 + F.col(f"n{s}")
+    sim = F.round(adot / F.sqrt(F.col("qn2") * rn2), 6)
+    scored = (
+        parts.join(F.broadcast(qn), "__q")
+        .filter(F.col("__q") != F.col(c_id))
+        .select(F.col("__q").alias(q_id), c_id, sim.alias("sim"))
+    )
+    return _topk_per_query(scored, k, q_id, c_id)
+
+
+def pq_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    rerank: int = 40,
+    m: int = 4,
+    dim: int = 64,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """ADC candidate generation + exact re-rank — the standard PQ recipe
+    (measured at sf0.01: recall@5 0.10 raw ADC at ksub=8 → 0.88 with
+    ksub=32 + rerank=100; see tests/test_pq_recall.py). The compressed
+    sweep touches only the code table; full vectors are fetched for just
+    ``rerank`` candidates per query (a broadcast-sized set), so the
+    memory story survives: corpus-scale state stays ~128× smaller than
+    the raw vectors."""
+    cand = pq_adc_topk(
+        queries, codes, codebooks, k=rerank, m=m, dim=dim,
+        q_id=q_id, q_vec=q_vec, c_id=c_id,
+    ).select(q_id, c_id)
+    sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), 6)
+    rer = (
+        corpus.join(F.broadcast(cand), c_id)
+        .join(F.broadcast(queries), q_id)
+        .select(q_id, c_id, sim.alias("sim"))
+    )
+    return _topk_per_query(rer, k, q_id, c_id)

@@ -402,6 +402,8 @@ _KNN_CK = {
         "vec_id * 7 + cell * 3 + n_close * 13"
         " + CASE WHEN is_dup THEN 1 ELSE 0 END",
     ) * 2,
+    # Product-quantization ADC + exact re-rank (round 4, pipeline/pq.py)
+    "knn_pq_adc": (_SIM_CK, _SIM_CK),
 }
 
 

@@ -1501,3 +1501,145 @@ def dedup_bloom_incremental_q(spark, sf):
     return bloom_incremental_dedup(
         new_docs, seen, "text", "doc_id"
     ).orderBy("fingerprint")
+
+
+# DuckDB mirror of the PQ subspace cosine (16-dim subvectors) ---------------
+
+_D_PQ_COS = """
+    round(list_sum(list_transform(generate_series(1, 16),
+                                  i -> {a}[i] * {c}[i]))
+          / sqrt(list_sum(list_transform({a}, x -> x * x))
+               * list_sum(list_transform({c}, x -> x * x))), 6)
+"""
+
+
+@query(
+    "knn_pq_adc",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    subs AS (
+      SELECT e.vec_id, s.sub, e.emb[s.sub * 16 + 1 : s.sub * 16 + 16] AS sv
+      FROM e, (SELECT unnest(generate_series(0, 3)) AS sub) s
+    ),
+    c0 AS (
+      SELECT sub, vec_id AS cid, sv AS cent FROM subs WHERE vec_id < 16
+    ),
+    a1 AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT subs.vec_id, subs.sub, c.cid,
+               row_number() OVER (
+                 PARTITION BY subs.vec_id, subs.sub
+                 ORDER BY {_D_PQ_COS.format(a='subs.sv', c='c.cent')} DESC,
+                          c.cid) AS rn
+        FROM subs JOIN c0 c ON c.sub = subs.sub) x WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT a1.sub, a1.cid, i AS dim,
+             floor(CAST(sum(CAST(subs.sv[i] AS DECIMAL(27,6))) AS DOUBLE)
+                   / count(*) * 1000000 + 0.5) / 1000000 AS mean_v
+      FROM a1
+      JOIN subs ON subs.vec_id = a1.vec_id AND subs.sub = a1.sub,
+           generate_series(1, 16) g(i)
+      GROUP BY a1.sub, a1.cid, i
+    ),
+    c1 AS (
+      SELECT sub, cid, list(mean_v ORDER BY dim) AS cent
+      FROM m1 GROUP BY sub, cid
+    ),
+    codes AS (
+      SELECT vec_id, sub, cid AS code FROM (
+        SELECT subs.vec_id, subs.sub, c.cid,
+               row_number() OVER (
+                 PARTITION BY subs.vec_id, subs.sub
+                 ORDER BY {_D_PQ_COS.format(a='subs.sv', c='c.cent')} DESC,
+                          c.cid) AS rn
+        FROM subs JOIN c1 c ON c.sub = subs.sub) x WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, emb FROM e WHERE vec_id < 8),
+    qsub AS (
+      SELECT q.q_id, s.sub, q.emb[s.sub * 16 + 1 : s.sub * 16 + 16] AS sv
+      FROM q, (SELECT unnest(generate_series(0, 3)) AS sub) s
+    ),
+    tbl AS (
+      SELECT qsub.q_id, qsub.sub, c.cid AS code,
+             list_sum(list_transform(generate_series(1, 16),
+                                     i -> qsub.sv[i] * c.cent[i])) AS pdot,
+             list_sum(list_transform(c.cent, x -> x * x)) AS pnorm2
+      FROM qsub JOIN c1 c ON c.sub = qsub.sub
+    ),
+    qn AS (
+      SELECT q_id, list_sum(list_transform(emb, x -> x * x)) AS qn2 FROM q
+    ),
+    parts AS (
+      SELECT t.q_id, codes.vec_id,
+             sum(CASE WHEN t.sub = 0 THEN pdot END) AS d0,
+             sum(CASE WHEN t.sub = 1 THEN pdot END) AS d1,
+             sum(CASE WHEN t.sub = 2 THEN pdot END) AS d2,
+             sum(CASE WHEN t.sub = 3 THEN pdot END) AS d3,
+             sum(CASE WHEN t.sub = 0 THEN pnorm2 END) AS n0,
+             sum(CASE WHEN t.sub = 1 THEN pnorm2 END) AS n1,
+             sum(CASE WHEN t.sub = 2 THEN pnorm2 END) AS n2,
+             sum(CASE WHEN t.sub = 3 THEN pnorm2 END) AS n3
+      FROM codes
+      JOIN tbl t ON t.sub = codes.sub AND t.code = codes.code
+      GROUP BY t.q_id, codes.vec_id
+    ),
+    adc AS (
+      SELECT p.q_id, p.vec_id,
+             round((d0 + d1 + d2 + d3)
+                   / sqrt(qn2 * (n0 + n1 + n2 + n3)), 6) AS sim
+      FROM parts p JOIN qn ON qn.q_id = p.q_id
+      WHERE p.vec_id != p.q_id
+    ),
+    cand AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, vec_id) AS r
+        FROM adc) x WHERE r <= 40
+    ),
+    rer AS (
+      SELECT cand.q_id, cand.vec_id,
+             round(list_sum(list_transform(generate_series(1, 64),
+                                           i -> q.emb[i] * a.emb[i]))
+                   / sqrt(list_sum(list_transform(q.emb, x -> x * x))
+                        * list_sum(list_transform(a.emb, x -> x * x))), 6)
+               AS sim
+      FROM cand
+      JOIN q ON q.q_id = cand.q_id
+      JOIN e a ON a.vec_id = cand.vec_id
+    )
+    SELECT q_id, vec_id, sim, rank FROM (
+      SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, vec_id) AS rank
+      FROM rer) x WHERE rank <= 5
+    """,
+)
+def knn_pq_adc_q(spark, sf):
+    """Product-quantization ANN (pipeline/pq.py, Jégou et al. 2011):
+    per-subspace k-means codebooks (m=4 × ksub=16, one Lloyd round, ONE
+    job per round — the subspace id is just a grouping key), corpus
+    encoded to 4 small ints per vector (~128× less search-time state
+    than raw float64 vectors — the reason PQ exists at 100 TB), ADC
+    scoring against a broadcast query×centroid lookup table with
+    fixed-subspace-order partial sums (partition-independent without
+    decimals), then exact re-rank of the top-40 candidates. The oracle
+    replays the ENTIRE pipeline — subspace split, codebook training,
+    encoding, ADC, re-rank. Recall floors pinned in
+    tests/test_pq_recall.py."""
+    from squirreling_spark.pipeline.pq import (
+        pq_codebooks,
+        pq_encode,
+        pq_rerank_topk,
+    )
+
+    e = t(spark, sf, "embeddings")
+    cb = pq_codebooks(e, "embedding", "vec_id", m=4, ksub=16, dim=64)
+    codes = pq_encode(e, "embedding", "vec_id", cb)
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return pq_rerank_topk(q, e, codes, cb, k=5, rerank=40)
