@@ -67,6 +67,12 @@ HEADLINE = [
     "semdedup",
     "docs_pack",
     "udf_digest",
+    # round-4 operators: hashed-linear quality gate, bloom-prefiltered
+    # incremental dedup, PQ ANN, real pixel decode
+    "quality_classifier",
+    "dedup_bloom_incremental",
+    "knn_pq_adc",
+    "image_pixel_decode",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -57,6 +57,13 @@ QUERIES = [
     "pagerank_docs",
     "knn_ivf_trained",
     "binary_header_parse",
+    # round-4 operators
+    "quality_classifier",
+    "dedup_bloom_incremental",
+    "knn_pq_adc",
+    "image_pixel_decode",
+    "q8_market_share",
+    "q21_waiting_supplier",
 ]
 
 
