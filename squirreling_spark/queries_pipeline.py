@@ -1433,11 +1433,18 @@ def quality_classifier_q(spark, sf):
     oracle restates tokenization, bucketing, the md5-derived weights, and
     the decimal-exact accumulation in DuckDB. The broadcast-weights path
     for externally-trained models is proven equal in
-    tests/test_classify.py."""
+    tests/test_classify.py.
+
+    The fixture's documents file is a single row group, so the scan is one
+    task; two md5s + a decimal fold per token is compute-bound, so the
+    input is spread() first — the scoring itself stays shuffle-free (the
+    round-robin redistribution of small input rows is the standard move
+    whenever compute-per-row >> row size; at 100 TB the scan is already
+    wide and the wrapper would simply be dropped)."""
     from squirreling_spark.pipeline.classify import linear_quality_score
 
     return linear_quality_score(
-        t(spark, sf, "documents"), "text", "doc_id"
+        qspread(t(spark, sf, "documents")), "text", "doc_id"
     ).orderBy("doc_id")
 
 
