@@ -72,6 +72,7 @@ HEADLINE = [
     "quality_classifier",
     "dedup_bloom_incremental",
     "knn_pq_adc",
+    "knn_ivfpq",
     "image_pixel_decode",
 ]
 

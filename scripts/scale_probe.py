@@ -61,6 +61,7 @@ QUERIES = [
     "quality_classifier",
     "dedup_bloom_incremental",
     "knn_pq_adc",
+    "knn_ivfpq",
     "image_pixel_decode",
     "q8_market_share",
     "q21_waiting_supplier",

@@ -52,10 +52,17 @@ from squirreling_spark.qutil import det_round, spread
 
 
 def subspace_frame(
-    df: DataFrame, vec_col: str, id_col: str, m: int, dsub: int
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int,
+    dsub: int,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(__id, sub, subvec): each vector exploded into its m disjoint
-    subvectors. ``inline`` of a literal struct array — row-local."""
+    """(__id, *extra_cols, sub, subvec): each vector exploded into its m
+    disjoint subvectors. ``inline`` of a literal struct array — row-local.
+    ``extra_cols`` ride along unchanged (e.g. the IVF cell id, so encode
+    can emit inverted-list rows without a second corpus join)."""
     slices = F.array(
         *[
             F.struct(
@@ -67,10 +74,16 @@ def subspace_frame(
             for s in range(m)
         ]
     )
-    return df.select(F.col(id_col).alias("__id"), F.inline(slices))
+    return df.select(
+        F.col(id_col).alias("__id"), *(extra_cols or []), F.inline(slices)
+    )
 
 
-def _assign_codes(frame: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_codes(
+    frame: DataFrame,
+    cents: DataFrame,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
     """Nearest codebook centroid per (vector, subspace): broadcast join
     on the subspace id, then a map-side-combining max_by — the corpus ×
     ksub product collapses inside each task (same shape as
@@ -85,6 +98,7 @@ def _assign_codes(frame: DataFrame, cents: DataFrame) -> DataFrame:
                 F.struct(sim.alias("s"), (-F.col("cent_id")).alias("nid")),
             ).alias("code"),
             F.first("subvec").alias("subvec"),
+            *[F.first(c).alias(c) for c in extra_cols or []],
         )
     )
 
@@ -169,13 +183,16 @@ def pq_encode(
     codebooks: DataFrame,
     m: int = 4,
     dim: int = 64,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, sub, code) — the corpus compressed to m small ints per
-    vector. This (not the vectors) is what search reads."""
+    """(id, *extra_cols, sub, code) — the corpus compressed to m small
+    ints per vector. This (not the vectors) is what search reads."""
     dsub = dim // m
-    frame = subspace_frame(spread(df), vec_col, id_col, m, dsub)
-    return _assign_codes(frame, codebooks).select(
-        F.col("__id").alias(id_col), "sub", "code"
+    frame = subspace_frame(
+        spread(df), vec_col, id_col, m, dsub, extra_cols=extra_cols
+    )
+    return _assign_codes(frame, codebooks, extra_cols=extra_cols).select(
+        F.col("__id").alias(id_col), *(extra_cols or []), "sub", "code"
     )
 
 
@@ -264,6 +281,234 @@ def pq_rerank_topk(
     cand = pq_adc_topk(
         queries, codes, codebooks, k=rerank, m=m, dim=dim,
         q_id=q_id, q_vec=q_vec, c_id=c_id,
+    ).select(q_id, c_id)
+    sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), 6)
+    rer = (
+        corpus.join(F.broadcast(cand), c_id)
+        .join(F.broadcast(queries), q_id)
+        .select(q_id, c_id, sim.alias("sim"))
+    )
+    return _topk_per_query(rer, k, q_id, c_id)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted lists + PQ-coded residuals — the composition
+# FAISS ships as `IVFx,PQy` and the standard billion-scale ANN layout
+# (Jégou et al. 2011 §V; no reference counterpart — squirreling has no
+# vector search). IVF buys selectivity (search touches only the probed
+# cells' lists, ~nprobe/k_coarse of the corpus); PQ buys density (each
+# list stores m small ints per vector, not the vector). Encoding the
+# RESIDUAL x − c(x) instead of x is what makes the two compose: residuals
+# are centered near zero, so one shared ksub-way codebook per subspace
+# quantizes them far more finely than it could quantize raw vectors.
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_build(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k_coarse: int = 8,
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 64,
+    coarse_iters: int = 1,
+    pq_iters: int = 1,
+    round_digits: int = 6,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the index: ``(coarse, codebooks, codes)``.
+
+    - coarse: (cent_id, cent_vec, n_vecs) — k-means coarse quantizer
+      (pipeline/cluster.py, deterministic lowest-id seeds).
+    - codebooks: (sub, cent_id, cent_vec) — per-subspace codebooks
+      trained on RESIDUALS.
+    - codes: (id, cell, sub, code) — the inverted-list code table; the
+      cell id rides through encode's own (id, sub) aggregate
+      (``extra_cols``), so emitting list-partitioned codes costs no
+      second corpus join. This table — m ints + a cell id per vector —
+      is the ONLY corpus-scale state search reads.
+    """
+    from squirreling_spark.pipeline.cluster import kmeans_centroids
+    from squirreling_spark.pipeline.similarity import assign_cells
+
+    coarse = kmeans_centroids(
+        df, vec_col, id_col, k=k_coarse, iters=coarse_iters,
+        round_digits=round_digits,
+    )
+    cells = assign_cells(
+        df.select(id_col, vec_col), coarse, c_id=id_col, c_vec=vec_col
+    )
+    resid = cells.join(
+        F.broadcast(
+            coarse.select(F.col("cent_id").alias("cell"), "cent_vec")
+        ),
+        "cell",
+    ).select(
+        id_col,
+        "cell",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            "cent_vec",
+            lambda a, b: a - b,
+        ).alias("__resid"),
+    )
+    codebooks = pq_codebooks(
+        resid, "__resid", id_col, m=m, ksub=ksub, dim=dim, iters=pq_iters,
+        round_digits=round_digits,
+    )
+    codes = pq_encode(
+        resid, "__resid", id_col, codebooks, m=m, dim=dim,
+        extra_cols=["cell"],
+    )
+    return coarse, codebooks, codes
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    coarse: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 4,
+    dim: int = 64,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ADC search over the probed cells' inverted lists only.
+
+    The reconstruction is x̂ = c + r̂ with disjoint subspaces, so both
+    terms of cosine(q, x̂) decompose EXACTLY into table lookups:
+
+        dot(q, x̂)  = dot(q, c) + Σ_s dot(q_s, cb_s[code_s])
+        |x̂|²       = |c|² + 2·Σ_s dot(c_s, cb_s[code_s]) + Σ_s |cb_s[code_s]|²
+
+    Three broadcast-sized tables feed a single pass over the code rows:
+    probes (queries × nprobe: dot(q,c), |c|²), qtab (queries × m × ksub:
+    dot(q_s, cb)), ctab (k_coarse × m × ksub: the cross term and code
+    norms — query-independent, could be precomputed at build). The join
+    of codes against broadcast probes IS the inverted-list restriction:
+    only rows whose cell a query probes survive, ~nprobe/k_coarse of the
+    corpus, and everything reduces in ONE map-combined aggregate with
+    fixed-subspace-order partial sums (partition-independent, no
+    decimals needed) before the two-stage top-k."""
+    from pyspark.sql import Window
+
+    dsub = dim // m
+    cent_sim = F.round(
+        cosine(F.col(q_vec), F.col("cent_vec")), round_digits
+    )
+    wq = Window.partitionBy(q_id).orderBy(
+        F.desc(cent_sim), F.col("cent_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(coarse))
+        .withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= nprobe)
+        .select(
+            F.col(q_id).alias("__q"),
+            F.col("cent_id").alias("cell"),
+            dot(
+                F.col(q_vec).cast("array<double>"), F.col("cent_vec")
+            ).alias("qc_dot"),
+            norm2(F.col("cent_vec")).alias("cn2"),
+        )
+    )
+    qsub = subspace_frame(queries, q_vec, q_id, m, dsub)
+    qtab = qsub.join(F.broadcast(codebooks), "sub").select(
+        F.col("__id").alias("__q"),
+        "sub",
+        F.col("cent_id").alias("code"),
+        dot(F.col("subvec"), F.col("cent_vec")).alias("qdot"),
+    )
+    csub = subspace_frame(
+        coarse.select(F.col("cent_id").alias("cell"), "cent_vec"),
+        "cent_vec",
+        "cell",
+        m,
+        dsub,
+    )
+    ctab = csub.join(F.broadcast(codebooks), "sub").select(
+        F.col("__id").alias("cell"),
+        "sub",
+        F.col("cent_id").alias("code"),
+        dot(F.col("subvec"), F.col("cent_vec")).alias("xdot"),
+        norm2(F.col("cent_vec")).alias("pn2"),
+    )
+    qn = queries.select(
+        F.col(q_id).alias("__q"),
+        norm2(F.col(q_vec).cast("array<double>")).alias("qn2"),
+    )
+    parts = (
+        codes.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(qtab), ["__q", "sub", "code"])
+        .join(F.broadcast(ctab), ["cell", "sub", "code"])
+        .groupBy("__q", c_id)
+        .agg(
+            F.first("qc_dot").alias("qc_dot"),
+            F.first("cn2").alias("cn2"),
+            *[
+                F.sum(F.when(F.col("sub") == s, F.col("qdot"))).alias(
+                    f"d{s}"
+                )
+                for s in range(m)
+            ],
+            *[
+                F.sum(F.when(F.col("sub") == s, F.col("xdot"))).alias(
+                    f"x{s}"
+                )
+                for s in range(m)
+            ],
+            *[
+                F.sum(F.when(F.col("sub") == s, F.col("pn2"))).alias(
+                    f"n{s}"
+                )
+                for s in range(m)
+            ],
+        )
+    )
+    adot = F.col("qc_dot")
+    xsum = F.lit(0.0)
+    nsum = F.lit(0.0)
+    for s in range(m):
+        adot = adot + F.col(f"d{s}")
+        xsum = xsum + F.col(f"x{s}")
+        nsum = nsum + F.col(f"n{s}")
+    rn2 = F.col("cn2") + F.lit(2.0) * xsum + nsum
+    sim = F.round(adot / F.sqrt(F.col("qn2") * rn2), round_digits)
+    scored = (
+        parts.join(F.broadcast(qn), "__q")
+        .filter(F.col("__q") != F.col(c_id))
+        .select(F.col("__q").alias(q_id), c_id, sim.alias("sim"))
+    )
+    return _topk_per_query(scored, k, q_id, c_id)
+
+
+def ivfpq_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    coarse: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    k: int = 5,
+    rerank: int = 40,
+    nprobe: int = 2,
+    m: int = 4,
+    dim: int = 64,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ candidate generation + exact re-rank of the survivors —
+    the full FAISS-style serving path: compressed inverted-list sweep
+    first, full vectors fetched only for ``rerank`` candidates per query
+    (a broadcast-sized set)."""
+    cand = ivfpq_search(
+        queries, coarse, codebooks, codes, k=rerank, nprobe=nprobe, m=m,
+        dim=dim, q_id=q_id, q_vec=q_vec, c_id=c_id,
     ).select(q_id, c_id)
     sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), 6)
     rer = (

@@ -404,6 +404,8 @@ _KNN_CK = {
     ) * 2,
     # Product-quantization ADC + exact re-rank (round 4, pipeline/pq.py)
     "knn_pq_adc": (_SIM_CK, _SIM_CK),
+    # IVF-PQ: coarse inverted lists + PQ-coded residuals (round 4)
+    "knn_ivfpq": (_SIM_CK, _SIM_CK),
 }
 
 

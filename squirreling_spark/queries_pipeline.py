@@ -1653,6 +1653,207 @@ def knn_pq_adc_q(spark, sf):
 
 
 @query(
+    "knn_ivfpq",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    -- coarse quantizer: k=8 k-means, 1 Lloyd round, lowest-id seeds
+    cc0 AS (
+      SELECT vec_id AS cid, emb AS cent FROM e ORDER BY vec_id LIMIT 8
+    ),
+    ca1 AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_d_cos_ec('c.cent')} DESC, c.cid)
+                 AS rn
+        FROM e, cc0 c) x WHERE rn = 1
+    ),
+    cm1 AS ({_D_KM_MEAN.format(src='ca1')}),
+    cc1 AS (
+      SELECT cid, list(mean_v ORDER BY dim) AS cent FROM cm1 GROUP BY cid
+    ),
+    cells AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_d_cos_ec('c.cent')} DESC, c.cid)
+                 AS rn
+        FROM e, cc1 c) x WHERE rn = 1
+    ),
+    -- residuals x - c(x), then PQ (m=4 x ksub=16, 1 round) on them
+    resid AS (
+      SELECT e.vec_id, cells.cell,
+             list_transform(generate_series(1, 64),
+                            i -> e.emb[i] - c.cent[i]) AS rv
+      FROM e JOIN cells USING (vec_id) JOIN cc1 c ON c.cid = cells.cell
+    ),
+    rsubs AS (
+      SELECT r.vec_id, s.sub, r.rv[s.sub * 16 + 1 : s.sub * 16 + 16] AS sv
+      FROM resid r, (SELECT unnest(generate_series(0, 3)) AS sub) s
+    ),
+    pc0 AS (
+      SELECT sub, vec_id AS cid, sv AS cent FROM rsubs WHERE vec_id < 16
+    ),
+    pa1 AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT rsubs.vec_id, rsubs.sub, c.cid,
+               row_number() OVER (
+                 PARTITION BY rsubs.vec_id, rsubs.sub
+                 ORDER BY {_D_PQ_COS.format(a='rsubs.sv', c='c.cent')} DESC,
+                          c.cid) AS rn
+        FROM rsubs JOIN pc0 c ON c.sub = rsubs.sub) x WHERE rn = 1
+    ),
+    pm1 AS (
+      SELECT pa1.sub, pa1.cid, i AS dim,
+             floor(CAST(sum(CAST(rsubs.sv[i] AS DECIMAL(27,6))) AS DOUBLE)
+                   / count(*) * 1000000 + 0.5) / 1000000 AS mean_v
+      FROM pa1
+      JOIN rsubs ON rsubs.vec_id = pa1.vec_id AND rsubs.sub = pa1.sub,
+           generate_series(1, 16) g(i)
+      GROUP BY pa1.sub, pa1.cid, i
+    ),
+    pc1 AS (
+      SELECT sub, cid, list(mean_v ORDER BY dim) AS cent
+      FROM pm1 GROUP BY sub, cid
+    ),
+    codes AS (
+      SELECT vec_id, sub, cid AS code FROM (
+        SELECT rsubs.vec_id, rsubs.sub, c.cid,
+               row_number() OVER (
+                 PARTITION BY rsubs.vec_id, rsubs.sub
+                 ORDER BY {_D_PQ_COS.format(a='rsubs.sv', c='c.cent')} DESC,
+                          c.cid) AS rn
+        FROM rsubs JOIN pc1 c ON c.sub = rsubs.sub) x WHERE rn = 1
+    ),
+    -- search: probe top-2 cells, ADC over the probed lists, exact rerank
+    q AS (SELECT vec_id AS q_id, emb FROM e WHERE vec_id < 8),
+    probes AS (
+      SELECT q_id, cell, qc_dot, cn2 FROM (
+        SELECT q.q_id, c.cid AS cell,
+               list_sum(list_transform(generate_series(1, 64),
+                                       i -> q.emb[i] * c.cent[i])) AS qc_dot,
+               list_sum(list_transform(c.cent, x -> x * x)) AS cn2,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY round(
+                   list_sum(list_transform(generate_series(1, 64),
+                                           i -> q.emb[i] * c.cent[i]))
+                   / sqrt(list_sum(list_transform(q.emb, x -> x * x))
+                        * list_sum(list_transform(c.cent, x -> x * x))), 6)
+                   DESC, c.cid) AS rn
+        FROM q, cc1 c) x WHERE rn <= 2
+    ),
+    qsub AS (
+      SELECT q.q_id, s.sub, q.emb[s.sub * 16 + 1 : s.sub * 16 + 16] AS sv
+      FROM q, (SELECT unnest(generate_series(0, 3)) AS sub) s
+    ),
+    qtab AS (
+      SELECT qsub.q_id, qsub.sub, c.cid AS code,
+             list_sum(list_transform(generate_series(1, 16),
+                                     i -> qsub.sv[i] * c.cent[i])) AS qdot
+      FROM qsub JOIN pc1 c ON c.sub = qsub.sub
+    ),
+    csub AS (
+      SELECT cc1.cid AS cell, s.sub,
+             cc1.cent[s.sub * 16 + 1 : s.sub * 16 + 16] AS sv
+      FROM cc1, (SELECT unnest(generate_series(0, 3)) AS sub) s
+    ),
+    ctab AS (
+      SELECT csub.cell, csub.sub, c.cid AS code,
+             list_sum(list_transform(generate_series(1, 16),
+                                     i -> csub.sv[i] * c.cent[i])) AS xdot,
+             list_sum(list_transform(c.cent, x -> x * x)) AS pn2
+      FROM csub JOIN pc1 c ON c.sub = csub.sub
+    ),
+    qn AS (
+      SELECT q_id, list_sum(list_transform(emb, x -> x * x)) AS qn2 FROM q
+    ),
+    parts AS (
+      SELECT p.q_id, codes.vec_id,
+             max(p.qc_dot) AS qc_dot, max(p.cn2) AS cn2,
+             sum(CASE WHEN codes.sub = 0 THEN qdot END) AS d0,
+             sum(CASE WHEN codes.sub = 1 THEN qdot END) AS d1,
+             sum(CASE WHEN codes.sub = 2 THEN qdot END) AS d2,
+             sum(CASE WHEN codes.sub = 3 THEN qdot END) AS d3,
+             sum(CASE WHEN codes.sub = 0 THEN xdot END) AS x0,
+             sum(CASE WHEN codes.sub = 1 THEN xdot END) AS x1,
+             sum(CASE WHEN codes.sub = 2 THEN xdot END) AS x2,
+             sum(CASE WHEN codes.sub = 3 THEN xdot END) AS x3,
+             sum(CASE WHEN codes.sub = 0 THEN pn2 END) AS n0,
+             sum(CASE WHEN codes.sub = 1 THEN pn2 END) AS n1,
+             sum(CASE WHEN codes.sub = 2 THEN pn2 END) AS n2,
+             sum(CASE WHEN codes.sub = 3 THEN pn2 END) AS n3
+      FROM codes
+      JOIN cells ON cells.vec_id = codes.vec_id
+      JOIN probes p ON p.cell = cells.cell
+      JOIN qtab ON qtab.q_id = p.q_id AND qtab.sub = codes.sub
+               AND qtab.code = codes.code
+      JOIN ctab ON ctab.cell = cells.cell AND ctab.sub = codes.sub
+               AND ctab.code = codes.code
+      GROUP BY p.q_id, codes.vec_id
+    ),
+    adc AS (
+      SELECT p.q_id, p.vec_id,
+             round((qc_dot + d0 + d1 + d2 + d3)
+                   / sqrt(qn2 * (cn2 + 2.0 * (x0 + x1 + x2 + x3)
+                                 + (n0 + n1 + n2 + n3))), 6) AS sim
+      FROM parts p JOIN qn ON qn.q_id = p.q_id
+      WHERE p.vec_id != p.q_id
+    ),
+    cand AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, vec_id) AS r
+        FROM adc) x WHERE r <= 40
+    ),
+    rer AS (
+      SELECT cand.q_id, cand.vec_id,
+             round(list_sum(list_transform(generate_series(1, 64),
+                                           i -> q.emb[i] * a.emb[i]))
+                   / sqrt(list_sum(list_transform(q.emb, x -> x * x))
+                        * list_sum(list_transform(a.emb, x -> x * x))), 6)
+               AS sim
+      FROM cand
+      JOIN q ON q.q_id = cand.q_id
+      JOIN e a ON a.vec_id = cand.vec_id
+    )
+    SELECT q_id, vec_id, sim, rank FROM (
+      SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, vec_id) AS rank
+      FROM rer) x WHERE rank <= 5
+    """,
+)
+def knn_ivfpq_q(spark, sf):
+    """IVF-PQ (pipeline/pq.py::ivfpq_build/ivfpq_rerank_topk) — the
+    FAISS `IVFx,PQy` composition and the standard billion-scale ANN
+    layout: a k-means coarse quantizer partitions the corpus into
+    inverted lists, each vector's RESIDUAL against its coarse centroid
+    is PQ-encoded (m=4 × ksub=16), and search ADC-scans ONLY the probed
+    cells' code rows (~nprobe/k_coarse of the corpus, m ints per vector)
+    against three broadcast lookup tables, then exactly re-ranks the
+    top-40. Because subspaces are disjoint, dot(q, x̂) and |x̂|²
+    decompose exactly into the lookup sums, so the whole train → assign
+    → residual → encode → probe → ADC → re-rank pipeline is
+    deterministic and the oracle replays every stage. Recall floor
+    pinned in tests/test_pq_recall.py."""
+    from squirreling_spark.pipeline.pq import ivfpq_build, ivfpq_rerank_topk
+
+    e = t(spark, sf, "embeddings")
+    coarse, cb, codes = ivfpq_build(
+        e, "embedding", "vec_id", k_coarse=8, m=4, ksub=16, dim=64
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivfpq_rerank_topk(
+        q, e, coarse, cb, codes, k=5, rerank=40, nprobe=2
+    )
+
+
+@query(
     "image_pixel_decode",
     oracle="""
     SELECT CAST(doc_id AS VARCHAR) AS media_id,
