@@ -74,6 +74,8 @@ HEADLINE = [
     "knn_pq_adc",
     "knn_ivfpq",
     "image_pixel_decode",
+    "cms_top_terms",
+    "dataset_shards",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -63,6 +63,8 @@ QUERIES = [
     "knn_pq_adc",
     "knn_ivfpq",
     "image_pixel_decode",
+    "cms_top_terms",
+    "dataset_shards",
     "q8_market_share",
     "q21_waiting_supplier",
 ]

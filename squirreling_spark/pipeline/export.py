@@ -1,0 +1,79 @@
+"""Deterministic shuffle-shard export — the last step of a training-data
+pipeline: write the cleaned corpus as N shards whose contents AND order
+are a reproducible pseudo-random shuffle (so a training run streams
+shards sequentially yet sees an i.i.d.-like document order, and a rerun
+of the pipeline bit-reproduces the same shards).
+
+Spark-first shape: shard id and intra-shard sort key are both md5-derived
+from the document id — no RNG state, no driver-side shuffling. The
+physical export is ``df.repartition(n, shard).sortWithinPartitions(key)``
++ a partitioned write: ONE hash exchange and a per-task sort, no global
+sort, no window over the whole corpus. ``shard_assignments`` materializes
+the same (shard, pos) as DATA — a per-shard window whose partitions are
+corpus/n_shards rows, the same bounded slice a writer task holds — so
+the layout itself sits under the correctness gate.
+
+At 100 TB: n_shards scales with the corpus (e.g. ~10 GB per shard), the
+exchange is the only corpus-wide movement, and the md5 keys are uniform
+so shard sizes concentrate tightly (no skewed writer task).
+
+No reference counterpart (squirreling is a read-only query engine);
+public-knowledge design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# 48-bit md5 folds: shard of an id, and the intra-shard shuffle key.
+_SHARD = (
+    "CAST(conv(substring(md5(CAST({id} AS STRING)), 1, 12), 16, 10)"
+    " AS BIGINT) % {n}"
+)
+_POSKEY = "substring(md5(concat('pos:', CAST({id} AS STRING))), 1, 12)"
+
+
+def shard_assignments(
+    df: DataFrame, id_col: str, n_shards: int = 16
+) -> DataFrame:
+    """input columns + (shard, pos, shard_n_docs): the deterministic
+    shuffle layout. pos is 1-based within the shard, ordered by the md5
+    shuffle key (id tiebreak for the astronomically-unlikely collision);
+    shard_n_docs rides along so consumers can plan reads without a
+    second pass."""
+    shard = F.expr(_SHARD.format(id=id_col, n=n_shards))
+    poskey = F.expr(_POSKEY.format(id=id_col))
+    w = W.partitionBy("shard").orderBy("__poskey", id_col)
+    return (
+        df.select("*", shard.alias("shard"), poskey.alias("__poskey"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "shard_n_docs",
+            F.count(F.lit(1)).over(W.partitionBy("shard")).cast("bigint"),
+        )
+        .drop("__poskey")
+    )
+
+
+def write_shards(
+    df: DataFrame, id_col: str, path: str, n_shards: int = 16
+) -> None:
+    """The physical export: one hash exchange on the shard id, per-task
+    sort by the shuffle key, one file per shard. Same layout as
+    ``shard_assignments`` without materializing positions."""
+    shard = F.expr(_SHARD.format(id=id_col, n=n_shards))
+    poskey = F.expr(_POSKEY.format(id=id_col))
+    (
+        df.select("*", shard.alias("shard"), poskey.alias("__poskey"))
+        .repartition(n_shards, "shard")
+        # shard leads the sort so the partitioned writer's required
+        # ordering (partition cols first) is already satisfied — without
+        # it, FileFormatWriter inserts its own NON-STABLE sort on shard
+        # and scrambles the shuffle order (caught by test_export.py).
+        .sortWithinPartitions("shard", "__poskey", id_col)
+        .drop("__poskey")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

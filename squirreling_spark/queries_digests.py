@@ -706,6 +706,17 @@ _MIX_CK = {
         "doc_id * 7 + n_tokens + CAST(floor(logit * 1000000) AS BIGINT)"
         " + CASE WHEN keep THEN 13 ELSE 0 END"
     ),
+    # round 4: count-min-sketch heavy hitters (term is a string; its
+    # length+first-char fold plus both counters keys the row — full
+    # values are gate-checked by the standalone cms_top_terms row)
+    "cms_top_terms": (
+        "length(term) * 1000003 + ascii(term) * 257"
+        " + exact_count * 7 + cms_count * 3 + overcount"
+    ),
+    # round 4: deterministic shuffle-shard export layout
+    "dataset_shards": (
+        "doc_id * 31 + shard * 7 + pos * 3 + shard_n_docs"
+    ),
 }
 
 
@@ -716,9 +727,12 @@ _MIX_CK = {
     ),
 )
 def corpus_mix_digest(spark, sf):
-    """Corpus mixing: deterministic per-source stratified sampling (salted
-    md5 membership, row-local) + top-3 TF-IDF terms per document (rational
-    idf — no libm ln) — each full result checksummed (pipeline/corpus.py)."""
+    """Corpus mixing + scoring + export: deterministic per-source
+    stratified sampling (salted md5 membership, row-local), top-3 TF-IDF
+    terms per document (rational idf — no libm ln), bigram-LM and
+    boilerplate scoring, the hashed-linear quality gate, count-min-sketch
+    heavy hitters, and the shuffle-shard export layout — each full result
+    checksummed (pipeline/corpus.py, classify.py, sketch.py, export.py)."""
     return _union_all(
         [
             _digest_branch(inventory.QUERIES[tag](spark, sf), tag, ck)

@@ -1923,3 +1923,101 @@ def image_pixel_decode_q(spark, sf):
         "media_id", "decoder", "width", "height", "n_pixels",
         "mean_r", "mean_g", "mean_b",
     )
+
+
+# DuckDB mirror of the CMS bucket hash: 48-bit md5 fold of "i:term" -------
+_D_CMS_TOKS = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+_D_CMS_BUCKET = (
+    "('0x' || substring(md5(CAST({i} AS VARCHAR) || ':' || term), 1, 12))"
+    "::BIGINT % 8192"
+)
+
+
+@query(
+    "cms_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_D_CMS_TOKS}) AS term FROM documents
+    ),
+    tk AS (SELECT term FROM toks WHERE term != ''),
+    cells AS (
+      SELECT i AS row, {_D_CMS_BUCKET.format(i='i')} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM tk, generate_series(0, 4) g(i)
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+      FROM tk GROUP BY term
+      ORDER BY exact_count DESC, term LIMIT 20
+    ),
+    coords AS (
+      SELECT t.term, t.exact_count, i AS row,
+             ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || t.term),
+                                1, 12))::BIGINT % 8192 AS bucket
+      FROM top t, generate_series(0, 4) g(i)
+    ),
+    est AS (
+      SELECT k.term, k.exact_count,
+             min(coalesce(c.cnt, 0)) AS cms_count
+      FROM coords k
+      LEFT JOIN cells c ON c.row = k.row AND c.bucket = k.bucket
+      GROUP BY k.term, k.exact_count
+    )
+    SELECT term, exact_count, CAST(cms_count AS BIGINT) AS cms_count,
+           CAST(cms_count - exact_count AS BIGINT) AS overcount
+    FROM est
+    """,
+)
+def cms_top_terms_q(spark, sf):
+    """Count-min-sketch heavy hitters (pipeline/sketch.py, Cormode &
+    Muthukrishnan 2005): corpus term frequencies summarized into a
+    5×8192-cell sketch — bounded state regardless of input size or key
+    cardinality, mergeable across shards by cell-wise addition, and
+    broadcastable against any later candidate set without rescanning the
+    corpus. Buckets are md5-derived (no seed state), so the oracle
+    replays the sketch cell-for-cell; the exact top-20 terms are carried
+    alongside to EXHIBIT the CMS guarantee (cms_count ≥ exact_count,
+    equality when width ≫ distinct) under the gate. Property test:
+    tests/test_sketch.py."""
+    from squirreling_spark.pipeline.sketch import cms_top_terms
+
+    return cms_top_terms(
+        qspread(t(spark, sf, "documents")), "text", k=20
+    ).orderBy(F.desc("exact_count"), "term")
+
+
+@query(
+    "dataset_shards",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+               ::BIGINT % 16 AS shard,
+             substring(md5('pos:' || CAST(doc_id AS VARCHAR)), 1, 12)
+               AS poskey
+      FROM documents
+    )
+    SELECT doc_id, source, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY poskey, doc_id) AS BIGINT) AS pos,
+           CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS shard_n_docs
+    FROM s
+    """,
+)
+def dataset_shards_q(spark, sf):
+    """Deterministic shuffle-shard export layout (pipeline/export.py):
+    every document's shard and intra-shard position under the
+    md5-derived pseudo-random shuffle that the physical writer
+    (write_shards: repartition + sortWithinPartitions + partitioned
+    write — one exchange, no global sort) would produce. Reproducible
+    across runs and engines, which is exactly what lets the oracle state
+    the full layout; uniformity of the md5 keys (no skewed writer task)
+    is pinned in tests/test_export.py."""
+    from squirreling_spark.pipeline.export import shard_assignments
+
+    return shard_assignments(
+        t(spark, sf, "documents").select("doc_id", "source"),
+        "doc_id",
+        n_shards=16,
+    ).orderBy("shard", "pos")

@@ -1,0 +1,92 @@
+"""Count-min sketch property tests (pipeline/sketch.py): the oracle gate
+proves the sketch is computed as specified; these pin the properties
+that make it a SKETCH — the one-sided error guarantee, bounded state,
+and linearity (shard merge by cell-wise addition)."""
+
+from pyspark.sql import functions as F
+
+from squirreling_spark.pipeline.sketch import (
+    cms_build,
+    cms_estimate,
+    cms_top_terms,
+)
+from squirreling_spark.pipeline.text import tokens
+from squirreling_spark.qutil import t
+
+SF = "/root/testdata/sf0.01"
+W, D = 8192, 5
+
+
+def _toks(spark):
+    return (
+        t(spark, SF, "documents")
+        .select(F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+
+
+def test_cms_never_undercounts(spark):
+    """The CMS guarantee is one-sided: estimate >= true count for EVERY
+    key (collisions only ever add). Checked over all distinct terms."""
+    toks = _toks(spark)
+    sketch = cms_build(toks, "term", width=W, depth=D)
+    exact = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    est = cms_estimate(exact, sketch, "term", width=W, depth=D)
+    assert (
+        est.filter(F.col("cms_count") < F.col("exact_count")).count() == 0
+    )
+
+
+def test_cms_state_is_bounded(spark):
+    """Sketch relation never exceeds depth x width cells and its total
+    mass equals the input size exactly (each of the D rows counts every
+    token once)."""
+    toks = _toks(spark)
+    n = toks.count()
+    sketch = cms_build(toks, "term", width=W, depth=D)
+    assert sketch.count() <= W * D
+    per_row = sketch.groupBy("row").agg(F.sum("cnt").alias("mass"))
+    rows = {r["row"]: r["mass"] for r in per_row.collect()}
+    assert set(rows) == set(range(D))
+    assert all(m == n for m in rows.values())
+
+
+def test_cms_merge_linearity(spark):
+    """sketch(A) + sketch(B), merged cell-wise, equals sketch(A u B) —
+    the property that lets shard/day sketches combine without
+    reprocessing history."""
+    toks = _toks(spark)
+    full = cms_build(toks, "term", width=W, depth=D)
+    # split deterministically: hash parity of the term
+    parity = F.expr(
+        "CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT) % 2"
+    )
+    sa = cms_build(toks.filter(parity == 0), "term", width=W, depth=D)
+    sb = cms_build(toks.filter(parity == 1), "term", width=W, depth=D)
+    merged = (
+        sa.unionAll(sb)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_cms_top_terms_overcount_small_when_wide(spark):
+    """With width >> distinct terms, collisions among heavy hitters are
+    rare: the top-20 overcount should be a tiny fraction of the exact
+    count (regression guard against a broken bucket hash degrading every
+    estimate to the table total)."""
+    out = cms_top_terms(
+        t(spark, SF, "documents"), "text", k=20, width=W, depth=D
+    ).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["overcount"] >= 0
+        assert r["cms_count"] <= 2 * r["exact_count"], (
+            r["term"],
+            r["cms_count"],
+            r["exact_count"],
+        )
