@@ -22,8 +22,15 @@ inventory.load_all()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return inventory.QUERIES["hash_agg_q1"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the end-to-end training-data pipeline (quality gate →
+    exact dedup → reproducible shard layout) — the composition this
+    engine exists to run; the TPC-H shapes and operator inventory back it
+    in queries()."""
+    return inventory.QUERIES["corpus_pipeline"](
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -76,6 +76,8 @@ HEADLINE = [
     "image_pixel_decode",
     "cms_top_terms",
     "dataset_shards",
+    "temperature_mix",
+    "corpus_pipeline",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -65,6 +65,8 @@ QUERIES = [
     "image_pixel_decode",
     "cms_top_terms",
     "dataset_shards",
+    "temperature_mix",
+    "corpus_pipeline",
     "q8_market_share",
     "q21_waiting_supplier",
 ]

@@ -406,3 +406,90 @@ def boilerplate_stats(
             "boiler_frac"
         ),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    target_frac_pct: int = 30,
+    n_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-flattened source mixing at alpha = 0.5 — the
+    multilingual/multi-domain rebalancing step (T5's examples-proportional
+    mixing, XLM-R's alpha-smoothing): sample source s with probability
+    proportional to p_s^alpha instead of p_s, so giant sources stop
+    drowning small ones while tiny ones aren't uniformly inflated.
+
+    alpha = 0.5 makes the weight sqrt(n_s) — IEEE sqrt is
+    correctly-rounded in every engine, so quantizing it to ppm
+    (floor(sqrt(n_s)*1e6 + 0.5), an INTEGER) is bit-portable, and the
+    keep decision becomes a pure integer cross-multiplication:
+
+        keep  iff  bucket · denom < numer,
+        numer = target_frac_pct · N · w_ppm · n_buckets,
+        denom = 100 · Σw_ppm · n_s
+
+    — no float ever compared, so the sample is identical across engines,
+    partitionings, and runs (generic alpha would need pow(), whose last
+    ulp differs between libms; that variant belongs behind det_round).
+    The md5 bucket is salted per-op and keyed on the id alone, so a kept
+    document stays kept when the corpus grows (incremental re-runs).
+
+    Scale shape: one tiny groupBy for the per-source counts (map-side
+    combined, |sources| rows), broadcast back, then a row-local filter —
+    the corpus itself is touched in ONE streaming pass with no shuffle.
+    Arithmetic stays in decimal(38,0) (Spark) / HUGEINT (DuckDB), exact
+    up to corpus sizes far beyond 100 TB row counts.
+
+    Returns kept rows: (id, stratum, n_source, w_ppm, bucket)."""
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_source")
+    )
+    w_ppm = F.floor(
+        F.sqrt(F.col("n_source")) * 1_000_000 + F.lit(0.5)
+    ).cast("bigint")
+    weighted = counts.select(
+        strata_col, "n_source", w_ppm.alias("w_ppm")
+    )
+    totals = weighted.agg(
+        F.sum("w_ppm").cast("bigint").alias("wsum_ppm"),
+        F.sum("n_source").cast("bigint").alias("n_total"),
+    )
+    rates = weighted.crossJoin(F.broadcast(totals))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("temp:"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n_buckets
+    )
+    dec = "decimal(38,0)"
+    numer = (
+        F.lit(target_frac_pct).cast(dec)
+        * F.col("n_total").cast(dec)
+        * F.col("w_ppm").cast(dec)
+        * F.lit(n_buckets).cast(dec)
+    )
+    denom = (
+        F.lit(100).cast(dec)
+        * F.col("wsum_ppm").cast(dec)
+        * F.col("n_source").cast(dec)
+    )
+    return (
+        spread(df)
+        .select(F.col(id_col), F.col(strata_col))
+        .join(F.broadcast(rates), strata_col)
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket").cast(dec) * denom < numer)
+        .select(id_col, strata_col, "n_source", "w_ppm", "bucket")
+    )

@@ -77,3 +77,45 @@ def write_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def curate_and_shard(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_shards: int = 8,
+) -> DataFrame:
+    """The end-to-end curation pipeline as ONE lazy DataFrame graph —
+    quality gate → exact dedup → reproducible shard layout — the
+    composition a training-data run actually executes, expressed so
+    Catalyst plans it globally (the classifier's row-local fold fuses
+    into the scan; only the dedup groupBy and the shard exchange move
+    data):
+
+      1. hashed-linear quality score (pipeline/classify.py), keep
+         logit > 0 — row-local, no shuffle;
+      2. exact dedup on the normalized fingerprint: one map-combined
+         groupBy picks min-id representatives, a semi-join keeps them —
+         the only corpus-keyed shuffle besides the final exchange;
+      3. deterministic shuffle-shard layout (shard_assignments).
+
+    Returns (id, stratum cols…, logit, shard, pos, shard_n_docs) for the
+    surviving documents."""
+    from squirreling_spark.pipeline.classify import linear_quality_score
+    from squirreling_spark.pipeline.dedup import normalized_fingerprint
+
+    scored = linear_quality_score(df, text_col, id_col)
+    kept = (
+        df.join(
+            scored.filter(F.col("keep")).select(id_col, "logit"), id_col
+        )
+        .select(
+            id_col,
+            *[c for c in df.columns if c not in (id_col, text_col)],
+            "logit",
+            normalized_fingerprint(text_col).alias("__fp"),
+        )
+    )
+    reps = kept.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    survivors = kept.join(reps, ["__fp", id_col], "left_semi").drop("__fp")
+    return shard_assignments(survivors, id_col, n_shards=n_shards)

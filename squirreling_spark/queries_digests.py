@@ -439,6 +439,11 @@ def knn_digest(spark, sf):
 
 _CLEAN_CK = {
     "dedup_segments": "doc_id + n_segments * 7 + n_dropped * 31",
+    # round 4: the end-to-end curate->dedup->shard composite
+    "corpus_pipeline": (
+        "doc_id * 19 + shard * 5 + pos * 3 + shard_n_docs"
+        " + CAST(floor(logit * 1000000) AS BIGINT)"
+    ),
     "text_repetition": (
         "doc_id + n_bigrams + top_bigram_count * 3"
         " + CAST(floor(dup_bigram_frac * 1000000) AS BIGINT)"
@@ -716,6 +721,10 @@ _MIX_CK = {
     # round 4: deterministic shuffle-shard export layout
     "dataset_shards": (
         "doc_id * 31 + shard * 7 + pos * 3 + shard_n_docs"
+    ),
+    # round 4: alpha=0.5 temperature mixing (integer-exact keep decision)
+    "temperature_mix": (
+        "doc_id * 17 + n_source + w_ppm + bucket * 3"
     ),
 }
 

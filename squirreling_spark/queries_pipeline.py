@@ -2021,3 +2021,109 @@ def dataset_shards_q(spark, sf):
         "doc_id",
         n_shards=16,
     ).orderBy("shard", "pos")
+
+
+@query(
+    "temperature_mix",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_source
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_source,
+             CAST(floor(sqrt(n_source) * 1000000 + 0.5) AS BIGINT) AS w_ppm
+      FROM c
+    ),
+    tot AS (
+      SELECT CAST(sum(w_ppm) AS BIGINT) AS wsum_ppm,
+             CAST(sum(n_source) AS BIGINT) AS n_total
+      FROM w
+    )
+    SELECT d.doc_id, d.source, w.n_source, w.w_ppm,
+           ('0x' || substring(md5('temp:' || CAST(d.doc_id AS VARCHAR)),
+                              1, 12))::BIGINT % 1000000 AS bucket
+    FROM documents d
+    JOIN w USING (source), tot
+    WHERE (('0x' || substring(md5('temp:' || CAST(d.doc_id AS VARCHAR)),
+                              1, 12))::BIGINT % 1000000)::HUGEINT
+          * 100::HUGEINT * tot.wsum_ppm::HUGEINT * w.n_source::HUGEINT
+        < 30::HUGEINT * tot.n_total::HUGEINT * w.w_ppm::HUGEINT
+          * 1000000::HUGEINT
+    """,
+)
+def temperature_mix_q(spark, sf):
+    """Temperature-flattened source mixing at alpha=0.5
+    (pipeline/corpus.py::temperature_mix — T5/XLM-R style rebalancing):
+    per-source weight sqrt(n_s) quantized to ppm (IEEE sqrt is
+    correctly-rounded, so the quantized weight is an engine-portable
+    INTEGER), then the keep decision is a pure integer
+    cross-multiplication in decimal(38,0)/HUGEINT — no float is ever
+    compared, so the sample replays exactly. One tiny per-source
+    aggregate broadcast back over a single row-local corpus pass."""
+    from squirreling_spark.pipeline.corpus import temperature_mix
+
+    return temperature_mix(
+        t(spark, sf, "documents"), "doc_id", "source", target_frac_pct=30
+    ).orderBy("doc_id")
+
+
+@query(
+    "corpus_pipeline",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_D_CLS_TOKS}) AS x FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST({_D_CLS_W.format(b=_D_CLS_BUCKET)}
+                           AS DECIMAL(38,25))) AS DOUBLE) AS wsum
+      FROM tk GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, d.source,
+             round(0.05 + CASE WHEN coalesce(n_tokens, 0) > 0
+                               THEN wsum / n_tokens ELSE 0.0 END, 6) AS logit,
+             md5({_D_NORM}) AS fp
+      FROM documents d LEFT JOIN per_doc USING (doc_id)
+    ),
+    kept AS (SELECT * FROM scored WHERE logit > 0.0),
+    reps AS (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp),
+    surv AS (
+      SELECT k.doc_id, k.source, k.logit
+      FROM kept k JOIN reps USING (fp, doc_id)
+    ),
+    laid AS (
+      SELECT doc_id, source, logit,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+               ::BIGINT % 8 AS shard,
+             substring(md5('pos:' || CAST(doc_id AS VARCHAR)), 1, 12)
+               AS poskey
+      FROM surv
+    )
+    SELECT doc_id, source, logit, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY poskey, doc_id) AS BIGINT) AS pos,
+           CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS shard_n_docs
+    FROM laid
+    """,
+)
+def corpus_pipeline_q(spark, sf):
+    """The END-TO-END curation pipeline as one lazy DataFrame graph
+    (pipeline/export.py::curate_and_shard): hashed-linear quality gate
+    (row-local fold, keep logit > 0) → exact dedup on the normalized
+    fingerprint (map-combined min-id groupBy + semi-join) → deterministic
+    shuffle-shard layout. This is the composition a training-data run
+    actually executes; Catalyst plans it globally, so the classifier
+    fuses into the scan and only the dedup groupBy and the shard
+    exchange move data. The oracle chains the classifier, dedup, and
+    layout replays already proven individually."""
+    from squirreling_spark.pipeline.export import curate_and_shard
+
+    return curate_and_shard(
+        qspread(t(spark, sf, "documents").select("doc_id", "source", "text")),
+        "text",
+        "doc_id",
+        n_shards=8,
+    ).orderBy("shard", "pos")

