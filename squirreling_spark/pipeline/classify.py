@@ -71,8 +71,9 @@ def linear_quality_score(
     threshold: float = 0.0,
     weights: DataFrame | None = None,
     round_digits: int = 6,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, n_tokens, logit, keep) per document.
+    """(id, *extra_cols, n_tokens, logit, keep) per document.
 
     logit = bias + mean over tokens of w[bucket(token)]; ``keep`` is the
     decision at ``threshold``. The logit (not a sigmoid probability) is
@@ -80,29 +81,21 @@ def linear_quality_score(
     decision, and avoiding `exp` keeps the value bit-identical across
     engines (exp differs in the last ulp between libm implementations).
     Empty documents get logit = bias (no token evidence).
+
+    ``extra_cols`` ride along through the scoring (row-local in the
+    hash-weights path, F.first through the broadcast path's groupBy), so
+    a downstream consumer never has to join the corpus back against its
+    own scores — the join would cost two corpus shuffles at scale.
     """
-    # Weights are 24-bit rationals (k/2^23 - 1), exactly representable at
-    # decimal scale 25 — accumulating in decimal makes the sum identical
-    # under ANY partition layout / fold order AND across engines, so both
-    # paths (and the DuckDB oracle) agree bit-for-bit.
-    _DEC = "DECIMAL(38,25)"
-    toks = _TOKS.format(col=text_col)
     if weights is None:
-        bucket = _BUCKET.format(n=n_buckets)
-        w_sum = (
-            f"CAST(aggregate(transform({toks},"
-            f" x -> CAST({_W_OF_BUCKET.format(b=bucket)} AS {_DEC})),"
-            f" CAST(0 AS {_DEC}),"
-            f" (acc, v) -> CAST(acc + v AS {_DEC})) AS DOUBLE)"
-        )
-        scored = df.select(
-            F.col(id_col),
-            F.expr(f"size({toks})").cast("bigint").alias("n_tokens"),
-            F.expr(w_sum).alias("__wsum"),
+        scored = score_parts(
+            df, text_col, id_col, n_buckets, extra_cols=extra_cols
         )
     else:
+        _DEC = "DECIMAL(38,25)"
         exploded = df.select(
             F.col(id_col),
+            *(extra_cols or []),
             F.explode_outer(token_buckets(text_col, n_buckets)).alias(
                 "bucket"
             ),
@@ -116,17 +109,64 @@ def linear_quality_score(
                     F.sum(F.col("weight").cast(_DEC)).cast("double"),
                     F.lit(0.0),
                 ).alias("__wsum"),
+                *[F.first(c).alias(c) for c in extra_cols or []],
             )
         )
-    logit = F.round(
+    logit = logit_from_parts(bias, round_digits)
+    return scored.select(
+        id_col,
+        *(extra_cols or []),
+        "n_tokens",
+        logit.alias("logit"),
+        (logit > threshold).alias("keep"),
+    )
+
+
+def score_parts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 1 << 20,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, *extra_cols, n_tokens, __wsum): the expensive per-token work
+    of the hash-weights path, WITHOUT the final logit/keep projection.
+
+    Split out so pipelines can stage it: the token fold is a
+    higher-order-function expression (interpreted, not codegen), and
+    Catalyst's predicate pushdown re-inlines a derived ``keep`` filter
+    below the projection — evaluating the fold twice per row. Computing
+    parts first, carrying (n_tokens, __wsum) through whatever exchange
+    the pipeline already has, and deriving logit/keep AFTER it keeps the
+    fold at exactly one evaluation per row (pipeline/export.py's
+    curate_and_shard: measured 10.0s → ~4s at replicated-sf1 dedup).
+
+    Weights are 24-bit rationals (k/2^23 - 1), exactly representable at
+    decimal scale 25 — accumulating in decimal makes the sum identical
+    under ANY partition layout / fold order AND across engines, so both
+    paths (and the DuckDB oracle) agree bit-for-bit."""
+    _DEC = "DECIMAL(38,25)"
+    toks = _TOKS.format(col=text_col)
+    bucket = _BUCKET.format(n=n_buckets)
+    w_sum = (
+        f"CAST(aggregate(transform({toks},"
+        f" x -> CAST({_W_OF_BUCKET.format(b=bucket)} AS {_DEC})),"
+        f" CAST(0 AS {_DEC}),"
+        f" (acc, v) -> CAST(acc + v AS {_DEC})) AS DOUBLE)"
+    )
+    return df.select(
+        F.col(id_col),
+        *(extra_cols or []),
+        F.expr(f"size({toks})").cast("bigint").alias("n_tokens"),
+        F.expr(w_sum).alias("__wsum"),
+    )
+
+
+def logit_from_parts(bias: float = 0.05, round_digits: int = 6) -> F.Column:
+    """The cheap second stage over (n_tokens, __wsum) columns."""
+    return F.round(
         F.lit(bias)
         + F.when(F.col("n_tokens") > 0, F.col("__wsum") / F.col("n_tokens"))
         .otherwise(F.lit(0.0)),
         round_digits,
-    )
-    return scored.select(
-        id_col,
-        "n_tokens",
-        logit.alias("logit"),
-        (logit > threshold).alias("keep"),
     )

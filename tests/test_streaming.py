@@ -131,3 +131,48 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
         (r["key"], r["l_event_id"], r["r_event_id"]) for r in out.collect()
     }
     assert got == expected
+
+
+def test_streaming_cms_matches_batch(spark, tmp_path_factory):
+    """Count-min sketch over a STREAM (pipeline/sketch.py): cms_build is
+    a plain groupBy-count, so it runs unmodified under Structured
+    Streaming with state bounded by depth x width cells — the reason a
+    sketch (not an exact distinct-key count) is the right heavy-hitter
+    primitive for unbounded streams. availableNow drain must equal the
+    batch sketch cell-for-cell."""
+    from squirreling_spark.pipeline.sketch import cms_build
+    from squirreling_spark.pipeline.text import tokens
+    from squirreling_spark.qutil import t
+
+    path = str(tmp_path_factory.mktemp("docs_stream") / "docs")
+    docs = t(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    docs.write.mode("overwrite").parquet(path)
+    batch = spark.read.parquet(path)
+
+    def toks(df):
+        return df.select(F.explode(tokens("text")).alias("term")).filter(
+            F.col("term") != ""
+        )
+
+    expected = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(toks(batch), "term", width=1024, depth=3).collect()
+    }
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    q = (
+        cms_build(toks(stream), "term", width=1024, depth=3)
+        .writeStream.format("memory")
+        .queryName("cms_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), q.exception()
+    got = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM cms_sink").collect()
+    }
+    assert got == expected
+    assert len(got) <= 3 * 1024  # bounded state
