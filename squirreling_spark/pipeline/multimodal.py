@@ -4,10 +4,11 @@ columns with typed metadata structs.
 The Spark-side plumbing — schemas, Arrow batch shapes, partition sizing —
 is real and tested, and so are the codecs this container can support
 without external libraries: header parsing for BMP/PNG/JPEG/GIF/WAV is
-pure JVM expressions (below), and PIXEL decoding is real for BMP (numpy)
-and PNG (stdlib zlib inflate + scanline unfiltering). Only formats that
-require an entropy/DCT codec library (JPEG, GIF's LZW) fall back to a
-clearly-labeled deterministic fake in ``_decode_bytes`` — swap that
+pure JVM expressions (below), and PIXEL decoding is real for BMP (numpy),
+PNG (stdlib zlib inflate + scanline unfiltering), and GIF (pure-Python
+variable-width LZW + palette mapping, interlace included). Only JPEG —
+whose entropy/DCT codec genuinely needs a library — falls back to a
+clearly-labeled deterministic fake in ``_decode_bytes``; swap that
 branch for a PIL/ffmpeg call in production.
 
 Scale notes:
@@ -193,13 +194,139 @@ def _decode_png_pixels(payload: bytes) -> dict:
     return _rgb_result("png", pixels[..., :3])
 
 
+def _gif_lzw_decode(data: bytes, mcs: int, npix: int) -> "np.ndarray":
+    """GIF-variant LZW (GIF89a spec appendix F): variable code width
+    starting at mcs+1 (max 12 bits), LSB-first bit packing, CLEAR resets
+    the table, END terminates. Pure Python over the concatenated
+    sub-block bytes — the stream for one frame is small and decode is
+    inherently sequential (each code extends the table)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    stream = int.from_bytes(data, "little")
+    total_bits = len(data) * 8
+    bitpos = 0
+    table: list[tuple] = []
+    code_size = mcs + 1
+    prev: tuple | None = None
+    out: list[int] = []
+
+    def reset():
+        nonlocal table, code_size, prev
+        table = [(i,) for i in range(clear)] + [(), ()]  # clear/end stubs
+        code_size = mcs + 1
+        prev = None
+
+    reset()
+    while len(out) < npix:
+        if bitpos + code_size > total_bits:
+            break  # truncated stream: return what decoded
+        code = (stream >> bitpos) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:  # table freezes at 12 bits (spec)
+                table.append(prev + (entry[0],))
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        out.extend(entry)
+        prev = entry
+    return np.asarray(out[:npix], dtype=np.uint8)
+
+
+def _deinterlace(idx: "np.ndarray", h: int) -> "np.ndarray":
+    """GIF 4-pass interlace → sequential row order."""
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    out = np.empty_like(idx)
+    out[np.asarray(order)] = idx
+    return out
+
+
+def _decode_gif_pixels(payload: bytes) -> dict:
+    """REAL GIF decode, pure Python + numpy: header + color tables walked
+    byte-for-byte, the first image frame's LZW stream decoded (variable
+    code width, CLEAR/END, interlace supported), indices mapped through
+    the active palette to RGB. Animated GIFs summarize their first
+    frame."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            payload, np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            ipacked = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:  # local color table
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(
+                    payload, np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(data), mcs, w * h)
+            if len(idx) < w * h:  # pad truncated streams with bg 0
+                idx = np.concatenate(
+                    [idx, np.zeros(w * h - len(idx), np.uint8)]
+                )
+            idx = idx.reshape(h, w)
+            if ipacked & 0x40:
+                idx = _deinterlace(idx, h)
+            rgb = pal[np.minimum(idx, len(pal) - 1)]
+            return _rgb_result("gif", rgb)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF has no image frame")
+
+
 def _decode_bytes(payload: bytes) -> dict:
-    """Image codec dispatch: REAL decoders for BMP (numpy) and PNG
-    (stdlib zlib + numpy); formats that require an entropy/DCT codec
-    library (JPEG, GIF/LZW — not in this container) fall back to a
-    clearly-labeled deterministic FAKE so pipelines stay runnable
-    end-to-end. Production: route the fallback through PIL/ffmpeg; the
-    contract (bytes → decoded-summary dict) is unchanged."""
+    """Image codec dispatch: REAL decoders for BMP (numpy), PNG (stdlib
+    zlib + numpy), and GIF (pure-Python LZW + numpy palette mapping);
+    JPEG — the one format whose entropy/DCT codec genuinely needs a
+    library not in this container — falls back to a clearly-labeled
+    deterministic FAKE so pipelines stay runnable end-to-end.
+    Production: route the fallback through PIL/ffmpeg; the contract
+    (bytes → decoded-summary dict) is unchanged."""
     if payload is None:
         return dict(_NULL_DECODE)
     try:
@@ -207,6 +334,8 @@ def _decode_bytes(payload: bytes) -> dict:
             return _decode_bmp_pixels(payload)
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             return _decode_png_pixels(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return _decode_gif_pixels(payload)
     except Exception:  # malformed/unsupported subformat → labeled fake
         pass
     h = hashlib.sha256(payload).hexdigest()

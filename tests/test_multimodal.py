@@ -337,3 +337,126 @@ def test_jpeg_falls_back_to_labeled_fake(spark):
     row = decode_image(df).collect()[0]
     assert row["decoder"] == "fake"       # honest label
     assert row["mean_r"] is None          # no fabricated pixel stats
+
+
+def _gif_lzw_encode(indices, mcs):
+    """Reference LZW encoder (variable width, LSB-first) mirroring the
+    decoder's table timeline: width bumps when next_code == 2^size + 1,
+    table frozen at 4096."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = bitpos = 0
+
+    def emit(code, size):
+        nonlocal acc, bitpos
+        acc |= code << bitpos
+        bitpos += size
+        while bitpos >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bitpos -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    size = mcs + 1
+    emit(clear, size)
+    buf = (indices[0],)
+    for p in indices[1:]:
+        cand = buf + (p,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], size)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << size) + 1 and size < 12:
+                size += 1
+        buf = (p,)
+    emit(table[buf], size)
+    emit(end, size)
+    if bitpos:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_PAL = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (17, 34, 51)]
+
+
+def _gif_bytes(index_rows, interlace=False):
+    """Encode rows of palette indices as a real GIF89a (4-color global
+    table, mcs=2, genuine LZW with table growth)."""
+    import struct
+
+    h, w = len(index_rows), len(index_rows[0])
+    rows = list(index_rows)
+    if interlace:
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+        rows = [index_rows[y] for y in order]
+    flat = [p for r in rows for p in r]
+    data = _gif_lzw_encode(flat, 2)
+    blocks = b""
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([0x81, 0, 0])
+        + b"".join(bytes(c) for c in _GIF_PAL)
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        + bytes([0x40 if interlace else 0])
+        + bytes([2])
+        + blocks
+        + b"\x00\x3b"
+    )
+
+
+def test_real_gif_pixel_decode(spark):
+    """Genuine LZW stream (table growth through two width bumps) must
+    reconstruct the exact indices → palette RGB means."""
+    import random
+
+    rng = random.Random(11)
+    idx = [[rng.randrange(4) for _ in range(16)] for _ in range(8)]
+    df = spark.createDataFrame(
+        [("g1", _gif_bytes(idx))], "media_id string, payload binary"
+    )
+    row = decode_image(df).collect()[0]
+    assert row["decoder"] == "gif"
+    assert (row["width"], row["height"]) == (16, 8)
+    import pytest
+
+    flat = [p for r in idx for p in r]
+    for ch, name in [(0, "mean_r"), (1, "mean_g"), (2, "mean_b")]:
+        want = sum(_GIF_PAL[p][ch] for p in flat) / len(flat)
+        assert row[name] == pytest.approx(want), name
+
+
+def test_gif_interlaced_decode(spark):
+    idx = [[(x + y) % 4 for x in range(5)] for y in range(9)]
+    df = spark.createDataFrame(
+        [("gi", _gif_bytes(idx, interlace=True)),
+         ("gs", _gif_bytes(idx, interlace=False))],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_image(df).collect()}
+    assert rows["gi"]["decoder"] == rows["gs"]["decoder"] == "gif"
+    # interlaced and sequential encodings of the same image → same pixels
+    assert rows["gi"]["checksum"] == rows["gs"]["checksum"]
+
+
+def test_gif_bmp_same_image_same_checksum(spark):
+    """Cross-format canonical-checksum equality now covers GIF too."""
+    idx = [[(x * y) % 4 for x in range(6)] for y in range(4)]
+    px = [[_GIF_PAL[p] for p in r] for r in idx]
+    df = spark.createDataFrame(
+        [("as_gif", _gif_bytes(idx)), ("as_bmp", _bmp24(px))],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_image(df).collect()}
+    assert rows["as_gif"]["decoder"] == "gif"
+    assert rows["as_bmp"]["decoder"] == "bmp"
+    assert rows["as_gif"]["checksum"] == rows["as_bmp"]["checksum"]
+    assert rows["as_gif"]["checksum"] is not None
