@@ -2,12 +2,14 @@
 columns with typed metadata structs.
 
 The Spark-side plumbing — schemas, Arrow batch shapes, partition sizing —
-is real and tested, and so are the codecs this container can support
-without external libraries: header parsing for BMP/PNG/JPEG/GIF/WAV is
-pure JVM expressions (below), and PIXEL decoding is real for BMP (numpy),
-PNG (stdlib zlib inflate + scanline unfiltering), and GIF (pure-Python
-variable-width LZW + palette mapping, interlace included). Only JPEG —
-whose entropy/DCT codec genuinely needs a library — falls back to a
+is real and tested, and so are the codecs, all implemented here without
+external libraries: header parsing for BMP/PNG/JPEG/GIF/WAV is pure JVM
+expressions (below), and PIXEL decoding is real for BMP (numpy), PNG
+(stdlib zlib inflate + scanline unfiltering), GIF (pure-Python
+variable-width LZW + palette mapping, interlace included), and baseline
+JPEG (canonical huffman entropy decode + dequant + float IDCT + JFIF
+color transform). Streams outside the supported subsets (progressive/
+subsampled/restart JPEG, paletted PNG, RLE BMP) fall back to a
 clearly-labeled deterministic fake in ``_decode_bytes``; swap that
 branch for a PIL/ffmpeg call in production.
 
@@ -319,14 +321,220 @@ def _decode_gif_pixels(payload: bytes) -> dict:
     raise ValueError("GIF has no image frame")
 
 
+# --- baseline JPEG decode (ITU T.81, numpy only) ---------------------------
+# Supported subset: 8-bit baseline sequential DCT (SOF0), 1x1 sampling
+# (no chroma subsampling), no restart intervals — greyscale or YCbCr.
+# Progressive/subsampled/restart streams raise and fall to the labeled
+# fake (they're valid JPEG; this decoder just doesn't cover them yet).
+
+_JPEG_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+
+def _jpeg_dct_mat() -> "np.ndarray":
+    n = np.arange(8)
+    c = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    m = c * np.sqrt(2 / 8)
+    m[0] *= 1 / np.sqrt(2)
+    return m  # inverse: M.T @ coef @ M
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded data with FF00 byte
+    stuffing removal; any other FFxx marker inside the scan aborts."""
+
+    def __init__(self, data: bytes):
+        self.data, self.pos, self.acc, self.n = data, 0, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG bitstream exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = (
+                    self.data[self.pos] if self.pos < len(self.data) else 0
+                )
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError(f"marker FF{nxt:02X} inside scan")
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff_table(bits: list, vals: list) -> dict:
+    """Canonical (length, code) -> value map (T.81 C.2)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_huff_read(br: "_JpegBits", tree: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bit()
+        if (ln, code) in tree:
+            return tree[(ln, code)]
+    raise ValueError("bad JPEG huffman code")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map magnitude bits to a signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_jpeg_pixels(payload: bytes) -> dict:
+    """REAL baseline JPEG decode, numpy only: marker walk (DQT/SOF0/DHT/
+    SOS), canonical huffman entropy decode with DC prediction and AC
+    run-length, dequantize, inverse zigzag, float IDCT, level shift,
+    JFIF YCbCr→RGB."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos, qt, huff_dc, huff_ac = 2, {}, {}, {}
+    comps = h = w = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker byte at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant table")
+                tbl = np.zeros(64)
+                tbl[_JPEG_ZIGZAG] = np.frombuffer(
+                    body[i + 1 : i + 65], np.uint8
+                )
+                qt[tq] = tbl
+                i += 65
+        elif marker == 0xC0:  # baseline SOF
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            comps = []
+            for c in range(body[5]):
+                _cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError("chroma subsampling unsupported")
+                comps.append(tq)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline SOF")
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                (huff_dc if cls == 0 else huff_ac)[tid] = _jpeg_huff_table(
+                    bits, vals
+                )
+                i += 17 + nv
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            scomps = [
+                (body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
+                for c in range(body[0])
+            ]
+            return _jpeg_scan_decode(
+                payload, pos + 2 + ln, h, w, comps, scomps, qt,
+                huff_dc, huff_ac,
+            )
+        pos += 2 + ln
+    raise ValueError("JPEG has no scan")
+
+
+def _jpeg_scan_decode(
+    payload, start, h, w, comps, scomps, qt, huff_dc, huff_ac
+) -> dict:
+    if not comps or h is None:
+        raise ValueError("scan before SOF")
+    end = payload.rfind(b"\xff\xd9")
+    br = _JpegBits(payload[start : end if end > start else len(payload)])
+    m = _jpeg_dct_mat()
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
+    preds = [0] * len(comps)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, tq in enumerate(comps):
+                dct_id, act_id = scomps[ci]
+                zz = np.zeros(64)
+                size = _jpeg_huff_read(br, huff_dc[dct_id])
+                preds[ci] += _jpeg_extend(br.bits(size), size)
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = _jpeg_huff_read(br, huff_ac[act_id])
+                    if rs == 0x00:  # end of block
+                        break
+                    if rs == 0xF0:  # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("AC run overflow")
+                    zz[k] = _jpeg_extend(br.bits(rs & 0x0F), rs & 0x0F)
+                    k += 1
+                coef = np.zeros(64)
+                coef[_JPEG_ZIGZAG] = zz * qt[tq][_JPEG_ZIGZAG]
+                blk = m.T @ coef.reshape(8, 8) @ m + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+    planes = [p[:h, :w] for p in planes]
+    if len(planes) == 1:
+        y = planes[0]
+        rgb = np.stack([y, y, y], axis=-1)
+    elif len(planes) == 3:
+        y, cb, cr = planes
+        rgb = np.stack(
+            [
+                y + 1.402 * (cr - 128),
+                y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+                y + 1.772 * (cb - 128),
+            ],
+            axis=-1,
+        )
+    else:
+        raise ValueError(f"unsupported component count {len(planes)}")
+    return _rgb_result(
+        "jpeg", np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    )
+
+
 def _decode_bytes(payload: bytes) -> dict:
     """Image codec dispatch: REAL decoders for BMP (numpy), PNG (stdlib
-    zlib + numpy), and GIF (pure-Python LZW + numpy palette mapping);
-    JPEG — the one format whose entropy/DCT codec genuinely needs a
-    library not in this container — falls back to a clearly-labeled
-    deterministic FAKE so pipelines stay runnable end-to-end.
-    Production: route the fallback through PIL/ffmpeg; the contract
-    (bytes → decoded-summary dict) is unchanged."""
+    zlib + numpy), GIF (pure-Python LZW + numpy palette mapping), and
+    baseline JPEG (canonical huffman + IDCT, numpy). Streams outside the
+    supported subsets (progressive/subsampled/restart JPEG, paletted
+    PNG, RLE BMP) fall back to a clearly-labeled deterministic FAKE so
+    pipelines stay runnable end-to-end — route that branch through
+    PIL/ffmpeg in production; the contract (bytes → decoded-summary
+    dict) is unchanged."""
     if payload is None:
         return dict(_NULL_DECODE)
     try:
@@ -336,6 +544,8 @@ def _decode_bytes(payload: bytes) -> dict:
             return _decode_png_pixels(payload)
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return _decode_gif_pixels(payload)
+        if payload[:2] == b"\xff\xd8":
+            return _decode_jpeg_pixels(payload)
     except Exception:  # malformed/unsupported subformat → labeled fake
         pass
     h = hashlib.sha256(payload).hexdigest()

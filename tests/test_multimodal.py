@@ -460,3 +460,218 @@ def test_gif_bmp_same_image_same_checksum(spark):
     assert rows["as_bmp"]["decoder"] == "bmp"
     assert rows["as_gif"]["checksum"] == rows["as_bmp"]["checksum"]
     assert rows["as_gif"]["checksum"] is not None
+
+
+# --- baseline JPEG round trip ----------------------------------------------
+
+def _jpeg_bytes_real(rgb_rows):
+    """Reference baseline JPEG ENCODER (Annex K tables, canonical
+    huffman, FDCT) — independent of the decoder under test."""
+    import numpy as np
+    from squirreling_spark.pipeline.multimodal import (
+        _JPEG_ZIGZAG as ZZ,
+        _jpeg_dct_mat,
+    )
+
+    QL = np.array([
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99])
+    QC = np.array([
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99]
+        + [99] * 32)
+    DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+    DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+    AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+    AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+    def codes(bits, vals):
+        out, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[vals[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    M = _jpeg_dct_mat()
+    rgb = np.asarray(rgb_rows, dtype=np.float64)
+    h, w = rgb.shape[:2]
+    assert h % 8 == 0 and w % 8 == 0
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    planes = [
+        np.clip(p, 0, 255)
+        for p in (
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128,
+        )
+    ]
+    tabs = [(QL, codes(*DC_L), codes(*AC_L)),
+            (QC, codes(*DC_C), codes(*AC_C)),
+            (QC, codes(*DC_C), codes(*AC_C))]
+    buf, acc, nbits = bytearray(), 0, 0
+
+    def emit(code, length):
+        nonlocal acc, nbits
+        for i in range(length - 1, -1, -1):
+            acc = (acc << 1) | ((code >> i) & 1)
+            nbits += 1
+            if nbits == 8:
+                buf.append(acc)
+                if acc == 0xFF:
+                    buf.append(0x00)
+                acc, nbits = 0, 0
+
+    def mag(v):
+        v = int(v)
+        if v == 0:
+            return 0, 0
+        size = int(abs(v)).bit_length()
+        return size, v if v > 0 else v + (1 << size) - 1
+
+    preds = [0, 0, 0]
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            for ci, plane in enumerate(planes):
+                q, dct, act = tabs[ci]
+                coef = M @ (plane[by:by + 8, bx:bx + 8] - 128.0) @ M.T
+                zz = np.round(coef.flatten()[ZZ] / q[ZZ]).astype(int)
+                size, bits = mag(zz[0] - preds[ci])
+                preds[ci] = int(zz[0])
+                c, ln = dct[size]
+                emit(c, ln)
+                if size:
+                    emit(bits, size)
+                nz = [i for i in range(1, 64) if zz[i]]
+                last = nz[-1] if nz else 0
+                run = 0
+                for i in range(1, last + 1):
+                    if zz[i] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = act[0xF0]
+                        emit(c, ln)
+                        run -= 16
+                    size, bits = mag(zz[i])
+                    c, ln = act[(run << 4) | size]
+                    emit(c, ln)
+                    emit(bits, size)
+                    run = 0
+                if last < 63:
+                    c, ln = act[0x00]
+                    emit(c, ln)
+    while nbits:
+        emit(1, 1)
+    scan = bytes(buf)
+
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dht(cls, tid, bits, vals):
+        return seg(0xC4, bytes([cls << 4 | tid] + bits + list(vals)))
+
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, bytes([0]) + bytes(QL[ZZ].astype(np.uint8)))
+        + seg(0xDB, bytes([1]) + bytes(QC[ZZ].astype(np.uint8)))
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", h, w)
+              + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+        + dht(0, 0, *DC_L) + dht(1, 0, *AC_L)
+        + dht(0, 1, *DC_C) + dht(1, 1, *AC_C)
+        + seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        + scan + b"\xff\xd9"
+    )
+
+
+def test_real_jpeg_flat_roundtrip(spark):
+    """A flat block is DC-only: decode must land within quantization
+    error of the source color (Annex-K DC steps are 16/17)."""
+    import numpy as np
+
+    src = np.full((8, 8, 3), 0, np.uint8)
+    src[..., 0], src[..., 1], src[..., 2] = 180, 100, 40
+    df = spark.createDataFrame(
+        [("jf", bytearray(_jpeg_bytes_real(src)))],
+        "media_id string, payload binary",
+    )
+    row = decode_image(df).collect()[0]
+    assert row["decoder"] == "jpeg"
+    assert (row["width"], row["height"]) == (8, 8)
+    assert abs(row["mean_r"] - 180) < 6
+    assert abs(row["mean_g"] - 100) < 6
+    assert abs(row["mean_b"] - 40) < 6
+
+
+def test_real_jpeg_gradient_close_and_deterministic(spark):
+    """Multi-block gradient exercises AC coefficients, DC prediction
+    across blocks, and both huffman table pairs; decode must be close in
+    the mean (JPEG is lossy) and bit-deterministic across runs."""
+    import numpy as np
+
+    xs = np.linspace(0, 255, 24)
+    ys = np.linspace(0, 255, 16)
+    gx, gy = np.meshgrid(xs, ys)
+    src = np.stack([gx, gy, np.full_like(gx, 64.0)], axis=-1).astype(np.uint8)
+    payload = bytearray(_jpeg_bytes_real(src))
+    df = spark.createDataFrame(
+        [("jg", payload)], "media_id string, payload binary"
+    )
+    row1 = decode_image(df).collect()[0]
+    row2 = decode_image(df).collect()[0]
+    assert row1["decoder"] == "jpeg"
+    assert (row1["width"], row1["height"]) == (24, 16)
+    for ch, name in [(0, "mean_r"), (1, "mean_g"), (2, "mean_b")]:
+        assert abs(row1[name] - src[..., ch].mean()) < 3, name
+    assert row1["checksum"] == row2["checksum"] is not None
+
+
+def test_progressive_jpeg_falls_back_to_labeled_fake(spark):
+    """SOF2 (progressive) is outside the decoder's subset — must fall to
+    the labeled fake, not misdecode."""
+    real = bytearray(_jpeg_bytes_real([[(10, 20, 30)] * 8] * 8))
+    sof = real.find(b"\xff\xc0")
+    real[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    df = spark.createDataFrame(
+        [("jp", real)], "media_id string, payload binary"
+    )
+    row = decode_image(df).collect()[0]
+    assert row["decoder"] == "fake"
+    assert row["mean_r"] is None
