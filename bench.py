@@ -78,6 +78,7 @@ HEADLINE = [
     "dataset_shards",
     "temperature_mix",
     "corpus_pipeline",
+    "audio_pcm_decode",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -562,6 +562,12 @@ _ANALYTICS_CK = {
         "CAST(date_part('year', month_start) AS BIGINT) * 1000"
         " + CAST(date_part('month', month_start) AS BIGINT) * 31 + n_orders"
     ),
+    # WAV PCM sample decode: closed-form square-wave stats (round 4)
+    "audio_pcm_decode": (
+        "CAST(media_id AS BIGINT) * 7 + n_channels + sample_rate"
+        " + n_samples * 3 + CAST(floor(duration_ms * 1000) AS BIGINT)"
+        " + peak * 13 + CAST(floor(rms * 1000) AS BIGINT)"
+    ),
     # WAV/RIFF chunk-walk header parse (audio twin of binary_header_parse)
     "audio_header_parse": (
         "CAST(media_id AS BIGINT) * 3 + n_channels * 5 + sample_rate"

@@ -2127,3 +2127,69 @@ def corpus_pipeline_q(spark, sf):
         "doc_id",
         n_shards=8,
     ).orderBy("shard", "pos")
+
+
+@query(
+    "audio_pcm_decode",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           'pcm16' AS decoder,
+           1 AS n_channels,
+           8000 AS sample_rate,
+           CAST(16 * (1 + doc_id % 10) AS BIGINT) AS n_samples,
+           CAST(16 * (1 + doc_id % 10) AS DOUBLE) * 1000 / 8000
+             AS duration_ms,
+           CAST(100 + doc_id % 1000 AS INT) AS peak,
+           CAST(100 + doc_id % 1000 AS DOUBLE) AS rms
+    FROM documents
+    """,
+)
+def audio_pcm_decode_q(spark, sf):
+    """REAL PCM sample decode under the correctness gate
+    (pipeline/multimodal.py::decode_audio): a 16-bit mono square-wave
+    WAV is synthesized per document JVM-side (amplitude and length
+    derived from doc_id), then its SAMPLES are decoded by the
+    Arrow-batched numpy PCM parser. A square wave alternating +A/-A has
+    peak = A and RMS = sqrt(mean(A^2)) = A EXACTLY (perfect-square sqrt
+    is correctly rounded), and duration = n/8 ms is a dyadic rational —
+    so the oracle states every stat in closed form and any sample-order,
+    sign-decode, or chunk-walk bug flips the row red."""
+    from squirreling_spark.pipeline.multimodal import decode_audio
+
+    d = qspread(t(spark, sf, "documents").select("doc_id"))
+    amp = (F.lit(100) + F.col("doc_id") % 1000).cast("bigint")
+    npairs = (F.lit(8) * (F.lit(1) + F.col("doc_id") % 10)).cast("bigint")
+    data_sz = npairs * 4  # 2 samples/pair * 2 bytes
+
+    def le_hex(col, nbytes):
+        return F.concat(
+            *[
+                F.lpad(
+                    F.hex((col / (256 ** i)).cast("bigint") % 256), 2, "0"
+                )
+                for i in range(nbytes)
+            ]
+        )
+
+    pair_hex = F.concat(le_hex(amp, 2), le_hex(F.lit(65536) - amp, 2))
+    hexstr = F.concat(
+        F.lit("52494646"),                    # 'RIFF'
+        le_hex(data_sz + 36, 4),
+        F.lit("57415645"),                    # 'WAVE'
+        F.lit("666D7420"),                    # 'fmt '
+        le_hex(F.lit(16), 4),
+        le_hex(F.lit(1), 2),                  # PCM
+        le_hex(F.lit(1), 2),                  # mono
+        le_hex(F.lit(8000), 4),
+        le_hex(F.lit(16000), 4),              # byte rate
+        le_hex(F.lit(2), 2),                  # block align
+        le_hex(F.lit(16), 2),                 # bits
+        F.lit("64617461"),                    # 'data'
+        le_hex(data_sz, 4),
+        F.repeat(pair_hex, npairs.cast("int")),
+    )
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.unhex(hexstr).alias("payload"),
+    )
+    return decode_audio(media).orderBy(F.col("media_id").cast("bigint"))

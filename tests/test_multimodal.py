@@ -675,3 +675,44 @@ def test_progressive_jpeg_falls_back_to_labeled_fake(spark):
     row = decode_image(df).collect()[0]
     assert row["decoder"] == "fake"
     assert row["mean_r"] is None
+
+
+def test_wav_pcm_decode_stereo_and_fallbacks(spark):
+    """decode_audio (pipeline/multimodal.py): stereo int16 samples with a
+    known waveform decode to exact stats; non-PCM and truncated payloads
+    return honest NULLs."""
+    import struct
+
+    from squirreling_spark.pipeline.multimodal import decode_audio
+
+    def wav(channels, rate, frames, audio_fmt=1):
+        data = b"".join(
+            struct.pack("<" + "h" * channels, *f) for f in frames
+        )
+        fmt = struct.pack(
+            "<HHIIHH", audio_fmt, channels, rate,
+            rate * channels * 2, channels * 2, 16,
+        )
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    frames = [(300, -300), (-300, 300), (300, -300), (-300, 300)]
+    df = spark.createDataFrame(
+        [
+            ("stereo", wav(2, 16000, frames)),
+            ("alaw", wav(1, 8000, [(5,), (5,)], audio_fmt=6)),
+            ("junk", b"RIFFxxxxWAVEnope"),
+        ],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_audio(df).collect()}
+    s = rows["stereo"]
+    assert s["decoder"] == "pcm16"
+    assert (s["n_channels"], s["sample_rate"], s["n_samples"]) == (2, 16000, 4)
+    assert s["duration_ms"] == 4 * 1000.0 / 16000
+    assert s["peak"] == 300 and s["rms"] == 300.0
+    assert rows["alaw"]["decoder"] is None   # non-PCM: honest NULL
+    assert rows["junk"]["decoder"] is None
