@@ -79,6 +79,7 @@ HEADLINE = [
     "temperature_mix",
     "corpus_pipeline",
     "audio_pcm_decode",
+    "video_mp4_meta",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -562,6 +562,12 @@ _ANALYTICS_CK = {
         "CAST(date_part('year', month_start) AS BIGINT) * 1000"
         " + CAST(date_part('month', month_start) AS BIGINT) * 31 + n_orders"
     ),
+    # MP4 box-walk movie metadata: closed-form planted values (round 4)
+    "video_mp4_meta": (
+        "CAST(media_id AS BIGINT) * 11 + timescale"
+        " + CAST(floor(duration_ms) AS BIGINT) * 3 + n_tracks * 7"
+        " + CASE WHEN is_mp4 THEN 1 ELSE 0 END"
+    ),
     # WAV PCM sample decode: closed-form square-wave stats (round 4)
     "audio_pcm_decode": (
         "CAST(media_id AS BIGINT) * 7 + n_channels + sample_rate"

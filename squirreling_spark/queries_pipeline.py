@@ -2193,3 +2193,65 @@ def audio_pcm_decode_q(spark, sf):
         F.unhex(hexstr).alias("payload"),
     )
     return decode_audio(media).orderBy(F.col("media_id").cast("bigint"))
+
+
+@query(
+    "video_mp4_meta",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           true AS is_mp4,
+           CAST(1000 AS BIGINT) AS timescale,
+           CAST(100 * (1 + doc_id % 20) AS DOUBLE) AS duration_ms,
+           CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks
+    FROM documents
+    """,
+)
+def video_mp4_meta_q(spark, sf):
+    """REAL MP4/ISO-BMFF movie metadata under the correctness gate
+    (pipeline/multimodal.py::mp4_metadata — the video twin of the WAV
+    chunk walk): a minimal but structurally-valid MP4 is synthesized per
+    document JVM-side (ftyp + a free box the walk must skip + moov
+    containing a version-0 mvhd and doc_id-derived trak boxes), then
+    parsed back by the pure-expression box walk — top-level walk to
+    moov, child walk to mvhd (timescale/duration) counting traks. The
+    oracle states the planted values in closed form; any box-size
+    arithmetic or offset bug flips the row red."""
+    from squirreling_spark.pipeline.multimodal import mp4_metadata
+
+    d = qspread(t(spark, sf, "documents").select("doc_id"))
+    dur = (F.lit(100) * (F.lit(1) + F.col("doc_id") % 20)).cast("bigint")
+    n_trak = (F.lit(1) + F.col("doc_id") % 3).cast("int")
+
+    def be_hex(col, nbytes):
+        col = col if isinstance(col, F.Column) else F.lit(col)
+        return F.concat(
+            *[
+                F.lpad(
+                    F.hex((col / (256 ** i)).cast("bigint") % 256), 2, "0"
+                )
+                for i in reversed(range(nbytes))
+            ]
+        )
+
+    moov_sz = (F.lit(8 + 108) + n_trak.cast("bigint") * 8).cast("bigint")
+    hexstr = F.concat(
+        be_hex(16, 4), F.lit("66747970"),          # ftyp
+        F.lit("69736F6D"), be_hex(0, 4),           # brand isom + minor
+        be_hex(12, 4), F.lit("66726565"),          # free box (skipped)
+        F.lit("00000000"),
+        be_hex(moov_sz, 4), F.lit("6D6F6F76"),     # moov
+        be_hex(108, 4), F.lit("6D766864"),         # mvhd, version 0
+        F.lit("00"), F.lit("000000"),              # version + flags
+        be_hex(0, 4), be_hex(0, 4),                # ctime, mtime
+        be_hex(1000, 4),                           # timescale
+        be_hex(dur, 4),                            # duration
+        F.lit("00" * 80),                          # rest of mvhd body
+        F.repeat(
+            F.concat(be_hex(8, 4), F.lit("7472616B")), n_trak
+        ),                                         # trak stubs
+    )
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.unhex(hexstr).alias("payload"),
+    )
+    return mp4_metadata(media).orderBy(F.col("media_id").cast("bigint"))

@@ -716,3 +716,39 @@ def test_wav_pcm_decode_stereo_and_fallbacks(spark):
     assert s["peak"] == 300 and s["rms"] == 300.0
     assert rows["alaw"]["decoder"] is None   # non-PCM: honest NULL
     assert rows["junk"]["decoder"] is None
+
+
+def test_mp4_box_walk(spark):
+    """mp4_metadata: version-1 mvhd (64-bit times), an mdat-truncated
+    payload (headers only — still parses), and a non-MP4 payload."""
+    import struct
+
+    from squirreling_spark.pipeline.multimodal import mp4_metadata
+
+    def box(typ, body):
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    mvhd_v1 = box(
+        b"mvhd",
+        b"\x01\x00\x00\x00"
+        + struct.pack(">QQ", 0, 0)            # 64-bit ctime/mtime
+        + struct.pack(">I", 600)              # timescale
+        + struct.pack(">Q", 1200)             # 64-bit duration
+        + b"\x00" * 80,
+    )
+    moov = box(b"moov", mvhd_v1 + box(b"trak", b""))
+    full = box(b"ftyp", b"isom\x00\x00\x00\x00") + moov
+    # mdat declares 1MB but payload is cut right after the header
+    truncated = full + struct.pack(">I", 1 << 20) + b"mdat"
+    df = spark.createDataFrame(
+        [("v1", bytearray(full)), ("cut", bytearray(truncated)),
+         ("not", b"RIFFxxxxWAVE")],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in mp4_metadata(df).collect()}
+    for k in ("v1", "cut"):
+        assert rows[k]["is_mp4"] and rows[k]["timescale"] == 600
+        assert rows[k]["duration_ms"] == 1200 * 1000.0 / 600
+        assert rows[k]["n_tracks"] == 1
+    assert not rows["not"]["is_mp4"]
+    assert rows["not"]["timescale"] is None
