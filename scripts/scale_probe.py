@@ -62,6 +62,8 @@ QUERIES = [
     "dedup_bloom_incremental",
     "knn_pq_adc",
     "knn_ivfpq",
+    "audio_pcm_decode",
+    "video_mp4_meta",
     "image_pixel_decode",
     "cms_top_terms",
     "dataset_shards",
