@@ -452,11 +452,15 @@ def temperature_mix(
     weighted = counts.select(
         strata_col, "n_source", w_ppm.alias("w_ppm")
     )
-    totals = weighted.agg(
-        F.sum("w_ppm").cast("bigint").alias("wsum_ppm"),
-        F.sum("n_source").cast("bigint").alias("n_total"),
+    # totals via an unpartitioned window over the |sources|-row aggregate
+    # (NOT a second .agg() branch off `weighted` — an unshared subtree
+    # would recompute the per-source counts, i.e. scan the corpus twice)
+    w_all = W.partitionBy()
+    rates = weighted.select(
+        "*",
+        F.sum("w_ppm").over(w_all).cast("bigint").alias("wsum_ppm"),
+        F.sum("n_source").over(w_all).cast("bigint").alias("n_total"),
     )
-    rates = weighted.crossJoin(F.broadcast(totals))
     bucket = (
         F.conv(
             F.substring(

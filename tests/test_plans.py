@@ -217,3 +217,60 @@ def test_embedding_outliers_two_stage_bottom_k(spark):
     plan = plan_of("embedding_outliers", spark)
     assert plan.count("WindowGroupLimit") >= 2  # local + global stage
     assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_pipeline_two_corpus_exchanges(spark):
+    """The staged curation composite (pipeline/export.py) promises
+    exactly TWO corpus-keyed hash exchanges — the dedup min_by and the
+    shard layout — plus the final presentation sort. A third hash
+    exchange means the score-join regression came back (5.1x at 10x
+    data, SCALING.md)."""
+    plan = plan_of("corpus_pipeline", spark)
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+
+
+def test_quality_classifier_fold_not_duplicated(spark):
+    """score_parts' interpreted token fold (aggregate(transform(...)))
+    must appear ONCE in the classifier plan — predicate pushdown
+    re-inlining it into a filter doubles the most expensive expression
+    per row."""
+    plan = plan_of("quality_classifier", spark)
+    assert plan.count("aggregate(transform") <= 2  # logit + keep columns
+    # and in the staged composite, exactly one evaluation site:
+    assert plan_of("corpus_pipeline", spark).count("aggregate(transform") == 1
+
+
+def test_cms_build_partial_aggregation(spark):
+    """The sketch groupBy must map-side combine: the exchange carries
+    d*w cells, not token rows."""
+    from squirreling_spark.pipeline.sketch import cms_build
+    from squirreling_spark.pipeline.text import tokens
+    from squirreling_spark.qutil import t
+
+    toks = (
+        t(spark, SF, "documents")
+        .select(F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    plan = cms_build(toks, "term")._jdf.queryExecution().executedPlan().toString()
+    before_exchange = plan.split("Exchange")[-1]  # text below = upstream
+    assert "partial_count" in before_exchange or "partial" in before_exchange
+
+
+def test_temperature_mix_corpus_pass_is_broadcast_only(spark):
+    """The corpus side of temperature mixing must see only a broadcast
+    join and a row-local filter — the sole hash exchange allowed is the
+    |sources|-row count aggregate."""
+    plan = plan_of("temperature_mix", spark)
+    assert "BroadcastHashJoin" in plan
+    # the one hash exchange groups by source (tiny); the corpus rows
+    # themselves ride round-robin (spread) only
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ivfpq_search_no_python_and_broadcast_tables(spark):
+    """IVF-PQ search touches corpus-scale data only through broadcast
+    joins of the three lookup tables; no Python evaluator anywhere."""
+    plan = plan_of("knn_ivfpq", spark)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
