@@ -80,6 +80,7 @@ HEADLINE = [
     "corpus_pipeline",
     "audio_pcm_decode",
     "video_mp4_meta",
+    "source_jsonl_roundtrip",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -562,6 +562,15 @@ _ANALYTICS_CK = {
         "CAST(date_part('year', month_start) AS BIGINT) * 1000"
         " + CAST(date_part('month', month_start) AS BIGINT) * 31 + n_orders"
     ),
+    # CSV / JSONL source-format roundtrips (round 4, SURVEY §1.4)
+    "source_csv_roundtrip": (
+        "ascii(o_orderstatus) * 31 + n_orders + min_key * 3 + max_key"
+        " + CAST(floor(total_price) AS BIGINT)"
+        " + ascii(substring(first_date, 3, 1))"
+    ),
+    "source_jsonl_roundtrip": (
+        "length(source) * 7 + n_docs + total_chars + text_hash_sum"
+    ),
     # MP4 box-walk movie metadata: closed-form planted values (round 4)
     "video_mp4_meta": (
         "CAST(media_id AS BIGINT) * 11 + timescale"
