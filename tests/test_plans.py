@@ -274,3 +274,42 @@ def test_ivfpq_search_no_python_and_broadcast_tables(spark):
     plan = plan_of("knn_ivfpq", spark)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark):
+    """The 100 TB co-located-join story, demonstrated for real: both
+    sides written bucketed on the join key → the sort-merge join reads
+    bucket files directly and the plan contains NO exchange at all.
+    (Broadcast is disabled for the test so the join can't cheat; the
+    same-bucket-count requirement is what a production pipeline
+    maintains for its fact/dim conformed keys.)"""
+    from squirreling_spark.qutil import t
+
+    o = t(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = t(spark, SF, "customer").select("c_custkey", "c_name")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_customer")
+    (o.write.mode("overwrite").bucketBy(8, "o_custkey")
+     .sortBy("o_custkey").saveAsTable("bkt_orders"))
+    (c.write.mode("overwrite").bucketBy(8, "c_custkey")
+     .sortBy("c_custkey").saveAsTable("bkt_customer"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt_orders").join(
+            spark.table("bkt_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        ).groupBy("c_name").agg(F.sum("o_totalprice"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # bucket-pruned scan: the JOIN itself moves no data
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "Exchange hashpartitioning" not in join_part, join_part[:800]
+        # unbucketed control: same join DOES shuffle both sides
+        jc = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        pc = jc._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in pc
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_customer")
