@@ -1,0 +1,137 @@
+"""Property-based cross-engine parity (hypothesis): the fixture-based
+oracle gate proves parity on the testdata distribution; these tests
+throw RANDOMIZED inputs — unicode, quotes, control characters, nulls,
+extreme ints — at the same dual-engine pipeline, targeting SURVEY §7.3's
+"semantics parity under dynamic typing" hard part where engines
+actually diverge (collation, null ordering, string edge cases).
+
+Each example builds the SAME table in Spark and DuckDB, runs an
+equivalent query in both, and compares through the driver-exact
+canonicalizer (tests/parity.py::_canon_cells — dtype-sensitive).
+
+FINDING (first run of these tests): upper()/lower() parity holds only
+for characters whose SIMPLE and FULL Unicode case mappings coincide —
+Spark (Java) applies full mappings (ß→SS, ŉ→ʼN, İ→i̇), DuckDB applies
+simple per-codepoint ones (ß→ẞ, ŉ→ŉ, İ→i). The divergence is pinned in
+test_unicode_case_mapping_divergence below; the case-transforming
+properties therefore generate ASCII (the domain the corpus operators'
+lower()-normalized fingerprints rely on — the fixtures are ASCII), and
+the case-free properties keep the full unicode generator."""
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.parity import _canon, _canon_cells
+
+# Text without ASCII control chars (Spark CSV-of-life issues aside, the
+# engines themselves must agree on these), plus specifically nasty
+# inhabitants: quotes, backslashes, unicode beyond BMP.
+_text = st.one_of(
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs", "Cc"), max_codepoint=0x10FFF
+        ),
+        max_size=12,
+    ),
+    st.sampled_from(["", "'", '"', "\\", "a,b", "ß", "ŉ", "𐍈x", "  pad  "]),
+)
+# ASCII-only variant for case-transforming properties (see FINDING above)
+_ascii_text = st.one_of(
+    st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        max_size=12,
+    ),
+    st.sampled_from(["", "'", '"', "\\", "a,b", "  pad  ", "A a"]),
+)
+_ascii_rows = st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+              _ascii_text),
+    min_size=1, max_size=12,
+)
+_key = st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1))
+_rows = st.lists(st.tuples(_key, _text), min_size=1, max_size=12)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _both(spark, rows, spark_sql, duck_sql):
+    pdf = pd.DataFrame(rows, columns=["k", "v"]).astype(
+        {"k": "Int64", "v": "object"}
+    )
+    sdf = spark.createDataFrame(
+        [(int(k) if k is not None else None, v) for k, v in rows],
+        "k bigint, v string",
+    )
+    sdf.createOrReplaceTempView("prop_t")
+    got = _canon_cells(_canon(spark.sql(spark_sql).toPandas()))
+    con = duckdb.connect()
+    con.register("prop_t", pdf)
+    want = _canon_cells(_canon(con.execute(duck_sql).df()))
+    con.close()
+    assert got == want, (got[:5], want[:5])
+
+
+@_SETTINGS
+@given(rows=_rows)
+def test_group_order_null_semantics(spark, rows):
+    """GROUP BY with null keys + count/min/max + ORDER BY NULLS FIRST
+    must agree cell-for-cell on arbitrary inputs (null grouping, 3VL,
+    and null-ordering are classic cross-engine divergence points)."""
+    sql = """
+        SELECT k,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(v) AS BIGINT) AS n_v,
+               CAST(min(length(v)) AS BIGINT) AS min_len,
+               CAST(max(length(v)) AS BIGINT) AS max_len
+        FROM prop_t GROUP BY k
+    """
+    _both(spark, rows, sql, sql)
+
+
+@_SETTINGS
+@given(rows=_ascii_rows)
+def test_string_pack_semantics(spark, rows):
+    """upper/trim/substr/replace/concat over randomized ASCII (the
+    documented case-mapping parity domain) must agree byte-for-byte
+    (md5 of the transformed value compared, so any codepoint-level
+    divergence — not just length — flips the test)."""
+    sql = """
+        SELECT k,
+               md5(upper(v) || ':' || trim(v) || ':'
+                   || replace(v, 'a', '@')) AS h,
+               CAST(length(substr(v, 1, 3)) AS BIGINT) AS pre_len
+        FROM prop_t
+    """
+    _both(spark, rows, sql, sql)
+
+
+@_SETTINGS
+@given(rows=_ascii_rows)
+def test_distinct_and_setop_semantics(spark, rows):
+    """DISTINCT over (nullable, string) pairs and EXCEPT ALL against the
+    upper-cased projection — duplicate/null identity semantics."""
+    sql = """
+        SELECT v FROM prop_t
+        EXCEPT ALL
+        SELECT upper(v) FROM prop_t
+    """
+    _both(spark, rows, sql, sql)
+
+
+def test_unicode_case_mapping_divergence(spark):
+    """Pin the cross-engine boundary the property run found: Spark
+    (Java) applies FULL Unicode case mappings, DuckDB applies SIMPLE
+    per-codepoint ones. Any operator that case-normalizes non-ASCII
+    text before an oracle comparison must account for this (the corpus
+    fingerprints lower() ASCII fixture text, which both engines map
+    identically)."""
+    got = spark.sql("SELECT upper('\u00df'), upper('\u0149'), lower('\u0130')").collect()[0]
+    assert tuple(got) == ("SS", "\u02bcN", "i\u0307")  # full mappings
+    duck = duckdb.sql("SELECT upper('\u00df'), upper('\u0149'), lower('\u0130')").fetchone()
+    assert duck == ("\u1e9e", "\u0149", "i")           # simple mappings
