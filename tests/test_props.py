@@ -135,3 +135,77 @@ def test_unicode_case_mapping_divergence(spark):
     assert tuple(got) == ("SS", "\u02bcN", "i\u0307")  # full mappings
     duck = duckdb.sql("SELECT upper('\u00df'), upper('\u0149'), lower('\u0130')").fetchone()
     assert duck == ("\u1e9e", "\u0149", "i")           # simple mappings
+
+
+# --- operator-level properties: custom ops vs brute-force references -------
+
+_ev = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100)),  # (key, t)
+    min_size=0, max_size=15,
+)
+
+
+@_SETTINGS
+@given(left=_ev, right=_ev)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """asof_join (operators/asof_join.py) against a quadratic Python
+    reference on random keyed timelines — backward AND forward, ties
+    and duplicate timestamps included."""
+    from squirreling_spark.operators.asof_join import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)] or [(0, -1, -1)],
+        "k int, t int, lid int",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, t * 1000 + k) for k, t in right] or [(0, -999, 0)],
+        "k int, t int, payload int",
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            (r["k"], r["t"], r["lid"]): r["payload_right"]
+            for r in asof_join(
+                ldf, rdf, on="t", by="k", direction=direction
+            ).collect()
+        }
+        rrows = [(k, t, t * 1000 + k) for k, t in right] or [(0, -999, 0)]
+        for (lk, lt, lid), g in got.items():
+            if direction == "backward":
+                cand = [(rt, p) for rk, rt, p in rrows
+                        if rk == lk and rt <= lt]
+                want = max(cand)[1] if cand else None
+            else:
+                cand = [(rt, p) for rk, rt, p in rrows
+                        if rk == lk and rt >= lt]
+                want = min(cand)[1] if cand else None
+            assert g == want, (direction, lk, lt, g, want)
+
+
+@_SETTINGS
+@given(
+    a=st.lists(st.integers(0, 999), min_size=0, max_size=12),
+    b=st.lists(st.integers(0, 999), min_size=0, max_size=12),
+)
+def test_positional_join_matches_zip(spark, a, b):
+    """positional_join (operators/positional_join.py) must equal
+    null-padded zip over the declared orderings for any two lists,
+    including unequal lengths and duplicates."""
+    from itertools import zip_longest
+
+    from squirreling_spark.operators.positional_join import positional_join
+
+    ldf = spark.createDataFrame([(v,) for v in a] or [(None,)], "lv int")
+    rdf = spark.createDataFrame([(v,) for v in b] or [(None,)], "rv int")
+    la, lb = (a or [None]), (b or [None])
+    got = sorted(
+        ((r["lv"], r["rv"]) for r in positional_join(
+            ldf, rdf, left_order=["lv"], right_order=["rv"]
+        ).collect()),
+        key=lambda p: (p[0] is None, p[0], p[1] is None, p[1]),
+    )
+    want = sorted(
+        zip_longest(sorted(la, key=lambda v: (v is None, v)),
+                    sorted(lb, key=lambda v: (v is None, v))),
+        key=lambda p: (p[0] is None, p[0], p[1] is None, p[1]),
+    )
+    assert got == want
