@@ -176,3 +176,39 @@ def test_streaming_cms_matches_batch(spark, tmp_path_factory):
     }
     assert got == expected
     assert len(got) <= 3 * 1024  # bounded state
+
+
+def test_streaming_quality_gate_matches_batch(spark, tmp_path_factory):
+    """The first-pass corpus quality gate is stateless row-local scoring,
+    so it runs unmodified on a stream: availableNow drain of
+    linear_quality_score over a document stream must equal the batch
+    scores row-for-row (the decimal-fold scoring is partition- and
+    trigger-invariant by construction)."""
+    from squirreling_spark.pipeline.classify import linear_quality_score
+    from squirreling_spark.qutil import t
+
+    path = str(tmp_path_factory.mktemp("docs_q_stream") / "docs")
+    docs = t(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    docs.write.mode("overwrite").parquet(path)
+    batch = spark.read.parquet(path)
+    expected = {
+        r["doc_id"]: (r["n_tokens"], r["logit"], r["keep"])
+        for r in linear_quality_score(batch, "text", "doc_id").collect()
+    }
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    q = (
+        linear_quality_score(stream, "text", "doc_id")
+        .writeStream.format("memory")
+        .queryName("quality_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), q.exception()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logit"], r["keep"])
+        for r in spark.sql("SELECT * FROM quality_sink").collect()
+    }
+    assert got == expected
