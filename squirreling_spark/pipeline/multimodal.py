@@ -9,7 +9,7 @@ expressions (below), and PIXEL decoding is real for BMP (numpy), PNG
 variable-width LZW + palette mapping, interlace included), and baseline
 JPEG (canonical huffman entropy decode + dequant + float IDCT + JFIF
 color transform). Streams outside the supported subsets (progressive/
-subsampled/restart JPEG, paletted PNG, RLE BMP) fall back to a
+subsampled/restart JPEG, 16-bit PNG, RLE BMP) fall back to a
 clearly-labeled deterministic fake in ``_decode_bytes``; swap that
 branch for a PIL/ffmpeg call in production.
 
@@ -163,13 +163,15 @@ def _png_unfilter(raw: "np.ndarray", h: int, stride: int, nch: int) -> "np.ndarr
 
 def _decode_png_pixels(payload: bytes) -> dict:
     """REAL PNG pixel decode, stdlib zlib + numpy: 8-bit truecolor (type
-    2) and truecolor+alpha (type 6), non-interlaced. Walks the chunk
-    chain, inflates the concatenated IDAT stream, reverses the scanline
-    filters."""
+    2), truecolor+alpha (type 6), and indexed/paletted (type 3),
+    non-interlaced. Walks the chunk chain, inflates the concatenated
+    IDAT stream, reverses the scanline filters, maps type-3 indices
+    through the PLTE palette."""
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     pos, w = 8, None
     idat = b""
+    plte = None
     while pos + 8 <= len(payload):
         ln = int.from_bytes(payload[pos : pos + 4], "big")
         typ = payload[pos + 4 : pos + 8]
@@ -178,11 +180,13 @@ def _decode_png_pixels(payload: bytes) -> dict:
             w = int.from_bytes(body[0:4], "big")
             h = int.from_bytes(body[4:8], "big")
             depth, ctype, interlace = body[8], body[9], body[12]
-            if depth != 8 or ctype not in (2, 6) or interlace != 0:
+            if depth != 8 or ctype not in (2, 3, 6) or interlace != 0:
                 raise ValueError(
                     f"unsupported PNG (depth={depth}, color={ctype})"
                 )
-            nch = 3 if ctype == 2 else 4
+            nch = {2: 3, 3: 1, 6: 4}[ctype]
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat += body
         elif typ == b"IEND":
@@ -194,6 +198,12 @@ def _decode_png_pixels(payload: bytes) -> dict:
 
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
     pixels = _png_unfilter(raw, h, w * nch, nch).reshape(h, w, nch)
+    if ctype == 3:  # indexed color: map through the palette
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+        return _rgb_result(
+            "png", plte[np.minimum(pixels[..., 0], len(plte) - 1)]
+        )
     return _rgb_result("png", pixels[..., :3])
 
 
@@ -531,8 +541,8 @@ def _decode_bytes(payload: bytes) -> dict:
     """Image codec dispatch: REAL decoders for BMP (numpy), PNG (stdlib
     zlib + numpy), GIF (pure-Python LZW + numpy palette mapping), and
     baseline JPEG (canonical huffman + IDCT, numpy). Streams outside the
-    supported subsets (progressive/subsampled/restart JPEG, paletted
-    PNG, RLE BMP) fall back to a clearly-labeled deterministic FAKE so
+    supported subsets (progressive/subsampled/restart JPEG, 16-bit PNG,
+    RLE BMP) fall back to a clearly-labeled deterministic FAKE so
     pipelines stay runnable end-to-end — route that branch through
     PIL/ffmpeg in production; the contract (bytes → decoded-summary
     dict) is unchanged."""

@@ -752,3 +752,38 @@ def test_mp4_box_walk(spark):
         assert rows[k]["n_tracks"] == 1
     assert not rows["not"]["is_mp4"]
     assert rows["not"]["timescale"] is None
+
+
+def test_paletted_png_decode(spark):
+    """Color-type-3 (indexed) PNG: same pixels as the truecolor BMP
+    encoding — palette mapping + unfilter verified by the canonical
+    checksum."""
+    import struct
+    import zlib
+
+    idx_rows = [[(x + 2 * y) % 4 for x in range(6)] for y in range(4)]
+    px = [[_GIF_PAL[p] for p in r] for r in idx_rows]
+
+    def chunk(typ, body):
+        c = typ + body
+        return (
+            struct.pack(">I", len(body)) + c
+            + struct.pack(">I", zlib.crc32(c))
+        )
+
+    raw = b"".join(bytes([0]) + bytes(r) for r in idx_rows)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 4, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", b"".join(bytes(c) for c in _GIF_PAL))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame(
+        [("p3", bytearray(png)), ("bmp", _bmp24(px))],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_image(df).collect()}
+    assert rows["p3"]["decoder"] == "png"
+    assert (rows["p3"]["width"], rows["p3"]["height"]) == (6, 4)
+    assert rows["p3"]["checksum"] == rows["bmp"]["checksum"]

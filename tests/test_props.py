@@ -209,3 +209,45 @@ def test_positional_join_matches_zip(spark, a, b):
         key=lambda p: (p[0] is None, p[0], p[1] is None, p[1]),
     )
     assert got == want
+
+
+@_SETTINGS
+@given(
+    points=st.lists(st.integers(-20, 120), min_size=0, max_size=12),
+    ivs=st.lists(
+        st.tuples(st.integers(-20, 120), st.integers(0, 30)),
+        min_size=0, max_size=10,
+    ),
+    width=st.sampled_from([1, 3, 7, 50]),
+)
+def test_range_join_matches_bruteforce(spark, points, ivs, width):
+    """range_join (operators/range_join.py) — binned hash equi-join —
+    against the quadratic containment reference, across bin widths that
+    both undershoot and overshoot the interval lengths (each interval
+    must appear in EVERY bin it spans, a pair exactly once)."""
+    from squirreling_spark.operators.range_join import range_join
+
+    ldf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)] or [(-1, -999)],
+        "pid int, point int",
+    )
+    rdf = spark.createDataFrame(
+        [(j, lo, lo + ln) for j, (lo, ln) in enumerate(ivs)]
+        or [(-1, -999, -999)],
+        "iid int, lo int, hi int",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(ldf, rdf, "point", "lo", "hi", width).collect()
+    )
+    lrows = list(enumerate(points)) or [(-1, -999)]
+    rrows = [(j, lo, lo + ln) for j, (lo, ln) in enumerate(ivs)] or [
+        (-1, -999, -999)
+    ]
+    want = sorted(
+        (pid, iid)
+        for pid, p in lrows
+        for iid, lo, hi in rrows
+        if lo <= p <= hi
+    )
+    assert got == want
