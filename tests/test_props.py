@@ -251,3 +251,33 @@ def test_range_join_matches_bruteforce(spark, points, ivs, width):
         if lo <= p <= hi
     )
     assert got == want
+
+
+@_SETTINGS
+@given(
+    terms=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E),
+            min_size=1, max_size=6,
+        ),
+        min_size=1, max_size=40,
+    ),
+    width=st.sampled_from([4, 64, 4096]),
+)
+def test_cms_guarantee_on_random_input(spark, terms, width):
+    """The one-sided CMS guarantee (estimate >= exact, exact when no
+    collision) must hold for ANY input — including width=4, where
+    collisions are certain and only the inequality side survives."""
+    from squirreling_spark.pipeline.sketch import cms_build, cms_estimate
+
+    toks = spark.createDataFrame([(t,) for t in terms], "term string")
+    sketch = cms_build(toks, "term", width=width, depth=3)
+    exact = toks.groupBy("term").count().withColumnRenamed("count", "exact")
+    est = cms_estimate(exact, sketch, "term", width=width, depth=3)
+    rows = est.collect()
+    assert len(rows) == len(set(terms))
+    for r in rows:
+        assert r["cms_count"] >= r["exact"], (r["term"], width)
+    total = sum(1 for _ in terms)
+    mass = sketch.groupBy("row").sum("cnt").collect()
+    assert all(m[1] == total for m in mass)
