@@ -281,3 +281,48 @@ def test_cms_guarantee_on_random_input(spark, terms, width):
     total = sum(1 for _ in terms)
     mass = sketch.groupBy("row").sum("cnt").collect()
     assert all(m[1] == total for m in mass)
+
+
+@_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1, max_size=30,
+    ),
+)
+def test_connected_components_both_arms_match_union_find(spark, edges):
+    """connected_components (pipeline/dedup.py) on random graphs —
+    self-loops, duplicate edges, both orientations — must equal an
+    independent Python union-find, for BOTH the driver arm and the
+    forced distributed (pointer-jumping) arm."""
+    from squirreling_spark.pipeline.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    # canonical label = min node id in the component
+    comp = {}
+    for n, r in want.items():
+        comp.setdefault(find(r), []).append(n)
+    want = {n: min(ns) for r, ns in comp.items() for n in ns}
+
+    edf = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    for thresh in (10**9, 0):  # driver arm, then forced distributed arm
+        got = {
+            r["node"]: r["label"]
+            for r in connected_components(
+                edf, "id_a", "id_b", driver_threshold=thresh
+            ).collect()
+        }
+        assert got == want, (thresh, got, want)
