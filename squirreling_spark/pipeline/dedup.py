@@ -113,7 +113,10 @@ def bloom_incremental_dedup(
     Output: (fingerprint, keep_id, n_copies, bloom_checked) for genuinely
     new content; ``bloom_checked`` marks rows that needed the exact
     verify (bloom hit but absent from the store = false positive)."""
-    batch = exact_dedup(new_docs, text_col, id_col)  # fp, keep_id, n_copies
+    # Persist: the batch frame feeds THREE branches (hits, definite_new,
+    # verified_new) and Catalyst does not share common subtrees — without
+    # this the fingerprint aggregate would run 3x.
+    batch = exact_dedup(new_docs, text_col, id_col).persist()
     store_fps = seen.select(F.col(seen_fp_col).alias("fingerprint")).distinct()
     bloom_bits = (
         store_fps.select(
@@ -132,9 +135,12 @@ def bloom_incremental_dedup(
         .filter(F.col("n_hit") == k)
         .select("fingerprint")
     )
-    definite_new = batch.join(F.broadcast(hits), "fingerprint", "left_anti")
+    # No broadcast hint on ``hits``: it derives from the incoming batch
+    # (unbounded — a duplicate-heavy batch could OOM a forced broadcast);
+    # AQE picks broadcast at runtime when it IS small.
+    definite_new = batch.join(hits, "fingerprint", "left_anti")
     verified_new = (
-        batch.join(F.broadcast(hits), "fingerprint", "left_semi")
+        batch.join(hits, "fingerprint", "left_semi")
         .join(store_fps, "fingerprint", "left_anti")
     )
     return definite_new.withColumn(

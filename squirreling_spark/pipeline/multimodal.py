@@ -914,7 +914,10 @@ def _decode_wav_pcm(payload: bytes) -> dict:
         return dict(_NULL_PCM)
     audio_fmt = int.from_bytes(fmt[0:2], "little")
     channels = int.from_bytes(fmt[2:4], "little")
-    rate = int.from_bytes(fmt[4:6], "little")
+    # Sample rate is a 4-byte LE uint (RIFF spec); reading only 2 bytes
+    # silently truncates 88.2/96/192 kHz rates (and disagrees with the
+    # JVM-side wav_metadata, which reads 4).
+    rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
     if audio_fmt != 1 or bits != 16 or channels < 1 or rate < 1:
         return dict(_NULL_PCM)  # non-PCM / non-16-bit: honest NULL

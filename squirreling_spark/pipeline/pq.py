@@ -206,10 +206,16 @@ def pq_adc_topk(
     q_id: str = "q_id",
     q_vec: str = "q_vec",
     c_id: str = "vec_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Asymmetric-distance top-k: per (query, vector), approximate cosine
     of the query against the PQ reconstruction, computed from the code
-    table + broadcast lookup table only."""
+    table + broadcast lookup table only.
+
+    ``exclude_self`` drops corpus rows whose id equals the query id — the
+    right default when queries are drawn from the corpus itself. Pass
+    False when queries come from a SEPARATE id space: an id collision
+    there is a legitimate neighbor, not a self-match."""
     dsub = dim // m
     qsub = subspace_frame(queries, q_vec, q_id, m, dsub)
     tbl = (
@@ -249,10 +255,11 @@ def pq_adc_topk(
         adot = adot + F.col(f"d{s}")
         rn2 = rn2 + F.col(f"n{s}")
     sim = F.round(adot / F.sqrt(F.col("qn2") * rn2), 6)
-    scored = (
-        parts.join(F.broadcast(qn), "__q")
-        .filter(F.col("__q") != F.col(c_id))
-        .select(F.col("__q").alias(q_id), c_id, sim.alias("sim"))
+    scored = parts.join(F.broadcast(qn), "__q")
+    if exclude_self:
+        scored = scored.filter(F.col("__q") != F.col(c_id))
+    scored = scored.select(
+        F.col("__q").alias(q_id), c_id, sim.alias("sim")
     )
     return _topk_per_query(scored, k, q_id, c_id)
 
@@ -376,8 +383,11 @@ def ivfpq_search(
     q_vec: str = "q_vec",
     c_id: str = "vec_id",
     round_digits: int = 6,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ADC search over the probed cells' inverted lists only.
+    ``exclude_self``: see ``pq_adc_topk`` — set False when query ids live
+    in a separate id space from corpus ids.
 
     The reconstruction is x̂ = c + r̂ with disjoint subspaces, so both
     terms of cosine(q, x̂) decompose EXACTLY into table lookups:
@@ -478,10 +488,11 @@ def ivfpq_search(
         nsum = nsum + F.col(f"n{s}")
     rn2 = F.col("cn2") + F.lit(2.0) * xsum + nsum
     sim = F.round(adot / F.sqrt(F.col("qn2") * rn2), round_digits)
-    scored = (
-        parts.join(F.broadcast(qn), "__q")
-        .filter(F.col("__q") != F.col(c_id))
-        .select(F.col("__q").alias(q_id), c_id, sim.alias("sim"))
+    scored = parts.join(F.broadcast(qn), "__q")
+    if exclude_self:
+        scored = scored.filter(F.col("__q") != F.col(c_id))
+    scored = scored.select(
+        F.col("__q").alias(q_id), c_id, sim.alias("sim")
     )
     return _topk_per_query(scored, k, q_id, c_id)
 

@@ -2269,8 +2269,12 @@ import hashlib as _hashlib
 import tempfile as _tempfile
 
 
-def _roundtrip_dir(kind: str, sf: str) -> str:
-    tag = _hashlib.md5(f"{kind}:{sf}".encode()).hexdigest()[:12]
+def _roundtrip_dir(spark, kind: str, sf: str) -> str:
+    # Keyed by Spark applicationId so two concurrent sessions running the
+    # same graded query (bench alongside a parity sweep) write/read
+    # disjoint paths instead of racing mode=overwrite against a reader.
+    app = spark.sparkContext.applicationId
+    tag = _hashlib.md5(f"{kind}:{sf}:{app}".encode()).hexdigest()[:12]
     return f"{_tempfile.gettempdir()}/sq_rt_{kind}_{tag}"
 
 
@@ -2301,7 +2305,7 @@ def source_csv_roundtrip_q(spark, sf):
         StructType,
     )
 
-    path = _roundtrip_dir("csv", sf)
+    path = _roundtrip_dir(spark, "csv", sf)
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     orders = t(spark, sf, "orders")
     # serialize the timestamp EXPLICITLY (writer-side timestampFormat
@@ -2370,7 +2374,7 @@ def source_jsonl_roundtrip_q(spark, sf):
         StructType,
     )
 
-    path = _roundtrip_dir("jsonl", sf)
+    path = _roundtrip_dir(spark, "jsonl", sf)
     docs = t(spark, sf, "documents").select("doc_id", "source", "text")
     docs.write.mode("overwrite").json(path)
     schema = StructType(

@@ -703,6 +703,7 @@ def test_wav_pcm_decode_stereo_and_fallbacks(spark):
     df = spark.createDataFrame(
         [
             ("stereo", wav(2, 16000, frames)),
+            ("hires", wav(1, 96000, [(7,)] * 96)),  # rate > 65535: 4-byte field
             ("alaw", wav(1, 8000, [(5,), (5,)], audio_fmt=6)),
             ("junk", b"RIFFxxxxWAVEnope"),
         ],
@@ -714,6 +715,11 @@ def test_wav_pcm_decode_stereo_and_fallbacks(spark):
     assert (s["n_channels"], s["sample_rate"], s["n_samples"]) == (2, 16000, 4)
     assert s["duration_ms"] == 4 * 1000.0 / 16000
     assert s["peak"] == 300 and s["rms"] == 300.0
+    # 96 kHz exercises the upper 2 bytes of the 4-byte fmt rate field —
+    # a 2-byte read would yield 96000 % 65536 = 30464 and a wrong duration.
+    h = rows["hires"]
+    assert (h["sample_rate"], h["n_samples"]) == (96000, 96)
+    assert h["duration_ms"] == 96 * 1000.0 / 96000
     assert rows["alaw"]["decoder"] is None   # non-PCM: honest NULL
     assert rows["junk"]["decoder"] is None
 
