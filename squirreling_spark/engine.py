@@ -150,11 +150,32 @@ def extract_tables(spark: SparkSession, query: str) -> list[str]:
     except Exception:
         pass
     if not names:
-        # Fallback: regex-free conservative scan via catalyst's collectLeaves
-        # is overkill here; resolve by attempting analysis.
+        # Textual fallback (subquery relations live inside expressions the
+        # plan walk above doesn't reach): strip comments first so keywords
+        # inside them can't match, skip string literals, and honor quoted
+        # identifiers ("name" / `name`).
         import re
 
-        names = re.findall(r"(?:from|join)\s+([a-zA-Z_][a-zA-Z0-9_.]*)", query, re.I)
+        from squirreling_spark.functions.sqldialect import _string_mask
+
+        stripped = re.sub(r"--[^\n]*", " ", query)
+        stripped = re.sub(r"/\*.*?\*/", " ", stripped, flags=re.S)
+        mask = _string_mask(stripped)
+        pat = re.compile(
+            r"(?:\bfrom|\bjoin)\s+"
+            r"([A-Za-z_][\w.]*|\"[^\"]+\"|`[^`]+`)",
+            re.I,
+        )
+        names = []
+        for m in pat.finditer(stripped):
+            if mask[m.start()]:
+                continue  # inside a string literal
+            name = m.group(1)
+            if name.startswith(('"', "`")):
+                name = name[1:-1]
+            elif name.lower() in ("select", "lateral", "values", "unnest"):
+                continue  # FROM (SELECT ...) and table functions
+            names.append(name)
     seen, out = set(), []
     for n in names:
         if n.lower() not in seen:
@@ -223,19 +244,32 @@ def execute_sql(
     tables: dict[str, Any] | None = None,
     functions: dict[str, FunctionSpec] | None = None,
     cache_tables: list[str] | None = None,
+    like_mode: str = "ansi",
+    pos_order: dict[str, list[str]] | None = None,
 ) -> QueryResult:
     """Run SQL over a per-query table namespace with optional scalar UDFs —
     the reference's ``executeSql({tables, query, functions})``.
 
+    Reference-dialect syntax is accepted directly: ``POSITIONAL JOIN``,
+    FROM-clause ``JSON_EACH(expr)``, and ``123n`` BigInt literals are
+    pre-parse rewritten onto the Spark operator implementations
+    (functions/sqldialect.py); ``like_mode="ci"`` opts into the
+    reference's case-insensitive LIKE (src/expression/binary.js:57-66).
+
     ``cache_tables`` memoizes the named tables across queries
     (``df.cache()`` — the reference's cachedDataSource cell memoization,
     src/backend/dataSource.js:80-129, at DataFrame granularity)."""
+    from squirreling_spark.functions.sqldialect import rewrite_reference_sql
+
     if tables:
         _register_tables(spark, tables)
     for name in cache_tables or []:
         spark.catalog.cacheTable(name)
     if functions:
         register_functions(spark, functions)
+    query = rewrite_reference_sql(
+        query, spark=spark, like_mode=like_mode, pos_order=pos_order
+    )
 
     job_group = f"squirreling-{uuid.uuid4().hex[:12]}"
     spark.sparkContext.setJobGroup(job_group, query[:200], interruptOnCancel=True)

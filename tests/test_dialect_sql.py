@@ -1,0 +1,248 @@
+"""Reference-dialect SQL through the headline ``execute_sql`` façade
+(functions/sqldialect.py). Query strings are drawn from the reference's own
+test shapes: test/execute/positional.test.js, test/execute/execute.json.test.js
+(JSON_EACH in FROM), src/parse/tokenize.js:49-57 (``123n`` literals),
+src/expression/binary.js:57-66 (case-insensitive LIKE)."""
+
+import pytest
+
+from squirreling_spark.engine import execute_sql
+from squirreling_spark.functions.sqldialect import rewrite_reference_sql
+
+TABLE_A = [
+    {"id": 1, "name": "Alice"},
+    {"id": 2, "name": "Bob"},
+    {"id": 3, "name": "Charlie"},
+]
+TABLE_B = [
+    {"code": "A", "value": 100},
+    {"code": "B", "value": 200},
+    {"code": "C", "value": 300},
+]
+
+
+def _rows(res):
+    return res.collect()
+
+
+# ---------------------------------------------------------------------------
+# POSITIONAL JOIN (reference test/execute/positional.test.js)
+# ---------------------------------------------------------------------------
+
+
+def test_positional_join_equal_lengths(spark):
+    res = execute_sql(
+        spark,
+        "SELECT tableA.name, tableB.code FROM tableA POSITIONAL JOIN tableB",
+        tables={"tableA": TABLE_A, "tableB": TABLE_B},
+    )
+    rows = sorted(_rows(res), key=lambda r: r["name"])
+    assert rows == [
+        {"name": "Alice", "code": "A"},
+        {"name": "Bob", "code": "B"},
+        {"name": "Charlie", "code": "C"},
+    ]
+
+
+def test_positional_join_right_shorter_pads_null(spark):
+    res = execute_sql(
+        spark,
+        "SELECT tableA.name, tableB.code FROM tableA POSITIONAL JOIN tableB",
+        tables={"tableA": TABLE_A, "tableB": TABLE_B[:1]},
+    )
+    rows = sorted(_rows(res), key=lambda r: r["name"])
+    assert rows == [
+        {"name": "Alice", "code": "A"},
+        {"name": "Bob", "code": None},
+        {"name": "Charlie", "code": None},
+    ]
+
+
+def test_positional_join_left_shorter_pads_null(spark):
+    res = execute_sql(
+        spark,
+        "SELECT tableA.name, tableB.code FROM tableA POSITIONAL JOIN tableB",
+        tables={"tableA": TABLE_A[:1], "tableB": TABLE_B},
+    )
+    rows = sorted(_rows(res), key=lambda r: (r["name"] is None, r["code"]))
+    assert rows == [
+        {"name": "Alice", "code": "A"},
+        {"name": None, "code": "B"},
+        {"name": None, "code": "C"},
+    ]
+
+
+def test_positional_join_select_star_hides_rn(spark):
+    res = execute_sql(
+        spark,
+        "SELECT * FROM tableA POSITIONAL JOIN tableB",
+        tables={"tableA": TABLE_A, "tableB": TABLE_B},
+    )
+    assert res.columns == ["id", "name", "code", "value"]
+    assert len(_rows(res)) == 3
+
+
+def test_positional_join_with_aliases(spark):
+    res = execute_sql(
+        spark,
+        "SELECT a.name, b.code FROM tableA a POSITIONAL JOIN tableB AS b",
+        tables={"tableA": TABLE_A, "tableB": TABLE_B},
+    )
+    assert len(_rows(res)) == 3
+
+
+# ---------------------------------------------------------------------------
+# JSON_EACH in FROM (reference test/execute/execute.json.test.js:621-770)
+# ---------------------------------------------------------------------------
+
+
+def test_json_each_object(spark):
+    res = execute_sql(
+        spark, "SELECT * FROM JSON_EACH('{\"a\":1,\"b\":2}')"
+    )
+    rows = sorted(_rows(res), key=lambda r: r["key"])
+    assert rows == [
+        {"key": "a", "value": "1"},
+        {"key": "b", "value": "2"},
+    ]
+
+
+def test_json_each_array_integer_keys(spark):
+    res = execute_sql(spark, "SELECT * FROM JSON_EACH('[10,20,30]')")
+    rows = sorted(_rows(res), key=lambda r: r["key"])
+    assert rows == [
+        {"key": "0", "value": "10"},
+        {"key": "1", "value": "20"},
+        {"key": "2", "value": "30"},
+    ]
+
+
+def test_json_each_lateral_over_table(spark):
+    data = [
+        {"id": 1, "json": '{"x": "foo", "y": "bar"}'},
+        {"id": 2, "json": '{"z": "baz"}'},
+    ]
+    res = execute_sql(
+        spark,
+        "SELECT data.id, j.key, j.value FROM data "
+        "JOIN JSON_EACH(data.json) AS j ON TRUE",
+        tables={"data": data},
+    )
+    rows = sorted(_rows(res), key=lambda r: (r["id"], r["key"]))
+    assert rows == [
+        {"id": 1, "key": "x", "value": "foo"},
+        {"id": 1, "key": "y", "value": "bar"},
+        {"id": 2, "key": "z", "value": "baz"},
+    ]
+
+
+def test_json_each_null_and_empty_yield_zero_rows(spark):
+    assert _rows(execute_sql(spark, "SELECT * FROM JSON_EACH(NULL)")) == []
+    assert _rows(execute_sql(spark, "SELECT * FROM JSON_EACH('{}')")) == []
+    assert _rows(execute_sql(spark, "SELECT * FROM JSON_EACH('[]')")) == []
+
+
+def test_json_each_column_aliases(spark):
+    res = execute_sql(
+        spark,
+        "SELECT k, v FROM JSON_EACH('{\"a\":1,\"b\":2}') AS j(k, v)",
+    )
+    rows = sorted(_rows(res), key=lambda r: r["k"])
+    assert rows == [{"k": "a", "v": "1"}, {"k": "b", "v": "2"}]
+
+
+def test_json_each_where_filter_numeric(spark):
+    res = execute_sql(
+        spark,
+        "SELECT key, value FROM JSON_EACH('[10,20,30,40]') WHERE value > 15",
+    )
+    assert sorted(r["value"] for r in _rows(res)) == ["20", "30", "40"]
+
+
+def test_json_each_aggregate_with_cast(spark):
+    res = execute_sql(
+        spark,
+        "SELECT SUM(CAST(value AS BIGINT)) AS total "
+        "FROM JSON_EACH('[1,2,3,4]')",
+    )
+    assert _rows(res) == [{"total": 10}]
+
+
+def test_json_each_nested_values_stay_json_text(spark):
+    res = execute_sql(
+        spark, "SELECT * FROM JSON_EACH('{\"a\":{\"x\":1},\"b\":[1,2]}')"
+    )
+    rows = {r["key"]: r["value"] for r in _rows(res)}
+    assert rows["a"] == '{"x":1}'
+    assert rows["b"] == "[1,2]"
+
+
+# ---------------------------------------------------------------------------
+# BigInt literals ``123n`` (reference src/parse/tokenize.js:49-57)
+# ---------------------------------------------------------------------------
+
+
+def test_bigint_literal_select_and_where(spark):
+    res = execute_sql(
+        spark,
+        "SELECT 9007199254740993n AS big, id FROM t WHERE id < 3n",
+        tables={"t": [{"id": 1}, {"id": 2}, {"id": 3}]},
+    )
+    rows = sorted(_rows(res), key=lambda r: r["id"])
+    assert rows == [
+        {"big": 9007199254740993, "id": 1},
+        {"big": 9007199254740993, "id": 2},
+    ]
+
+
+def test_bigint_literal_not_rewritten_inside_strings(spark):
+    res = execute_sql(spark, "SELECT '12n' AS s, 5n AS v")
+    assert _rows(res) == [{"s": "12n", "v": 5}]
+
+
+# ---------------------------------------------------------------------------
+# Case-insensitive LIKE (reference src/expression/binary.js:57-66)
+# ---------------------------------------------------------------------------
+
+
+def test_like_ci_mode(spark):
+    tables = {"w": [{"s": "Hello"}, {"s": "WORLD"}, {"s": "hollow"}]}
+    ci = execute_sql(
+        spark, "SELECT s FROM w WHERE s LIKE 'h%'", tables=tables,
+        like_mode="ci",
+    )
+    assert sorted(r["s"] for r in _rows(ci)) == ["Hello", "hollow"]
+    ansi = execute_sql(
+        spark, "SELECT s FROM w WHERE s LIKE 'h%'", tables=tables
+    )
+    assert sorted(r["s"] for r in _rows(ansi)) == ["hollow"]
+
+
+def test_like_ci_does_not_touch_literals(spark):
+    q = rewrite_reference_sql("SELECT 'I LIKE cats' AS s", like_mode="ci")
+    assert q == "SELECT 'I LIKE cats' AS s"
+
+
+# ---------------------------------------------------------------------------
+# Rewriter unit behavior
+# ---------------------------------------------------------------------------
+
+
+def test_rewrite_noop_on_plain_sql(spark):
+    q = "SELECT a, b FROM t WHERE a > 1 ORDER BY b"
+    assert rewrite_reference_sql(q, spark=spark) == q
+
+
+def test_rewrite_positional_inside_string_untouched(spark):
+    q = "SELECT 'x POSITIONAL JOIN y' AS s"
+    assert rewrite_reference_sql(q, spark=spark) == q
+
+
+def test_positional_join_composes_with_where(spark):
+    res = execute_sql(
+        spark,
+        "SELECT tableA.name, tableB.value FROM tableA POSITIONAL JOIN "
+        "tableB WHERE tableB.value > 150",
+        tables={"tableA": TABLE_A, "tableB": TABLE_B},
+    )
+    assert sorted(r["value"] for r in _rows(res)) == [200, 300]

@@ -152,3 +152,16 @@ def test_cancel_running_query(spark):
     slow.cancel()
     th.join(timeout=60)
     assert errors == ["cancelled"]
+
+
+def test_extract_tables_fallback_ignores_comments_and_strings(spark):
+    """The textual fallback must not pick up keywords from comments,
+    string literals, or subquery parens, and must honor quoted
+    identifiers (round-4 verdict housekeeping)."""
+    q = (
+        "-- from not_a_table\n"
+        "SELECT (SELECT max(x) FROM `quoted table`) AS m,\n"
+        "       'from fake_table' AS s\n"
+        "/* join comment_table */\n"
+    )
+    assert extract_tables(spark, q) == ["quoted table"]
