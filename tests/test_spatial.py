@@ -157,3 +157,78 @@ class TestSparkIntegration:
         assert [r["c"] for r in rows] == [True, False]
         assert rows[1]["d"] == pytest.approx(5.0)
         assert rows[0]["wkt"] == "POINT (5 5)"
+
+
+def test_spatial_join_matches_brute_force(spark):
+    """Grid-banded spatial_join (operators/spatial_join.py) must emit
+    exactly the pairs the row-wise predicate accepts — once each, however
+    many grid cells a bbox spans (multi-cell bboxes exercise the
+    first-shared-cell dedup), including triangles (bbox overlap is
+    necessary-not-sufficient: the exact predicate must kill bbox-only
+    candidates)."""
+    import random
+
+    from squirreling_spark.functions.spatial import _PREDICATES, parse_wkt
+    from squirreling_spark.operators.spatial_join import spatial_join
+
+    rng = random.Random(20260814)
+    pts = []
+    for i in range(60):
+        x = round(rng.uniform(-10, 10), 3)
+        y = round(rng.uniform(-10, 10), 3)
+        pts.append((i, f"POINT ({x} {y})"))
+    polys = []
+    for j in range(20):
+        x0 = round(rng.uniform(-10, 6), 3)
+        y0 = round(rng.uniform(-10, 6), 3)
+        w = round(rng.uniform(0.5, 7), 3)   # spans multiple 2.0-cells
+        h = round(rng.uniform(0.5, 7), 3)
+        if j % 3 == 0:  # triangle: bbox overlap != containment
+            wkt = (
+                f"POLYGON (({x0} {y0}, {x0 + w} {y0}, "
+                f"{x0} {y0 + h}, {x0} {y0}))"
+            )
+        else:
+            wkt = (
+                f"POLYGON (({x0} {y0}, {x0 + w} {y0}, {x0 + w} {y0 + h}, "
+                f"{x0} {y0 + h}, {x0} {y0}))"
+            )
+        polys.append((j, wkt))
+
+    fn = _PREDICATES["st_intersects"]
+    expected = {
+        (pid, gid)
+        for pid, pw in pts
+        for gid, gw in polys
+        if fn(parse_wkt(pw), parse_wkt(gw))
+    }
+    assert expected  # non-vacuous
+
+    l_df = spark.createDataFrame(pts, "pt_id int, pt_wkt string")
+    r_df = spark.createDataFrame(polys, "poly_id int, poly_wkt string")
+    got = {
+        (r["pt_id"], r["poly_id"])
+        for r in spatial_join(
+            l_df, r_df, "pt_wkt", "poly_wkt",
+            predicate="st_intersects", cell_size=2.0,
+        ).collect()
+    }
+    assert got == expected
+
+    # polygon-vs-polygon: candidate pairs can share MANY cells; each
+    # surviving pair must still appear exactly once
+    r2 = [(100 + j, w) for j, w in polys[:10]]
+    r2_df = spark.createDataFrame(r2, "poly2_id int, poly2_wkt string")
+    rows = spatial_join(
+        r_df, r2_df, "poly_wkt", "poly2_wkt",
+        predicate="st_intersects", cell_size=2.0,
+    ).collect()
+    pairs = [(r["poly_id"], r["poly2_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs))  # exactly-once emission
+    expected2 = {
+        (gid, gid2)
+        for gid, gw in polys
+        for gid2, gw2 in r2
+        if fn(parse_wkt(gw), parse_wkt(gw2))
+    }
+    assert set(pairs) == expected2
