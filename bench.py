@@ -93,7 +93,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("squirreling-bench")
 
-    names = [n for n in HEADLINE if n in inventory.QUERIES]
+    # Diagnostic override: SPARK_GRAFT_BENCH_QUERIES=a,b,c reruns a past
+    # round's exact query list on current code (regression isolation:
+    # bench-context effects vs operator changes).
+    override = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = override.split(",") if override else HEADLINE
+    names = [n for n in headline if n in inventory.QUERIES]
     # Touch every table once so parquet footers/file listings are cached.
     try:
         inventory.QUERIES["count_star"](spark, sf_dir).collect()

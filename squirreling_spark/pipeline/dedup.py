@@ -347,12 +347,11 @@ def embedding_lsh_dedup(
     )
 
 
-def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
+def _driver_union_find(spark, pdf, src: str, dst: str) -> DataFrame:
     """Union-find with path compression over a COLLECTED edge list —
     the small-graph arm of connected_components. One Arrow transfer in,
     one createDataFrame out; exact same (node, min-label) contract as the
     distributed arm."""
-    pdf = edges.select(src, dst).toPandas()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -370,9 +369,7 @@ def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
             parent[max(ra, rb)] = min(ra, rb)
     nodes = set(pdf[src].astype(int)) | set(pdf[dst].astype(int))
     rows = [(n, find(n)) for n in sorted(nodes)]
-    return edges.sparkSession.createDataFrame(
-        rows, schema="node bigint, label bigint"
-    )
+    return spark.createDataFrame(rows, schema="node bigint, label bigint")
 
 
 def connected_components(
@@ -419,13 +416,22 @@ def connected_components(
         # persist, NOT localCheckpoint: checkpoint materializes through the
         # RDD path where exchange reuse doesn't apply, so an upstream
         # self-join (LSH bucket join) would compute its signatures twice.
-        # The SQL-path count() materializes the cache with reuse intact.
+        # Dispatch probe: limit(threshold+1).toPandas() instead of a full
+        # count() — for the (common) small arm this ONE job both answers
+        # the size question AND delivers the union-find input, where the
+        # old eager count() paid a full extra materialization pass before
+        # the collect (the round-4 bench regression on dedup_clusters).
+        # For the big arm the partial scan's work lands in the persist
+        # cache and is reused by the distributed arm below.
         edges = cached = edges.persist()
-        if edges.count() <= driver_threshold:
+        probe = (
+            edges.select(src, dst).limit(driver_threshold + 1).toPandas()
+        )
+        if len(probe) <= driver_threshold:
             try:
-                # union-find collects via one Arrow transfer and returns a
-                # driver-built frame with no lineage on `edges`
-                return _driver_union_find(edges, src, dst)
+                return _driver_union_find(
+                    edges.sparkSession, probe, src, dst
+                )
             finally:
                 cached.unpersist()
     und = (
