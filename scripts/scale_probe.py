@@ -71,6 +71,9 @@ QUERIES = [
     "corpus_pipeline",
     "q8_market_share",
     "q21_waiting_supplier",
+    # round-5: the r4 verdict's unprobed heavy operators (task 7)
+    "dedup_substrings",
+    "semdedup",
 ]
 
 

@@ -464,6 +464,66 @@ def test_gif_bmp_same_image_same_checksum(spark):
 
 # --- baseline JPEG round trip ----------------------------------------------
 
+import numpy as np
+
+QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99])
+QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99]
+    + [99] * 32)
+DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+
+def _jenc_codes(bits, vals):
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+
 def _jpeg_bytes_real(rgb_rows):
     """Reference baseline JPEG ENCODER (Annex K tables, canonical
     huffman, FDCT) — independent of the decoder under test."""
@@ -472,60 +532,6 @@ def _jpeg_bytes_real(rgb_rows):
         _JPEG_ZIGZAG as ZZ,
         _jpeg_dct_mat,
     )
-
-    QL = np.array([
-        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
-        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
-        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
-        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99])
-    QC = np.array([
-        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
-        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99]
-        + [99] * 32)
-    DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
-    DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
-    AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
-        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
-        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
-        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
-        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
-        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
-        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
-        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
-        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
-        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
-        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
-        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
-        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
-        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
-        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
-        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
-    AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
-        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
-        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
-        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
-        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
-        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
-        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
-        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
-        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
-        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
-        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
-        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
-        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
-        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
-        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
-        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
-
-    def codes(bits, vals):
-        out, code, k = {}, 0, 0
-        for ln in range(1, 17):
-            for _ in range(bits[ln - 1]):
-                out[vals[k]] = (code, ln)
-                code += 1
-                k += 1
-            code <<= 1
-        return out
 
     M = _jpeg_dct_mat()
     rgb = np.asarray(rgb_rows, dtype=np.float64)
@@ -540,9 +546,9 @@ def _jpeg_bytes_real(rgb_rows):
             0.5 * r - 0.418688 * g - 0.081312 * b + 128,
         )
     ]
-    tabs = [(QL, codes(*DC_L), codes(*AC_L)),
-            (QC, codes(*DC_C), codes(*AC_C)),
-            (QC, codes(*DC_C), codes(*AC_C))]
+    tabs = [(QL, _jenc_codes(*DC_L), _jenc_codes(*AC_L)),
+            (QC, _jenc_codes(*DC_C), _jenc_codes(*AC_C)),
+            (QC, _jenc_codes(*DC_C), _jenc_codes(*AC_C))]
     buf, acc, nbits = bytearray(), 0, 0
 
     def emit(code, length):
@@ -663,9 +669,11 @@ def test_real_jpeg_gradient_close_and_deterministic(spark):
     assert row1["checksum"] == row2["checksum"] is not None
 
 
-def test_progressive_jpeg_falls_back_to_labeled_fake(spark):
-    """SOF2 (progressive) is outside the decoder's subset — must fall to
-    the labeled fake, not misdecode."""
+def test_invalid_progressive_scan_falls_back_to_labeled_fake(spark):
+    """A baseline stream relabeled SOF2 is an INVALID progressive stream
+    (its scan header has Ss=0, Se=63 — T.81 G.1.1.1.1 requires Se=0 for
+    DC scans): must fall to the labeled fake, not misdecode. Real SOF2
+    streams decode since round 5 (test_progressive_jpeg_*)."""
     real = bytearray(_jpeg_bytes_real([[(10, 20, 30)] * 8] * 8))
     sof = real.find(b"\xff\xc0")
     real[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2
@@ -793,3 +801,344 @@ def test_paletted_png_decode(spark):
     assert rows["p3"]["decoder"] == "png"
     assert (rows["p3"]["width"], rows["p3"]["height"]) == (6, 4)
     assert rows["p3"]["checksum"] == rows["bmp"]["checksum"]
+
+
+# --- progressive JPEG round trip -------------------------------------------
+
+class _JBitWriter:
+    """MSB-first bit emitter with FF00 stuffing (shared by the
+    progressive encoder's scans)."""
+
+    def __init__(self):
+        self.buf, self.acc, self.nbits = bytearray(), 0, 0
+
+    def emit(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)
+                self.acc, self.nbits = 0, 0
+
+    def done(self):
+        while self.nbits:
+            self.emit(1, 1)
+        return bytes(self.buf)
+
+
+def _jenc_quant_zz(rgb_rows):
+    """(h, w, zz) — zz[ci] is (nblk, 64) quantized zigzag coefficients,
+    identical math to the baseline encoder."""
+    from squirreling_spark.pipeline.multimodal import (
+        _JPEG_ZIGZAG as ZZ,
+        _jpeg_dct_mat,
+    )
+
+    M = _jpeg_dct_mat()
+    rgb = np.asarray(rgb_rows, dtype=np.float64)
+    h, w = rgb.shape[:2]
+    assert h % 8 == 0 and w % 8 == 0
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    planes = [
+        np.clip(p, 0, 255)
+        for p in (
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128,
+        )
+    ]
+    qs = [QL, QC, QC]
+    zz = [np.zeros(((h // 8) * (w // 8), 64), np.int64) for _ in planes]
+    bi = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            for ci, plane in enumerate(planes):
+                coef = M @ (plane[by:by + 8, bx:bx + 8] - 128.0) @ M.T
+                zz[ci][bi] = np.round(
+                    coef.flatten()[ZZ] / qs[ci][ZZ]
+                ).astype(np.int64)
+            bi += 1
+    return h, w, zz
+
+
+def _mag(v):
+    v = int(v)
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, v if v > 0 else v + (1 << size) - 1
+
+
+def _enc_dc_first(zz, comps, al, dc_tabs):
+    bw_ = _JBitWriter()
+    preds = [0] * len(comps)
+    nblk = zz[0].shape[0]
+    for bi in range(nblk):
+        for ci in comps:
+            v = int(zz[ci][bi, 0]) >> al  # arithmetic shift (T.81 G.1.2.1)
+            size, bits = _mag(v - preds[ci])
+            preds[ci] = v
+            c, ln = dc_tabs[ci][size]
+            bw_.emit(c, ln)
+            if size:
+                bw_.emit(bits, size)
+    return bw_.done()
+
+
+def _enc_dc_refine(zz, comps, al):
+    bw_ = _JBitWriter()
+    nblk = zz[0].shape[0]
+    for bi in range(nblk):
+        for ci in comps:
+            bw_.emit((int(zz[ci][bi, 0]) >> al) & 1, 1)
+    return bw_.done()
+
+
+def _flush_eob(bw_, eobrun, pending, ac):
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        c, ln = ac[r << 4]
+        bw_.emit(c, ln)
+        if r:
+            bw_.emit(eobrun - (1 << r), r)
+        for b in pending:
+            bw_.emit(b, 1)
+        pending.clear()
+    return 0
+
+
+def _enc_ac_first(zz, ci, ss, se, al, ac):
+    bw_ = _JBitWriter()
+    eobrun = 0
+    for bi in range(zz[ci].shape[0]):
+        band = [int(v) for v in zz[ci][bi, ss:se + 1]]
+        # point transform: truncation toward zero (T.81 G.1.2.2)
+        band = [(abs(v) >> al) * (1 if v >= 0 else -1) for v in band]
+        nz = [i for i, v in enumerate(band) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eob(bw_, eobrun, [], ac)
+            continue
+        eobrun = _flush_eob(bw_, eobrun, [], ac)
+        run = 0
+        for i in range(nz[-1] + 1):
+            if band[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac[0xF0]
+                bw_.emit(c, ln)
+                run -= 16
+            size, bits = _mag(band[i])
+            c, ln = ac[(run << 4) | size]
+            bw_.emit(c, ln)
+            bw_.emit(bits, size)
+            run = 0
+        if nz[-1] < se - ss:  # block not coded through se: EOB
+            eobrun += 1
+    _flush_eob(bw_, eobrun, [], ac)
+    return bw_.done()
+
+
+def _enc_ac_refine(zz, ci, ss, se, al, ac):
+    """Mirror of the decoder's G.1.2.3 traversal: newly-significant
+    coefficients (|v|>>al == 1) emit (run-of-zero-history, s=1) + sign,
+    history coefficients (|v|>>al > 1) contribute interleaved correction
+    bits; blocks without new coefficients join buffered EOB runs."""
+    bw_ = _JBitWriter()
+    eobrun, eob_pending = 0, []
+    for bi in range(zz[ci].shape[0]):
+        band = [int(v) for v in zz[ci][bi, ss:se + 1]]
+        absv = [abs(v) >> al for v in band]
+        new = [i for i, m in enumerate(absv) if m == 1]
+        if not new:
+            eobrun += 1
+            eob_pending.extend(
+                (abs(band[i]) >> al) & 1 for i in range(len(band))
+                if absv[i] > 1
+            )
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eob(bw_, eobrun, eob_pending, ac)
+            continue
+        eobrun = _flush_eob(bw_, eobrun, eob_pending, ac)
+        run, pending = 0, []
+        for i in range(new[-1] + 1):
+            if absv[i] == 0:
+                run += 1
+                continue
+            if absv[i] > 1:  # history: correction bit rides along
+                pending.append((abs(band[i]) >> al) & 1)
+                continue
+            while run > 15:
+                c, ln = ac[0xF0]
+                bw_.emit(c, ln)
+                for b in pending:
+                    bw_.emit(b, 1)
+                pending.clear()
+                run -= 16
+            c, ln = ac[(run << 4) | 1]
+            bw_.emit(c, ln)
+            bw_.emit(1 if band[i] > 0 else 0, 1)
+            for b in pending:
+                bw_.emit(b, 1)
+            pending.clear()
+            run = 0
+        # trailing history corrections -> this block starts an EOB run
+        tail = [
+            (abs(band[i]) >> al) & 1
+            for i in range(new[-1] + 1, len(band))
+            if absv[i] > 1
+        ]
+        if new[-1] < se - ss or tail:
+            eobrun += 1
+            eob_pending.extend(tail)
+    _flush_eob(bw_, eobrun, eob_pending, ac)
+    return bw_.done()
+
+
+class _SymRec(dict):
+    """Huffman-table stand-in that records which RS symbols a scan emits
+    (first pass of the two-pass progressive encode)."""
+
+    def __init__(self):
+        self.seen = set()
+
+    def __getitem__(self, k):
+        self.seen.add(k)
+        return (0, 1)
+
+
+def _canon_table(symbols):
+    """Canonical table giving every symbol the same length L with
+    2^L > n, so the all-ones code stays reserved (T.81 C.2)."""
+    syms = sorted(symbols)
+    n = len(syms)
+    L = 1
+    while (1 << L) <= n:
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = n
+    return bits, syms
+
+
+def _jpeg_prog_bytes_real(rgb_rows, dc_al=1, ac_al=1, split_band=5):
+    """Progressive JPEG ENCODER (SOF2, T.81 Annex G): spectral selection
+    (DC scan + split AC bands) with successive approximation (first pass
+    at Al, then refinement scans down to 0) — the scan script shape
+    libjpeg's default progressive mode emits. Each AC scan carries its
+    own DHT (two-pass: record the scan's RS symbols, build a canonical
+    table — EOB-run codes 0x10..0xE0 aren't in the Annex-K baseline
+    tables). Independent of the decoder under test."""
+    import struct
+
+    from squirreling_spark.pipeline.multimodal import _JPEG_ZIGZAG as ZZ
+
+    h, w, zz = _jenc_quant_zz(rgb_rows)
+    dc_tabs = [_jenc_codes(*DC_L), _jenc_codes(*DC_C), _jenc_codes(*DC_C)]
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dht(cls, tid, bits, vals):
+        return seg(0xC4, bytes([cls << 4 | tid] + bits + list(vals)))
+
+    def sos(comp_sel, ss, se, ah, al, data):
+        # comp_sel: list of (component id 1-based, dc_tid, ac_tid)
+        body = bytes([len(comp_sel)])
+        for cid, dc_t, ac_t in comp_sel:
+            body += bytes([cid, (dc_t << 4) | ac_t])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body) + data
+
+    def ac_scan(enc_fn, ci, ss, se, al, ah):
+        """Two-pass AC scan: record symbols, build + emit a fresh DHT
+        (always table id 0), encode for real."""
+        rec = _SymRec()
+        enc_fn(zz, ci, ss, se, al, rec)
+        bits, syms = _canon_table(rec.seen or {0x00})
+        return (
+            dht(1, 0, bits, syms)
+            + sos([(ci + 1, 0, 0)], ss, se, ah, al,
+                  enc_fn(zz, ci, ss, se, al, _jenc_codes(bits, syms)))
+        )
+
+    out = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, bytes([0]) + bytes(QL[ZZ].astype(np.uint8)))
+        + seg(0xDB, bytes([1]) + bytes(QC[ZZ].astype(np.uint8)))
+        + seg(0xC2, bytes([8]) + struct.pack(">HH", h, w)
+              + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+        + dht(0, 0, *DC_L) + dht(0, 1, *DC_C)
+    )
+    # scan 1: DC first pass, all components, Al=dc_al
+    out += sos(
+        [(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, dc_al,
+        _enc_dc_first(zz, [0, 1, 2], dc_al, dc_tabs),
+    )
+    # AC first passes at Al=ac_al: luma split into two bands, chroma whole
+    out += ac_scan(_enc_ac_first, 0, 1, split_band, ac_al, 0)
+    out += ac_scan(_enc_ac_first, 0, split_band + 1, 63, ac_al, 0)
+    for ci in (1, 2):
+        out += ac_scan(_enc_ac_first, ci, 1, 63, ac_al, 0)
+    # refinement scans down to Al=0
+    for al in range(dc_al - 1, -1, -1):
+        out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, al + 1, al,
+                   _enc_dc_refine(zz, [0, 1, 2], al))
+    for al in range(ac_al - 1, -1, -1):
+        for ci in (0, 1, 2):
+            out += ac_scan(_enc_ac_refine, ci, 1, 63, al, al + 1)
+    return out + b"\xff\xd9"
+
+
+def test_progressive_jpeg_matches_baseline_pixels(spark):
+    """A progressive (SOF2) encoding of the same quantized coefficients
+    must decode to BIT-IDENTICAL pixels as the baseline encoding — the
+    coefficient accumulators converge to the same values, so checksum
+    equality is exact, not approximate. Exercises DC successive
+    approximation, split AC bands, AC refinement with EOB-run correction
+    bits."""
+    xs = np.linspace(0, 255, 24)
+    ys = np.linspace(0, 255, 16)
+    gx, gy = np.meshgrid(xs, ys)
+    src = np.stack(
+        [gx, gy, (gx + gy) % 197], axis=-1
+    ).astype(np.uint8)
+    base = bytearray(_jpeg_bytes_real(src))
+    prog = bytearray(_jpeg_prog_bytes_real(src, dc_al=1, ac_al=1))
+    prog2 = bytearray(_jpeg_prog_bytes_real(src, dc_al=2, ac_al=2))
+    prog0 = bytearray(_jpeg_prog_bytes_real(src, dc_al=0, ac_al=0))
+    df = spark.createDataFrame(
+        [("base", base), ("prog", prog), ("prog2", prog2),
+         ("prog0", prog0)],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_image(df).collect()}
+    assert rows["base"]["decoder"] == "jpeg"
+    for k in ("prog", "prog2", "prog0"):
+        assert rows[k]["decoder"] == "jpeg", k
+        assert rows[k]["checksum"] == rows["base"]["checksum"], k
+
+
+def test_progressive_jpeg_flat_and_tiny(spark):
+    """Degenerate progressive cases: flat single block (EOB-run-only AC
+    scans) and a 2-block image."""
+    flat = np.full((8, 8, 3), 0, np.uint8)
+    flat[..., 0], flat[..., 1], flat[..., 2] = 180, 100, 40
+    two = np.zeros((8, 16, 3), np.uint8)
+    two[..., 0] = 200
+    df = spark.createDataFrame(
+        [
+            ("f_b", bytearray(_jpeg_bytes_real(flat))),
+            ("f_p", bytearray(_jpeg_prog_bytes_real(flat))),
+            ("t_b", bytearray(_jpeg_bytes_real(two))),
+            ("t_p", bytearray(_jpeg_prog_bytes_real(two))),
+        ],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_image(df).collect()}
+    assert rows["f_p"]["checksum"] == rows["f_b"]["checksum"]
+    assert rows["t_p"]["checksum"] == rows["t_b"]["checksum"]
