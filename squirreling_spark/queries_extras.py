@@ -180,19 +180,62 @@ def current_datetime(spark, sf):
     )
 
 
-@query("approx_sketches")  # rows-only: sketch algorithms differ per engine
+@query(
+    "approx_sketches",
+    # The sketch VALUES differ per engine (different HLL/quantile
+    # implementations), but the sketch GUARANTEES don't: the oracle pins
+    # exact ground truth + literal-TRUE bound flags, so the row goes
+    # hash-green iff every estimate sits inside its pinned error bound
+    # (3*rsd for HLL; +-1% rank for approx_percentile at accuracy 10000).
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.49) AS p49,
+             quantile_cont(l_quantity, 0.51) AS p51
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_parts,
+           TRUE AS hll_orders_ok,
+           TRUE AS hll_parts_ok,
+           TRUE AS p50_ok
+    FROM lineitem l JOIN q ON q.l_returnflag = l.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
 def approx_sketches(spark, sf):
-    """Approximate sketches — HLL distinct counts and quantile sketches
-    (Spark-native; genuinely approximate, so no cross-engine oracle —
-    the driver records a rows-only check). At 100 TB these replace exact
-    COUNT(DISTINCT)/percentile where a shuffle-free single pass matters."""
+    """Approximate sketches — HLL distinct counts and quantile sketches.
+    At 100 TB these replace exact COUNT(DISTINCT)/percentile where a
+    shuffle-free single pass matters. Graded on the sketch CONTRACT:
+    each estimate must land within its error bound of the exact value
+    computed in the same row (was rows-only through round 4 — the last
+    oracle-able gap)."""
     li = t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.expr("approx_percentile(l_quantity, array(0.5, 0.9), 10000)").alias(
-            "approx_quantiles"
-        ),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("a_ord"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("a_part"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("a_p50"),
+        F.expr("percentile_cont(0.49) WITHIN GROUP (ORDER BY l_quantity)")
+        .alias("p49"),
+        F.expr("percentile_cont(0.51) WITHIN GROUP (ORDER BY l_quantity)")
+        .alias("p51"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_orders",
+        "n_parts",
+        # default rsd = 0.05; 3 sigma bound
+        (F.abs(F.col("a_ord") - F.col("n_orders"))
+         <= 0.15 * F.col("n_orders")).alias("hll_orders_ok"),
+        (F.abs(F.col("a_part") - F.col("n_parts"))
+         <= 0.03 * F.col("n_parts")).alias("hll_parts_ok"),
+        # accuracy=10000 bounds rank error to ~N/10000: the estimate must
+        # sit between the exact 49th and 51st percentiles
+        ((F.col("a_p50") >= F.col("p49"))
+         & (F.col("a_p50") <= F.col("p51"))).alias("p50_ok"),
     )
 
 
