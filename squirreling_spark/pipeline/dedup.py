@@ -180,7 +180,7 @@ def minhash_signatures(
     array expression instead would get re-inlined by CollapseProject into
     every downstream use — O(bands ×) recomputation (measured 100× slower
     at sf0.1)."""
-    exploded = spread(df.select(id_col, text_col)).select(
+    exploded = spread(df.select(id_col, text_col), by=[id_col]).select(
         F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("s")
     )
     hashed = exploded.select(
@@ -300,7 +300,7 @@ def hyperplane_lsh_candidates(
             for b in range(bands)
         ]
     )
-    banded = spread(df.select(id_col, vec_col)).select(
+    banded = spread(df.select(id_col, vec_col), by=[id_col]).select(
         F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key")
     )
     left, right = banded.alias("l"), banded.alias("r")
@@ -559,7 +559,7 @@ def simhash(text_col: str, bits: int = 48) -> F.Column:
 def simhash_dedup(df: DataFrame, text_col: str, id_col: str, bits: int = 48) -> DataFrame:
     """Group docs by identical SimHash fingerprint (near-dup clusters)."""
     return (
-        spread(df.select(id_col, text_col))
+        spread(df.select(id_col, text_col), by=[id_col])
         .select(F.col(id_col), simhash(text_col, bits).alias("simhash"))
         .groupBy("simhash")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
@@ -575,7 +575,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Pairwise n-gram Jaccard within a blocking key. Quadratic in block
     size — use as the verify step on LSH candidates (or small blocks)."""
-    sh = spread(df.select(id_col, block_col, text_col)).select(
+    sh = spread(df.select(id_col, block_col, text_col), by=[id_col]).select(
         F.col(id_col),
         F.col(block_col).alias("block"),
         F.array_distinct(shingles(text_col, shingle_k)).alias("sh"),
@@ -652,7 +652,7 @@ def substring_dup_profile(
     # ~n^2/2^65 ≈ 1e-6 at 10M windows — the same accepted-risk class as
     # md5 everywhere else, just with more bits there.
     win = (
-        spread(df.select(F.col(id_col).alias("doc_id"), windows.alias("ws")))
+        spread(df.select(F.col(id_col).alias("doc_id"), windows.alias("ws")), by=["doc_id"])
         .select("doc_id", F.explode("ws").alias("w"))
         .select("doc_id", F.xxhash64(F.col("w")).alias("h"))
     )

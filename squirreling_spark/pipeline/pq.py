@@ -150,7 +150,7 @@ def pq_codebooks(
 ) -> DataFrame:
     """Train the m per-subspace codebooks: (sub, cent_id, cent_vec)."""
     dsub = dim // m
-    frame = subspace_frame(spread(df), vec_col, id_col, m, dsub)
+    frame = subspace_frame(spread(df, by=[id_col]), vec_col, id_col, m, dsub)
     seed_ids = (
         df.select(F.col(id_col).alias("__sid")).orderBy("__sid").limit(ksub)
     )
@@ -189,7 +189,7 @@ def pq_encode(
     ints per vector. This (not the vectors) is what search reads."""
     dsub = dim // m
     frame = subspace_frame(
-        spread(df), vec_col, id_col, m, dsub, extra_cols=extra_cols
+        spread(df, by=[id_col]), vec_col, id_col, m, dsub, extra_cols=extra_cols
     )
     return _assign_codes(frame, codebooks, extra_cols=extra_cols).select(
         F.col("__id").alias(id_col), *(extra_cols or []), "sub", "code"

@@ -37,7 +37,7 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.lit(0),
         lambda acc, t: acc + F.greatest(F.ceil(F.length(t) / 4).cast("int"), F.lit(1)),
     )
-    return spread(df).select(
+    return spread(df, by=[id_col]).select(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
         n.alias("n_tokens"),
@@ -72,7 +72,7 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     score = F.round(
         (F.least(stop_ratio * 4, F.lit(1.0)) + ttr + len_band) / 3, 6
     )
-    return spread(df).select(
+    return spread(df, by=[id_col]).select(
         F.col(id_col),
         stop_ratio.alias("stopword_ratio"),
         ttr.alias("type_token_ratio"),
@@ -109,7 +109,7 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.lit("unknown")
         )
     )
-    return spread(df).select(
+    return spread(df, by=[id_col]).select(
         F.col(id_col), pred.alias("pred_lang"), best.getField("hits").alias("hits")
     )
 
@@ -163,7 +163,7 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     norm_toks = F.split(norm, " ")
-    return spread(df).select(
+    return spread(df, by=[id_col]).select(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
         n.alias("n_tokens"),
@@ -210,7 +210,7 @@ def chunk_documents(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda j: F.array_join(F.slice(toks, j * stride + 1, window), " "),
     )
-    return spread(df).select(
+    return spread(df, by=[id_col]).select(
         F.col(id_col),
         n.alias("n_tokens"),
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
@@ -236,7 +236,7 @@ def hash_split(
         .when(bucket < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    return spread(df).select(
+    return spread(df, by=[id_col]).select(
         F.col(id_col), bucket.cast("bigint").alias("bucket"), split.alias("split")
     )
 
@@ -259,7 +259,7 @@ def scrub_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     for kind, pat in PII_PATTERNS.items():
         counts[kind] = F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0))
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
-    return spread(df).select(
+    return spread(df, by=[id_col]).select(
         F.col(id_col),
         scrubbed.alias("scrubbed"),
         *[c.cast("bigint").alias(f"n_{k}") for k, c in counts.items()],
@@ -316,7 +316,7 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     toks = F.split(norm, " ")
     bag = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
-    return spread(df).select(
+    return spread(df, by=[id_col]).select(
         F.col(id_col),
         F.md5(norm).alias("fp_exact"),
         bag.alias("fp_bag"),

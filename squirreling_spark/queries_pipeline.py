@@ -133,7 +133,7 @@ def dedup_simhash_q(spark, sf):
     row-group files scan as one task)."""
     from squirreling_spark.qutil import spread
 
-    d = spread(t(spark, sf, "documents").select("doc_id", "text"))
+    d = spread(t(spark, sf, "documents").select("doc_id", "text"), by=["doc_id"])
     return d.select("doc_id", simhash("text", bits=48).alias("simhash"))
 
 
@@ -387,7 +387,7 @@ def text_ngram_top_q(spark, sf):
     count → TakeOrderedAndProject: the entire corpus statistic costs one
     shuffle of distinct grams (not token instances) and bounded driver
     memory — the shape that holds at 100 TB."""
-    docs = qspread(t(spark, sf, "documents"))
+    docs = qspread(t(spark, sf, "documents"), by=["doc_id"])
     toks = F.split("text", " ")
     grams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -421,7 +421,7 @@ def docs_length_histogram_q(spark, sf):
     """Token-length histogram (25-token buckets) — the length-distribution
     profile every corpus-curation pass starts with. Pure map-side-combined
     aggregate over a row-local bucket key."""
-    docs = qspread(t(spark, sf, "documents"))
+    docs = qspread(t(spark, sf, "documents"), by=["doc_id"])
     n = F.size(F.split("text", " "))
     bucket = (F.floor(n / F.lit(25.0)) * 25).cast("bigint")
     return (
@@ -1444,7 +1444,7 @@ def quality_classifier_q(spark, sf):
     from squirreling_spark.pipeline.classify import linear_quality_score
 
     return linear_quality_score(
-        qspread(t(spark, sf, "documents")), "text", "doc_id"
+        qspread(t(spark, sf, "documents"), by=["doc_id"]), "text", "doc_id"
     ).orderBy("doc_id")
 
 
@@ -1983,7 +1983,7 @@ def cms_top_terms_q(spark, sf):
     from squirreling_spark.pipeline.sketch import cms_top_terms
 
     return cms_top_terms(
-        qspread(t(spark, sf, "documents")), "text", k=20
+        qspread(t(spark, sf, "documents"), by=["doc_id"]), "text", k=20
     ).orderBy(F.desc("exact_count"), "term")
 
 
@@ -2122,7 +2122,7 @@ def corpus_pipeline_q(spark, sf):
     from squirreling_spark.pipeline.export import curate_and_shard
 
     return curate_and_shard(
-        qspread(t(spark, sf, "documents").select("doc_id", "source", "text")),
+        qspread(t(spark, sf, "documents").select("doc_id", "source", "text"), by=["doc_id"]),
         "text",
         "doc_id",
         n_shards=8,

@@ -81,7 +81,9 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
+def spread(
+    df: DataFrame, min_factor: int = 1, by: list[str] | None = None
+) -> DataFrame:
     """Repartition up to the cluster's parallelism — used before
     compute-heavy stages (hashing, vector math).
 
@@ -98,8 +100,19 @@ def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     apply this only to inputs known to scan narrow (single-row-group
     files, small dimension-sized tables), where the one extra round-robin
     shuffle of already-small data is noise; genuinely wide inputs should
-    simply not be wrapped."""
+    simply not be wrapped.
+
+    ``by``: hash-partition on the named columns instead of round-robin.
+    Prefer this whenever a (near-)unique key exists: round-robin
+    repartition LOCALLY SORTS every batch first
+    (``spark.sql.execution.sortBeforeRepartition``, on by default for
+    retry determinism) — over wide payloads (document text, embeddings)
+    that sort costs ~25% of the whole minhash pipeline (measured sf0.1);
+    hash partitioning needs no sort and a unique key balances just as
+    well."""
     target = df.sparkSession.sparkContext.defaultParallelism * min_factor
+    if by:
+        return df.repartition(target, *[F.col(c) for c in by])
     return df.repartition(target)
 
 
