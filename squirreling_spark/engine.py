@@ -246,6 +246,7 @@ def execute_sql(
     cache_tables: list[str] | None = None,
     like_mode: str = "ansi",
     pos_order: dict[str, list[str]] | None = None,
+    ident_quotes: str = "spark",
 ) -> QueryResult:
     """Run SQL over a per-query table namespace with optional scalar UDFs —
     the reference's ``executeSql({tables, query, functions})``.
@@ -268,7 +269,8 @@ def execute_sql(
     if functions:
         register_functions(spark, functions)
     query = rewrite_reference_sql(
-        query, spark=spark, like_mode=like_mode, pos_order=pos_order
+        query, spark=spark, like_mode=like_mode, pos_order=pos_order,
+        ident_quotes=ident_quotes,
     )
 
     job_group = f"squirreling-{uuid.uuid4().hex[:12]}"

@@ -96,6 +96,57 @@ def _sub_outside_strings(q: str, pattern: re.Pattern, repl) -> str:
     return "".join(out)
 
 
+_FROM_FIRST_RE = re.compile(r"^\s*FROM\b", re.I)
+
+
+def _rewrite_from_first(q: str) -> str:
+    """DuckDB-style FROM-first query (reference test/parse/parse.test.js:6
+    — ``FROM tbl [WHERE ...]`` parses as ``SELECT * FROM tbl ...``)."""
+    m = _FROM_FIRST_RE.match(q)
+    if not m:
+        return q
+    return q[: m.start()] + "SELECT * " + q[m.end() - 4 :]
+
+
+_DQUOTE_RE = re.compile(r'"((?:[^"]|"")*)"')
+
+
+def _rewrite_double_quoted_idents(q: str) -> str:
+    """ANSI double-quoted identifiers → Spark backticks (the reference
+    treats ``"name with spaces"`` as an identifier, parse.test.js:267;
+    Spark reads double quotes as string literals). Only applied under
+    ``ident_quotes="ansi"`` — in the default dialect '"..."' stays a
+    Spark string literal."""
+    out, last = [], 0
+    # process left-to-right, skipping single-quoted strings manually
+    i, n = 0, len(q)
+    while i < n:
+        ch = q[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if q[j] == "'":
+                    if j + 1 < n and q[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if ch == '"':
+            m = _DQUOTE_RE.match(q, i)
+            if m:
+                out.append(q[last : i])
+                ident = m.group(1).replace('""', '"').replace("`", "``")
+                out.append(f"`{ident}`")
+                last = m.end()
+                i = m.end()
+                continue
+        i += 1
+    out.append(q[last:])
+    return "".join(out)
+
+
 _BIGINT_RE = re.compile(r"(?<![\w$.])(\d+)n\b")
 
 
@@ -271,6 +322,7 @@ def rewrite_reference_sql(
     spark: SparkSession | None = None,
     like_mode: str = "ansi",
     pos_order: dict[str, list[str]] | None = None,
+    ident_quotes: str = "spark",
 ) -> str:
     """Apply the reference-dialect rewrites. The three syntax extensions
     (POSITIONAL JOIN, FROM-clause JSON_EACH, ``123n``) are not valid Spark
@@ -283,6 +335,9 @@ def rewrite_reference_sql(
     physical row order; on a distributed engine that order is only
     well-defined given an explicit key — without a hint we zip the current
     scan order (deterministic for single-split files, the DuckDB caveat)."""
+    if ident_quotes == "ansi" and '"' in query:
+        query = _rewrite_double_quoted_idents(query)
+    query = _rewrite_from_first(query)
     up = query.upper()
     if "POSITIONAL" in up:
         if spark is None:

@@ -69,7 +69,24 @@ def bbox_struct(wkt_col: str | Column) -> Column:
     )
 
 
-def _exact_predicate_udf(predicate: str):
+def _exact_predicate_udf(predicate: str, distance: float | None = None):
+    if predicate == "st_dwithin":
+        from squirreling_spark.functions.spatial import dwithin
+
+        d = float(distance)
+
+        def batch(a: pd.Series, b: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    False
+                    if x is None or y is None
+                    else bool(dwithin(parse_wkt(x), parse_wkt(y), d))
+                    for x, y in zip(a, b)
+                ],
+                dtype=object,
+            )
+
+        return F.pandas_udf(batch, BooleanType())
     fn = _PREDICATES[predicate]
 
     def batch(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -93,14 +110,24 @@ def spatial_join(
     right_wkt: str,
     predicate: str = "st_intersects",
     cell_size: float = 1.0,
+    distance: float | None = None,
 ) -> DataFrame:
     """Inner-join rows whose geometries satisfy
     ``predicate(left_wkt, right_wkt)`` (a functions/spatial.py ST_* name,
     argument order preserved — e.g. ``st_contains`` means LEFT contains
     RIGHT). Planned as a grid-cell hash equi-join with the exact predicate
     as a post-join candidate filter — no BroadcastNestedLoopJoin
-    (plan-tested in tests/test_plans.py)."""
-    if predicate not in _PREDICATES:
+    (plan-tested in tests/test_plans.py).
+
+    ``predicate="st_dwithin"`` turns this into a DISTANCE join
+    (``distance`` required): the left bboxes are padded by ``distance``
+    before gridding, so candidate generation stays a hash equi-join and
+    the exact point-to-segment distance test runs on candidates only.
+    Pick ``cell_size`` >= distance so padding adds at most one cell ring."""
+    if predicate == "st_dwithin":
+        if distance is None:
+            raise ValueError("st_dwithin join requires distance=")
+    elif predicate not in _PREDICATES:
         raise ValueError(
             f"unknown predicate {predicate!r}; one of {sorted(_PREDICATES)}"
         )
@@ -112,8 +139,16 @@ def spatial_join(
     lb, rb = "__sq_sj_lbox", "__sq_sj_rbox"
     lcx, lcy, rcx, rcy = "__sq_sj_lcx", "__sq_sj_lcy", "__sq_sj_rcx", "__sq_sj_rcy"
 
+    pad = F.lit(float(distance)) if predicate == "st_dwithin" else F.lit(0.0)
+    raw_box = bbox_struct(left_wkt)
+    padded_box = F.struct(
+        (raw_box.getField("xmin") - pad).alias("xmin"),
+        (raw_box.getField("ymin") - pad).alias("ymin"),
+        (raw_box.getField("xmax") + pad).alias("xmax"),
+        (raw_box.getField("ymax") + pad).alias("ymax"),
+    )
     l_boxed = (
-        left.withColumn(lb, bbox_struct(left_wkt))
+        left.withColumn(lb, padded_box)
         .filter(F.col(f"{lb}.xmin").isNotNull())
         .withColumn(
             lcx,
@@ -178,7 +213,7 @@ def spatial_join(
             )
         )
     )
-    exact = _exact_predicate_udf(predicate)
+    exact = _exact_predicate_udf(predicate, distance)
     return (
         l_boxed.join(r_boxed, cond, "inner")
         .filter(exact(F.col(left_wkt), F.col(right_wkt)))

@@ -5,14 +5,15 @@ The Spark-side plumbing — schemas, Arrow batch shapes, partition sizing —
 is real and tested, and so are the codecs, all implemented here without
 external libraries: header parsing for BMP/PNG/JPEG/GIF/WAV is pure JVM
 expressions (below), and PIXEL decoding is real for BMP (numpy), PNG
-(stdlib zlib inflate + scanline unfiltering), GIF (pure-Python
-variable-width LZW + palette mapping, interlace included), and JPEG —
-baseline AND progressive SOF2 (canonical huffman entropy decode with
+(stdlib zlib inflate + scanline unfiltering, 8/16-bit, grey/truecolor/
+palette), GIF (pure-Python variable-width LZW + palette mapping,
+interlace included), and JPEG — baseline with 4:2:0/4:2:2 chroma
+subsampling AND progressive SOF2 (canonical huffman entropy decode with
 spectral selection + successive approximation, dequant, float IDCT,
-JFIF color transform). Streams outside the supported subsets
-(subsampled/restart JPEG, 16-bit PNG, RLE BMP) fall back to a
-clearly-labeled deterministic fake in ``_decode_bytes``; swap that
-branch for a PIL/ffmpeg call in production.
+JFIF color transform). Streams outside the supported subsets (restart
+intervals, progressive+subsampled combined, interlaced PNG, RLE4 BMP)
+fall back to a clearly-labeled deterministic fake in ``_decode_bytes``;
+swap that branch for a PIL/ffmpeg call in production.
 
 Scale notes:
 - decode runs in ``mapInPandas`` (Arrow-batched) so bytes never cross the
@@ -103,34 +104,91 @@ def _rgb_result(decoder: str, rgb: "np.ndarray") -> dict:
     }
 
 
+def _bmp_palette(payload: bytes, clr_used: int) -> "np.ndarray":
+    """BGRX palette following the 40-byte BITMAPINFOHEADER → (n, 3) RGB."""
+    n = clr_used or 256
+    pal = np.frombuffer(payload, np.uint8, count=4 * n, offset=54)
+    return pal.reshape(n, 4)[:, 2::-1]  # BGRX → RGB
+
+
+def _bmp_rle8(data: bytes, width: int, abs_h: int) -> "np.ndarray":
+    """BI_RLE8 decompression (encoded/absolute runs, EOL/EOF/delta
+    escapes) into an (abs_h, width) index raster in STORED row order
+    (bottom-up flip happens in the caller)."""
+    out = np.zeros((abs_h, width), np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n and y < abs_h:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            end = min(x + cnt, width)
+            out[y, x:end] = val
+            x = end
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            if i + 1 >= n:
+                break
+            x = min(x + data[i], width)
+            y += data[i + 1]
+            i += 2
+        else:  # absolute run of `val` bytes, word-aligned
+            end = min(x + val, width)
+            take = end - x
+            out[y, x:end] = np.frombuffer(data, np.uint8, take, offset=i)
+            x = end
+            i += val + (val & 1)
+    return out
+
+
 def _decode_bmp_pixels(payload: bytes) -> dict:
     """REAL BMP pixel decode, numpy only: uncompressed (BI_RGB) 24/32-bit
-    BITMAPINFOHEADER files. Rows are 4-byte aligned and stored bottom-up
-    unless the (signed) height is negative (top-down)."""
+    truecolor, uncompressed 8-bit paletted, and BI_RLE8 run-length
+    paletted BITMAPINFOHEADER files. Rows are 4-byte aligned and stored
+    bottom-up unless the (signed) height is negative (top-down)."""
     off = int.from_bytes(payload[10:14], "little")
     width = int.from_bytes(payload[18:22], "little", signed=True)
     height = int.from_bytes(payload[22:26], "little", signed=True)
     bpp = int.from_bytes(payload[28:30], "little")
     compression = int.from_bytes(payload[30:34], "little")
-    if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+    clr_used = int.from_bytes(payload[46:50], "little")
+    if width <= 0 or height == 0:
+        raise ValueError("bad BMP dimensions")
+    abs_h = abs(height)
+    if compression == 1 and bpp == 8:  # BI_RLE8 (bottom-up only per spec)
+        pal = _bmp_palette(payload, clr_used)
+        idx = _bmp_rle8(payload[off:], width, abs_h)
+        rgb = pal[np.minimum(idx, len(pal) - 1)]
+        if height > 0:
+            rgb = rgb[::-1]
+        return _rgb_result("bmp", rgb)
+    if compression != 0 or bpp not in (8, 24, 32):
         raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
     nch = bpp // 8
-    abs_h = abs(height)
     row_size = (width * nch + 3) // 4 * 4
     data = np.frombuffer(
         payload, dtype=np.uint8, count=abs_h * row_size, offset=off
     ).reshape(abs_h, row_size)
-    bgr = data[:, : width * nch].reshape(abs_h, width, nch)
+    raw = data[:, : width * nch].reshape(abs_h, width, nch)
     if height > 0:  # bottom-up storage → flip to top-down
-        bgr = bgr[::-1]
-    rgb = bgr[..., 2::-1]  # BGR(A) → RGB, alpha dropped
+        raw = raw[::-1]
+    if bpp == 8:  # paletted
+        pal = _bmp_palette(payload, clr_used)
+        rgb = pal[np.minimum(raw[..., 0], len(pal) - 1)]
+    else:
+        rgb = raw[..., 2::-1]  # BGR(A) → RGB, alpha dropped
     return _rgb_result("bmp", rgb)
 
 
-def _png_unfilter(raw: "np.ndarray", h: int, stride: int, nch: int) -> "np.ndarray":
+def _png_unfilter(raw: "np.ndarray", h: int, stride: int, bpp: int) -> "np.ndarray":
     """Reverse the five PNG scanline filters (None/Sub/Up/Average/Paeth,
     RFC 2083 §6). Each scanline = 1 filter byte + ``stride`` data bytes;
-    reconstruction is sequential by definition (each row depends on the
+    ``bpp`` is the filter unit in BYTES (channels × bytes-per-sample —
+    filters always operate on raw bytes, including for 16-bit samples).
+    Reconstruction is sequential by definition (each row depends on the
     previous), vectorized within a row where the filter allows."""
     raw = raw.reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -144,14 +202,14 @@ def _png_unfilter(raw: "np.ndarray", h: int, stride: int, nch: int) -> "np.ndarr
         elif ft in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
             rec = np.zeros(stride, np.int32)
             for x in range(stride):
-                a = rec[x - nch] if x >= nch else 0     # left
+                a = rec[x - bpp] if x >= bpp else 0     # left
                 b = prev[x]                              # up
                 if ft == 1:
                     rec[x] = (line[x] + a) & 0xFF
                 elif ft == 3:
                     rec[x] = (line[x] + (a + b) // 2) & 0xFF
                 else:
-                    c = prev[x - nch] if x >= nch else 0  # up-left
+                    c = prev[x - bpp] if x >= bpp else 0  # up-left
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -163,11 +221,13 @@ def _png_unfilter(raw: "np.ndarray", h: int, stride: int, nch: int) -> "np.ndarr
 
 
 def _decode_png_pixels(payload: bytes) -> dict:
-    """REAL PNG pixel decode, stdlib zlib + numpy: 8-bit truecolor (type
-    2), truecolor+alpha (type 6), and indexed/paletted (type 3),
+    """REAL PNG pixel decode, stdlib zlib + numpy: greyscale (type 0),
+    truecolor (2), indexed/paletted (3), grey+alpha (4), and
+    truecolor+alpha (6) at 8-bit depth, plus 16-bit depth for the
+    non-paletted types (downscaled to 8-bit via the high byte),
     non-interlaced. Walks the chunk chain, inflates the concatenated
-    IDAT stream, reverses the scanline filters, maps type-3 indices
-    through the PLTE palette."""
+    IDAT stream, reverses the scanline filters (byte-level, so 16-bit
+    samples filter on their raw bytes per RFC 2083)."""
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     pos, w = 8, None
@@ -181,11 +241,16 @@ def _decode_png_pixels(payload: bytes) -> dict:
             w = int.from_bytes(body[0:4], "big")
             h = int.from_bytes(body[4:8], "big")
             depth, ctype, interlace = body[8], body[9], body[12]
-            if depth != 8 or ctype not in (2, 3, 6) or interlace != 0:
+            if (
+                depth not in (8, 16)
+                or ctype not in (0, 2, 3, 4, 6)
+                or interlace != 0
+                or (depth == 16 and ctype == 3)
+            ):
                 raise ValueError(
                     f"unsupported PNG (depth={depth}, color={ctype})"
                 )
-            nch = {2: 3, 3: 1, 6: 4}[ctype]
+            nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
         elif typ == b"PLTE":
             plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
@@ -197,14 +262,22 @@ def _decode_png_pixels(payload: bytes) -> dict:
         raise ValueError("PNG missing IHDR/IDAT")
     import zlib
 
+    bps = depth // 8
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    pixels = _png_unfilter(raw, h, w * nch, nch).reshape(h, w, nch)
+    rec = _png_unfilter(raw, h, w * nch * bps, nch * bps)
+    if depth == 16:  # high byte = the 8-bit downscale (v >> 8)
+        pixels = rec.reshape(h, w, nch, 2)[..., 0]
+    else:
+        pixels = rec.reshape(h, w, nch)
     if ctype == 3:  # indexed color: map through the palette
         if plte is None:
             raise ValueError("paletted PNG missing PLTE")
         return _rgb_result(
             "png", plte[np.minimum(pixels[..., 0], len(plte) - 1)]
         )
+    if ctype in (0, 4):  # greyscale (+alpha): replicate to RGB
+        g = pixels[..., 0]
+        return _rgb_result("png", np.stack([g, g, g], axis=-1))
     return _rgb_result("png", pixels[..., :3])
 
 
@@ -466,10 +539,16 @@ def _decode_jpeg_pixels(payload: bytes) -> dict:
             comps, cids = [], []
             for c in range(body[5]):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError("chroma subsampling unsupported")
-                comps.append(tq)
+                comps.append((tq, hi, vi))
                 cids.append(cid)
+            if progressive and any(
+                (hi, vi) != (1, 1) for _, hi, vi in comps
+            ):
+                # progressive + subsampled: outside the supported subset
+                raise ValueError("chroma subsampling unsupported")
             if progressive:
                 nblk = ((h + 7) // 8) * ((w + 7) // 8)
                 prog_coefs = [
@@ -703,17 +782,33 @@ def _jpeg_scan_decode(
     total_bits = len(data) * 8
     pos = 0
 
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    nblk = bh * bw
+    # MCU geometry: with 1x1 sampling each MCU is one block per
+    # component; 4:2:0 etc. interleave hi*vi luma blocks per chroma block
+    # (T.81 A.2.3). Component ci's block grid is (mcu_h*vi, mcu_w*hi).
     nci = len(comps)
+    hmax = max(hi for _, hi, _ in comps)
+    vmax = max(vi for _, _, vi in comps)
+    mcu_w = (w + 8 * hmax - 1) // (8 * hmax)
+    mcu_h = (h + 8 * vmax - 1) // (8 * vmax)
     dc_luts = [huff_dc[scomps[ci][0]] for ci in range(nci)]
     ac_luts = [huff_ac[scomps[ci][1]] for ci in range(nci)]
     idx_lists: list[list[int]] = [[] for _ in comps]
     val_lists: list[list[int]] = [[] for _ in comps]
     preds = [0] * nci
-    for bi in range(nblk):
-        base = bi * 64
-        for ci in range(nci):
+    # (ci, block-grid index) visit order, one MCU at a time
+    order: list[tuple[int, int]] = []
+    for my in range(mcu_h):
+        for mx in range(mcu_w):
+            for ci, (_, hi, vi) in enumerate(comps):
+                cbw = mcu_w * hi
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        order.append(
+                            (ci, (my * vi + byy) * cbw + (mx * hi + bxx))
+                        )
+    for ci, bi in order:
+        if True:
+            base = bi * 64
             dc_lut, ac_lut = dc_luts[ci], ac_luts[ci]
             idx, vals = idx_lists[ci], val_lists[ci]
             if pos >= total_bits:
@@ -769,34 +864,45 @@ def _jpeg_scan_decode(
                 k += 1
 
     zz_mats = []
-    for ci in range(nci):
-        flat = np.zeros(nblk * 64)
+    for ci, (_, hi, vi) in enumerate(comps):
+        nblk_i = (mcu_h * vi) * (mcu_w * hi)
+        flat = np.zeros(nblk_i * 64)
         if idx_lists[ci]:
             flat[np.asarray(idx_lists[ci])] = val_lists[ci]
-        zz_mats.append(flat.reshape(nblk, 64))
+        zz_mats.append(flat.reshape(nblk_i, 64))
     return _jpeg_reconstruct(zz_mats, comps, qt, h, w)
 
 
 def _jpeg_reconstruct(zz_mats, comps, qt, h, w) -> dict:
     """Batched dequantize + inverse zigzag + IDCT over ALL blocks at once,
-    then level shift + JFIF YCbCr→RGB. ``zz_mats``: per component, an
-    (nblk, 64) coefficient matrix in zigzag order (baseline scan output or
-    the progressive accumulator)."""
+    then chroma upsampling (pixel replication — spec-legal nearest
+    neighbour), level shift, JFIF YCbCr→RGB. ``zz_mats``: per component,
+    an (nblk_i, 64) coefficient matrix in zigzag order over that
+    component's own (mcu_h*vi, mcu_w*hi) block grid (baseline scan output
+    or the progressive accumulator)."""
     m = _jpeg_dct_mat()
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    nblk = bh * bw
+    hmax = max(hi for _, hi, _ in comps)
+    vmax = max(vi for _, _, vi in comps)
+    mcu_w = (w + 8 * hmax - 1) // (8 * hmax)
+    mcu_h = (h + 8 * vmax - 1) // (8 * vmax)
     planes = []
-    for ci, tq in enumerate(comps):
-        coef = np.zeros((nblk, 64))
+    for ci, (tq, hi, vi) in enumerate(comps):
+        bh_i, bw_i = mcu_h * vi, mcu_w * hi
+        nblk_i = bh_i * bw_i
+        coef = np.zeros((nblk_i, 64))
         coef[:, _JPEG_ZIGZAG] = zz_mats[ci] * qt[tq][_JPEG_ZIGZAG]
         # batched separable IDCT: (8,8) @ (n,8,8) @ (8,8) broadcasts to
         # BLAS batched matmul (einsum's generic contraction is ~3x slower)
-        blk = m.T @ coef.reshape(nblk, 8, 8) @ m + 128.0
+        blk = m.T @ coef.reshape(nblk_i, 8, 8) @ m + 128.0
         plane = (
-            blk.reshape(bh, bw, 8, 8)
+            blk.reshape(bh_i, bw_i, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw * 8)
+            .reshape(bh_i * 8, bw_i * 8)
         )
+        if hi < hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        if vi < vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
         planes.append(plane)
     planes = [p[:h, :w] for p in planes]
     if len(planes) == 1:
@@ -820,14 +926,16 @@ def _jpeg_reconstruct(zz_mats, comps, qt, h, w) -> dict:
 
 
 def _decode_bytes(payload: bytes) -> dict:
-    """Image codec dispatch: REAL decoders for BMP (numpy), PNG (stdlib
-    zlib + numpy), GIF (pure-Python LZW + numpy palette mapping), and
-    JPEG both baseline and progressive SOF2 (canonical huffman + IDCT,
-    numpy). Streams outside the supported subsets (subsampled/restart
-    JPEG, 16-bit PNG, RLE BMP) fall back to a clearly-labeled
-    deterministic FAKE so pipelines stay runnable end-to-end — route
-    that branch through PIL/ffmpeg in production; the contract (bytes →
-    decoded-summary dict) is unchanged."""
+    """Image codec dispatch: REAL decoders for BMP (numpy; truecolor,
+    paletted, RLE8), PNG (stdlib zlib + numpy; 8/16-bit, grey/truecolor/
+    palette), GIF (pure-Python LZW + numpy palette mapping), and JPEG
+    baseline incl. 4:2:0 subsampling plus progressive SOF2 (canonical
+    huffman + IDCT, numpy). Streams outside the supported subsets
+    (restart intervals, progressive+subsampled combined, interlaced PNG,
+    RLE4 BMP) fall back to a clearly-labeled deterministic FAKE so
+    pipelines stay runnable end-to-end — route that branch through
+    PIL/ffmpeg in production; the contract (bytes → decoded-summary
+    dict) is unchanged."""
     if payload is None:
         return dict(_NULL_DECODE)
     try:

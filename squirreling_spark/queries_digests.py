@@ -496,11 +496,15 @@ _ANALYTICS_CK = {
     "dedup_incremental": (
         "keep_id * 7 + n_copies * 31 + ascii(substring(fingerprint, 1, 1))"
     ),
-    # round 4: REAL pixel decode (mapInPandas numpy BMP codec) — solid
-    # color in → exact channel means out (means are integral doubles, so
-    # the BIGINT cast truncate-vs-round divergence can't bite)
+    # round 4: REAL pixel decode (mapInPandas numpy codecs) — solid color
+    # in → exact channel means out (means are integral doubles, so the
+    # BIGINT cast truncate-vs-round divergence can't bite). Round 5:
+    # media_id is '<doc_id>:<variant>' (bmp24 / rle8 / png16), so the id
+    # folds via its numeric prefix + the variant tag length.
     "image_pixel_decode": (
-        "CAST(media_id AS BIGINT) * 3 + width * 5 + height * 7 + n_pixels"
+        "CAST(split_part(media_id, ':', 1) AS BIGINT) * 3"
+        " + length(media_id) * 19"
+        " + width * 5 + height * 7 + n_pixels"
         " + CAST(mean_r AS BIGINT) * 11 + CAST(mean_g AS BIGINT) * 13"
         " + CAST(mean_b AS BIGINT) * 17 + length(decoder)"
     ),
@@ -844,6 +848,15 @@ _DIALECT_BRANCHES = {
         "ci",
         "p_partkey + length(p_name)",
         "SELECT p_partkey, p_name FROM part WHERE p_name ILIKE '%GREEN%'",
+    ),
+    # DuckDB-style FROM-first query (reference test/parse/parse.test.js:6)
+    "from_first": (
+        "FROM sq_dl_nat WHERE n_nationkey < 10",
+        "ansi",
+        "n_nationkey * 7 + length(n_name)",
+        """
+        SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10
+        """,
     ),
 }
 

@@ -1856,31 +1856,44 @@ def knn_ivfpq_q(spark, sf):
 @query(
     "image_pixel_decode",
     oracle="""
-    SELECT CAST(doc_id AS VARCHAR) AS media_id,
-           'bmp' AS decoder,
-           CAST(4 * (1 + doc_id % 8) AS INT) AS width,
-           CAST(1 + doc_id % 5 AS INT) AS height,
-           CAST(4 * (1 + doc_id % 8) * (1 + doc_id % 5) AS INT) AS n_pixels,
-           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
-           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
-           CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
-    FROM documents
+    WITH geom AS (
+      SELECT doc_id,
+             CAST(4 * (1 + doc_id % 8) AS INT) AS width,
+             CAST(1 + doc_id % 5 AS INT) AS height,
+             CAST(doc_id % 256 AS DOUBLE) AS r,
+             CAST((doc_id * 7) % 256 AS DOUBLE) AS g,
+             CAST((doc_id * 13) % 256 AS DOUBLE) AS b
+      FROM documents
+    )
+    SELECT CAST(doc_id AS VARCHAR) || ':' || v.variant AS media_id,
+           v.decoder,
+           width, height,
+           CAST(width * height AS INT) AS n_pixels,
+           r AS mean_r, g AS mean_g, b AS mean_b
+    FROM geom, (VALUES ('bmp24', 'bmp'), ('rle8', 'bmp'),
+                       ('png16', 'png')) AS v(variant, decoder)
     """,
 )
 def image_pixel_decode_q(spark, sf):
-    """REAL pixel decode under the correctness gate: a solid-color 24-bit
-    BMP is synthesized per document JVM-side (width a multiple of 4 so
-    rows need no padding; color channels derived from doc_id), then
-    decoded by pipeline/multimodal.py::decode_image — the Arrow-batched
-    mapInPandas numpy BMP decoder, NOT the header parse. The oracle
-    states the expected per-channel means directly: a solid (r,g,b)
-    image must decode to exactly those channel means, so any pixel-order,
-    BGR-swap, row-flip, or padding bug flips the row red. The sha256
-    pixel checksum is exercised by tests/test_multimodal.py (BMP and PNG
-    encodings of one image must hash identically); PNG's
-    zlib-inflate+unfilter decoder can't be driven from SQL-synthesized
-    payloads (no deflate in either engine) and is covered by the same
-    round-trip tests."""
+    """REAL pixel decode under the correctness gate, THREE codec paths
+    per document, all payloads synthesized JVM-side from doc_id:
+
+    - ``bmp24``: solid-color 24-bit BMP (width a multiple of 4 — no row
+      padding) through the numpy truecolor decoder; any pixel-order,
+      BGR-swap, or row-flip bug flips the row red.
+    - ``rle8``: the SAME image as a 1-entry-palette BI_RLE8 BMP (one
+      encoded run + EOL per row, EOF terminator) through the RLE
+      decompressor + palette mapping (round 5).
+    - ``png16``: the SAME image as a 16-bit truecolor PNG whose IDAT is
+      a STORED-deflate zlib stream — no deflate needed in SQL, but the
+      decode runs the REAL stdlib-zlib path, which verifies the adler32
+      we fold JVM-side with F.aggregate — plus scanline unfiltering and
+      the 16→8-bit high-byte downscale (round 5).
+
+    The oracle states the expected per-channel means directly: a solid
+    (r,g,b) image must decode to exactly those channel means in every
+    format. sha256 checksum equality across formats is pinned by
+    tests/test_multimodal.py."""
     from squirreling_spark.pipeline.multimodal import decode_image
 
     d = t(spark, sf, "documents")
@@ -1898,27 +1911,111 @@ def image_pixel_decode_q(spark, sf):
             ]
         )
 
+    def be_hex(col, nbytes):
+        return F.lpad(F.hex(col.cast("bigint")), 2 * nbytes, "0")
+
+    def bmp_header(bpp, comp, palette_entries, off):
+        return F.concat(
+            F.lit("424D"),                 # 'BM'
+            le_hex(F.lit(0), 4),           # file size (unused by decoder)
+            le_hex(F.lit(0), 4),           # reserved
+            le_hex(F.lit(off), 4),         # pixel-data offset
+            le_hex(F.lit(40), 4),          # BITMAPINFOHEADER size
+            le_hex(w, 4),
+            le_hex(h, 4),
+            le_hex(F.lit(1), 2),           # planes
+            le_hex(F.lit(bpp), 2),
+            le_hex(F.lit(comp), 4),        # 0 = BI_RGB, 1 = BI_RLE8
+            le_hex(F.lit(0), 4),           # image size
+            F.lit("00" * 8),               # ppm
+            le_hex(F.lit(palette_entries), 4),  # biClrUsed
+            le_hex(F.lit(0), 4),           # biClrImportant
+        )
+
+    # --- bmp24: raw BGR runs -------------------------------------------
     px_hex = F.concat(le_hex(b, 1), le_hex(g, 1), le_hex(r, 1))  # BGR
-    body_hex = F.repeat(px_hex, (w * h).cast("int"))
-    hexstr = F.concat(
-        F.lit("424D"),                 # 'BM'
-        le_hex(F.lit(0), 4),           # file size (unused by decoder)
-        le_hex(F.lit(0), 4),           # reserved
-        le_hex(F.lit(54), 4),          # pixel-data offset
-        le_hex(F.lit(40), 4),          # BITMAPINFOHEADER size
-        le_hex(w, 4),
-        le_hex(h, 4),
-        le_hex(F.lit(1), 2),           # planes
-        le_hex(F.lit(24), 2),          # bpp
-        le_hex(F.lit(0), 4),           # compression = BI_RGB
-        le_hex(F.lit(0), 4),           # image size
-        F.lit("00" * 16),              # ppm / palette fields
-        body_hex,
+    bmp24_hex = F.concat(
+        bmp_header(24, 0, 0, 54), F.repeat(px_hex, (w * h).cast("int"))
     )
-    media = d.select(
-        F.col("doc_id").cast("string").alias("media_id"),
-        F.unhex(hexstr).alias("payload"),
+    # --- rle8: 1-entry palette, one encoded run + EOL per row, EOF -----
+    rle_row = F.concat(le_hex(w, 1), F.lit("00"), F.lit("0000"))
+    rle8_hex = F.concat(
+        bmp_header(8, 1, 1, 58),
+        le_hex(b, 1), le_hex(g, 1), le_hex(r, 1), F.lit("00"),  # BGRX
+        F.repeat(rle_row, h.cast("int")),
+        F.lit("0001"),                 # end of bitmap
     )
+    # --- png16: stored-deflate zlib IDAT + JVM-folded adler32 ----------
+    row_len = (1 + 6 * w).cast("int")          # filter byte + w*6
+    n_raw = (h.cast("int") * row_len)
+    px16_hex = F.concat(
+        be_hex(r, 1), be_hex(r, 1), be_hex(g, 1),
+        be_hex(g, 1), be_hex(b, 1), be_hex(b, 1),
+    )
+    raw_hex = F.repeat(
+        F.concat(F.lit("00"), F.repeat(px16_hex, w.cast("int"))),
+        h.cast("int"),
+    )
+    # adler32 over the raw scanline stream: byte at offset i is 0 on row
+    # starts, else r/g/b by channel position; fold (s1, s2) mod 65521
+    adler = F.aggregate(
+        F.sequence(F.lit(0), n_raw - 1),
+        F.struct(
+            F.lit(1).cast("bigint").alias("s1"),
+            F.lit(0).cast("bigint").alias("s2"),
+        ),
+        lambda acc, i: F.struct(
+            (
+                (acc.s1 + F.when(i % row_len == 0, F.lit(0)).otherwise(
+                    F.when(((i % row_len - 1) % 6 / 2).cast("int") == 0, r)
+                    .when(((i % row_len - 1) % 6 / 2).cast("int") == 1, g)
+                    .otherwise(b)
+                )) % 65521
+            ).alias("s1"),
+            (
+                (acc.s2 + acc.s1 + F.when(i % row_len == 0, F.lit(0)).otherwise(
+                    F.when(((i % row_len - 1) % 6 / 2).cast("int") == 0, r)
+                    .when(((i % row_len - 1) % 6 / 2).cast("int") == 1, g)
+                    .otherwise(b)
+                )) % 65521
+            ).alias("s2"),
+        ),
+    )
+    def chunk_hex(type_hex, body_hex, body_len):
+        # length BE + type + body + CRC (the decoder skips CRC: zeros)
+        return F.concat(
+            be_hex(body_len, 4), F.lit(type_hex), body_hex, F.lit("00000000")
+        )
+
+    ihdr_body = F.concat(
+        be_hex(w, 4), be_hex(h, 4), F.lit("10"),   # depth 16
+        F.lit("02"), F.lit("000000"),              # truecolor, no interlace
+    )
+    zlib_hex = F.concat(
+        F.lit("7801"),                 # zlib header (no preset dict)
+        F.lit("01"),                   # final STORED block
+        le_hex(n_raw, 2),              # LEN
+        le_hex(65535 - n_raw, 2),      # NLEN = ~LEN
+        raw_hex,
+        be_hex(adler.getField("s2") * 65536 + adler.getField("s1"), 4),
+    )
+    png16_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),
+        chunk_hex("49484452", ihdr_body, F.lit(13)),         # IHDR
+        chunk_hex("49444154", zlib_hex, n_raw + 11),          # IDAT
+        chunk_hex("49454E44", F.lit(""), F.lit(0)),           # IEND
+    )
+
+    variants = [("bmp24", bmp24_hex), ("rle8", rle8_hex), ("png16", png16_hex)]
+    frames = [
+        d.select(
+            F.concat(F.col("doc_id").cast("string"), F.lit(f":{tag}"))
+            .alias("media_id"),
+            F.unhex(hexstr).alias("payload"),
+        )
+        for tag, hexstr in variants
+    ]
+    media = frames[0].unionByName(frames[1]).unionByName(frames[2])
     return decode_image(media).select(
         "media_id", "decoder", "width", "height", "n_pixels",
         "mean_r", "mean_g", "mean_b",

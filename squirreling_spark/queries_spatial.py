@@ -130,3 +130,79 @@ def spatial_join_q(spark, sf):
         predicate="st_intersects", cell_size=4.0,
     )
     return joined.select("c_custkey", "rect_id", "x", "y")
+
+
+@query(
+    "spatial_dwithin_join",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             round(c_acctbal % 20, 3) AS x,
+             round(c_custkey % 20, 3) AS y
+      FROM customer
+    ),
+    anchors AS (
+      SELECT s_suppkey AS anchor_id,
+             (s_suppkey % 7) * 3 + 0.05 AS ax,
+             (s_suppkey % 5) * 4 + 0.05 AS ay
+      FROM supplier
+    )
+    SELECT p.c_custkey, a.anchor_id,
+           round(sqrt((p.x - a.ax) * (p.x - a.ax)
+                      + (p.y - a.ay) * (p.y - a.ay)), 6) AS dist
+    FROM pts p JOIN anchors a
+      ON sqrt((p.x - a.ax) * (p.x - a.ax)
+              + (p.y - a.ay) * (p.y - a.ay)) <= 1.5
+    """,
+)
+def spatial_dwithin_join_q(spark, sf):
+    """Distance join (ST_DWithin as a JOIN predicate): customer points
+    vs supplier anchor points within radius 1.5 — the grid-banded join
+    with distance-padded left bboxes (operators/spatial_join.py), exact
+    point distance on candidates only. The oracle is closed-form
+    Euclidean arithmetic. At 100 TB this is the
+    points-near-POI/geo-blocking join shape; candidate generation stays
+    a hash equi-join at any scale (reference predicate semantics
+    src/spatial/spatial.js ST_DWithin)."""
+    from squirreling_spark.operators.spatial_join import spatial_join
+
+    c = t(spark, sf, "customer")
+    pts = c.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") % 20, 3).alias("x"),
+        F.round(F.col("c_custkey").cast("double") % 20, 3).alias("y"),
+    ).withColumn(
+        "pt_wkt",
+        F.concat(
+            F.lit("POINT ("), F.col("x").cast("string"), F.lit(" "),
+            F.col("y").cast("string"), F.lit(")"),
+        ),
+    )
+    s = t(spark, sf, "supplier")
+    ax = ((F.col("s_suppkey") % 7) * 3 + 0.05).cast("decimal(8,2)")
+    ay = ((F.col("s_suppkey") % 5) * 4 + 0.05).cast("decimal(8,2)")
+    anchors = s.select(
+        F.col("s_suppkey").alias("anchor_id"),
+        F.concat(
+            F.lit("POINT ("), ax.cast("string"), F.lit(" "),
+            ay.cast("string"), F.lit(")"),
+        ).alias("anchor_wkt"),
+    )
+    joined = spatial_join(
+        pts, anchors, "pt_wkt", "anchor_wkt",
+        predicate="st_dwithin", cell_size=2.0, distance=1.5,
+    )
+    dist = F.sqrt(
+        (F.col("x") - ax.cast("double")) * (F.col("x") - ax.cast("double"))
+        + (F.col("y") - ay.cast("double")) * (F.col("y") - ay.cast("double"))
+    )
+    # recompute ax/ay from anchor_id for the output distance column
+    ax2 = ((F.col("anchor_id") % 7) * 3 + 0.05)
+    ay2 = ((F.col("anchor_id") % 5) * 4 + 0.05)
+    d2 = F.sqrt(
+        (F.col("x") - ax2) * (F.col("x") - ax2)
+        + (F.col("y") - ay2) * (F.col("y") - ay2)
+    )
+    return joined.select(
+        "c_custkey", "anchor_id", F.round(d2, 6).alias("dist")
+    )

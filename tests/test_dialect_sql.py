@@ -246,3 +246,46 @@ def test_positional_join_composes_with_where(spark):
         tables={"tableA": TABLE_A, "tableB": TABLE_B},
     )
     assert sorted(r["value"] for r in _rows(res)) == [200, 300]
+
+
+# ---------------------------------------------------------------------------
+# FROM-first queries + ANSI double-quoted identifiers
+# (reference test/parse/parse.test.js:6, :267)
+# ---------------------------------------------------------------------------
+
+
+def test_from_first_query(spark):
+    res = execute_sql(
+        spark, "FROM tableA WHERE id > 1",
+        tables={"tableA": TABLE_A},
+    )
+    assert res.columns == ["id", "name"]
+    assert sorted(r["id"] for r in _rows(res)) == [2, 3]
+
+
+def test_from_first_with_order_limit(spark):
+    res = execute_sql(
+        spark, "FROM tableB ORDER BY value DESC LIMIT 2",
+        tables={"tableB": TABLE_B},
+    )
+    assert [r["value"] for r in _rows(res)] == [300, 200]
+
+
+def test_from_first_not_triggered_mid_query(spark):
+    q = "SELECT id FROM tableA"
+    assert rewrite_reference_sql(q, spark=spark) == q
+
+
+def test_double_quoted_identifiers_ansi_mode(spark):
+    res = execute_sql(
+        spark,
+        'SELECT "col name" AS v FROM t WHERE "col name" > 1',
+        tables={"t": [{"col name": 1}, {"col name": 5}]},
+        ident_quotes="ansi",
+    )
+    assert _rows(res) == [{"v": 5}]
+
+
+def test_double_quotes_stay_strings_by_default(spark):
+    res = execute_sql(spark, 'SELECT "hello" AS s')
+    assert _rows(res) == [{"s": "hello"}]

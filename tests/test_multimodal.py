@@ -1142,3 +1142,283 @@ def test_progressive_jpeg_flat_and_tiny(spark):
     rows = {r["media_id"]: r for r in decode_image(df).collect()}
     assert rows["f_p"]["checksum"] == rows["f_b"]["checksum"]
     assert rows["t_p"]["checksum"] == rows["t_b"]["checksum"]
+
+
+# --- RLE8 / paletted BMP and 16-bit / greyscale PNG ------------------------
+
+def _bmp8(idx_rows, pal, rle=False, top_down=False):
+    """8-bit paletted BMP encoder: uncompressed or BI_RLE8 (encoded +
+    absolute runs, EOL escapes)."""
+    import struct
+
+    h, w = len(idx_rows), len(idx_rows[0])
+    pal_bytes = b"".join(bytes([b, g, r, 0]) for r, g, b in pal)
+    rows = idx_rows if top_down else idx_rows[::-1]
+    if rle:
+        body = bytearray()
+        for row in rows:
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                if run >= 2:
+                    body += bytes([run, row[x]])
+                    x += run
+                else:
+                    # absolute run of up to 255 distinct bytes
+                    end = x
+                    while (
+                        end < w and end - x < 255
+                        and (end + 1 >= w or row[end + 1] != row[end])
+                    ):
+                        end += 1
+                    n = end - x
+                    if n >= 3:
+                        body += bytes([0, n]) + bytes(row[x:end])
+                        if n & 1:
+                            body += b"\x00"
+                        x = end
+                    else:
+                        body += bytes([1, row[x]])
+                        x += 1
+            body += b"\x00\x00"  # EOL
+        body += b"\x00\x01"  # EOF
+        comp, data = 1, bytes(body)
+    else:
+        comp, data = 0, b"".join(
+            bytes(row) + b"\x00" * ((4 - w % 4) % 4) for row in rows
+        )
+    off = 14 + 40 + len(pal_bytes)
+    hdr = (
+        b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 8,
+                      comp, len(data), 0, 0, len(pal), 0)
+    )
+    return hdr + pal_bytes + data
+
+
+def test_bmp_rle8_and_paletted_match_truecolor(spark):
+    """RLE8, uncompressed 8-bit paletted, and 24-bit truecolor encodings
+    of the same image must decode to the same canonical checksum; runs,
+    absolute runs, and row alignment all exercised."""
+    import random
+
+    rng = random.Random(5)
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (40, 80, 120)]
+    # rows with long runs AND distinct stretches (absolute runs)
+    idx = []
+    for y in range(9):
+        row = []
+        while len(row) < 13:
+            if rng.random() < 0.5:
+                row += [rng.randrange(4)] * rng.randint(2, 6)
+            else:
+                row += [rng.randrange(4) for _ in range(rng.randint(3, 5))]
+        idx.append(row[:13])
+    px = [[pal[p] for p in r] for r in idx]
+    df = spark.createDataFrame(
+        [
+            ("rle", _bmp8(idx, pal, rle=True)),
+            ("pal8", _bmp8(idx, pal, rle=False)),
+            ("pal8_td", _bmp8(idx, pal, rle=False, top_down=True)),
+            ("true24", _bmp24(px)),
+        ],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_image(df).collect()}
+    assert rows["true24"]["decoder"] == "bmp"
+    for k in ("rle", "pal8", "pal8_td"):
+        assert rows[k]["decoder"] == "bmp", k
+        assert rows[k]["checksum"] == rows["true24"]["checksum"], k
+
+
+def _png_raw(w, h, ctype, depth, scanlines, plte=None):
+    import struct
+    import zlib
+
+    def chunk(typ, body):
+        c = struct.pack(">I", len(body)) + typ + body
+        return c + struct.pack(">I", zlib.crc32(typ + body))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", bytes(v for rgb in plte for v in rgb))
+    out += chunk(b"IDAT", zlib.compress(b"".join(scanlines)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_16bit_and_greyscale(spark):
+    """16-bit truecolor must equal its 8-bit counterpart via the
+    high-byte downscale (including under Sub/Paeth filters, which act on
+    raw BYTES for 16-bit samples); greyscale replicates to RGB."""
+    import numpy as np
+
+    h, w = 6, 5
+    rng = np.random.default_rng(3)
+    rgb8 = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    # 8-bit truecolor, filter 0 rows
+    sc8 = [b"\x00" + rgb8[y].tobytes() for y in range(h)]
+    # 16-bit truecolor: hi byte = the 8-bit value, lo byte arbitrary
+    lo = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    px16 = np.stack([rgb8, lo], axis=-1).reshape(h, w * 6)
+    sc16 = [b"\x00" + px16[y].tobytes() for y in range(h)]
+    # same 16-bit image with Sub filter on every row (bpp = 6 bytes)
+    sc16_sub = []
+    for y in range(h):
+        line = px16[y].astype(np.int32)
+        enc = line.copy()
+        enc[6:] = (line[6:] - line[:-6]) & 0xFF
+        sc16_sub.append(b"\x01" + enc.astype(np.uint8).tobytes())
+    # greyscale 8-bit
+    g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    scg = [b"\x00" + g[y].tobytes() for y in range(h)]
+
+    df = spark.createDataFrame(
+        [
+            ("p8", _png_raw(w, h, 2, 8, sc8)),
+            ("p16", _png_raw(w, h, 2, 16, sc16)),
+            ("p16s", _png_raw(w, h, 2, 16, sc16_sub)),
+            ("grey", _png_raw(w, h, 0, 8, scg)),
+        ],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_image(df).collect()}
+    for k in ("p8", "p16", "p16s", "grey"):
+        assert rows[k]["decoder"] == "png", k
+    assert rows["p16"]["checksum"] == rows["p8"]["checksum"]
+    assert rows["p16s"]["checksum"] == rows["p8"]["checksum"]
+    import pytest
+
+    assert rows["grey"]["mean_r"] == pytest.approx(float(g.mean()))
+    assert rows["grey"]["mean_r"] == rows["grey"]["mean_g"]
+
+
+# --- 4:2:0 subsampled JPEG round trip --------------------------------------
+
+def _jpeg_bytes_420(rgb_rows):
+    """Baseline 4:2:0 ENCODER: luma 2x2 blocks per MCU, chroma 2x2-mean
+    downsampled, MCU-interleaved (T.81 A.2.3). Shares the Annex-K tables
+    with the other encoders; independent of the decoder under test."""
+    import struct
+
+    from squirreling_spark.pipeline.multimodal import (
+        _JPEG_ZIGZAG as ZZ,
+        _jpeg_dct_mat,
+    )
+
+    M = _jpeg_dct_mat()
+    rgb = np.asarray(rgb_rows, dtype=np.float64)
+    h, w = rgb.shape[:2]
+    assert h % 16 == 0 and w % 16 == 0
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = np.clip(0.299 * r + 0.587 * g + 0.114 * b, 0, 255)
+    cb = np.clip(-0.168736 * r - 0.331264 * g + 0.5 * b + 128, 0, 255)
+    cr = np.clip(0.5 * r - 0.418688 * g - 0.081312 * b + 128, 0, 255)
+    # chroma: 2x2 mean downsample
+    cb2 = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    cr2 = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+    tabs = [(QL, _jenc_codes(*DC_L), _jenc_codes(*AC_L)),
+            (QC, _jenc_codes(*DC_C), _jenc_codes(*AC_C)),
+            (QC, _jenc_codes(*DC_C), _jenc_codes(*AC_C))]
+    bw_ = _JBitWriter()
+    preds = [0, 0, 0]
+
+    def block(plane, by, bx, ci):
+        q, dct, act = tabs[ci]
+        coef = M @ (plane[by:by + 8, bx:bx + 8] - 128.0) @ M.T
+        zzq = np.round(coef.flatten()[ZZ] / q[ZZ]).astype(int)
+        size, bits = _mag(int(zzq[0]) - preds[ci])
+        preds[ci] = int(zzq[0])
+        c, ln = dct[size]
+        bw_.emit(c, ln)
+        if size:
+            bw_.emit(bits, size)
+        nz = [i for i in range(1, 64) if zzq[i]]
+        last = nz[-1] if nz else 0
+        run = 0
+        for i in range(1, last + 1):
+            if zzq[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = act[0xF0]
+                bw_.emit(c, ln)
+                run -= 16
+            size, bits = _mag(int(zzq[i]))
+            c, ln = act[(run << 4) | size]
+            bw_.emit(c, ln)
+            bw_.emit(bits, size)
+            run = 0
+        if last < 63:
+            c, ln = act[0x00]
+            bw_.emit(c, ln)
+
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for byy in range(2):          # 4 luma blocks per MCU
+                for bxx in range(2):
+                    block(y, my * 16 + byy * 8, mx * 16 + bxx * 8, 0)
+            block(cb2, my * 8, mx * 8, 1)  # 1 Cb + 1 Cr
+            block(cr2, my * 8, mx * 8, 2)
+    scan = bw_.done()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dht(cls, tid, bits, vals):
+        return seg(0xC4, bytes([cls << 4 | tid] + bits + list(vals)))
+
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, bytes([0]) + bytes(QL[ZZ].astype(np.uint8)))
+        + seg(0xDB, bytes([1]) + bytes(QC[ZZ].astype(np.uint8)))
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", h, w)
+              + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+        + dht(0, 0, *DC_L) + dht(1, 0, *AC_L)
+        + dht(0, 1, *DC_C) + dht(1, 1, *AC_C)
+        + seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        + scan + b"\xff\xd9"
+    )
+
+
+def test_jpeg_420_flat_matches_444(spark):
+    """Constant-chroma image: 4:2:0 downsample+replicate is the identity
+    on chroma, so 4:2:0 and 4:4:4 encodings decode to identical pixels."""
+    src = np.zeros((16, 16, 3), np.uint8)
+    src[..., 0], src[..., 1], src[..., 2] = 180, 100, 40
+    df = spark.createDataFrame(
+        [
+            ("s420", bytearray(_jpeg_bytes_420(src))),
+            ("s444", bytearray(_jpeg_bytes_real(src))),
+        ],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_image(df).collect()}
+    assert rows["s420"]["decoder"] == "jpeg"
+    assert (rows["s420"]["width"], rows["s420"]["height"]) == (16, 16)
+    assert rows["s420"]["checksum"] == rows["s444"]["checksum"]
+
+
+def test_jpeg_420_gradient_close(spark):
+    """Multi-MCU gradient through the 4:2:0 path: means must land close
+    to the source (chroma is lossy-downsampled; luma untouched), and the
+    decode is deterministic."""
+    xs = np.linspace(0, 255, 32)
+    ys = np.linspace(255, 0, 32)
+    gx, gy = np.meshgrid(xs, ys)
+    src = np.stack([gx, gy, np.full_like(gx, 90.0)], -1).astype(np.uint8)
+    df = spark.createDataFrame(
+        [("g420", bytearray(_jpeg_bytes_420(src)))],
+        "media_id string, payload binary",
+    )
+    r1 = decode_image(df).collect()[0]
+    r2 = decode_image(df).collect()[0]
+    assert r1["decoder"] == "jpeg"
+    assert (r1["width"], r1["height"]) == (32, 32)
+    for ch, name in [(0, "mean_r"), (1, "mean_g"), (2, "mean_b")]:
+        assert abs(r1[name] - src[..., ch].mean()) < 4, name
+    assert r1["checksum"] == r2["checksum"] is not None

@@ -232,3 +232,37 @@ def test_spatial_join_matches_brute_force(spark):
         if fn(parse_wkt(gw), parse_wkt(gw2))
     }
     assert set(pairs) == expected2
+
+
+def test_spatial_dwithin_join_matches_brute_force(spark):
+    """Distance join (padded-bbox grid candidates + exact distance on
+    candidates) must match the brute-force all-pairs dwithin — including
+    radius > cell_size (candidates from beyond the adjacent cell ring)."""
+    import random
+
+    from squirreling_spark.functions.spatial import dwithin, parse_wkt
+    from squirreling_spark.operators.spatial_join import spatial_join
+
+    rng = random.Random(77)
+    a = [(i, f"POINT ({round(rng.uniform(-8, 8), 3)} "
+             f"{round(rng.uniform(-8, 8), 3)})") for i in range(50)]
+    b = [(j, f"POINT ({round(rng.uniform(-8, 8), 3)} "
+             f"{round(rng.uniform(-8, 8), 3)})") for j in range(30)]
+    for dist, cell in ((2.0, 2.0), (3.5, 1.5)):
+        expected = {
+            (ia, ib)
+            for ia, wa in a
+            for ib, wb in b
+            if dwithin(parse_wkt(wa), parse_wkt(wb), dist)
+        }
+        assert expected
+        l_df = spark.createDataFrame(a, "a_id int, a_wkt string")
+        r_df = spark.createDataFrame(b, "b_id int, b_wkt string")
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in spatial_join(
+                l_df, r_df, "a_wkt", "b_wkt",
+                predicate="st_dwithin", cell_size=cell, distance=dist,
+            ).collect()
+        }
+        assert got == expected, (dist, cell)
