@@ -8,10 +8,11 @@ expressions (below), and PIXEL decoding is real for BMP (numpy), PNG
 (stdlib zlib inflate + scanline unfiltering, 8/16-bit, grey/truecolor/
 palette), GIF (pure-Python variable-width LZW + palette mapping,
 interlace included), and JPEG — baseline with 4:2:0/4:2:2 chroma
-subsampling AND progressive SOF2 (canonical huffman entropy decode with
-spectral selection + successive approximation, dequant, float IDCT,
-JFIF color transform). Streams outside the supported subsets (restart
-intervals, progressive+subsampled combined, interlaced PNG, RLE4 BMP)
+subsampling and restart intervals, AND progressive SOF2 including
+subsampled (canonical huffman entropy decode with spectral selection +
+successive approximation, dequant, float IDCT, JFIF color transform) —
+the full real-web format matrix. Streams outside the supported subsets
+(restart intervals inside progressive scans, interlaced PNG, RLE4 BMP)
 fall back to a clearly-labeled deterministic fake in ``_decode_bytes``;
 swap that branch for a PIL/ffmpeg call in production.
 
@@ -506,6 +507,7 @@ def _decode_jpeg_pixels(payload: bytes) -> dict:
     pos, qt, huff_dc, huff_ac = 2, {}, {}, {}
     comps = h = w = None
     cids: list[int] = []
+    restart_interval = 0
     progressive = False
     prog_coefs: list | None = None
     prog_preds: list | None = None
@@ -544,15 +546,14 @@ def _decode_jpeg_pixels(payload: bytes) -> dict:
                     raise ValueError("chroma subsampling unsupported")
                 comps.append((tq, hi, vi))
                 cids.append(cid)
-            if progressive and any(
-                (hi, vi) != (1, 1) for _, hi, vi in comps
-            ):
-                # progressive + subsampled: outside the supported subset
-                raise ValueError("chroma subsampling unsupported")
             if progressive:
-                nblk = ((h + 7) // 8) * ((w + 7) // 8)
+                hmax = max(hi for _, hi, _ in comps)
+                vmax = max(vi for _, _, vi in comps)
+                mw = (w + 8 * hmax - 1) // (8 * hmax)
+                mh = (h + 8 * vmax - 1) // (8 * vmax)
                 prog_coefs = [
-                    np.zeros((nblk, 64), np.int32) for _ in comps
+                    np.zeros(((mh * vi) * (mw * hi), 64), np.int32)
+                    for _, hi, vi in comps
                 ]
                 prog_preds = [0] * len(comps)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
@@ -570,7 +571,7 @@ def _decode_jpeg_pixels(payload: bytes) -> dict:
                 )
                 i += 17 + nv
         elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+            restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:
             ns = body[0]
             sel = [
@@ -578,11 +579,14 @@ def _decode_jpeg_pixels(payload: bytes) -> dict:
                  body[2 + 2 * c] & 0x0F)
                 for c in range(ns)
             ]
+            if progressive and restart_interval:
+                raise ValueError("restart intervals in progressive scans")
             if not progressive:
                 scomps = [(dc, ac) for _, dc, ac in sel]
                 return _jpeg_scan_decode(
                     payload, pos + 2 + ln, h, w, comps, scomps, qt,
                     huff_dc, huff_ac,
+                    restart_interval=restart_interval,
                 )
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ah_al = body[3 + 2 * ns]
@@ -596,6 +600,7 @@ def _decode_jpeg_pixels(payload: bytes) -> dict:
                 _jpeg_destuff(payload[scan_start:scan_end]),
                 in_scan, ss, se, ah, al,
                 prog_coefs, prog_preds, huff_dc, huff_ac,
+                comps, h, w,
             )
             pos = scan_end
             continue
@@ -603,6 +608,40 @@ def _decode_jpeg_pixels(payload: bytes) -> dict:
     if progressive and prog_coefs is not None:
         return _jpeg_reconstruct(prog_coefs, comps, qt, h, w)
     raise ValueError("JPEG has no scan")
+
+
+def _jpeg_prog_order(comps, in_scan, h, w):
+    """Progressive block visit order as (ci, padded-grid index) pairs.
+    Multi-component scans interleave in MCU order (T.81 A.2.3);
+    single-component scans are NON-interleaved — they walk the
+    component's own UNPADDED block grid (ceil(comp_samples/8) per
+    dimension) in raster order, mapped into the MCU-padded grid the
+    accumulator is sized for (the classic subsampled-progressive
+    gotcha)."""
+    hmax = max(hi for _, hi, _ in comps)
+    vmax = max(vi for _, _, vi in comps)
+    mcu_w = (w + 8 * hmax - 1) // (8 * hmax)
+    mcu_h = (h + 8 * vmax - 1) // (8 * vmax)
+    order: list[tuple[int, int]] = []
+    if len(in_scan) > 1:
+        for my in range(mcu_h):
+            for mx in range(mcu_w):
+                for ci, _, _ in in_scan:
+                    _, hi, vi = comps[ci]
+                    cbw = mcu_w * hi
+                    for byy in range(vi):
+                        for bxx in range(hi):
+                            order.append(
+                                (ci,
+                                 (my * vi + byy) * cbw + (mx * hi + bxx))
+                            )
+        return order
+    ci = in_scan[0][0]
+    _, hi, vi = comps[ci]
+    cw = (-(-(w * hi) // hmax) + 7) // 8
+    ch = (-(-(h * vi) // vmax) + 7) // 8
+    cbw = mcu_w * hi
+    return [(ci, (r // cw) * cbw + (r % cw)) for r in range(cw * ch)]
 
 
 def _jpeg_prog_scan(
@@ -616,12 +655,16 @@ def _jpeg_prog_scan(
     preds: list,
     huff_dc: dict,
     huff_ac: dict,
+    comps: list,
+    h: int,
+    w: int,
 ) -> None:
     """One progressive scan (T.81 Annex G) into the coefficient
     accumulator: DC first/refinement (interleaved over the scan's
     components), AC first with spectral selection + point transform, AC
     refinement with EOB-run correction bits. Same O(1) windowed bit reads
-    and huffman LUTs as the baseline path."""
+    and huffman LUTs as the baseline path; subsampled components visit
+    blocks per `_jpeg_prog_order`."""
     a = np.frombuffer(data, np.uint8).astype(np.uint64)
     a = np.concatenate([a, np.zeros(4, np.uint64)])
     win = (
@@ -652,32 +695,30 @@ def _jpeg_prog_scan(
         pos += k
         return word >> (32 - k)
 
-    nblk = coefs[0].shape[0]
     if ss == 0 and se != 0:
         # T.81 G.1.1.1.1: progressive DC scans have Se=0; a baseline-shaped
         # scan header under SOF2 is an invalid stream
         raise ValueError("bad progressive scan header (Ss=0, Se!=0)")
     if ss > 0 and len(in_scan) != 1:
         raise ValueError("progressive AC scan must cover one component")
+    order = _jpeg_prog_order(comps, in_scan, h, w)
+    dc_tids = {ci: dc_t for ci, dc_t, _ in in_scan}
     if ss == 0:  # DC scan
         if ah == 0:
-            dc_luts = {t: huff_dc[t] for _, t, _ in in_scan}
-            for bi in range(nblk):
-                for ci, dc_t, _ in in_scan:
-                    size = huff(dc_luts[dc_t])
-                    if size:
-                        v = bits(size)
-                        preds[ci] += (
-                            v if v >= (1 << (size - 1))
-                            else v - (1 << size) + 1
-                        )
-                    coefs[ci][bi, 0] = preds[ci] << al
+            for ci, bi in order:
+                size = huff(huff_dc[dc_tids[ci]])
+                if size:
+                    v = bits(size)
+                    preds[ci] += (
+                        v if v >= (1 << (size - 1))
+                        else v - (1 << size) + 1
+                    )
+                coefs[ci][bi, 0] = preds[ci] << al
         else:  # DC refinement: one bit per block per component
-            for bi in range(nblk):
-                for ci, _, _ in in_scan:
-                    if bits(1):
-                        # (v>>1)<<1 cleared this bit, so OR == add here
-                        coefs[ci][bi, 0] |= 1 << al
+            for ci, bi in order:
+                if bits(1):
+                    # (v>>1)<<1 cleared this bit, so OR == add here
+                    coefs[ci][bi, 0] |= 1 << al
         return
 
     # AC scan: exactly one component (T.81 G.1.1.1)
@@ -686,11 +727,9 @@ def _jpeg_prog_scan(
     co = coefs[ci]
     eobrun = 0
     if ah == 0:  # first pass over this band
-        bi = 0
-        while bi < nblk:
+        for _, bi in order:
             if eobrun:
                 eobrun -= 1
-                bi += 1
                 continue
             k = ss
             while k <= se:
@@ -712,13 +751,12 @@ def _jpeg_prog_scan(
                     v if v >= (1 << (s - 1)) else v - (1 << s) + 1
                 ) << al
                 k += 1
-            bi += 1
         return
 
     # AC refinement (G.1.2.3): correction bits for already-nonzero
     # coefficients; newly-significant coefficients arrive as +-1<<al.
     p1, m1 = 1 << al, -1 << al
-    for bi in range(nblk):
+    for _, bi in order:
         row = co[bi]
         k = ss
         if eobrun == 0:
@@ -756,8 +794,37 @@ def _jpeg_prog_scan(
             eobrun -= 1
 
 
+def _jpeg_win(data: bytes):
+    """(windows list, total_bits) — MSB-first per-byte 32-bit windows as
+    a Python list (scalar list indexing beats numpy scalar indexing ~10x
+    in the symbol loop)."""
+    a = np.frombuffer(data, np.uint8).astype(np.uint64)
+    a = np.concatenate([a, np.zeros(4, np.uint64)])
+    win = (
+        (a[:-3] << 24) | (a[1:-2] << 16) | (a[2:-1] << 8) | a[3:]
+    ).tolist()
+    return win, len(data) * 8
+
+
+def _jpeg_split_restarts(data: bytes) -> list[bytes]:
+    """Split one scan's entropy data on RSTn markers (FF D0-D7) into
+    destuffed restart segments. No restarts → one segment."""
+    a = np.frombuffer(data, np.uint8)
+    ff = np.flatnonzero(a[:-1] == 0xFF)
+    rst = ff[(a[ff + 1] >= 0xD0) & (a[ff + 1] <= 0xD7)]
+    if not len(rst):
+        return [_jpeg_destuff(data)]
+    segs, prev = [], 0
+    for p in rst:
+        segs.append(_jpeg_destuff(data[prev : int(p)]))
+        prev = int(p) + 2
+    segs.append(_jpeg_destuff(data[prev:]))
+    return segs
+
+
 def _jpeg_scan_decode(
-    payload, start, h, w, comps, scomps, qt, huff_dc, huff_ac
+    payload, start, h, w, comps, scomps, qt, huff_dc, huff_ac,
+    restart_interval: int = 0,
 ) -> dict:
     """Entropy decode + block reconstruction. The per-symbol loop is
     inherently sequential (DC prediction, run-length state), but every
@@ -765,21 +832,17 @@ def _jpeg_scan_decode(
     mirror) give any 16-bit peek in one op, and the huffman LUT resolves
     (value, length) in one list index. Dequantization + inverse zigzag +
     IDCT run ONCE for all blocks as batched numpy einsum instead of
-    per-block matmuls."""
+    per-block matmuls. ``restart_interval`` > 0: the stream carries RSTn
+    markers every that-many MCUs — DC predictions reset and decoding
+    re-byte-aligns at each (T.81 F.2.1.3.1)."""
     if not comps or h is None:
         raise ValueError("scan before SOF")
     end = payload.rfind(b"\xff\xd9")
-    data = _jpeg_destuff(
+    segments = _jpeg_split_restarts(
         payload[start : end if end > start else len(payload)]
     )
-    # MSB-first per-byte 32-bit windows as a Python list (scalar list
-    # indexing beats numpy scalar indexing ~10x in this loop)
-    a = np.frombuffer(data, np.uint8).astype(np.uint64)
-    a = np.concatenate([a, np.zeros(4, np.uint64)])
-    win = (
-        (a[:-3] << 24) | (a[1:-2] << 16) | (a[2:-1] << 8) | a[3:]
-    ).tolist()
-    total_bits = len(data) * 8
+    seg_idx = 0
+    win, total_bits = _jpeg_win(segments[0])
     pos = 0
 
     # MCU geometry: with 1x1 sampling each MCU is one block per
@@ -806,7 +869,19 @@ def _jpeg_scan_decode(
                         order.append(
                             (ci, (my * vi + byy) * cbw + (mx * hi + bxx))
                         )
-    for ci, bi in order:
+    blocks_per_mcu = sum(hi * vi for _, hi, vi in comps)
+    restart_every = (
+        restart_interval * blocks_per_mcu if restart_interval else 0
+    )
+    for oi, (ci, bi) in enumerate(order):
+        if restart_every and oi and oi % restart_every == 0:
+            # restart marker boundary: next segment, fresh DC predictions
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing JPEG restart segment")
+            win, total_bits = _jpeg_win(segments[seg_idx])
+            pos = 0
+            preds = [0] * nci
         if True:
             base = bi * 64
             dc_lut, ac_lut = dc_luts[ci], ac_luts[ci]
@@ -929,13 +1004,13 @@ def _decode_bytes(payload: bytes) -> dict:
     """Image codec dispatch: REAL decoders for BMP (numpy; truecolor,
     paletted, RLE8), PNG (stdlib zlib + numpy; 8/16-bit, grey/truecolor/
     palette), GIF (pure-Python LZW + numpy palette mapping), and JPEG
-    baseline incl. 4:2:0 subsampling plus progressive SOF2 (canonical
-    huffman + IDCT, numpy). Streams outside the supported subsets
-    (restart intervals, progressive+subsampled combined, interlaced PNG,
-    RLE4 BMP) fall back to a clearly-labeled deterministic FAKE so
-    pipelines stay runnable end-to-end — route that branch through
-    PIL/ffmpeg in production; the contract (bytes → decoded-summary
-    dict) is unchanged."""
+    baseline (4:2:0 subsampling, restart intervals) plus progressive
+    SOF2 incl. subsampled (canonical huffman + IDCT, numpy). Streams
+    outside the supported subsets (restarts inside progressive scans,
+    interlaced PNG, RLE4 BMP) fall back to a clearly-labeled
+    deterministic FAKE so pipelines stay runnable end-to-end — route
+    that branch through PIL/ffmpeg in production; the contract (bytes →
+    decoded-summary dict) is unchanged."""
     if payload is None:
         return dict(_NULL_DECODE)
     try:

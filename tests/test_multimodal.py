@@ -524,7 +524,7 @@ def _jenc_codes(bits, vals):
 
 
 
-def _jpeg_bytes_real(rgb_rows):
+def _jpeg_bytes_real(rgb_rows, restart_interval=0):
     """Reference baseline JPEG ENCODER (Annex K tables, canonical
     huffman, FDCT) — independent of the decoder under test."""
     import numpy as np
@@ -570,8 +570,19 @@ def _jpeg_bytes_real(rgb_rows):
         return size, v if v > 0 else v + (1 << size) - 1
 
     preds = [0, 0, 0]
+    mcu_idx = 0
+    rst_n = 0
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                # byte-align with 1-bits, raw RSTn marker, fresh predictions
+                while nbits:
+                    emit(1, 1)
+                buf.append(0xFF)
+                buf.append(0xD0 + rst_n % 8)
+                rst_n += 1
+                preds = [0, 0, 0]
+            mcu_idx += 1
             for ci, plane in enumerate(planes):
                 q, dct, act = tabs[ci]
                 coef = M @ (plane[by:by + 8, bx:bx + 8] - 128.0) @ M.T
@@ -622,6 +633,8 @@ def _jpeg_bytes_real(rgb_rows):
               + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
         + dht(0, 0, *DC_L) + dht(1, 0, *AC_L)
         + dht(0, 1, *DC_C) + dht(1, 1, *AC_C)
+        + (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
         + seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
         + scan + b"\xff\xd9"
     )
@@ -871,28 +884,40 @@ def _mag(v):
     return size, v if v > 0 else v + (1 << size) - 1
 
 
-def _enc_dc_first(zz, comps, al, dc_tabs):
+def _mcu_order(samplings, mcu_w, mcu_h):
+    """(ci, block-grid index) MCU-interleaved visit order (mirrors the
+    decoder's T.81 A.2.3 geometry)."""
+    order = []
+    for my in range(mcu_h):
+        for mx in range(mcu_w):
+            for ci, (hi, vi) in enumerate(samplings):
+                cbw = mcu_w * hi
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        order.append(
+                            (ci, (my * vi + byy) * cbw + (mx * hi + bxx))
+                        )
+    return order
+
+
+def _enc_dc_first(zz, order, al, dc_tabs):
     bw_ = _JBitWriter()
-    preds = [0] * len(comps)
-    nblk = zz[0].shape[0]
-    for bi in range(nblk):
-        for ci in comps:
-            v = int(zz[ci][bi, 0]) >> al  # arithmetic shift (T.81 G.1.2.1)
-            size, bits = _mag(v - preds[ci])
-            preds[ci] = v
-            c, ln = dc_tabs[ci][size]
-            bw_.emit(c, ln)
-            if size:
-                bw_.emit(bits, size)
+    preds = {}
+    for ci, bi in order:
+        v = int(zz[ci][bi, 0]) >> al  # arithmetic shift (T.81 G.1.2.1)
+        size, bits = _mag(v - preds.get(ci, 0))
+        preds[ci] = v
+        c, ln = dc_tabs[ci][size]
+        bw_.emit(c, ln)
+        if size:
+            bw_.emit(bits, size)
     return bw_.done()
 
 
-def _enc_dc_refine(zz, comps, al):
+def _enc_dc_refine(zz, order, al):
     bw_ = _JBitWriter()
-    nblk = zz[0].shape[0]
-    for bi in range(nblk):
-        for ci in comps:
-            bw_.emit((int(zz[ci][bi, 0]) >> al) & 1, 1)
+    for ci, bi in order:
+        bw_.emit((int(zz[ci][bi, 0]) >> al) & 1, 1)
     return bw_.done()
 
 
@@ -1075,9 +1100,10 @@ def _jpeg_prog_bytes_real(rgb_rows, dc_al=1, ac_al=1, split_band=5):
         + dht(0, 0, *DC_L) + dht(0, 1, *DC_C)
     )
     # scan 1: DC first pass, all components, Al=dc_al
+    order_dc = _mcu_order([(1, 1)] * 3, w // 8, h // 8)
     out += sos(
         [(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, dc_al,
-        _enc_dc_first(zz, [0, 1, 2], dc_al, dc_tabs),
+        _enc_dc_first(zz, order_dc, dc_al, dc_tabs),
     )
     # AC first passes at Al=ac_al: luma split into two bands, chroma whole
     out += ac_scan(_enc_ac_first, 0, 1, split_band, ac_al, 0)
@@ -1087,7 +1113,7 @@ def _jpeg_prog_bytes_real(rgb_rows, dc_al=1, ac_al=1, split_band=5):
     # refinement scans down to Al=0
     for al in range(dc_al - 1, -1, -1):
         out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, al + 1, al,
-                   _enc_dc_refine(zz, [0, 1, 2], al))
+                   _enc_dc_refine(zz, order_dc, al))
     for al in range(ac_al - 1, -1, -1):
         for ci in (0, 1, 2):
             out += ac_scan(_enc_ac_refine, ci, 1, 63, al, al + 1)
@@ -1422,3 +1448,139 @@ def test_jpeg_420_gradient_close(spark):
     for ch, name in [(0, "mean_r"), (1, "mean_g"), (2, "mean_b")]:
         assert abs(r1[name] - src[..., ch].mean()) < 4, name
     assert r1["checksum"] == r2["checksum"] is not None
+
+
+def test_jpeg_restart_intervals(spark):
+    """DRI + RSTn markers: decoding must reset DC predictions and
+    re-byte-align at each restart — payloads with interval 1 (restart
+    every MCU) and 3 must decode pixel-identically to the marker-free
+    encoding of the same image."""
+    xs = np.linspace(0, 255, 32)
+    ys = np.linspace(255, 0, 16)
+    gx, gy = np.meshgrid(xs, ys)
+    src = np.stack([gx, gy, (gx * 0.5 + 30)], -1).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            ("plain", bytearray(_jpeg_bytes_real(src))),
+            ("dri1", bytearray(_jpeg_bytes_real(src, restart_interval=1))),
+            ("dri3", bytearray(_jpeg_bytes_real(src, restart_interval=3))),
+        ],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_image(df).collect()}
+    assert rows["plain"]["decoder"] == "jpeg"
+    for k in ("dri1", "dri3"):
+        assert rows[k]["decoder"] == "jpeg", k
+        assert rows[k]["checksum"] == rows["plain"]["checksum"], k
+
+
+def _jpeg_prog_bytes_420(rgb_rows, dc_al=1, ac_al=1):
+    """Progressive 4:2:0 ENCODER: MCU-interleaved DC scans over the
+    subsampled grids + per-component non-interleaved AC scans with
+    per-scan canonical tables — the combination real web encoders emit
+    (libjpeg -progressive defaults to 4:2:0)."""
+    import struct
+
+    from squirreling_spark.pipeline.multimodal import (
+        _JPEG_ZIGZAG as ZZ,
+        _jpeg_dct_mat,
+    )
+
+    M = _jpeg_dct_mat()
+    rgb = np.asarray(rgb_rows, dtype=np.float64)
+    h, w = rgb.shape[:2]
+    assert h % 16 == 0 and w % 16 == 0
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = np.clip(0.299 * r + 0.587 * g + 0.114 * b, 0, 255)
+    cb = np.clip(-0.168736 * r - 0.331264 * g + 0.5 * b + 128, 0, 255)
+    cr = np.clip(0.5 * r - 0.418688 * g - 0.081312 * b + 128, 0, 255)
+    cb2 = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    cr2 = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    qs = [QL, QC, QC]
+    planes = [y, cb2, cr2]
+    zz = []
+    for ci, plane in enumerate(planes):
+        ph, pw = plane.shape
+        grid = np.zeros(((ph // 8) * (pw // 8), 64), np.int64)
+        bi = 0
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                coef = M @ (plane[by:by + 8, bx:bx + 8] - 128.0) @ M.T
+                grid[bi] = np.round(
+                    coef.flatten()[ZZ] / qs[ci][ZZ]
+                ).astype(np.int64)
+                bi += 1
+        zz.append(grid)
+
+    dc_tabs = [_jenc_codes(*DC_L), _jenc_codes(*DC_C), _jenc_codes(*DC_C)]
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dht(cls, tid, bits, vals):
+        return seg(0xC4, bytes([cls << 4 | tid] + bits + list(vals)))
+
+    def sos(comp_sel, ss, se, ah, al, data):
+        body = bytes([len(comp_sel)])
+        for cid, dc_t, ac_t in comp_sel:
+            body += bytes([cid, (dc_t << 4) | ac_t])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body) + data
+
+    def ac_scan(enc_fn, ci, ss, se, al, ah):
+        rec = _SymRec()
+        enc_fn(zz, ci, ss, se, al, rec)
+        bits, syms = _canon_table(rec.seen or {0x00})
+        return (
+            dht(1, 0, bits, syms)
+            + sos([(ci + 1, 0, 0)], ss, se, ah, al,
+                  enc_fn(zz, ci, ss, se, al, _jenc_codes(bits, syms)))
+        )
+
+    order_dc = _mcu_order([(2, 2), (1, 1), (1, 1)], w // 16, h // 16)
+    out = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, bytes([0]) + bytes(QL[ZZ].astype(np.uint8)))
+        + seg(0xDB, bytes([1]) + bytes(QC[ZZ].astype(np.uint8)))
+        + seg(0xC2, bytes([8]) + struct.pack(">HH", h, w)
+              + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+        + dht(0, 0, *DC_L) + dht(0, 1, *DC_C)
+    )
+    out += sos(
+        [(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, dc_al,
+        _enc_dc_first(zz, order_dc, dc_al, dc_tabs),
+    )
+    for ci in (0, 1, 2):
+        out += ac_scan(_enc_ac_first, ci, 1, 63, ac_al, 0)
+    for al in range(dc_al - 1, -1, -1):
+        out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, al + 1, al,
+                   _enc_dc_refine(zz, order_dc, al))
+    for al in range(ac_al - 1, -1, -1):
+        for ci in (0, 1, 2):
+            out += ac_scan(_enc_ac_refine, ci, 1, 63, al, al + 1)
+    return out + b"\xff\xd9"
+
+
+def test_progressive_420_matches_baseline_420(spark):
+    """Progressive 4:2:0 (MCU-interleaved DC over subsampled grids +
+    non-interleaved AC scans + successive approximation) must decode to
+    BIT-IDENTICAL pixels as the baseline 4:2:0 encoding of the same
+    quantized coefficients — the real-web format combination."""
+    xs = np.linspace(0, 255, 32)
+    ys = np.linspace(0, 200, 32)
+    gx, gy = np.meshgrid(xs, ys)
+    src = np.stack([gx, gy, (gx + 2 * gy) % 211], -1).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            ("b420", bytearray(_jpeg_bytes_420(src))),
+            ("p420", bytearray(_jpeg_prog_bytes_420(src))),
+            ("p420_al2", bytearray(_jpeg_prog_bytes_420(src, 2, 2))),
+        ],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_image(df).collect()}
+    assert rows["b420"]["decoder"] == "jpeg"
+    for k in ("p420", "p420_al2"):
+        assert rows[k]["decoder"] == "jpeg", k
+        assert rows[k]["checksum"] == rows["b420"]["checksum"], k
