@@ -127,14 +127,17 @@ def _register_tables(spark: SparkSession, tables: dict[str, Any]) -> None:
 
 
 def extract_tables(spark: SparkSession, query: str) -> list[str]:
-    """Table names referenced by the query (reference ``extractTables``)."""
-    from pyspark.sql.utils import AnalysisException
-
+    """Table names referenced by the query (reference ``extractTables``).
+    Reference-dialect syntax Spark's parser rejects (POSITIONAL JOIN,
+    JSON_EACH in FROM, ``123n``) falls through to the textual scan, so
+    the same queries ``execute_sql`` accepts stay extractable."""
+    names: list[str] = []
+    parse_exc: Exception | None = None
     try:
         plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(query)
-    except Exception as exc:  # parse error — surface as ValueError
-        raise ValueError(f"parse error: {exc}") from exc
-    names: list[str] = []
+    except Exception as exc:
+        parse_exc = exc
+        plan = None
 
     def walk(node):
         cls = node.getClass().getSimpleName()
@@ -145,10 +148,11 @@ def extract_tables(spark: SparkSession, query: str) -> list[str]:
             walk(it.next())
         # subqueries live in expressions; cheap fallback below handles them
 
-    try:
-        walk(plan)
-    except Exception:
-        pass
+    if plan is not None:
+        try:
+            walk(plan)
+        except Exception:
+            pass
     if not names:
         # Textual fallback (subquery relations live inside expressions the
         # plan walk above doesn't reach): strip comments first so keywords
@@ -175,7 +179,11 @@ def extract_tables(spark: SparkSession, query: str) -> list[str]:
                 name = name[1:-1]
             elif name.lower() in ("select", "lateral", "values", "unnest"):
                 continue  # FROM (SELECT ...) and table functions
+            elif re.match(r"\s*\(", stripped[m.end():]):
+                continue  # table function call (JSON_EACH(...), range(...))
             names.append(name)
+        if not names and parse_exc is not None:
+            raise ValueError(f"parse error: {parse_exc}") from parse_exc
     seen, out = set(), []
     for n in names:
         if n.lower() not in seen:

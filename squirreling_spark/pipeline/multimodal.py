@@ -11,9 +11,10 @@ interlace included), and JPEG — baseline with 4:2:0/4:2:2 chroma
 subsampling and restart intervals, AND progressive SOF2 including
 subsampled (canonical huffman entropy decode with spectral selection +
 successive approximation, dequant, float IDCT, JFIF color transform) —
-the full real-web format matrix. Streams outside the supported subsets
-(restart intervals inside progressive scans, interlaced PNG, RLE4 BMP)
-fall back to a clearly-labeled deterministic fake in ``_decode_bytes``;
+the full real-web format matrix; PNG covers Adam7 interlace. Streams
+outside the supported subsets (restart intervals inside progressive
+scans, RLE4/1-bit BMP) fall back to a clearly-labeled deterministic
+fake in ``_decode_bytes``;
 swap that branch for a PIL/ffmpeg call in production.
 
 Scale notes:
@@ -83,6 +84,23 @@ _NULL_DECODE = {
     "decoder": None, "width": None, "height": None, "n_pixels": None,
     "mean_r": None, "mean_g": None, "mean_b": None, "checksum": None,
 }
+
+# Decode-bomb guard: a corrupt/hostile header can declare astronomical
+# dimensions, and the decoders allocate output rasters from HEADER fields
+# before any pixel data is validated — on a 100 TB crawl that's an
+# executor OOM from one bad byte. The JPEG path peaks at ~50 bytes/pixel
+# (float64 coefficient + plane arrays), and Arrow batches decode several
+# images per task concurrently, so the cap must bound PEAK memory, not
+# just the output raster: 16M pixels (4096x4096 — the usual crawl decode
+# cap) keeps worst-case per-image peak under ~1 GB. Larger claims raise
+# → labeled fake; route genuinely-huge imagery through a streaming
+# decoder in production.
+_MAX_PIXELS = 16 << 20
+
+
+def _check_dims(w: int, h: int) -> None:
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise ValueError(f"implausible image dimensions {w}x{h}")
 
 
 def _rgb_result(decoder: str, rgb: "np.ndarray") -> dict:
@@ -159,6 +177,7 @@ def _decode_bmp_pixels(payload: bytes) -> dict:
     if width <= 0 or height == 0:
         raise ValueError("bad BMP dimensions")
     abs_h = abs(height)
+    _check_dims(width, abs_h)
     if compression == 1 and bpp == 8:  # BI_RLE8 (bottom-up only per spec)
         pal = _bmp_palette(payload, clr_used)
         idx = _bmp_rle8(payload[off:], width, abs_h)
@@ -221,14 +240,40 @@ def _png_unfilter(raw: "np.ndarray", h: int, stride: int, bpp: int) -> "np.ndarr
     return out
 
 
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass (RFC 2083 §2.6)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_deinterlace(raw, w, h, nch, bps):
+    """Adam7: the stream is 7 consecutive sub-images, each filtered
+    independently with its own scanline width; unfilter each pass and
+    scatter its pixels onto the full-resolution raster."""
+    out = np.zeros((h, w, nch * bps), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * nch * bps
+        take = ph * (stride + 1)
+        rec = _png_unfilter(raw[pos : pos + take], ph, stride, nch * bps)
+        pos += take
+        out[y0::dy, x0::dx] = rec.reshape(ph, pw, nch * bps)
+    return out.reshape(h * w * nch * bps)
+
+
 def _decode_png_pixels(payload: bytes) -> dict:
     """REAL PNG pixel decode, stdlib zlib + numpy: greyscale (type 0),
     truecolor (2), indexed/paletted (3), grey+alpha (4), and
     truecolor+alpha (6) at 8-bit depth, plus 16-bit depth for the
-    non-paletted types (downscaled to 8-bit via the high byte),
-    non-interlaced. Walks the chunk chain, inflates the concatenated
-    IDAT stream, reverses the scanline filters (byte-level, so 16-bit
-    samples filter on their raw bytes per RFC 2083)."""
+    non-paletted types (downscaled to 8-bit via the high byte), both
+    sequential and Adam7-interlaced. Walks the chunk chain, inflates the
+    concatenated IDAT stream, reverses the scanline filters (byte-level,
+    so 16-bit samples filter on their raw bytes per RFC 2083)."""
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     pos, w = 8, None
@@ -245,13 +290,14 @@ def _decode_png_pixels(payload: bytes) -> dict:
             if (
                 depth not in (8, 16)
                 or ctype not in (0, 2, 3, 4, 6)
-                or interlace != 0
+                or interlace not in (0, 1)
                 or (depth == 16 and ctype == 3)
             ):
                 raise ValueError(
                     f"unsupported PNG (depth={depth}, color={ctype})"
                 )
             nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+            _check_dims(w, h)
         elif typ == b"PLTE":
             plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
@@ -264,8 +310,19 @@ def _decode_png_pixels(payload: bytes) -> dict:
     import zlib
 
     bps = depth // 8
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    rec = _png_unfilter(raw, h, w * nch * bps, nch * bps)
+    # Inflate with a hard output cap: the raster geometry bounds the raw
+    # stream at h*(stride+1) bytes (+1 filter byte per scanline; Adam7
+    # adds one per sub-image scanline, still < 2*h + w*h*nch*bps). A
+    # crafted IDAT can otherwise inflate ~1000:1 — an executor-memory
+    # attack from one corrupt blob, independent of the header dims.
+    max_raw = h * (w * nch * bps + 2) + 64
+    raw = np.frombuffer(
+        zlib.decompressobj().decompress(idat, max_raw), dtype=np.uint8
+    )
+    if interlace == 1:
+        rec = _png_deinterlace(raw, w, h, nch, bps)
+    else:
+        rec = _png_unfilter(raw, h, w * nch * bps, nch * bps)
     if depth == 16:  # high byte = the 8-bit downscale (v >> 8)
         pixels = rec.reshape(h, w, nch, 2)[..., 0]
     else:
@@ -308,6 +365,11 @@ def _gif_lzw_decode(data: bytes, mcs: int, npix: int) -> "np.ndarray":
     for the typical <=4096-entry table)."""
     if not data:
         return np.zeros(0, np.uint8)
+    if not 2 <= mcs <= 11:
+        # spec range is 2-8 (codes cap at 12 bits); a corrupt byte here
+        # would otherwise size the string table at 2^mcs entries — an
+        # unbounded allocation driven by one untrusted header byte
+        raise ValueError(f"bad LZW min code size {mcs}")
     clear, end = 1 << mcs, (1 << mcs) + 1
     win = _lsb_windows(data).tolist()  # python ints: fast scalar indexing
     total_bits = len(data) * 8
@@ -392,6 +454,7 @@ def _decode_gif_pixels(payload: bytes) -> dict:
         elif block == 0x2C:  # image descriptor
             w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
             h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            _check_dims(w, h)
             ipacked = payload[pos + 9]
             pos += 10
             pal = gct
@@ -538,6 +601,7 @@ def _decode_jpeg_pixels(payload: bytes) -> dict:
             progressive = marker == 0xC2
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
+            _check_dims(w, h)
             comps, cids = [], []
             for c in range(body[5]):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
@@ -1007,7 +1071,7 @@ def _decode_bytes(payload: bytes) -> dict:
     baseline (4:2:0 subsampling, restart intervals) plus progressive
     SOF2 incl. subsampled (canonical huffman + IDCT, numpy). Streams
     outside the supported subsets (restarts inside progressive scans,
-    interlaced PNG, RLE4 BMP) fall back to a clearly-labeled
+    RLE4/1-bit BMP) fall back to a clearly-labeled
     deterministic FAKE so pipelines stay runnable end-to-end — route
     that branch through PIL/ffmpeg in production; the contract (bytes →
     decoded-summary dict) is unchanged."""
@@ -1193,37 +1257,35 @@ def _jpeg_scan_cols(df: DataFrame, payload_col: str, max_segments: int = 8):
 
     Returns the df with (_jpg_w, _jpg_h) columns appended (NULL when no SOF
     found within the bound or the chain is malformed)."""
-    out = (
-        df.withColumn("_jp", F.lit(3).cast("bigint"))
-        .withColumn("_jpg_w", F.lit(None).cast("bigint"))
-        .withColumn("_jpg_h", F.lit(None).cast("bigint"))
+    # one withColumns per hop (chained withColumn = one Project + full
+    # re-analysis each — the dominant DataFrame-BUILD cost on these
+    # unrolled walks)
+    out = df.withColumns(
+        {
+            "_jp": F.lit(3).cast("bigint"),
+            "_jpg_w": F.lit(None).cast("bigint"),
+            "_jpg_h": F.lit(None).cast("bigint"),
+        }
     )
     for _ in range(max_segments):
         at_marker = _byte_at(payload_col, F.col("_jp")) == 0xFF
         mtype = _byte_at(payload_col, F.col("_jp") + 1)
         is_sof = at_marker & mtype.isin(_SOF_MARKERS)
-        out = (
-            out.withColumn(
-                "_jpg_h",
-                F.coalesce(
+        out = out.withColumns(
+            {
+                "_jpg_h": F.coalesce(
                     "_jpg_h",
                     F.when(is_sof, _be_uint(payload_col, F.col("_jp") + 5, 2)),
                 ),
-            )
-            .withColumn(
-                "_jpg_w",
-                F.coalesce(
+                "_jpg_w": F.coalesce(
                     "_jpg_w",
                     F.when(is_sof, _be_uint(payload_col, F.col("_jp") + 7, 2)),
                 ),
-            )
-            .withColumn(
-                "_jp",
-                F.when(
+                "_jp": F.when(
                     at_marker & ~mtype.isin(_SOF_MARKERS + [0xD8, 0xD9]),
                     F.col("_jp") + 2 + _be_uint(payload_col, F.col("_jp") + 2, 2),
                 ),
-            )
+            }
         )
     return out
 
@@ -1294,29 +1356,27 @@ def wav_metadata(
         & (F.expr(f"substring({payload_col}, 1, 4)") == F.lit(b"RIFF"))
         & (F.expr(f"substring({payload_col}, 9, 4)") == F.lit(b"WAVE"))
     )
-    out = (
-        df.withColumn("_wp", F.lit(13).cast("bigint"))  # first chunk id
-        .withColumn("_fmt_at", F.lit(None).cast("bigint"))
-        .withColumn("_data_sz", F.lit(None).cast("bigint"))
+    out = df.withColumns(
+        {
+            "_wp": F.lit(13).cast("bigint"),  # first chunk id
+            "_fmt_at": F.lit(None).cast("bigint"),
+            "_data_sz": F.lit(None).cast("bigint"),
+        }
     )
     for _ in range(max_chunks):
         cid = p.substr(F.col("_wp"), F.lit(4))
         csize = _le_uint_at(payload_col, F.col("_wp") + 4, 4)
-        out = (
-            out.withColumn(
-                "_fmt_at",
-                F.coalesce(
+        out = out.withColumns(
+            {
+                "_fmt_at": F.coalesce(
                     "_fmt_at", F.when(cid == F.lit(b"fmt "), F.col("_wp"))
                 ),
-            )
-            .withColumn(
-                "_data_sz",
-                F.coalesce(
+                "_data_sz": F.coalesce(
                     "_data_sz", F.when(cid == F.lit(b"data"), csize)
                 ),
-            )
-            # next chunk: header (8) + data, padded to even
-            .withColumn("_wp", F.col("_wp") + 8 + csize + csize % 2)
+                # next chunk: header (8) + data, padded to even
+                "_wp": F.col("_wp") + 8 + csize + csize % 2,
+            }
         )
     n_channels = _le_uint_at(payload_col, F.col("_fmt_at") + 10, 2)
     sample_rate = _le_uint_at(payload_col, F.col("_fmt_at") + 12, 4)
@@ -1438,57 +1498,56 @@ def mp4_metadata(
     is_mp4 = (F.octet_length(p) >= 16) & (
         F.expr(f"substring({payload_col}, 5, 4)") == F.lit(b"ftyp")
     )
-    out = (
-        df.withColumn("_bp", F.lit(1).cast("bigint"))
-        .withColumn("_moov_at", F.lit(None).cast("bigint"))
-        .withColumn("_moov_sz", F.lit(None).cast("bigint"))
+    out = df.withColumns(
+        {
+            "_bp": F.lit(1).cast("bigint"),
+            "_moov_at": F.lit(None).cast("bigint"),
+            "_moov_sz": F.lit(None).cast("bigint"),
+        }
     )
+    # one withColumns per hop, NOT three chained withColumn calls: each
+    # withColumn is a fresh Project + full re-analysis, and across the
+    # unrolled walk that made DataFrame BUILD time (driver-side, py4j)
+    # 4.7s vs 1.0s execution at sf0.1
     for _ in range(max_boxes):
         bsize = _be_uint(payload_col, F.col("_bp"), 4)
         btype = p.substr(F.col("_bp") + 4, F.lit(4))
-        out = (
-            out.withColumn(
-                "_moov_at",
-                F.coalesce(
+        out = out.withColumns(
+            {
+                "_moov_at": F.coalesce(
                     "_moov_at", F.when(btype == F.lit(b"moov"), F.col("_bp"))
                 ),
-            )
-            .withColumn(
-                "_moov_sz",
-                F.coalesce(
+                "_moov_sz": F.coalesce(
                     "_moov_sz", F.when(btype == F.lit(b"moov"), bsize)
                 ),
-            )
-            .withColumn("_bp", F.col("_bp") + bsize)
+                "_bp": F.col("_bp") + bsize,
+            }
         )
     # walk moov's children: first child at moov + 8
-    out = (
-        out.withColumn("_cp", F.col("_moov_at") + 8)
-        .withColumn("_mvhd_at", F.lit(None).cast("bigint"))
-        .withColumn("_n_trak", F.lit(0).cast("bigint"))
+    out = out.withColumns(
+        {
+            "_cp": F.col("_moov_at") + 8,
+            "_mvhd_at": F.lit(None).cast("bigint"),
+            "_n_trak": F.lit(0).cast("bigint"),
+        }
     )
     moov_end = F.col("_moov_at") + F.col("_moov_sz")
     for _ in range(max_boxes):
         inb = F.col("_cp") < moov_end
         csize = _be_uint(payload_col, F.col("_cp"), 4)
         ctype = p.substr(F.col("_cp") + 4, F.lit(4))
-        out = (
-            out.withColumn(
-                "_mvhd_at",
-                F.coalesce(
+        out = out.withColumns(
+            {
+                "_mvhd_at": F.coalesce(
                     "_mvhd_at",
                     F.when(inb & (ctype == F.lit(b"mvhd")), F.col("_cp")),
                 ),
-            )
-            .withColumn(
-                "_n_trak",
-                F.col("_n_trak")
+                "_n_trak": F.col("_n_trak")
                 + F.when(inb & (ctype == F.lit(b"trak")), 1).otherwise(0),
-            )
-            .withColumn(
-                "_cp",
-                F.when(inb, F.col("_cp") + csize).otherwise(F.col("_cp")),
-            )
+                "_cp": F.when(inb, F.col("_cp") + csize).otherwise(
+                    F.col("_cp")
+                ),
+            }
         )
     version = _byte_at(payload_col, F.col("_mvhd_at") + 8)
     # version 0 layout: body = ver(1) flags(3) ctime(4) mtime(4)

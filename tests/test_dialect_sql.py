@@ -289,3 +289,69 @@ def test_double_quoted_identifiers_ansi_mode(spark):
 def test_double_quotes_stay_strings_by_default(spark):
     res = execute_sql(spark, 'SELECT "hello" AS s')
     assert _rows(res) == [{"s": "hello"}]
+
+
+def test_extract_tables_handles_reference_dialect(spark):
+    """extractTables must work on the same reference-syntax queries
+    execute_sql accepts (reference src/index.js extractTables)."""
+    from squirreling_spark.engine import extract_tables
+
+    assert extract_tables(
+        spark, "SELECT a.name FROM tblA a POSITIONAL JOIN tblB"
+    ) == ["tblA", "tblB"]
+    assert extract_tables(
+        spark,
+        "SELECT j.key FROM data JOIN JSON_EACH(data.json) AS j ON TRUE",
+    ) == ["data"]
+    assert extract_tables(spark, "FROM docs WHERE x > 1n") == ["docs"]
+    import pytest
+
+    with pytest.raises(ValueError, match="parse error"):
+        extract_tables(spark, "NOT SQL AT ALL ;;;")
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the rewriter must never touch string-literal content
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_LIT_CHARS = st.text(
+    alphabet=st.characters(
+        codec="ascii", exclude_characters="'\"`\\\x00"
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    lit=_LIT_CHARS,
+    num=st.integers(min_value=0, max_value=2**60),
+    like_ci=st.booleans(),
+)
+def test_rewrite_preserves_string_literals(lit, num, like_ci):
+    """Whatever a single-quoted literal contains — POSITIONAL JOIN,
+    JSON_EACH(, 123n, LIKE — the rewriter must pass it through verbatim,
+    while the SAME constructs outside the literal rewrite."""
+    q = f"SELECT '{lit}' AS s, {num}n AS v FROM t WHERE a LIKE 'x%'"
+    out = rewrite_reference_sql(
+        q, like_mode="ci" if like_ci else "ansi"
+    )
+    assert f"'{lit}'" in out                       # literal untouched
+    assert f"CAST({num} AS BIGINT)" in out         # literal outside rewritten
+    if like_ci:
+        assert "ILIKE 'x%'" in out
+    else:
+        assert "LIKE 'x%'" in out
+
+
+@settings(max_examples=100, deadline=None)
+@given(lit=_LIT_CHARS)
+def test_rewrite_noop_without_dialect_constructs(lit):
+    """A plain-Spark query (no reference-only syntax outside strings)
+    must come back byte-identical, whatever its literals contain."""
+    q = f"SELECT col, '{lit}' AS s FROM tbl WHERE col > 5 ORDER BY col"
+    assert rewrite_reference_sql(q) == q

@@ -1259,7 +1259,7 @@ def test_bmp_rle8_and_paletted_match_truecolor(spark):
         assert rows[k]["checksum"] == rows["true24"]["checksum"], k
 
 
-def _png_raw(w, h, ctype, depth, scanlines, plte=None):
+def _png_raw(w, h, ctype, depth, scanlines, plte=None, interlace=0):
     import struct
     import zlib
 
@@ -1267,7 +1267,7 @@ def _png_raw(w, h, ctype, depth, scanlines, plte=None):
         c = struct.pack(">I", len(body)) + typ + body
         return c + struct.pack(">I", zlib.crc32(typ + body))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if plte is not None:
         out += chunk(b"PLTE", bytes(v for rgb in plte for v in rgb))
@@ -1584,3 +1584,103 @@ def test_progressive_420_matches_baseline_420(spark):
     for k in ("p420", "p420_al2"):
         assert rows[k]["decoder"] == "jpeg", k
         assert rows[k]["checksum"] == rows["b420"]["checksum"], k
+
+
+def test_png_adam7_interlaced_matches_sequential(spark):
+    """Adam7: 7 independently-filtered sub-images scattered onto the full
+    raster — an interlaced encoding must decode checksum-identical to the
+    sequential encoding, including at dimensions NOT divisible by 8
+    (empty later passes on tiny dimensions exercised too)."""
+    import numpy as np
+
+    _ADAM7 = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+
+    def interlaced_stream(px):
+        h, w = px.shape[:2]
+        out = b""
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for row in sub:
+                out += b"\x00" + row.tobytes()
+        return out
+
+    rng = np.random.default_rng(9)
+    for h, w in ((13, 11), (4, 4), (9, 17)):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        seq = [b"\x00" + px[y].tobytes() for y in range(h)]
+        df = spark.createDataFrame(
+            [
+                ("seq", _png_raw(w, h, 2, 8, seq)),
+                ("adam7", _png_raw(w, h, 2, 8, [interlaced_stream(px)],
+                                   interlace=1)),
+            ],
+            "media_id string, payload binary",
+        )
+        rows = {r["media_id"]: r for r in decode_image(df).collect()}
+        assert rows["adam7"]["decoder"] == "png", (h, w)
+        assert rows["adam7"]["checksum"] == rows["seq"]["checksum"], (h, w)
+
+
+def test_decode_survives_corrupt_payloads(spark):
+    """Crawl-robustness: random byte corruptions of valid BMP/PNG/GIF/
+    JPEG payloads (including header bytes — hostile dimension fields)
+    must NEVER raise out of decode_image; every input yields a row,
+    either really decoded or the labeled fake. Also pins the decode-bomb
+    guard: a header claiming 65535x65535 must go to the fake, not
+    allocate a 12 GB raster in the executor."""
+    import random
+    import struct
+
+    from squirreling_spark.pipeline.multimodal import _MAX_PIXELS
+
+    rng = random.Random(42)
+    idx = [[(x + y) % 4 for x in range(8)] for y in range(8)]
+    px = [[_GIF_PAL[p] for p in r] for r in idx]
+    rgbsrc = np.zeros((16, 16, 3), np.uint8)
+    rgbsrc[..., 0] = 120
+    seeds = [
+        _bmp24(px),
+        _bmp8(idx, _GIF_PAL, rle=True),
+        _gif_bytes(idx),
+        _png_raw(8, 8, 2, 8,
+                 [b"\x00" + bytes(bytearray(v for p2 in r for v in _GIF_PAL[p2]))
+                  for r in idx]),
+        bytes(_jpeg_bytes_real(rgbsrc)),
+        bytes(_jpeg_prog_bytes_real(rgbsrc)),
+        bytes(_jpeg_bytes_420(rgbsrc)),
+    ]
+    rows = []
+    n = 0
+    for payload in seeds:
+        for trial in range(25):
+            b = bytearray(payload)
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            rows.append((f"fz{n}", bytes(b)))
+            n += 1
+        # truncations
+        for cut in (3, len(payload) // 3, len(payload) - 2):
+            rows.append((f"fz{n}", payload[:cut]))
+            n += 1
+    # decode bombs: plausible magic, absurd dimensions
+    bomb_bmp = bytearray(_bmp24(px))
+    bomb_bmp[18:22] = struct.pack("<i", 60000)
+    bomb_bmp[22:26] = struct.pack("<i", 60000)
+    rows.append(("bomb_bmp", bytes(bomb_bmp)))
+    bomb_jpg = bytearray(bytes(_jpeg_bytes_real(rgbsrc)))
+    sof = bytes(bomb_jpg).find(b"\xff\xc0")
+    bomb_jpg[sof + 5 : sof + 9] = struct.pack(">HH", 65535, 65535)
+    rows.append(("bomb_jpg", bytes(bomb_jpg)))
+
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = decode_image(df).collect()
+    assert len(out) == len(rows)  # nothing crashed or vanished
+    by_id = {r["media_id"]: r for r in out}
+    for bomb in ("bomb_bmp", "bomb_jpg"):
+        assert by_id[bomb]["decoder"] == "fake", bomb
+        assert (by_id[bomb]["n_pixels"] or 0) <= _MAX_PIXELS
