@@ -105,6 +105,128 @@ def _edit_distance(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _py_kind(v) -> str:
+    """Type tag for memory-schema inference; int/float SUBCLASSES (e.g. a
+    BigInt marker) fold into their base so they type as long/double."""
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    return type(v).__name__
+
+
+def _infer_memory_schema(rows: list[dict]):
+    """Schema for a list-of-dicts memory table, replacing Spark's sampling
+    inference: scans EVERY row (the reference's memorySource sees all rows
+    too), keeps first-seen column order, types all-null columns as void,
+    and widens int+float to double. Raises TypeError on genuinely mixed
+    dynamic typing (e.g. int and string in one column) — representable in
+    the reference's JS rows but not in a Spark column."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    if not rows or not all(isinstance(r, dict) for r in rows):
+        raise TypeError("memory table must be a non-empty list of dicts")
+    cols: list[str] = []
+    seen: dict[str, set] = {}
+    elem_kinds: dict[str, set] = {}
+    elem_samples: dict[str, Any] = {}
+    samples: dict[str, Any] = {}
+    for r in rows:
+        for k, v in r.items():
+            if k not in seen:
+                cols.append(k)
+                seen[k] = set()
+                elem_kinds[k] = set()
+            if v is not None:
+                seen[k].add(_py_kind(v))
+                samples.setdefault(k, v)
+                if isinstance(v, (list, tuple)):
+                    for x in v:
+                        if x is not None:
+                            elem_kinds[k].add(_py_kind(x))
+                            elem_samples.setdefault(k, x)
+
+    def field_type(kinds: set, sample: Any, ek: set | None = None,
+                   esample: Any = None):
+        kinds = set(kinds)
+        if not kinds:
+            return T.NullType()
+        # bool is an int subclass in Python; keep it distinct like SQL does
+        if kinds <= {"int"}:
+            return T.LongType()
+        if kinds <= {"int", "float"}:
+            return T.DoubleType()
+        if kinds == {"bool"}:
+            return T.BooleanType()
+        if kinds == {"str"}:
+            return T.StringType()
+        if kinds <= {"bytes", "bytearray"}:
+            return T.BinaryType()
+        if kinds == {"datetime"}:
+            return T.TimestampType()
+        if kinds == {"date"}:
+            return T.DateType()
+        if kinds == {"Decimal"}:
+            return T.DecimalType(38, 18)
+        if kinds <= {"list", "tuple"}:
+            ek = ek or set()
+            if ek and ek <= {"list", "tuple"}:  # nested arrays: recurse
+                sub = [x for x in (esample or []) if x is not None]
+                sub_ek = {_py_kind(x) for x in sub}
+                return T.ArrayType(
+                    field_type(ek, esample, sub_ek, sub[0] if sub else None)
+                )
+            return T.ArrayType(field_type(ek, esample))
+        if kinds == {"dict"}:
+            inner = _infer_memory_schema([sample])
+            return T.StructType(inner.fields)
+        raise TypeError(f"mixed dynamic column types {sorted(kinds)}")
+
+    return T.StructType(
+        [
+            T.StructField(
+                c,
+                field_type(
+                    seen[c],
+                    samples.get(c),
+                    elem_kinds.get(c),
+                    elem_samples.get(c),
+                ),
+                True,
+            )
+            for c in cols
+        ]
+    )
+
+
+def _coerce_row(row: dict, schema) -> tuple:
+    """Dict row → tuple in schema order, widening scalars to the inferred
+    field type (int→float for double fields etc.) — the explicit schema
+    makes Spark's verifier strict about exact Python types."""
+    from pyspark.sql import types as T
+
+    def conv(v, ft):
+        if v is None:
+            return None
+        if isinstance(ft, T.DoubleType):
+            return float(v)
+        if isinstance(ft, T.LongType):
+            return int(v)
+        if isinstance(ft, T.ArrayType):
+            return [conv(x, ft.elementType) for x in v]
+        if isinstance(ft, T.StructType):
+            return _coerce_row(v, ft)
+        if isinstance(ft, T.BinaryType) and isinstance(v, bytearray):
+            return bytes(v)
+        return v
+
+    return tuple(conv(row.get(f.name), f.dataType) for f in schema.fields)
+
+
 def _register_tables(spark: SparkSession, tables: dict[str, Any]) -> None:
     for name, source in tables.items():
         if isinstance(source, DataFrame):
@@ -119,8 +241,15 @@ def _register_tables(spark: SparkSession, tables: dict[str, Any]) -> None:
                 df = spark.read.parquet(source)
         elif isinstance(source, list):
             # list-of-dicts in-memory table (reference memorySource,
-            # src/backend/dataSource.js:29-71).
-            df = spark.createDataFrame(source)
+            # src/backend/dataSource.js:29-71). Explicit inference:
+            # Spark's sampler rejects all-null columns
+            # (CANNOT_DETERMINE_TYPE); the reference's JS rows allow
+            # them, so type those as void — null propagates through
+            # arithmetic AND string functions, matching the reference.
+            schema = _infer_memory_schema(source)
+            df = spark.createDataFrame(
+                [_coerce_row(r, schema) for r in source], schema=schema
+            )
         else:
             raise TypeError(f"unsupported table source for {name!r}: {type(source)}")
         df.createOrReplaceTempView(name)
@@ -270,7 +399,36 @@ def execute_sql(
     src/backend/dataSource.js:80-129, at DataFrame granularity)."""
     from squirreling_spark.functions.sqldialect import rewrite_reference_sql
 
+    from squirreling_spark.functions.sqlregistry import (
+        register_reference_functions,
+    )
+
+    register_reference_functions(spark)
     if tables:
+        # Names Spark can't hold in a temp view (dots: ``dataset.parquet``
+        # is a FLAT name in the reference's table map, not a schema path)
+        # register under a safe name; the query text is rewritten to match
+        # in quoted ("..."/`...`) and bare FROM/JOIN positions.
+        import hashlib
+        import re as _re
+
+        renames = {
+            name: "__sq_tbl_" + hashlib.md5(name.encode()).hexdigest()[:10]
+            for name in tables
+            if not _re.fullmatch(r"[A-Za-z_]\w*", name)
+        }
+        if renames:
+            tables = {renames.get(k, k): v for k, v in tables.items()}
+            for orig, safe in renames.items():
+                for pat in (f'"{orig}"', f"`{orig}`"):
+                    query = query.replace(pat, safe)
+                query = _re.sub(
+                    r"(\bFROM\s+|\bJOIN\s+|,\s*)"
+                    + _re.escape(orig)
+                    + r"(?=[\s,)]|$)",
+                    lambda m: m.group(1) + safe,
+                    query,
+                )
         _register_tables(spark, tables)
     for name in cache_tables or []:
         spark.catalog.cacheTable(name)
@@ -287,6 +445,19 @@ def execute_sql(
         df = spark.sql(query)
     except Exception as exc:
         msg = str(exc)
+        # Reference-style loose GROUP BY: retry once with non-aggregated
+        # bare select columns wrapped in any_value (sqldialect.loosen_group_by)
+        if "MISSING_AGGREGATION" in msg:
+            from squirreling_spark.functions.sqldialect import loosen_group_by
+
+            loose = loosen_group_by(query)
+            if loose is not None:
+                try:
+                    return QueryResult(
+                        spark.sql(loose), job_group, _spark=spark
+                    )
+                except Exception:  # noqa: BLE001 — report the original
+                    pass
         first = msg.splitlines()[0]
         pos = _position_of(exc, query)
         if "TABLE_OR_VIEW_NOT_FOUND" in msg:

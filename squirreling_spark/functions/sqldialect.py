@@ -262,6 +262,872 @@ def _rewrite_json_each_from(q: str) -> str:
             )
 
 
+# ---------------------------------------------------------------------------
+# Array literals: [1, 2, 3] → array(1, 2, 3)
+# ---------------------------------------------------------------------------
+# A '[' is a LITERAL when the preceding token cannot end a value
+# (reference tokenize.js distinguishes the same way it does unary minus:
+# after identifier / number / string / ')' / ']' a '[' is a subscript).
+
+_LITERAL_BRACKET_KEYWORDS = {
+    "SELECT", "WHERE", "WHEN", "THEN", "ELSE", "IN", "AND", "OR", "NOT",
+    "ON", "BY", "HAVING", "RETURN", "AS", "FROM", "LIMIT", "OFFSET",
+    "DISTINCT", "ALL", "UNION", "EXCEPT", "INTERSECT", "CASE", "END",
+    "BETWEEN", "LIKE", "ILIKE", "IS", "NULL", "TRUE", "FALSE",
+}
+
+
+def _rewrite_array_literals(q: str) -> str:
+    """``[...]`` in literal position → ``array(...)``. Subscripts
+    (``arr[2]``, ``m[1][0]``) are untouched; nested literals rewrite in
+    the same scan because the replacement leaves '(' before the inner
+    bracket."""
+    while True:
+        mask = _string_mask(q)
+        target = None
+        for i, ch in enumerate(q):
+            if ch != "[" or mask[i]:
+                continue
+            # previous non-space unmasked char
+            j = i - 1
+            while j >= 0 and q[j] in " \t\r\n":
+                j -= 1
+            if j < 0:
+                target = i
+                break
+            prev = q[j]
+            if prev in ",(=<>+-*/%|&":
+                target = i
+                break
+            if prev in ")]'\"`" or prev.isdigit():
+                continue  # subscript on value/string/number
+            if prev.isalpha() or prev == "_":
+                # word before the bracket: keyword → literal, ident → sub
+                k = j
+                while k >= 0 and (q[k].isalnum() or q[k] == "_"):
+                    k -= 1
+                word = q[k + 1 : j + 1].upper()
+                if word in _LITERAL_BRACKET_KEYWORDS:
+                    target = i
+                    break
+                continue
+            target = i
+            break
+        if target is None:
+            return q
+        # find the matching ']' (string-aware, bracket-nesting)
+        depth = 0
+        end = None
+        for i in range(target, len(q)):
+            if mask[i]:
+                continue
+            if q[i] == "[":
+                depth += 1
+            elif q[i] == "]":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end is None:
+            return q  # unbalanced: let Spark report it
+        q = q[:target] + "array(" + q[target + 1 : end] + ")" + q[end + 1 :]
+
+
+# ---------------------------------------------------------------------------
+# UNNEST / EXPLODE table functions (reference src/execute/execute.js:160-242)
+# ---------------------------------------------------------------------------
+
+_UNNEST_FROM_RE = re.compile(
+    r"\b(FROM|,)(\s+|\s*)(UNNEST|EXPLODE)\s*\(", re.I
+)
+_UNNEST_JOIN_RE = re.compile(
+    r"((?:\b(?:LEFT|RIGHT|FULL|CROSS)\s+(?:OUTER\s+)?JOIN|\bINNER\s+JOIN"
+    r"|\bJOIN|,)\s*(?:LATERAL\s+)?)(UNNEST|EXPLODE)\s*\(",
+    re.I,
+)
+_UNNEST_ALIAS_RE = re.compile(
+    r"\s*(?:AS\s+)?([A-Za-z_]\w*)\s*(?:\(\s*([A-Za-z_]\w*)\s*\))?", re.I
+)
+
+
+def _rewrite_unnest_from(q: str) -> str:
+    """Table-function UNNEST/EXPLODE onto Spark explode:
+
+    - ``FROM UNNEST(arr) AS t``           → derived table, column ``unnest``
+      (``EXPLODE`` names it ``explode``) — reference names the output
+      column after the function (execute.js:168-181)
+    - ``FROM UNNEST(arr) AS t(x)``        → column ``x``
+    - ``<t> [LEFT] JOIN UNNEST(expr) AS u[(x)] ON TRUE`` → ``LATERAL VIEW
+      [OUTER] explode(expr) __lv AS <x or u>`` — the element column takes
+      the alias name so ``u.field`` resolves as struct access
+    - FULL/RIGHT JOIN forms stay untouched (the reference rejects them;
+      Spark's error stands in for the reference's)
+    """
+    # lateral-join forms first (their FROM keyword must not re-match)
+    while True:
+        mask = _string_mask(q)
+        m = next(
+            (
+                c
+                for c in _UNNEST_JOIN_RE.finditer(q)
+                if not mask[c.start()]
+                # RIGHT/FULL stay untouched: the reference rejects them
+                # on table functions; Spark's error stands in. CROSS JOIN
+                # UNNEST is valid lateral syntax in the reference.
+                and not re.match(r"\s*(RIGHT|FULL)\b", c.group(1), re.I)
+            ),
+            None,
+        )
+        if m is None:
+            break
+        join_kw = m.group(1).upper().strip()
+        open_idx = q.index("(", m.end() - 1)
+        arg_end = _balanced_arg(q, open_idx)
+        arg = q[open_idx + 1 : arg_end - 1].strip()
+        alias, col = None, None
+        tail_end = arg_end
+        am = _UNNEST_ALIAS_RE.match(q, arg_end)
+        if am and am.group(1) and am.group(1).upper() not in _KEYWORDS:
+            alias = am.group(1)
+            col = am.group(2)
+            tail_end = am.end()
+        on_m = re.match(r"\s*ON\s+TRUE\b", q[tail_end:], re.I)
+        on_end = tail_end + (on_m.end() if on_m else 0)
+        outer = "OUTER " if join_kw.startswith("LEFT") else ""
+        if col:
+            # `AS u(x)`: view alias u, element column x → u.x resolves
+            view_alias, colname = alias, col
+        else:
+            # `AS tc`: the ELEMENT takes the alias name so tc / tc.field
+            # resolve (the reference binds the element to the alias)
+            view_alias = f"__sq_lv_{uuid.uuid4().hex[:8]}"
+            colname = alias or "unnest"
+        if arg.upper() == "NULL":
+            # reference: UNNEST(NULL) yields zero rows; bare explode(NULL)
+            # won't type-check
+            arg = "CAST(NULL AS ARRAY<INT>)"
+        q = (
+            q[: m.start()]
+            + f" LATERAL VIEW {outer}explode({arg}) {view_alias} "
+            + f"AS {colname} "
+            + q[on_end:]
+        )
+    # standalone FROM-position forms
+    while True:
+        mask = _string_mask(q)
+        m = next(
+            (c for c in _UNNEST_FROM_RE.finditer(q) if not mask[c.start()]),
+            None,
+        )
+        if m is None:
+            break
+        fn = m.group(3).lower()
+        open_idx = q.index("(", m.end() - 1)
+        arg_end = _balanced_arg(q, open_idx)
+        arg = q[open_idx + 1 : arg_end - 1].strip()
+        if not arg:
+            return q  # zero-arg: leave for Spark to reject (reference does)
+        alias, col = None, None
+        tail_end = arg_end
+        am = _UNNEST_ALIAS_RE.match(q, arg_end)
+        if am and am.group(1) and am.group(1).upper() not in _KEYWORDS:
+            alias = am.group(1)
+            col = am.group(2)
+            tail_end = am.end()
+        colname = col or fn
+        alias = alias or f"__sq_un_{uuid.uuid4().hex[:8]}"
+        if arg.upper() == "NULL":
+            arg = "CAST(NULL AS ARRAY<INT>)"
+        q = (
+            q[: m.start(1)]
+            + m.group(1)
+            + f" (SELECT explode({arg}) AS {colname}) AS {alias} "
+            + q[tail_end:]
+        )
+    # LATERAL EXPLODE(...) without VIEW → LATERAL VIEW EXPLODE(...)
+    q = _sub_outside_strings(
+        q,
+        re.compile(r"\bLATERAL\s+(?=(?:EXPLODE|UNNEST)\s*\()", re.I),
+        lambda m: "LATERAL VIEW ",
+    )
+    # LATERAL VIEW UNNEST( → LATERAL VIEW explode(
+    q = _sub_outside_strings(
+        q,
+        re.compile(r"(\bLATERAL\s+VIEW\s+(?:OUTER\s+)?)UNNEST\s*\(", re.I),
+        lambda m: m.group(1) + "explode(",
+    )
+    return q
+
+
+# ---------------------------------------------------------------------------
+# Date/time dialect (reference src/expression/date.js)
+# ---------------------------------------------------------------------------
+
+_MICROS = {
+    "DAY": 86_400_000_000,
+    "HOUR": 3_600_000_000,
+    "MINUTE": 60_000_000,
+    "SECOND": 1_000_000,
+}
+
+
+def _date_diff_sql(unit: str, a: str, b: str) -> str:
+    """Reference dateDiff (date.js:110-133): YEAR/MONTH are calendar-field
+    differences; DAY..SECOND are ms-delta truncated toward zero."""
+    u = unit.upper()
+    ca, cb = f"CAST(({a}) AS TIMESTAMP)", f"CAST(({b}) AS TIMESTAMP)"
+    if u == "YEAR":
+        return f"(year({cb}) - year({ca}))"
+    if u == "MONTH":
+        return (
+            f"((year({cb}) - year({ca})) * 12 + (month({cb}) - month({ca})))"
+        )
+    if u in _MICROS:
+        return (
+            f"((unix_micros({cb}) - unix_micros({ca})) DIV {_MICROS[u]})"
+        )
+    return "CAST(NULL AS BIGINT)"
+
+
+_DATE_DIFF_RE = re.compile(r"\b(?:DATE_DIFF|DATEDIFF)\s*\(", re.I)
+_EXTRACT_RE = re.compile(
+    r"\bEXTRACT\s*\(\s*(DOW|EPOCH|SECOND)\s+FROM\b", re.I
+)
+_DATE_PART_RE = re.compile(
+    r"\bDATE_PART\s*\(\s*'(dow|epoch|second)'\s*,", re.I
+)
+
+
+def _split_top_args(s: str) -> list[str]:
+    """Split an argument list on top-level commas (string/paren aware)."""
+    mask = _string_mask(s)
+    out, depth, last = [], 0, 0
+    for i, ch in enumerate(s):
+        if mask[i]:
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[last:i])
+            last = i + 1
+    out.append(s[last:])
+    return [a.strip() for a in out]
+
+
+def _rewrite_date_dialect(q: str) -> str:
+    """DATE_DIFF/DATEDIFF('unit', a, b), EXTRACT(DOW|EPOCH|SECOND ...),
+    DATE_PART('dow'|'epoch'|'second', x), EPOCH(x) → reference semantics
+    (integer seconds, JS getUTCDay() DOW, fractional epoch)."""
+    while True:
+        mask = _string_mask(q)
+        m = next(
+            (c for c in _DATE_DIFF_RE.finditer(q) if not mask[c.start()]),
+            None,
+        )
+        if m is None:
+            break
+        open_idx = q.index("(", m.start())
+        arg_end = _balanced_arg(q, open_idx)
+        args = _split_top_args(q[open_idx + 1 : arg_end - 1])
+        if len(args) != 3:
+            break  # wrong arity: let Spark error (reference errors too)
+        um = re.match(r"^'([A-Za-z]+)'$", args[0])
+        if not um:
+            break  # non-literal unit unsupported
+        q = (
+            q[: m.start()]
+            + _date_diff_sql(um.group(1), args[1], args[2])
+            + q[arg_end:]
+        )
+    # EXTRACT variants — rewrite the whole call
+    while True:
+        mask = _string_mask(q)
+        m = next(
+            (c for c in _EXTRACT_RE.finditer(q) if not mask[c.start()]),
+            None,
+        )
+        if m is None:
+            break
+        open_idx = q.index("(", m.start())
+        arg_end = _balanced_arg(q, open_idx)
+        inner = q[open_idx + 1 : arg_end - 1]
+        field = m.group(1).upper()
+        expr = inner[inner.upper().index("FROM") + 4 :].strip()
+        q = q[: m.start()] + _extract_sql(field, expr) + q[arg_end:]
+    while True:
+        mask = _string_mask(q)
+        m = next(
+            (c for c in _DATE_PART_RE.finditer(q) if not mask[c.start()]),
+            None,
+        )
+        if m is None:
+            break
+        open_idx = q.index("(", m.start())
+        arg_end = _balanced_arg(q, open_idx)
+        args = _split_top_args(q[open_idx + 1 : arg_end - 1])
+        if len(args) != 2:
+            break
+        q = (
+            q[: m.start()]
+            + _extract_sql(args[0].strip("'").upper(), args[1])
+            + q[arg_end:]
+        )
+    # EPOCH(x) scalar function
+    q = _rewrite_wrap_call(
+        q,
+        re.compile(r"\bEPOCH\s*\(", re.I),
+        lambda args: _extract_sql("EPOCH", args[0]) if len(args) == 1 else None,
+    )
+    return q
+
+
+def _extract_sql(field: str, x: str) -> str:
+    cx = f"CAST(({x}) AS TIMESTAMP)"
+    if field == "DOW":   # JS getUTCDay(): Sunday=0 .. Saturday=6
+        return f"(dayofweek({cx}) - 1)"
+    if field == "EPOCH":  # getTime()/1000 — fractional seconds
+        return f"(unix_micros({cx}) / 1000000.0)"
+    if field == "SECOND":  # getUTCSeconds() — integer
+        return f"second({cx})"
+    raise ValueError(field)
+
+
+def _rewrite_wrap_call(q: str, pattern: re.Pattern, build) -> str:
+    """Rewrite every call matching ``pattern`` via ``build(args) -> str``
+    (return None to leave the call untouched). Matches are processed
+    RIGHT-TO-LEFT so a replacement that itself contains the pattern (e.g.
+    ARRAY_POSITION → nullif(array_position(...))) is never rescanned —
+    left-of-match offsets stay valid throughout."""
+    mask = _string_mask(q)
+    starts = [m.start() for m in pattern.finditer(q) if not mask[m.start()]]
+    for start in reversed(starts):
+        open_idx = q.index("(", start)
+        arg_end = _balanced_arg(q, open_idx)
+        args = _split_top_args(q[open_idx + 1 : arg_end - 1])
+        if args == [""]:
+            args = []
+        repl = build(args)
+        if repl is None:
+            continue
+        q = q[:start] + repl + q[arg_end:]
+    return q
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function dialect: name maps + arg-shape fixes
+# ---------------------------------------------------------------------------
+
+# plain name→name renames (args compatible)
+_FN_RENAMES = {
+    "LIST_LENGTH": "size",
+    "CARDINALITY": "size",
+    "JSON_ARRAY_LENGTH": "json_array_length",
+    "LIST_APPEND": "array_append",
+    "LIST_CONTAINS": "array_contains",
+    "COUNTIF": "count_if",
+    "STRPOS": "instr",
+    "APPROX_QUANTILE": "approx_percentile",
+    "REGEXP_MATCHES": "regexp_like",
+    "LIST": "collect_list",
+}
+_FN_RENAME_RE = re.compile(
+    r"\b(" + "|".join(_FN_RENAMES) + r")\s*\(", re.I
+)
+
+
+def _rewrite_function_dialect(q: str) -> str:
+    """Reference scalar/aggregate function surface onto Spark built-ins."""
+    q = _sub_outside_strings(
+        q,
+        _FN_RENAME_RE,
+        lambda m: _FN_RENAMES[m.group(1).upper()] + "(",
+    )
+    # ARRAY_LENGTH(a[, dim]) — reference evaluate.js:574-594: dim 1 =
+    # size; dim 2 = inner length when RECTANGULAR else NULL; dim < 1 or
+    # non-literal → NULL
+    def _array_length(args):
+        if len(args) == 1:
+            return f"size({args[0]})"
+        if len(args) != 2:
+            return None
+        dm = re.fullmatch(r"\s*(\d+)\s*", args[1])
+        if not dm:
+            return "NULL"
+        d = int(dm.group(1))
+        if d < 1:
+            return "NULL"
+        a = args[0]
+        for _ in range(d - 1):
+            a = (
+                f"(CASE WHEN size({a}) > 0 AND "
+                f"size(array_distinct(transform({a}, __x -> size(__x)))) = 1"
+                f" THEN element_at({a}, 1) END)"
+            )
+        return f"size({a})"
+
+    q = _rewrite_wrap_call(
+        q, re.compile(r"\bARRAY_LENGTH\s*\(", re.I), _array_length
+    )
+    # ARRAY_POSITION: reference returns NULL when absent (Spark returns 0)
+    q = _rewrite_wrap_call(
+        q,
+        re.compile(r"\b(?:ARRAY_POSITION|LIST_POSITION)\s*\(", re.I),
+        lambda args: f"nullif(array_position({args[0]}, {args[1]}), 0)"
+        if len(args) == 2
+        else None,
+    )
+    # ARRAY_CONCAT/LIST_CONCAT need exactly 2 array args in the reference;
+    # other arities stay unrenamed so Spark raises like the reference
+    q = _rewrite_wrap_call(
+        q,
+        re.compile(r"\b(?:ARRAY_CONCAT|LIST_CONCAT)\s*\(", re.I),
+        lambda args: f"concat({args[0]}, {args[1]})"
+        if len(args) == 2
+        else None,
+    )
+    # REGEXP_SUBSTR/REGEXP_EXTRACT(t, p[, pos[, occ]]) — reference
+    # regexp.js:18-78: always the FULL match, from 1-based position,
+    # nth occurrence, NULL when absent (Spark's regexp_extract returns
+    # '' and takes a group index instead)
+    def _regexp_substr(args):
+        if len(args) == 2:
+            return (
+                f"try_element_at(regexp_extract_all({args[0]},"
+                f" {args[1]}, 0), 1)"
+            )
+        if len(args) in (3, 4):
+            occ = args[3] if len(args) == 4 else "1"
+            return (
+                f"try_element_at(regexp_extract_all("
+                f"substr({args[0]}, {args[2]}), {args[1]}, 0), {occ})"
+            )
+        return None
+
+    q = _rewrite_wrap_call(
+        q,
+        re.compile(r"\b(?:REGEXP_SUBSTR|REGEXP_EXTRACT)\s*\(", re.I),
+        _regexp_substr,
+    )
+    # REGEXP_REPLACE 5-arg (occurrence) → registered UDF; 3/4-arg match
+    # Spark's builtin semantics already
+    q = _rewrite_wrap_call(
+        q,
+        re.compile(r"\bREGEXP_REPLACE\s*\(", re.I),
+        lambda args: (
+            f"ref_regexp_replace({', '.join(args)})"
+            if len(args) == 5
+            else None
+        ),
+    )
+    # ARRAY_AGG / JSON_ARRAYAGG keep NULL elements in the reference;
+    # Spark's collect_list drops them — struct-wrap to preserve
+    def _null_keeping_agg(arg: str) -> str:
+        return (
+            f"transform(collect_list(named_struct('v', {arg})), s -> s.v)"
+        )
+
+    q = _rewrite_wrap_call(
+        q,
+        re.compile(r"\bJSON_ARRAYAGG\s*\(", re.I),
+        lambda args: f"to_json({_null_keeping_agg(args[0])})"
+        if len(args) == 1
+        else None,
+    )
+    q = _rewrite_wrap_call(
+        q,
+        re.compile(r"\bARRAY_AGG\s*\(", re.I),
+        lambda args: (
+            _null_keeping_agg(args[0])
+            if len(args) == 1
+            and not re.match(r"\s*DISTINCT\b", args[0], re.I)
+            else None
+        ),
+    )
+    # STRING_SPLIT(x, d) → split on \Q..\E-quoted literal delimiter
+    q = _rewrite_wrap_call(
+        q,
+        re.compile(r"\bSTRING_SPLIT\s*\(", re.I),
+        lambda args: (
+            f"split({args[0]}, concat('\\\\Q', {args[1]}, '\\\\E'))"
+            if len(args) == 2
+            else None
+        ),
+    )
+    # POSITION(haystack, needle) comma form → instr (the SQL-standard
+    # POSITION(needle IN haystack) form passes through to Spark)
+    q = _rewrite_wrap_call(
+        q,
+        re.compile(r"\bPOSITION\s*\(", re.I),
+        lambda args: f"instr({args[0]}, {args[1]})"
+        if len(args) == 2
+        else None,
+    )
+    # TRIM(x) 1-arg → JS String.trim() (all whitespace, not just spaces);
+    # TRIM(BOTH.. FROM ..) forms pass through
+    q = _rewrite_wrap_call(
+        q,
+        re.compile(r"\bTRIM\s*\(", re.I),
+        lambda args: (
+            f"regexp_replace(CAST({args[0]} AS STRING), "
+            f"'^\\\\s+|\\\\s+$', '')"
+            if len(args) == 1
+            and not re.match(
+                r"\s*(BOTH|LEADING|TRAILING)\b", args[0], re.I
+            )
+            else None
+        ),
+    )
+    # INTERVAL n FORTNIGHT → INTERVAL 14n DAY
+    q = _sub_outside_strings(
+        q,
+        re.compile(r"\bINTERVAL\s+(\d+)\s+FORTNIGHTS?\b", re.I),
+        lambda m: f"INTERVAL {int(m.group(1)) * 14} DAY",
+    )
+    # x ± INTERVAL n MONTH/YEAR → add_months(x, ±n): the reference adds
+    # calendar months to ISO STRING dates too, which Spark's year-month
+    # interval arithmetic rejects on strings (add_months coerces)
+    q = _sub_outside_strings(
+        q,
+        re.compile(
+            r"([A-Za-z_][\w.$]*|\([^()]*\))\s*([+-])\s*INTERVAL\s+"
+            r"'?(-?\d+)'?\s+(MONTH|YEAR)S?\b",
+            re.I,
+        ),
+        lambda m: "add_months({}, {})".format(
+            m.group(1),
+            int(m.group(3))
+            * (12 if m.group(4).upper().startswith("YEAR") else 1)
+            * (-1 if m.group(2) == "-" else 1),
+        ),
+    )
+    return q
+
+
+# ---------------------------------------------------------------------------
+# Derived column names (reference src/expression/alias.js)
+# ---------------------------------------------------------------------------
+# The reference names every unaliased select item from its expression:
+# COUNT(*) → count_all, UPPER(name) → upper_name, a + b → a_+_b,
+# CAST(x AS INT) → x_as_int, literal 5 → '5'. Spark's auto-names differ
+# (count(1), upper(name)), so execute_sql appends the reference name as
+# an explicit alias when it can derive one.
+
+_ALIAS_TOKEN_RE = re.compile(
+    r"\s*(?:"
+    r"(?P<num>\d+\.?\d*(?:[eE][+-]?\d+)?|\.\d+)"
+    r"|(?P<str>'(?:[^']|'')*')"
+    r"|(?P<ident>[A-Za-z_][\w$]*|`[^`]+`)"
+    r"|(?P<op>\|\||<>|<=|>=|!=|->|[-+*/%=<>.])"
+    r"|(?P<punc>[(),\[\]])"
+    r")"
+)
+
+
+class _AliasParser:
+    """Minimal expression reader that mirrors derivedAlias(); returns None
+    for shapes the formula can't name (then the item stays unaliased)."""
+
+    def __init__(self, s: str):
+        self.toks: list[tuple[str, str]] = []
+        pos = 0
+        while pos < len(s):
+            m = _ALIAS_TOKEN_RE.match(s, pos)
+            if not m or m.end() == pos:
+                if s[pos:].strip():
+                    self.toks.append(("bad", s[pos:]))
+                break
+            pos = m.end()
+            for kind in ("num", "str", "ident", "op", "punc"):
+                if m.group(kind):
+                    self.toks.append((kind, m.group(kind)))
+                    break
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expr(self):
+        name = self.operand()
+        if name is None:
+            return None
+        while True:
+            kind, val = self.peek()
+            if kind == "op":
+                self.i += 1
+                rhs = self.operand()
+                if rhs is None:
+                    return None
+                name = f"{name}_{val}_{rhs}"
+            elif kind == "ident" and val.upper() in ("AND", "OR"):
+                self.i += 1
+                rhs = self.operand()
+                if rhs is None:
+                    return None
+                name = f"{name}_{val.upper()}_{rhs}"
+            else:
+                return name
+
+    def operand(self):
+        kind, val = self.next()
+        if kind == "op" and val == "-":
+            arg = self.operand()
+            return None if arg is None else f"-_{arg}"
+        if kind == "ident" and val.upper() == "NOT":
+            arg = self.operand()
+            return None if arg is None else f"NOT_{arg}"
+        name = None
+        if kind == "num":
+            name = val
+        elif kind == "str":
+            name = val[1:-1].replace("''", "'")
+        elif kind == "punc" and val == "(":
+            inner = self.expr()
+            if inner is None or self.next() != ("punc", ")"):
+                return None
+            name = inner
+        elif kind == "ident":
+            word = val.upper()
+            if word in ("CASE", "SELECT", "INTERVAL", "EXISTS"):
+                return None  # reference falls back to 'expr'; skip
+            if word in ("NULL", "TRUE", "FALSE"):
+                name = {"NULL": "null", "TRUE": "true", "FALSE": "false"}[
+                    word
+                ]
+            elif self.peek() == ("punc", "("):
+                name = self.call(val)
+                if name is None:
+                    return None
+            else:
+                # identifier: dotted paths were collapsed to the final
+                # segment before tokenizing (_collapse_dots)
+                name = val.strip("`")
+        else:
+            return None
+        # postfix subscripts and dot-field access
+        while True:
+            if self.peek() == ("punc", "["):
+                self.i += 1
+                idx_kind, idx_val = self.peek()
+                idx = self.expr()
+                if idx is None or self.next() != ("punc", "]"):
+                    return None
+                if idx_kind == "str":
+                    name = idx  # struct field access aliases to the field
+                else:
+                    name = f"{name}[{idx}]"
+            elif self.peek() == ("op", "."):
+                self.i += 1
+                k, v = self.next()
+                if k != "ident":
+                    return None
+                name = v  # a.b / expr.field aliases to the field name
+            else:
+                return name
+
+    def call(self, fname: str):
+        assert self.next() == ("punc", "(")
+        if fname.upper() == "CAST":
+            inner = self.expr()
+            k, v = self.next()
+            if inner is None or k != "ident" or v.upper() != "AS":
+                return None
+            tk, tv = self.next()
+            if tk != "ident" or self.next() != ("punc", ")"):
+                return None
+            return f"{inner}_as_{tv.lower()}"
+        args = []
+        kind, val = self.peek()
+        if (kind, val) == ("punc", ")"):
+            self.i += 1
+        elif (kind, val) == ("op", "*"):
+            self.i += 1
+            if self.next() != ("punc", ")"):
+                return None
+            # OVER → window alias (bare function name)
+            if self._over():
+                return fname.lower()
+            return f"{fname.lower()}_all"
+        else:
+            if kind == "ident" and val.upper() == "DISTINCT":
+                self.i += 1
+            while True:
+                a = self.expr()
+                if a is None:
+                    return None
+                args.append(a)
+                k, v = self.next()
+                if (k, v) == ("punc", ")"):
+                    break
+                if (k, v) != ("punc", ","):
+                    return None
+        if self._over():
+            return fname.lower()
+        return fname.lower() + ("_" + "_".join(args) if args else "")
+
+    def _over(self) -> bool:
+        k, v = self.peek()
+        if k == "ident" and v.upper() == "OVER":
+            # consume OVER (...)
+            self.i += 1
+            if self.peek() == ("punc", "("):
+                depth = 0
+                while self.i < len(self.toks):
+                    k2, v2 = self.next()
+                    if (k2, v2) == ("punc", "("):
+                        depth += 1
+                    elif (k2, v2) == ("punc", ")"):
+                        depth -= 1
+                        if depth == 0:
+                            break
+            return True
+        return False
+
+
+def _derived_alias(item: str) -> str | None:
+    """Reference-style derived name for a select item, or None."""
+    item = item.strip()
+    p = _AliasParser(_collapse_dots(item))
+    name = p.expr()
+    if name is None or p.peek() != (None, None):
+        return None
+    return name
+
+
+def _collapse_dots(item: str) -> str:
+    """`t.c` → `c` for naming purposes (identifier rule uses the column
+    name); applied to qualified refs outside strings."""
+    mask = _string_mask(item)
+    out, last = [], 0
+    for m in re.finditer(
+        r"[A-Za-z_][\w$]*(?:\.[A-Za-z_][\w$]*)+", item
+    ):
+        if mask[m.start()]:
+            continue
+        out.append(item[last : m.start()])
+        out.append(m.group(0).rsplit(".", 1)[-1])
+        last = m.end()
+    out.append(item[last:])
+    return "".join(out)
+
+
+_SELECT_HEAD_RE = re.compile(r"\bSELECT\b(\s+(?:DISTINCT|ALL)\b)?", re.I)
+
+
+def loosen_group_by(q: str) -> str | None:
+    """Reference-style loose GROUP BY: non-aggregated bare columns in the
+    select list take the group's first value (the reference's row-object
+    evaluation keeps whatever the first row held). Rewrites them to
+    ``any_value(col) AS col``; returns None when nothing applies — the
+    engine retries with this ONLY after Spark raises MISSING_AGGREGATION,
+    so strict queries keep strict errors."""
+    gm = re.search(r"\bGROUP\s+BY\b", q, re.I)
+    if not gm or _string_mask(q)[gm.start()]:
+        return None
+    # group-by keys: up to the next top-level clause keyword
+    tail = q[gm.end():]
+    km = re.search(
+        r"\b(HAVING|ORDER\s+BY|LIMIT|OFFSET|WINDOW|UNION|INTERSECT|EXCEPT)\b",
+        tail,
+        re.I,
+    )
+    keys = {
+        k.strip().lower()
+        for k in _split_top_args(tail[: km.start() if km else len(tail)])
+    }
+    keys |= {k.rsplit(".", 1)[-1] for k in keys}
+    m = _SELECT_HEAD_RE.search(q)
+    if not m or _string_mask(q)[m.start()]:
+        return None
+    start = m.end()
+    fm = re.search(r"\bFROM\b", q[start:], re.I)
+    end = start + (fm.start() if fm else len(q) - start)
+    items = _split_top_args(q[start:end])
+    changed = False
+    out = []
+    for item in items:
+        stripped = item.strip()
+        bare = re.fullmatch(r"[A-Za-z_][\w$]*(?:\.[A-Za-z_][\w$]*)*", stripped)
+        if (
+            bare
+            and stripped.lower() not in keys
+            and stripped.rsplit(".", 1)[-1].lower() not in keys
+        ):
+            col = stripped.rsplit(".", 1)[-1]
+            out.append(f"any_value({stripped}) AS {col}")
+            changed = True
+        else:
+            out.append(stripped)
+    if not changed:
+        return None
+    return q[:start] + " " + ", ".join(out) + " " + q[end:]
+
+
+def _rewrite_auto_alias(q: str) -> str:
+    """Append reference-style aliases to unaliased top-level select items."""
+    mask = _string_mask(q)
+    m = _SELECT_HEAD_RE.search(q)
+    if not m or mask[m.start()]:
+        return q
+    # find the end of the select list: top-level FROM or end of string
+    depth = 0
+    start = m.end()
+    end = len(q)
+    i = start
+    while i < len(q):
+        if mask[i]:
+            i += 1
+            continue
+        ch = q[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                end = i
+                break
+        elif depth == 0 and re.match(r"\bFROM\b", q[i:], re.I) and (
+            i == 0 or not (q[i - 1].isalnum() or q[i - 1] == "_")
+        ):
+            end = i
+            break
+        i += 1
+    items = _split_top_args(q[start:end])
+    changed = False
+    new_items = []
+    for item in items:
+        stripped = item.strip()
+        if (
+            not stripped
+            or stripped == "*"
+            or stripped.endswith(".*")
+            or re.search(r"\bAS\s+[`\"']?[\w ]+[`\"']?\s*$", stripped, re.I)
+            or re.fullmatch(r"[A-Za-z_][\w$]*", stripped)
+            or re.fullmatch(r"`[^`]+`", stripped)
+        ):
+            new_items.append(item)
+            continue
+        # implicit alias `expr name`? only if last token is a bare ident
+        # NOT part of the expression — undecidable cheaply; restrict to
+        # expressions we can fully parse, which excludes that shape
+        name = _derived_alias(stripped)
+        if name is None:
+            new_items.append(item)
+            continue
+        esc = name.replace("`", "``")
+        new_items.append(f"{item} AS `{esc}`")
+        changed = True
+    if not changed:
+        return q
+    return q[:start] + " " + ", ".join(i.strip() for i in new_items) + " " + q[end:]
+
+
 _KW_GUARD = (
     r"(?!(?:WHERE|GROUP|ORDER|HAVING|LIMIT|ON|JOIN|UNION|INTERSECT|EXCEPT"
     r"|POSITIONAL|FULL|LEFT|RIGHT|INNER|CROSS|OFFSET|QUALIFY|WINDOW)\b)"
@@ -338,6 +1204,15 @@ def rewrite_reference_sql(
     if ident_quotes == "ansi" and '"' in query:
         query = _rewrite_double_quoted_idents(query)
     query = _rewrite_from_first(query)
+    # Derived aliases come FIRST: the reference names unaliased columns
+    # from the ORIGINAL expression text (alias.js), so naming must see the
+    # query before function rewrites change the text.
+    query = _rewrite_auto_alias(query)
+    if "[" in query:
+        query = _rewrite_array_literals(query)
+    up = query.upper()
+    if "UNNEST" in up or "EXPLODE" in up:
+        query = _rewrite_unnest_from(query)
     up = query.upper()
     if "POSITIONAL" in up:
         if spark is None:
@@ -350,6 +1225,10 @@ def rewrite_reference_sql(
             up = query.upper()
     if "JSON_EACH" in up:
         query = _rewrite_json_each_from(query)
+    up = query.upper()
+    if re.search(r"DATE_DIFF|DATEDIFF|EXTRACT|DATE_PART|EPOCH", up):
+        query = _rewrite_date_dialect(query)
+    query = _rewrite_function_dialect(query)
     if _BIGINT_RE.search(query):
         query = _rewrite_bigint_literals(query)
     if like_mode == "ci":

@@ -1,0 +1,78 @@
+"""Reference-test conformance: replay the reference's OWN test queries
+through execute_sql and hold the pass floors.
+
+The extractor (squirreling_spark/conformance.py) pulls 1,100+ query cases
+with fixtures and expected outputs straight from
+/root/reference/test/execute/*.test.js; this test runs a representative
+subset per file and pins per-file floors so dialect regressions surface
+immediately. The full sweep is scripts/ref_conformance.py →
+CONFORMANCE.json.
+"""
+import collections
+
+import pytest
+
+from squirreling_spark.conformance import extract_all, run_conformance
+
+# per-file floor: (min_ok, min_value_checked) as of round 5.
+# ok = pass + run_only + expected_errors. Floors are a few below current
+# so environmental flake doesn't trip them; real regressions (a rewrite
+# breaking a family) drop counts by tens.
+FLOORS = {
+    "execute.between.test.js": (18, 18),
+    "execute.cte.test.js": (28, 25),
+    "execute.having.test.js": (28, 26),
+    "execute.interval.test.js": (14, 12),
+    "execute.join.test.js": (58, 46),
+    "execute.json.test.js": (83, 66),
+    "execute.test.js": (54, 46),
+    "execute.unnest.test.js": (54, 40),
+    "positional.test.js": (11, 10),
+    "execute.strings.test.js": (134, 124),
+}
+
+
+@pytest.fixture(scope="module")
+def conf_spark(spark):
+    # the reference implements JS arithmetic (div-by-zero → NULL); flip
+    # the two confs for this module and restore after
+    old_ansi = spark.conf.get("spark.sql.ansi.enabled", "true")
+    old_size = spark.conf.get("spark.sql.legacy.sizeOfNull", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
+    yield spark
+    spark.conf.set("spark.sql.ansi.enabled", old_ansi)
+    spark.conf.set("spark.sql.legacy.sizeOfNull", old_size)
+
+
+@pytest.fixture(scope="module")
+def cases_by_file():
+    byfile = collections.defaultdict(list)
+    for c in extract_all().cases:
+        byfile[c.file].append(c)
+    return byfile
+
+
+def test_extraction_volume(cases_by_file):
+    """The extractor must keep finding the reference's cases — a silent
+    extraction regression would make the floors vacuous."""
+    total = sum(len(v) for v in cases_by_file.values())
+    assert total >= 1100, total
+    with_asserts = sum(
+        1 for v in cases_by_file.values() for c in v if c.asserts
+    )
+    assert with_asserts >= 850, with_asserts
+
+
+@pytest.mark.parametrize("fname", sorted(FLOORS))
+def test_reference_file_conformance(conf_spark, cases_by_file, fname):
+    min_ok, min_checked = FLOORS[fname]
+    res = run_conformance(conf_spark, cases_by_file[fname])
+    ok = res["pass"] + res["run_only_ok"] + res["expected_errors_ok"]
+    detail = "; ".join(
+        f"{label}: {why[:120]}" for label, _, why in (res["fail"] + res["error"])[:5]
+    )
+    assert ok >= min_ok, f"{fname}: ok {ok} < floor {min_ok} — {detail}"
+    assert res["pass"] >= min_checked, (
+        f"{fname}: checked {res['pass']} < floor {min_checked} — {detail}"
+    )
