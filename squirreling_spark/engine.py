@@ -447,7 +447,7 @@ def execute_sql(
         msg = str(exc)
         # Reference-style loose GROUP BY: retry once with non-aggregated
         # bare select columns wrapped in any_value (sqldialect.loosen_group_by)
-        if "MISSING_AGGREGATION" in msg:
+        if "MISSING_AGGREGATION" in msg or "MISSING_GROUP_BY" in msg:
             from squirreling_spark.functions.sqldialect import loosen_group_by
 
             loose = loosen_group_by(query)
@@ -458,6 +458,30 @@ def execute_sql(
                     )
                 except Exception:  # noqa: BLE001 — report the original
                     pass
+        # Reference resolution order: a dotted ref `a.b` matches a FLAT
+        # column literally named "a.b" before table-qualification
+        # (reference test/execute/execute.dot.test.js). Spark resolves
+        # table.column only — when that fails and the suggestion list
+        # shows the flat name exists, retry with the ref backtick-quoted.
+        if "UNRESOLVED_COLUMN" in msg:
+            import re as _re
+
+            um = _re.search(r"name `((?:[^`]+`\.`)*[^`]+)` cannot", msg)
+            if um:
+                dotted = um.group(1).replace("`.`", ".")
+                if "." in dotted and f"`{dotted}`" in msg:
+                    retry = _re.sub(
+                        r"(?<![`\w])" + _re.escape(dotted) + r"(?![`\w])",
+                        f"`{dotted}`",
+                        query,
+                    )
+                    if retry != query:
+                        try:
+                            return QueryResult(
+                                spark.sql(retry), job_group, _spark=spark
+                            )
+                        except Exception:  # noqa: BLE001
+                            pass
         first = msg.splitlines()[0]
         pos = _position_of(exc, query)
         if "TABLE_OR_VIEW_NOT_FOUND" in msg:

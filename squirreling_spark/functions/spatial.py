@@ -627,9 +627,12 @@ def register_spatial(spark: SparkSession) -> None:
     ) -> pd.Series:
         return pd.Series(
             [
-                to_wkt(make_envelope(a, b, c, d))
+                None
+                if any(v is None or pd.isna(v) for v in (a, b, c, d))
+                else to_wkt(make_envelope(a, b, c, d))
                 for a, b, c, d in zip(xmin, ymin, xmax, ymax)
-            ]
+            ],
+            dtype=object,
         )
 
     spark.udf.register("st_makeenvelope", F.pandas_udf(_envelope, StringType()))

@@ -194,7 +194,30 @@ _KEYWORDS = {
 }
 
 
-def _rewrite_json_each_from(q: str) -> str:
+def _ref_dtype(spark, ref: str):
+    """DataType of a simple column reference (``col`` or ``tbl.col``)
+    against the session's temp views, or None when it can't be resolved
+    (expression args, unknown tables)."""
+    if spark is None or not re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)?", ref):
+        return None
+    try:
+        parts = ref.split(".")
+        if len(parts) == 2:
+            for f in spark.table(parts[0]).schema.fields:
+                if f.name == parts[1]:
+                    return f.dataType
+            return None
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                for f in spark.table(t.name).schema.fields:
+                    if f.name == ref:
+                        return f.dataType
+    except Exception:  # noqa: BLE001 — resolution is best-effort
+        return None
+    return None
+
+
+def _rewrite_json_each_from(q: str, spark=None) -> str:
     """Rewrite FROM-clause JSON_EACH into Spark constructs:
 
     - ``FROM JSON_EACH(x) [AS j[(k[, v])]]`` →
@@ -222,6 +245,13 @@ def _rewrite_json_each_from(q: str) -> str:
         open_idx = q.index("(", m.start())
         arg_end = _balanced_arg(q, open_idx)
         arg = q[open_idx + 1 : arg_end - 1].strip()
+        # JS-object fixtures surface as struct/array/map columns — their
+        # STRING cast ('{1, Alice}') is not JSON; to_json(col) is
+        from pyspark.sql import types as T
+
+        dt = _ref_dtype(spark, arg)
+        if isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
+            arg = f"to_json({arg})"
         dispatch = _JE_DISPATCH.format(x=arg)
 
         # Optional alias / column aliases after the call.
@@ -350,7 +380,7 @@ _UNNEST_ALIAS_RE = re.compile(
 )
 
 
-def _rewrite_unnest_from(q: str) -> str:
+def _rewrite_unnest_from(q: str, spark=None) -> str:
     """Table-function UNNEST/EXPLODE onto Spark explode:
 
     - ``FROM UNNEST(arr) AS t``           → derived table, column ``unnest``
@@ -393,6 +423,23 @@ def _rewrite_unnest_from(q: str) -> str:
             tail_end = am.end()
         on_m = re.match(r"\s*ON\s+TRUE\b", q[tail_end:], re.I)
         on_end = tail_end + (on_m.end() if on_m else 0)
+        pred = None
+        if on_m is None and not join_kw.startswith("LEFT"):
+            # inner-join ON <predicate> (reference: lateral + filter);
+            # predicate runs to the next top-level clause keyword
+            pm = re.match(r"\s*ON\s+", q[tail_end:], re.I)
+            if pm:
+                rest = q[tail_end + pm.end():]
+                km = re.search(
+                    r"\b(WHERE|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|OFFSET"
+                    r"|UNION|INTERSECT|EXCEPT|JOIN|LATERAL|LEFT|RIGHT"
+                    r"|FULL|CROSS|INNER)\b",
+                    rest,
+                    re.I,
+                )
+                plen = km.start() if km else len(rest)
+                pred = rest[:plen].strip()
+                on_end = tail_end + pm.end() + plen
         outer = "OUTER " if join_kw.startswith("LEFT") else ""
         if col:
             # `AS u(x)`: view alias u, element column x → u.x resolves
@@ -412,6 +459,22 @@ def _rewrite_unnest_from(q: str) -> str:
             + f"AS {colname} "
             + q[on_end:]
         )
+        if pred:
+            # fold the ON predicate into WHERE (inner lateral semantics)
+            wm = re.search(r"\bWHERE\b", q, re.I)
+            if wm and not _string_mask(q)[wm.start()]:
+                q = (
+                    q[: wm.end()] + f" ({pred}) AND" + q[wm.end():]
+                )
+            else:
+                km = re.search(
+                    r"\b(GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|OFFSET|UNION"
+                    r"|INTERSECT|EXCEPT)\b",
+                    q,
+                    re.I,
+                )
+                at = km.start() if km else len(q)
+                q = q[:at] + f" WHERE {pred} " + q[at:]
     # standalone FROM-position forms
     while True:
         mask = _string_mask(q)
@@ -438,10 +501,26 @@ def _rewrite_unnest_from(q: str) -> str:
         alias = alias or f"__sq_un_{uuid.uuid4().hex[:8]}"
         if arg.upper() == "NULL":
             arg = "CAST(NULL AS ARRAY<INT>)"
+        # struct elements: ALSO spread the fields as columns so
+        # ``alias.field`` resolves (the reference resolves object-element
+        # fields through the alias, test/execute/execute.unnest.test.js)
+        from pyspark.sql import types as T
+
+        dt = _ref_dtype(spark, arg)
+        body = f"SELECT explode({arg}) AS {colname}"
+        if isinstance(dt, T.ArrayType) and isinstance(
+            dt.elementType, T.StructType
+        ):
+            inner = f"__sq_ue_{uuid.uuid4().hex[:8]}"
+            body = (
+                f"SELECT {inner}.{colname} AS {colname},"
+                f" {inner}.{colname}.* FROM "
+                f"(SELECT explode({arg}) AS {colname}) {inner}"
+            )
         q = (
             q[: m.start(1)]
             + m.group(1)
-            + f" (SELECT explode({arg}) AS {colname}) AS {alias} "
+            + f" ({body}) AS {alias} "
             + q[tail_end:]
         )
     # LATERAL EXPLODE(...) without VIEW → LATERAL VIEW EXPLODE(...)
@@ -594,6 +673,88 @@ def _extract_sql(field: str, x: str) -> str:
     raise ValueError(field)
 
 
+_RANK_FAMILY = re.compile(
+    r"\b(ROW_NUMBER|RANK|DENSE_RANK|LAG|LEAD|NTILE|CUME_DIST|PERCENT_RANK)"
+    r"\s*\([^()]*\)\s*OVER\s*\($",
+    re.I,
+)
+
+
+def _rewrite_orderless_windows(q: str) -> str:
+    """``ROW_NUMBER() OVER ()`` / ``OVER (PARTITION BY x)`` → append
+    ``ORDER BY monotonically_increasing_id()`` (reference: rows number in
+    input order when no ORDER BY is given)."""
+    while True:
+        mask = _string_mask(q)
+        target = None
+        for m in re.finditer(r"\bOVER\s*\(", q, re.I):
+            if mask[m.start()]:
+                continue
+            end = _balanced_arg(q, m.end() - 1)
+            inner = q[m.end(): end - 1]
+            if re.search(r"\bORDER\s+BY\b", inner, re.I):
+                continue
+            if re.fullmatch(r"\s*[A-Za-z_]\w*\s*", inner):
+                continue  # named-window reference: OVER (w1)
+            if not _RANK_FAMILY.search(q[: m.end()]):
+                continue
+            target = (m.end(), end, inner)
+            break
+        if target is None:
+            return q
+        start, end, inner = target
+        sep = " " if inner.strip() else ""
+        q = (
+            q[: end - 1]
+            + f"{sep}ORDER BY monotonically_increasing_id()"
+            + q[end - 1:]
+        )
+
+
+_NK_AGG_RE = re.compile(r"\b(ARRAY_AGG|JSON_ARRAYAGG)\s*\(", re.I)
+
+
+def _rewrite_null_keeping_aggs(q: str) -> str:
+    mask = _string_mask(q)
+    starts = [
+        (m.start(), m.group(1).upper())
+        for m in _NK_AGG_RE.finditer(q)
+        if not mask[m.start()]
+    ]
+    for start, fname in reversed(starts):
+        open_idx = q.index("(", start)
+        arg_end = _balanced_arg(q, open_idx)
+        arg = q[open_idx + 1 : arg_end - 1].strip()
+        if not arg:
+            continue
+        dm = re.match(r"DISTINCT\s+(.*)$", arg, re.I | re.S)
+        if dm:
+            # DISTINCT de-dupes; ARRAY_AGG(DISTINCT x) is native Spark,
+            # JSON_ARRAYAGG needs the collect_set mapping
+            if fname == "JSON_ARRAYAGG":
+                q = (
+                    q[:start]
+                    + f"to_json(collect_set({dm.group(1).strip()}))"
+                    + q[arg_end:]
+                )
+            continue
+        fm = re.match(r"\s*FILTER\s*\(", q[arg_end:], re.I)
+        filt = ""
+        tail = arg_end
+        if fm:
+            fend = _balanced_arg(q, arg_end + fm.end() - 1)
+            filt = " " + q[arg_end:fend].strip()
+            tail = fend
+        inner = (
+            f"transform(collect_list(named_struct('v', {arg})){filt},"
+            f" s -> s.v)"
+        )
+        if fname == "JSON_ARRAYAGG":
+            inner = f"to_json({inner})"
+        q = q[:start] + inner + q[tail:]
+    return q
+
+
 def _rewrite_wrap_call(q: str, pattern: re.Pattern, build) -> str:
     """Rewrite every call matching ``pattern`` via ``build(args) -> str``
     (return None to leave the call untouched). Matches are processed
@@ -722,38 +883,51 @@ def _rewrite_function_dialect(q: str) -> str:
         ),
     )
     # ARRAY_AGG / JSON_ARRAYAGG keep NULL elements in the reference;
-    # Spark's collect_list drops them — struct-wrap to preserve
-    def _null_keeping_agg(arg: str) -> str:
-        return (
-            f"transform(collect_list(named_struct('v', {arg})), s -> s.v)"
-        )
-
-    q = _rewrite_wrap_call(
-        q,
-        re.compile(r"\bJSON_ARRAYAGG\s*\(", re.I),
-        lambda args: f"to_json({_null_keeping_agg(args[0])})"
-        if len(args) == 1
-        else None,
-    )
-    q = _rewrite_wrap_call(
-        q,
-        re.compile(r"\bARRAY_AGG\s*\(", re.I),
-        lambda args: (
-            _null_keeping_agg(args[0])
-            if len(args) == 1
-            and not re.match(r"\s*DISTINCT\b", args[0], re.I)
-            else None
-        ),
-    )
-    # STRING_SPLIT(x, d) → split on \Q..\E-quoted literal delimiter
+    # Spark's collect_list drops them — struct-wrap to preserve. A
+    # trailing FILTER (WHERE ...) clause must attach to the inner
+    # collect_list (aggregate), not the outer transform/to_json.
+    q = _rewrite_null_keeping_aggs(q)
+    # STRING_SPLIT(x, d) → split on \Q..\E-quoted literal delimiter;
+    # empty delimiter returns the whole string as one element (reference)
     q = _rewrite_wrap_call(
         q,
         re.compile(r"\bSTRING_SPLIT\s*\(", re.I),
         lambda args: (
-            f"split({args[0]}, concat('\\\\Q', {args[1]}, '\\\\E'))"
+            f"(CASE WHEN ({args[1]}) = '' THEN array({args[0]}) ELSE "
+            f"split({args[0]}, concat('\\\\Q', {args[1]}, '\\\\E')) END)"
             if len(args) == 2
             else None
         ),
+    )
+    # ATAN(y, x) 2-arg → atan2 (JS Math.atan2, reference trig pack)
+    q = _rewrite_wrap_call(
+        q,
+        re.compile(r"\bATAN\s*\(", re.I),
+        lambda args: f"atan2({args[0]}, {args[1]})"
+        if len(args) == 2
+        else None,
+    )
+    # GREATEST/LEAST accept a single argument in the reference
+    q = _rewrite_wrap_call(
+        q,
+        re.compile(r"\b(?:GREATEST|LEAST)\s*\(", re.I),
+        lambda args: f"({args[0]})" if len(args) == 1 else None,
+    )
+    # TIMESTAMP/DATE typed literals: the reference yields NULL for
+    # unparseable values instead of a parse error — CAST matches that in
+    # non-ANSI sessions and is identical for valid literals
+    q = _sub_outside_strings(
+        q,
+        re.compile(r"\b(TIMESTAMP|DATE)\s+('(?:[^']|'')*')", re.I),
+        lambda m: f"CAST({m.group(2)} AS {m.group(1).upper()})",
+    )
+    # PERCENTILE_CONT(p, v) 2-arg → percentile(v, p) (interpolating)
+    q = _rewrite_wrap_call(
+        q,
+        re.compile(r"\bPERCENTILE_CONT\s*\(", re.I),
+        lambda args: f"percentile({args[1]}, {args[0]})"
+        if len(args) == 2
+        else None,
     )
     # POSITION(haystack, needle) comma form → instr (the SQL-standard
     # POSITION(needle IN haystack) form passes through to Spark)
@@ -785,6 +959,24 @@ def _rewrite_function_dialect(q: str) -> str:
         re.compile(r"\bINTERVAL\s+(\d+)\s+FORTNIGHTS?\b", re.I),
         lambda m: f"INTERVAL {int(m.group(1)) * 14} DAY",
     )
+    # LN/LOG10/LOG2: JS math — negative → NaN, zero → -Infinity (Spark
+    # returns NULL for both; reference evaluates Math.log)
+    for fname, sql in (("LN", "ln"), ("LOG10", "log10"), ("LOG2", "log2")):
+        q = _rewrite_wrap_call(
+            q,
+            re.compile(rf"\b{fname}\s*\(", re.I),
+            lambda args, s=sql: (
+                f"(CASE WHEN ({args[0]}) < 0 THEN CAST('NaN' AS DOUBLE) "
+                f"WHEN ({args[0]}) = 0 THEN CAST('-Infinity' AS DOUBLE) "
+                f"ELSE {s}({args[0]}) END)"
+                if len(args) == 1
+                else None
+            ),
+        )
+    # rank-family OVER clauses without ORDER BY: the reference numbers
+    # input order; monotonically_increasing_id() is ascending in input
+    # order per partition
+    q = _rewrite_orderless_windows(q)
     # x ± INTERVAL n MONTH/YEAR → add_months(x, ±n): the reference adds
     # calendar months to ISO STRING dates too, which Spark's year-month
     # interval arithmetic rejects on strings (add_months coerces)
@@ -927,7 +1119,7 @@ class _AliasParser:
                 k, v = self.next()
                 if k != "ident":
                     return None
-                name = v  # a.b / expr.field aliases to the field name
+                name = v.strip("`")  # a.b aliases to the field name
             else:
                 return name
 
@@ -1028,20 +1220,24 @@ def loosen_group_by(q: str) -> str | None:
     engine retries with this ONLY after Spark raises MISSING_AGGREGATION,
     so strict queries keep strict errors."""
     gm = re.search(r"\bGROUP\s+BY\b", q, re.I)
-    if not gm or _string_mask(q)[gm.start()]:
-        return None
-    # group-by keys: up to the next top-level clause keyword
-    tail = q[gm.end():]
-    km = re.search(
-        r"\b(HAVING|ORDER\s+BY|LIMIT|OFFSET|WINDOW|UNION|INTERSECT|EXCEPT)\b",
-        tail,
-        re.I,
-    )
-    keys = {
-        k.strip().lower()
-        for k in _split_top_args(tail[: km.start() if km else len(tail)])
-    }
-    keys |= {k.rsplit(".", 1)[-1] for k in keys}
+    if gm and not _string_mask(q)[gm.start()]:
+        # group-by keys: up to the next top-level clause keyword
+        tail = q[gm.end():]
+        km = re.search(
+            r"\b(HAVING|ORDER\s+BY|LIMIT|OFFSET|WINDOW|UNION|INTERSECT"
+            r"|EXCEPT)\b",
+            tail,
+            re.I,
+        )
+        keys = {
+            k.strip().lower()
+            for k in _split_top_args(tail[: km.start() if km else len(tail)])
+        }
+        keys |= {k.rsplit(".", 1)[-1] for k in keys}
+    else:
+        # no GROUP BY at all (MISSING_GROUP_BY retry): the whole input is
+        # one group, every bare column takes its first value
+        keys = set()
     m = _SELECT_HEAD_RE.search(q)
     if not m or _string_mask(q)[m.start()]:
         return None
@@ -1212,7 +1408,7 @@ def rewrite_reference_sql(
         query = _rewrite_array_literals(query)
     up = query.upper()
     if "UNNEST" in up or "EXPLODE" in up:
-        query = _rewrite_unnest_from(query)
+        query = _rewrite_unnest_from(query, spark)
     up = query.upper()
     if "POSITIONAL" in up:
         if spark is None:
@@ -1224,7 +1420,7 @@ def rewrite_reference_sql(
             query = _rewrite_positional_join(query, spark, pos_order)
             up = query.upper()
     if "JSON_EACH" in up:
-        query = _rewrite_json_each_from(query)
+        query = _rewrite_json_each_from(query, spark)
     up = query.upper()
     if re.search(r"DATE_DIFF|DATEDIFF|EXTRACT|DATE_PART|EPOCH", up):
         query = _rewrite_date_dialect(query)

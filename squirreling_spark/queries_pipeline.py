@@ -2494,3 +2494,94 @@ def source_jsonl_roundtrip_q(spark, sf):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (pipeline/web.py) — crawl-curation first step
+# ---------------------------------------------------------------------------
+
+# URL synthesis shared verbatim by both engines ({S} = cast target type):
+# scheme/host case variants, default + non-default ports, empty paths,
+# tracking + sortable query params, fragments — the full canonicalization
+# rule matrix, deterministic per doc_id.
+_URL_SYNTH = """concat(
+  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'http' WHEN 1 THEN 'https'
+       WHEN 2 THEN 'HTTPS' ELSE 'HTTP' END,
+  '://',
+  CASE CAST(doc_id % 3 AS INT)
+       WHEN 0 THEN concat('WWW.Site', CAST(doc_id % 37 AS {S}), '.COM')
+       WHEN 1 THEN concat('site', CAST(doc_id % 37 AS {S}), '.com')
+       ELSE concat('CDN.Site', CAST(doc_id % 37 AS {S}), '.com') END,
+  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN ':443' WHEN 1 THEN ':80'
+       WHEN 2 THEN ':8080' ELSE '' END,
+  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN ''
+       ELSE concat('/p/', CAST(doc_id % 11 AS {S})) END,
+  CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN '?utm_source=x&b=2&a=1'
+       WHEN 1 THEN '?gclid=99' WHEN 2 THEN '?b=2&a=1&ref=home'
+       WHEN 3 THEN '?q=term' ELSE '' END,
+  CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN '#frag' ELSE '' END
+)"""
+
+_D_URL_RE = (
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(?::(\\d+))?([^?#]*)"
+    "(?:\\?([^#]*))?(?:#.*)?$"
+)
+
+
+@query(
+    "url_canonicalize",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, {_URL_SYNTH.format(S="VARCHAR")} AS url FROM documents
+    ),
+    p AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '{_D_URL_RE}', 1)) AS scheme,
+        regexp_replace(lower(regexp_extract(url, '{_D_URL_RE}', 2)),
+                       '^www\\.', '') AS host,
+        regexp_extract(url, '{_D_URL_RE}', 3) AS port,
+        regexp_extract(url, '{_D_URL_RE}', 4) AS path,
+        regexp_extract(url, '{_D_URL_RE}', 5) AS query
+      FROM u
+    ),
+    n AS (
+      SELECT doc_id, url, scheme, host,
+        CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                  OR (scheme = 'https' AND port = '443')
+             THEN '' ELSE ':' || port END AS keep_port,
+        CASE WHEN path = '' THEN '/' ELSE path END AS norm_path,
+        list_sort(list_filter(string_split(query, '&'),
+          q2 -> q2 != '' AND NOT regexp_matches(q2,
+            '^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$'))) AS params
+      FROM p
+    ),
+    c AS (
+      SELECT doc_id, url, host,
+        scheme || '://' || host || keep_port || norm_path ||
+        CASE WHEN len(params) > 0
+             THEN '?' || array_to_string(params, '&') ELSE '' END AS canon
+      FROM n
+    )
+    SELECT doc_id, url, canon, host,
+           doc_id = min(doc_id) OVER (PARTITION BY canon) AS keep
+    FROM c
+    """,
+)
+def url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl URL canonicalization + canonical-URL dedup
+    (pipeline/web.py::canonicalize_urls): scheme/host lowercasing, www
+    strip, default-port strip, fragment drop, tracking-param drop, query
+    param sort, first-id keeper per canonical URL. URLs are synthesized
+    deterministically from doc_id (the corpus has no URL column) through
+    the identical SQL template on both engines — the spec itself is the
+    thing under test. Reference has no URL pack; this is the
+    training-data-pipeline extension surface (VERDICT r4 mandate).
+
+    Scale: parse+rebuild is one codegen projection; the keeper is ONE
+    map-combined groupBy on the ~60-byte canonical string."""
+    from squirreling_spark.pipeline.web import canonicalize_urls
+
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.expr(_URL_SYNTH.format(S="STRING")).alias("url")
+    )
+    return canonicalize_urls(docs, "url", "doc_id")

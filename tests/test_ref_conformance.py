@@ -21,14 +21,17 @@ from squirreling_spark.conformance import extract_all, run_conformance
 FLOORS = {
     "execute.between.test.js": (18, 18),
     "execute.cte.test.js": (28, 25),
+    "execute.datetime.test.js": (52, 39),
     "execute.having.test.js": (28, 26),
     "execute.interval.test.js": (14, 12),
     "execute.join.test.js": (58, 46),
-    "execute.json.test.js": (83, 66),
+    "execute.json.test.js": (87, 69),
+    "execute.spatial.test.js": (14, 3),
     "execute.test.js": (54, 46),
-    "execute.unnest.test.js": (54, 40),
+    "execute.trig.test.js": (34, 18),
+    "execute.unnest.test.js": (56, 42),
     "positional.test.js": (11, 10),
-    "execute.strings.test.js": (134, 124),
+    "execute.strings.test.js": (136, 126),
 }
 
 
