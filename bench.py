@@ -81,6 +81,11 @@ HEADLINE = [
     "audio_pcm_decode",
     "video_mp4_meta",
     "source_jsonl_roundtrip",
+    # round-5 operators: grid-banded spatial join, the reference-dialect
+    # SQL front end (rewriter + execution), crawl URL canonicalization
+    "spatial_join",
+    "dialect_digest",
+    "url_canonicalize",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps
