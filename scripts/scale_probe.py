@@ -74,6 +74,10 @@ QUERIES = [
     # round-5: the r4 verdict's unprobed heavy operators (task 7)
     "dedup_substrings",
     "semdedup",
+    # round-5 additions
+    "spatial_join",
+    "url_canonicalize",
+    "dedup_minhash_stream",
 ]
 
 

@@ -2585,3 +2585,110 @@ def url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.expr(_URL_SYNTH.format(S="STRING")).alias("url")
     )
     return canonicalize_urls(docs, "url", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental MinHash-LSH near-dup (streaming/neardup.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_minhash_stream",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_D_SHINGLES} AS shingles FROM documents
+    ),
+    ab AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> {{
+               'a': list_sum(list_transform(generate_series(1, 12),
+                      i -> (instr('0123456789abcdef', md5(s)[i]) - 1)::BIGINT
+                           << (4 * (12 - i))))::BIGINT,
+               'b': list_sum(list_transform(generate_series(1, 12),
+                      i -> (instr('0123456789abcdef', md5(s)[i + 12]) - 1)::BIGINT
+                           << (4 * (12 - i))))::BIGINT
+             }}) AS hs
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 31),
+               j -> list_min(list_transform(hs, x -> x.a + j * x.b))) AS sig
+      FROM ab
+    ),
+    bands AS (
+      SELECT doc_id, u.b AS band_idx,
+             array_to_string(sig[u.b * 4 + 1 : u.b * 4 + 4], '|') AS band_key
+      FROM sig, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) u
+    ),
+    keepers AS (
+      SELECT band_idx, band_key, min(doc_id) AS min_id
+      FROM bands GROUP BY 1, 2
+    )
+    SELECT DISTINCT k.min_id AS id_a, b2.doc_id AS id_b
+    FROM bands b2
+    JOIN keepers k ON b2.band_idx = k.band_idx
+                  AND b2.band_key = k.band_key
+                  AND b2.doc_id != k.min_id
+    """,
+)
+def dedup_minhash_stream_q(spark, sf):
+    """Incremental near-dup through a REAL Structured Streaming cycle:
+    documents staged as TWO id-ordered files → readStream with
+    maxFilesPerTrigger=1 (two micro-batches) → stateless minhash band
+    projection → applyInPandasWithState keyed by (band_idx, band_key)
+    with an 8-byte keeper state → memory sink
+    (streaming/neardup.stream_minhash_neardup).
+
+    The second micro-batch's duplicates are detected AGAINST STATE LEFT
+    BY THE FIRST — the incremental property batch LSH lacks. Because the
+    stages arrive in id order, the keeper equals min(doc_id) per bucket
+    and the batch/DuckDB oracle states the result exactly: pairs
+    (bucket keeper, later member), distinct across bands. Stream/batch
+    equivalence is the graded contract, as with events_tumbling_stream."""
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    from squirreling_spark.streaming.neardup import stream_minhash_neardup
+
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    split = docs.agg(
+        F.expr("percentile_approx(doc_id, 0.5, 10000)")
+    ).collect()[0][0]
+    stage = _os.path.join(
+        _tempfile.gettempdir(),
+        f"sq_mh_stream_{_os.path.basename(sf.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    )
+    # two id-ordered stages → two ordered micro-batches (file source
+    # processes by modification time; stage 0 is written first)
+    docs.filter(F.col("doc_id") <= split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(stage, "s0"))
+    docs.filter(F.col("doc_id") > split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(stage, "s1"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage + "/*")
+    )
+    pairs = stream_minhash_neardup(stream, "text", "doc_id")
+    digest = _hashlib.md5(sf.encode("utf-8")).hexdigest()[:8]
+    sink = f"sq_mh_stream_sink_{digest}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(
+            f"streaming near-dup did not finish within 300s (exc: {exc})"
+        )
+    # cross-band duplicates of the same pair: one distinct on the sink
+    # (in production the downstream verifier's groupBy absorbs this)
+    return spark.table(sink).distinct()

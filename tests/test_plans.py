@@ -222,11 +222,19 @@ def test_embedding_outliers_two_stage_bottom_k(spark):
 def test_corpus_pipeline_two_corpus_exchanges(spark):
     """The staged curation composite (pipeline/export.py) promises
     exactly TWO corpus-keyed hash exchanges — the dedup min_by and the
-    shard layout — plus the final presentation sort. A third hash
-    exchange means the score-join regression came back (5.1x at 10x
-    data, SCALING.md)."""
+    shard layout — plus the final presentation sort. A third
+    requirement-driven hash exchange means the score-join regression
+    came back (5.1x at 10x data, SCALING.md). The input spread()
+    repartition (REPARTITION_BY_NUM, also hash-keyed since round 5)
+    is layout prep, not a plan-required shuffle — excluded."""
     plan = plan_of("corpus_pipeline", spark)
-    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+    required = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        and "ENSURE_REQUIREMENTS" in line
+    )
+    assert required == 2, plan[:2000]
 
 
 def test_quality_classifier_fold_not_duplicated(spark):

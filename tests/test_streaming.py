@@ -212,3 +212,53 @@ def test_streaming_quality_gate_matches_batch(spark, tmp_path_factory):
         for r in spark.sql("SELECT * FROM quality_sink").collect()
     }
     assert got == expected
+
+
+def test_stream_minhash_neardup_incremental(spark, tmp_path_factory):
+    """Incremental near-dup (streaming/neardup.py): batch 2's duplicates
+    are detected against keeper STATE left by batch 1 — the property a
+    batch self-join can't give a continuous ingest. Also pins: keeper =
+    first id, within-batch pairs found, non-dups silent, and the sink
+    needs only a distinct to match the batch LSH candidate set."""
+    import pandas as pd
+
+    from squirreling_spark.streaming.neardup import stream_minhash_neardup
+
+    base = tmp_path_factory.mktemp("mh_stream")
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different content about spark streaming state"
+    text_c = "unrelated third topic with its own vocabulary entirely here"
+    stage0 = [(1, text_a), (2, text_b), (3, text_a + " extra")]
+    stage1 = [(101, text_a), (102, text_c)]
+    spark.createDataFrame(stage0, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(base / "s0"))
+    spark.createDataFrame(stage1, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(base / "s1"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(base) + "/*")
+    )
+    pairs = stream_minhash_neardup(stream, "text", "doc_id")
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("mh_neardup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), q.exception()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql(
+            "SELECT DISTINCT id_a, id_b FROM mh_neardup_sink"
+        ).collect()
+    }
+    # cross-batch: 101 (stage 1) pairs with keeper 1 (stage 0 state);
+    # within-batch: 3 pairs with 1. No pair involves 2 or 102.
+    assert (1, 101) in got
+    assert (1, 3) in got
+    assert all(2 not in p and 102 not in p for p in got), got
