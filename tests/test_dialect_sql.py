@@ -355,3 +355,106 @@ def test_rewrite_noop_without_dialect_constructs(lit):
     must come back byte-identical, whatever its literals contain."""
     q = f"SELECT col, '{lit}' AS s FROM tbl WHERE col > 5 ORDER BY col"
     assert rewrite_reference_sql(q) == q
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-2 rewrites: direct unit pins (the conformance floors in
+# test_ref_conformance.py cover these end-to-end; these are the fast
+# regression signal)
+# ---------------------------------------------------------------------------
+
+
+def test_array_literals_and_subscripts(spark):
+    res = execute_sql(
+        spark, "SELECT [1, 2, 3] AS arr, [10, 20, 30][2] AS third"
+    )
+    rows = _rows(res)
+    assert rows == [{"arr": [1, 2, 3], "third": 30}]  # 0-based like JS
+
+
+def test_unnest_from_and_lateral(spark):
+    rows = _rows(
+        execute_sql(spark, "SELECT * FROM UNNEST([1, 2, 3]) AS t")
+    )
+    assert rows == [{"unnest": 1}, {"unnest": 2}, {"unnest": 3}]
+    t = [{"id": 1, "arr": [10, 20]}, {"id": 2, "arr": [30]}]
+    rows = _rows(
+        execute_sql(
+            spark,
+            "SELECT t.id, u.x FROM t JOIN UNNEST(t.arr) AS u(x) ON TRUE",
+            tables={"t": t},
+        )
+    )
+    assert sorted((r["id"], r["x"]) for r in rows) == [
+        (1, 10), (1, 20), (2, 30)
+    ]
+    rows = _rows(
+        execute_sql(
+            spark,
+            "SELECT t.id, u.x FROM t LEFT JOIN UNNEST(t.arr) AS u(x)"
+            " ON TRUE",
+            tables={"t": t + [{"id": 3, "arr": []}]},
+        )
+    )
+    assert (3, None) in [(r["id"], r["x"]) for r in rows]
+
+
+def test_derived_column_names(spark):
+    users = [{"id": 1, "name": "A", "age": 30}]
+    res = execute_sql(
+        spark,
+        "SELECT COUNT(*), UPPER(name), age + 1, CAST(age AS INT) FROM"
+        " users GROUP BY name, age",
+        tables={"users": users},
+    )
+    assert res.columns == ["count_all", "upper_name", "age_+_1", "age_as_int"]
+
+
+def test_date_dialect_semantics(spark):
+    data = [{"a": "2023-12-31", "b": "2024-01-01"}]
+    rows = _rows(
+        execute_sql(
+            spark,
+            "SELECT DATE_DIFF('year', a, b) AS y, DATE_DIFF('day', a, b)"
+            " AS d FROM data",
+            tables={"data": data},
+        )
+    )
+    assert rows == [{"y": 1, "d": 1}]  # boundary crossing, not full year
+    ev = [{"ts": "2024-07-15T14:30:45"}]  # a Monday
+    rows = _rows(
+        execute_sql(
+            spark,
+            "SELECT EXTRACT(DOW FROM ts) AS dow, EXTRACT(SECOND FROM ts)"
+            " AS s FROM events",
+            tables={"events": ev},
+        )
+    )
+    assert rows == [{"dow": 1, "s": 45}]  # JS getUTCDay; integer seconds
+
+
+def test_loose_group_by_retry(spark):
+    users = [
+        {"id": 1, "name": "A", "city": "X"},
+        {"id": 2, "name": "B", "city": "X"},
+    ]
+    rows = _rows(
+        execute_sql(
+            spark,
+            "SELECT city, name, COUNT(*) AS n FROM users GROUP BY city",
+            tables={"users": users},
+        )
+    )
+    assert rows[0]["n"] == 2 and rows[0]["name"] in ("A", "B")
+
+
+def test_memory_table_void_columns(spark):
+    data = [{"a": 10, "b": None}, {"a": 3, "b": None}]
+    rows = _rows(
+        execute_sql(
+            spark,
+            "SELECT a + b AS s, concat(b, 'x') AS c FROM data",
+            tables={"data": data},
+        )
+    )
+    assert all(r["s"] is None and r["c"] is None for r in rows)
