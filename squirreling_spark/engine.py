@@ -121,38 +121,21 @@ def _infer_memory_schema(rows: list[dict]):
     """Schema for a list-of-dicts memory table, replacing Spark's sampling
     inference: scans EVERY row (the reference's memorySource sees all rows
     too), keeps first-seen column order, types all-null columns as void,
-    and widens int+float to double. Raises TypeError on genuinely mixed
-    dynamic typing (e.g. int and string in one column) — representable in
-    the reference's JS rows but not in a Spark column."""
-    import datetime as dt
-
+    and widens int+float to double. Nested dicts (struct columns) union
+    their keys across ALL rows — a key present only in a later row is
+    still a struct field (the reference's JS objects are per-row dynamic).
+    Raises TypeError on genuinely mixed dynamic typing (e.g. int and
+    string in one column) — representable in the reference's JS rows but
+    not in a Spark column."""
     from pyspark.sql import types as T
 
     if not rows or not all(isinstance(r, dict) for r in rows):
         raise TypeError("memory table must be a non-empty list of dicts")
-    cols: list[str] = []
-    seen: dict[str, set] = {}
-    elem_kinds: dict[str, set] = {}
-    elem_samples: dict[str, Any] = {}
-    samples: dict[str, Any] = {}
-    for r in rows:
-        for k, v in r.items():
-            if k not in seen:
-                cols.append(k)
-                seen[k] = set()
-                elem_kinds[k] = set()
-            if v is not None:
-                seen[k].add(_py_kind(v))
-                samples.setdefault(k, v)
-                if isinstance(v, (list, tuple)):
-                    for x in v:
-                        if x is not None:
-                            elem_kinds[k].add(_py_kind(x))
-                            elem_samples.setdefault(k, x)
 
-    def field_type(kinds: set, sample: Any, ek: set | None = None,
-                   esample: Any = None):
-        kinds = set(kinds)
+    def value_type(values: list):
+        """Type of a column/element given EVERY non-null value it holds."""
+        vals = [v for v in values if v is not None]
+        kinds = {_py_kind(v) for v in vals}
         if not kinds:
             return T.NullType()
         # bool is an int subclass in Python; keep it distinct like SQL does
@@ -173,33 +156,23 @@ def _infer_memory_schema(rows: list[dict]):
         if kinds == {"Decimal"}:
             return T.DecimalType(38, 18)
         if kinds <= {"list", "tuple"}:
-            ek = ek or set()
-            if ek and ek <= {"list", "tuple"}:  # nested arrays: recurse
-                sub = [x for x in (esample or []) if x is not None]
-                sub_ek = {_py_kind(x) for x in sub}
-                return T.ArrayType(
-                    field_type(ek, esample, sub_ek, sub[0] if sub else None)
-                )
-            return T.ArrayType(field_type(ek, esample))
+            elems = [x for v in vals for x in v]
+            return T.ArrayType(value_type(elems))
         if kinds == {"dict"}:
-            inner = _infer_memory_schema([sample])
-            return T.StructType(inner.fields)
+            return T.StructType(_infer_memory_schema(vals).fields)
         raise TypeError(f"mixed dynamic column types {sorted(kinds)}")
 
+    cols: list[str] = []
+    values: dict[str, list] = {}
+    for r in rows:
+        for k, v in r.items():
+            if k not in values:
+                cols.append(k)
+                values[k] = []
+            values[k].append(v)
+
     return T.StructType(
-        [
-            T.StructField(
-                c,
-                field_type(
-                    seen[c],
-                    samples.get(c),
-                    elem_kinds.get(c),
-                    elem_samples.get(c),
-                ),
-                True,
-            )
-            for c in cols
-        ]
+        [T.StructField(c, value_type(values[c]), True) for c in cols]
     )
 
 

@@ -165,3 +165,48 @@ def test_extract_tables_fallback_ignores_comments_and_strings(spark):
         "/* join comment_table */\n"
     )
     assert extract_tables(spark, q) == ["quoted table"]
+
+
+def test_memory_schema_unions_struct_keys_across_rows(spark):
+    """A nested-dict key present only in a LATER row is still a struct
+    field (reference memory rows are per-row dynamic JS objects; the
+    first-sample-only inference dropped it — round-5 regression)."""
+    from squirreling_spark.engine import _infer_memory_schema
+
+    schema = _infer_memory_schema(
+        [
+            {"id": 1, "json": {"a": 1, "b": 2}},
+            {"id": 2, "json": {"c": 3}},
+        ]
+    )
+    assert [f.name for f in schema["json"].dataType.fields] == ["a", "b", "c"]
+
+    rows = execute_sql(
+        spark,
+        "SELECT data.id, j.key, j.value "
+        "FROM data JOIN JSON_EACH(data.json) AS j ON TRUE",
+        tables={
+            "data": [
+                {"id": 1, "json": {"a": 1, "b": 2}},
+                {"id": 2, "json": {"c": 3}},
+            ]
+        },
+    ).collect()
+    assert [(r["id"], r["key"], r["value"]) for r in rows] == [
+        (1, "a", "1"),
+        (1, "b", "2"),
+        (2, "c", "3"),
+    ]
+
+
+def test_memory_schema_unions_array_struct_keys(spark):
+    from squirreling_spark.engine import _infer_memory_schema
+
+    schema = _infer_memory_schema(
+        [
+            {"tools": [{"name": "x"}]},
+            {"tools": [{"name": "y", "level": 2}]},
+        ]
+    )
+    elem = schema["tools"].dataType.elementType
+    assert [f.name for f in elem.fields] == ["name", "level"]
