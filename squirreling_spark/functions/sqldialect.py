@@ -777,6 +777,362 @@ def _rewrite_wrap_call(q: str, pattern: re.Pattern, build) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Dynamic typing: the reference evaluates JS values per row, so an array
+# function applied to a string/number/null COLUMN yields null per row
+# (evaluate.js:574-618 guards every ARRAY_* with `if (!Array.isArray(x))
+# return null`), and a subscript on a non-array yields null
+# (evaluate.js:140-146). Spark's analyzer rejects those statically — with
+# the column dtype resolvable we fold the reference's answer (NULL for
+# every row) at rewrite time instead.
+# ---------------------------------------------------------------------------
+
+_ARR_FAMILY_RE = re.compile(
+    r"\b(?:ARRAY_LENGTH|LIST_LENGTH|LEN|CARDINALITY|SIZE|ARRAY_POSITION|"
+    r"LIST_POSITION|ARRAY_CONTAINS|LIST_CONTAINS|ARRAY_SORT|ARRAY_APPEND|"
+    r"LIST_APPEND|ARRAY_CONCAT|LIST_CONCAT)\s*\(",
+    re.I,
+)
+
+
+def _rewrite_dynamic_typing(q: str, spark=None) -> str:
+    """Dtype-directed rewrites needing the session's view schemas."""
+    from pyspark.sql import types as T
+
+    def _resolves_non_array(ref: str) -> bool:
+        dt = _ref_dtype(spark, ref.strip())
+        return dt is not None and not isinstance(dt, T.ArrayType)
+
+    # Array family on a statically-non-array column → NULL (reference
+    # returns null per row; a whole column of one non-array dtype is NULL
+    # for every row). ARRAY_CONCAT guards BOTH args (evaluate.js:616-618).
+    def _arr_guard(name: str):
+        def build(args):
+            if not args:
+                return None
+            guard_n = 2 if name in ("ARRAY_CONCAT", "LIST_CONCAT") else 1
+            for a in args[:guard_n]:
+                if _resolves_non_array(a):
+                    return "NULL"
+            return None  # fall through to the normal rewrites below
+
+        return build
+
+    mask = _string_mask(q)
+    starts = [
+        (m.start(), m.group(0)) for m in _ARR_FAMILY_RE.finditer(q)
+        if not mask[m.start()]
+    ]
+    for start, tok in reversed(starts):
+        name = re.sub(r"\s*\($", "", tok).upper()
+        open_idx = q.index("(", start)
+        arg_end = _balanced_arg(q, open_idx)
+        args = _split_top_args(q[open_idx + 1 : arg_end - 1])
+        repl = _arr_guard(name)(args)
+        if repl is None:
+            # LEN / LENGTH accept arrays in the reference (strings.js:38-39
+            # — `val.length` covers both); Spark's len/length reject them,
+            # so dispatch resolvable array inputs to size().
+            if name == "LEN" and len(args) == 1:
+                dt = _ref_dtype(spark, args[0].strip())
+                if isinstance(dt, T.ArrayType):
+                    repl = f"size({args[0]})"
+            # ARRAY_LENGTH(a, d): a dimension beyond the STATIC nesting
+            # depth is null for every row (evaluate.js:582-591)
+            if name == "ARRAY_LENGTH" and len(args) == 2:
+                dm = re.fullmatch(r"\s*(\d+)\s*", args[1])
+                dt = _ref_dtype(spark, args[0].strip())
+                if dm and dt is not None:
+                    for _ in range(int(dm.group(1)) - 1):
+                        if not isinstance(dt, T.ArrayType):
+                            break
+                        dt = dt.elementType
+                    if not isinstance(dt, T.ArrayType) and int(
+                        dm.group(1)
+                    ) > 1:
+                        repl = "NULL"
+            if repl is None:
+                continue
+        q = q[:start] + repl + q[arg_end:]
+
+    # LENGTH(arrayCol) → size (reference LENGTH = JS .length for both)
+    def _length_dispatch(args):
+        if len(args) != 1:
+            return None
+        dt = _ref_dtype(spark, args[0].strip())
+        if isinstance(dt, T.ArrayType):
+            return f"size({args[0]})"
+        return None
+
+    q = _rewrite_wrap_call(
+        q, re.compile(r"\bLENGTH\s*\(", re.I), _length_dispatch
+    )
+
+    # CAST dialect: JS Number(Date) is epoch MILLISECONDS (evaluate.js:
+    # 707-726 casts primitives-and-Dates; Number coercion of a Date is
+    # getTime()), and CAST(object AS STRING) is JSON.stringify
+    # (evaluate.js:703-705).
+    def _cast_dialect(args):
+        if len(args) != 1:
+            return None
+        m = re.match(r"(?s)^(.*?)\s+AS\s+([A-Za-z]+)\s*$", args[0], re.I)
+        if not m:
+            return None
+        ref, target = m.group(1).strip(), m.group(2).upper()
+        # CAST(number AS TIMESTAMP) is new Date(ms) in the reference
+        # (evaluate.js:729-737) — Spark reads integral casts as SECONDS.
+        # Numeric operands: resolved numeric column, numeric literal, or
+        # an expression our own ms-cast rewrites just produced.
+        if target == "TIMESTAMP":
+            ndt = _ref_dtype(spark, ref)
+            numeric = isinstance(
+                ndt, (T.LongType, T.IntegerType, T.DoubleType,
+                      T.FloatType, T.DecimalType, T.ShortType)
+            ) or re.fullmatch(r"-?\d+(\.\d+)?", ref) or re.match(
+                r"(?is)^(unix_millis\s*\(|CAST\s*\(.*\s+AS\s+"
+                r"(INT|INTEGER|BIGINT|FLOAT|REAL|DOUBLE)\s*\)$)",
+                ref,
+            )
+            if numeric:
+                return f"timestamp_millis(CAST({ref} AS BIGINT))"
+            return None
+        dt = _ref_dtype(spark, ref)
+        if dt is None:
+            return None
+        if isinstance(dt, (T.TimestampType, T.DateType)):
+            if target in ("INT", "INTEGER", "BIGINT"):
+                return f"unix_millis(CAST({ref} AS TIMESTAMP))"
+            if target in ("FLOAT", "REAL", "DOUBLE"):
+                return (
+                    f"CAST(unix_millis(CAST({ref} AS TIMESTAMP)) AS DOUBLE)"
+                )
+        if isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
+            if target in ("STRING", "TEXT", "VARCHAR"):
+                return f"to_json({ref})"
+        return None
+
+    q = _rewrite_wrap_call(
+        q, re.compile(r"\bCAST\s*\(", re.I), _cast_dialect
+    )
+    return q
+
+
+# Keywords that bound a concat operand at its own nesting depth
+_CONCAT_BOUNDARY_KW = {
+    "SELECT", "DISTINCT", "ALL", "FROM", "WHERE", "GROUP", "ORDER",
+    "HAVING", "LIMIT", "OFFSET", "AND", "OR", "NOT", "IN", "IS", "LIKE",
+    "ILIKE", "BETWEEN", "AS", "WHEN", "THEN", "ELSE", "END", "CASE",
+    "JOIN", "ON", "BY", "ASC", "DESC", "UNION", "EXCEPT", "INTERSECT",
+    "OVER", "PARTITION", "ROWS", "RANGE", "USING", "LATERAL", "VIEW",
+    "NULLS", "FIRST", "LAST", "CROSS", "LEFT", "RIGHT", "FULL", "INNER",
+    "OUTER", "WITH", "VALUES", "ESCAPE",
+}
+_CONCAT_TOKEN_RE = re.compile(
+    r"'(?:[^']|'')*'|\"[^\"]*\"|`[^`]*`|\|\||<>|<=|>=|!=|[(),=<>]|"
+    r"\b[A-Za-z_]\w*\b|\S"
+)
+
+
+def _rewrite_concat_precedence(q: str) -> str:
+    """The reference parses ``||`` BELOW additive precedence
+    (parse/expression.js:11-12 — OR, AND, NOT, Comparison, Concat,
+    Additive, Multiplicative): ``a || a + b`` is ``a || (a + b)``.
+    Spark groups ``(a || a) + b``. Re-associate by parenthesizing every
+    concat operand that contains a top-level additive/multiplicative
+    operator. Parenthesized groups are rewritten recursively first, so
+    the depth-0 pass below only reasons about its own level."""
+    if "||" not in q:
+        return q
+    # Recurse into every top-level paren group.
+    mask = _string_mask(q)
+    i = 0
+    while i < len(q):
+        if q[i] == "(" and not mask[i]:
+            j = _balanced_arg(q, i)
+            inner = q[i + 1 : j - 1]
+            new_inner = _rewrite_concat_precedence(inner)
+            if new_inner != inner:
+                q = q[: i + 1] + new_inner + q[j - 1 :]
+                mask = _string_mask(q)
+                j = i + 1 + len(new_inner) + 1
+            i = j
+        else:
+            i += 1
+    toks = [
+        (m.group(0), m.start(), m.end())
+        for m in _CONCAT_TOKEN_RE.finditer(q)
+    ]
+
+    def is_boundary(tok: str) -> bool:
+        return (
+            tok in (",", "=", "<>", "<=", ">=", "!=", "<", ">")
+            or tok.upper() in _CONCAT_BOUNDARY_KW
+        )
+
+    # Maximal depth-0 runs between boundaries that contain a ||.
+    segments = []
+    run_start = 0
+    d = 0
+    for idx, (tok, s, e) in enumerate(toks):
+        if tok == "(":
+            d += 1
+        elif tok == ")":
+            d -= 1
+        elif d == 0 and is_boundary(tok):
+            if any(
+                t == "||" and _depth_at(toks, run_start, k) == 0
+                for k, (t, _, _) in enumerate(toks[run_start:idx], run_start)
+            ):
+                segments.append((run_start, idx))
+            run_start = idx + 1
+    if any(
+        t == "||" and _depth_at(toks, run_start, k) == 0
+        for k, (t, _, _) in enumerate(toks[run_start:], run_start)
+    ):
+        segments.append((run_start, len(toks)))
+
+    for seg_start, seg_end in reversed(segments):
+        pieces = []
+        d = 0
+        piece_start = toks[seg_start][1]
+        last_end = piece_start
+        for tok, s, e in toks[seg_start:seg_end]:
+            if tok == "(":
+                d += 1
+            elif tok == ")":
+                d -= 1
+            elif tok == "||" and d == 0:
+                pieces.append((piece_start, last_end))
+                piece_start = e
+            last_end = e
+        pieces.append((piece_start, last_end))
+        if len(pieces) < 2:
+            continue
+        rebuilt = []
+        changed = False
+        for ps, pe in pieces:
+            frag = q[ps:pe].strip()
+            if _has_top_level_arith(frag):
+                rebuilt.append(f"({frag})")
+                changed = True
+            else:
+                rebuilt.append(frag)
+        if changed:
+            q = (
+                q[: pieces[0][0]]
+                + " || ".join(rebuilt)
+                + q[pieces[-1][1] :]
+            )
+    return q
+
+
+def _depth_at(toks, start: int, idx: int) -> int:
+    """Paren depth of token idx relative to token start."""
+    d = 0
+    for t, _, _ in toks[start:idx]:
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+    return d
+
+
+def _has_top_level_arith(frag: str) -> bool:
+    """True when the fragment contains a BINARY +-*/% at paren depth 0
+    (a leading unary minus is not binary: it must follow a value)."""
+    d = 0
+    prev_val = False
+    for m in _CONCAT_TOKEN_RE.finditer(frag):
+        t = m.group(0)
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif d == 0 and t in ("+", "-", "*", "/", "%") and prev_val:
+            return True
+        prev_val = t not in ("(", ",", "+", "-", "*", "/", "%")
+    return False
+
+
+_SUBSCRIPT_RE = re.compile(r"\b([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*\[")
+
+
+def _rewrite_dynamic_access(q: str, spark=None) -> str:
+    """Subscript / field chains whose STATIC type makes the reference
+    return null — ``name[0]`` on a string column, any access on an
+    all-null (void) column, ``arr[0].missing`` on a struct without the
+    field (evaluate.js:140-146: non-array subscript → null; missing
+    object key → null). Unresolvable bases pass through unchanged."""
+    from pyspark.sql import types as T
+
+    mask = _string_mask(q)
+    matches = [
+        m for m in _SUBSCRIPT_RE.finditer(q) if not mask[m.start()]
+    ]
+    for m in reversed(matches):
+        dt = _ref_dtype(spark, m.group(1))
+        if dt is None:
+            continue
+        # walk the accessor chain: [expr] and .field steps
+        pos = q.index("[", m.end() - 1)
+        end = pos
+        null_out = False
+        while True:
+            if end < len(q) and q[end] == "[":
+                open_br = end
+                depth = 0
+                j = end
+                while j < len(q):
+                    if q[j] == "[":
+                        depth += 1
+                    elif q[j] == "]":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                if depth != 0:
+                    break  # unbalanced — leave it to Spark
+                inner = q[open_br + 1 : j].strip()
+                end = j + 1
+                if isinstance(dt, T.ArrayType):
+                    dt = dt.elementType
+                elif isinstance(dt, T.MapType):
+                    dt = dt.valueType
+                elif isinstance(dt, T.StructType):
+                    # struct['field'] string-literal subscript is field
+                    # access in both engines; missing field → null
+                    sm = re.fullmatch(r"'((?:[^']|'')*)'", inner)
+                    if sm and sm.group(1) in dt.fieldNames():
+                        dt = dt[sm.group(1)].dataType
+                    else:
+                        null_out = True
+                else:
+                    null_out = True
+            else:
+                fm = re.match(r"\.([A-Za-z_]\w*)", q[end:])
+                if not fm:
+                    break
+                if isinstance(dt, T.StructType):
+                    if fm.group(1) in dt.fieldNames():
+                        dt = dt[fm.group(1)].dataType
+                    else:
+                        null_out = True
+                elif not isinstance(dt, (T.ArrayType, T.MapType)):
+                    null_out = True
+                end += fm.end()
+            if null_out:
+                # consume the REST of the chain too: NULL.field is invalid
+                while True:
+                    fm = re.match(r"\.[A-Za-z_]\w*|\s*\[[^\]]*\]", q[end:])
+                    if not fm:
+                        break
+                    end += fm.end()
+                break
+        if null_out:
+            q = q[: m.start()] + "NULL" + q[end:]
+    return q
+
+
+# ---------------------------------------------------------------------------
 # Scalar-function dialect: name maps + arg-shape fixes
 # ---------------------------------------------------------------------------
 
@@ -1424,6 +1780,11 @@ def rewrite_reference_sql(
     up = query.upper()
     if re.search(r"DATE_DIFF|DATEDIFF|EXTRACT|DATE_PART|EPOCH", up):
         query = _rewrite_date_dialect(query)
+    if spark is not None:
+        if "[" in query:
+            query = _rewrite_dynamic_access(query, spark)
+        query = _rewrite_dynamic_typing(query, spark)
+    query = _rewrite_concat_precedence(query)
     query = _rewrite_function_dialect(query)
     if _BIGINT_RE.search(query):
         query = _rewrite_bigint_literals(query)
