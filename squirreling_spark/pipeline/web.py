@@ -75,11 +75,17 @@ def canonicalize_urls(
         canon.alias("canon"),
         host.alias("host"),
     )
-    keeper = out.groupBy("canon").agg(F.min(id_col).alias("__keep_id"))
+    # Null-safe dedup key: unparseable URLs (canon NULL) form ONE group,
+    # matching the oracle's PARTITION BY canon (SQL window partitioning
+    # groups NULLs together) — a plain equi-join on canon would leave
+    # their keep flag NULL. The sentinel keeps this an equi-join
+    # (broadcast/AQE-eligible) instead of an eqNullSafe join condition.
+    ck = F.coalesce(F.col("canon"), F.lit("\x00unparseable"))
+    out = out.withColumn("__ck", ck)
+    keeper = out.groupBy("__ck").agg(F.min(id_col).alias("__keep_id"))
     return (
-        out.join(keeper, "canon", "left")
+        out.join(keeper, "__ck", "left")
         .withColumn("keep", (F.col(id_col) == F.col("__keep_id")))
-        .drop("__keep_id")
         .select(id_col, "url", "canon", "host", "keep")
     )
 

@@ -50,6 +50,10 @@ def test_non_default_ports_and_paths_preserved(spark):
 def test_unparseable_urls_yield_null_canon(spark):
     m = _canon_map(spark, ["not a url", "ftp//missing.scheme"])
     assert all(v["canon"] is None for v in m.values())
+    # NULL canons form ONE dedup group (oracle PARTITION BY semantics):
+    # keep is a real boolean for every row, exactly one keeper.
+    assert sorted(v["keep"] for v in m.values()) == [False, True]
+    assert m["not a url"]["keep"]  # smallest id wins the null group
 
 
 def test_host_stats(spark):
