@@ -68,8 +68,13 @@ def _stream_bands(
     )
 
     def gen(batches):
+        import numpy as np
         import pandas as pd
 
+        # a + j*b < 2**48 + 47*2**48 < 2**54: exact in int64, so the
+        # vectorized outer product below is bit-identical to the scalar
+        # ``min(a + j*b ...)`` loop (pinned by the batch-parity test).
+        js = np.arange(num_hashes, dtype=np.int64)
         for pdf in batches:
             ids, bidx, bkey = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
@@ -81,20 +86,19 @@ def _stream_bands(
                         " ".join(toks[i : i + shingle_k])
                         for i in range(len(toks) - shingle_k + 1)
                     ]
-                ab = []
-                for s in sh:
-                    h = _hashlib.md5(s.encode("utf-8")).hexdigest()
-                    ab.append((int(h[:12], 16), int(h[12:24], 16)))
-                sig = [
-                    min(a + j * b for a, b in ab)
-                    for j in range(num_hashes)
+                digs = [
+                    _hashlib.md5(s.encode("utf-8")).hexdigest() for s in sh
                 ]
-                for b in range(bands):
+                a = np.array([int(h[:12], 16) for h in digs], dtype=np.int64)
+                b = np.array([int(h[12:24], 16) for h in digs], dtype=np.int64)
+                sig = (a[:, None] + js[None, :] * b[:, None]).min(axis=0)
+                for bnd in range(bands):
                     ids.append(int(did))
-                    bidx.append(b)
+                    bidx.append(bnd)
                     bkey.append(
                         "|".join(
-                            str(v) for v in sig[b * rpb : (b + 1) * rpb]
+                            str(int(v))
+                            for v in sig[bnd * rpb : (bnd + 1) * rpb]
                         )
                     )
             yield pd.DataFrame(
@@ -111,12 +115,24 @@ def stream_minhash_neardup(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a = bucket keeper, id_b = later
     arrival) from a streaming document frame. Emits each bucket-local
     pair once; the same pair surfacing through several bands is
     deduplicated by the consumer (the graded query distincts the sink —
-    in production the verifier's groupBy does it for free)."""
+    in production the verifier's groupBy does it for free).
+
+    ``ttl_ms`` bounds state on unbounded streams: each keeper carries a
+    processing-time timeout that is re-armed on every arrival, so a
+    bucket not seen for ``ttl_ms`` is dropped (the dedup horizon — a
+    doc arriving after the horizon starts a fresh bucket instead of
+    pairing with arbitrarily old history). ``None`` keeps state forever
+    (bounded replay harnesses, finite backfills). Caveat: under
+    ProcessingTimeTimeout Spark schedules batches indefinitely (a later
+    processing time could fire more timers), so a ``ttl_ms`` stream
+    never terminates under ``trigger(availableNow=True)`` — use ttl on
+    continuous triggers, ``None`` for drain-to-completion replays."""
     banded = _stream_bands(
         docs, text_col, id_col, num_hashes, bands, shingle_k
     )
@@ -124,6 +140,11 @@ def stream_minhash_neardup(
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
+        if ttl_ms is not None and state.hasTimedOut:
+            # Cold bucket: expire the keeper; nothing to emit.
+            state.remove()
+            yield pd.DataFrame({"id_a": [], "id_b": []})
+            return
         first = state.get[0] if state.exists else None
         out_a, out_b = [], []
         ids: list[int] = []
@@ -137,12 +158,19 @@ def stream_minhash_neardup(
                 out_a.append(first)
                 out_b.append(i)
         state.update((first,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return banded.groupBy("band_idx", "band_key").applyInPandasWithState(
         update,
         outputStructType=_PAIR_SCHEMA,
         stateStructType=_KEEPER_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -262,3 +262,65 @@ def test_stream_minhash_neardup_incremental(spark, tmp_path_factory):
     assert (1, 101) in got
     assert (1, 3) in got
     assert all(2 not in p and 102 not in p for p in got), got
+
+
+def test_stream_minhash_neardup_ttl_expires_cold_buckets(
+    spark, tmp_path_factory
+):
+    """ttl_ms bounds keeper state: a bucket that sees no arrivals for a
+    micro-batch beyond the ttl is dropped (hasTimedOut → state.remove),
+    so a later duplicate starts a FRESH bucket instead of pairing with
+    expired history. Three ordered batches: doc 1 seeds the bucket;
+    batch 2 (unrelated doc) trips the timeout sweep; doc 201 (same text
+    as 1) then arrives into empty state — no (1, 201) pair."""
+    from squirreling_spark.streaming.neardup import stream_minhash_neardup
+
+    base = tmp_path_factory.mktemp("mh_stream_ttl")
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different content about spark streaming state"
+    stages = [[(1, text_a)], [(2, text_b)], [(201, text_a), (202, text_a)]]
+    for i, rows in enumerate(stages):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(base / f"s{i}"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(base) + "/*")
+    )
+    pairs = stream_minhash_neardup(stream, "text", "doc_id", ttl_ms=1)
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("mh_neardup_ttl_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # A ProcessingTimeTimeout stream never self-terminates — Spark keeps
+    # scheduling batches because a later processing time could fire more
+    # timers (FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
+    # unconditionally true under this timeout mode), so availableNow
+    # can't drain to completion. Poll the sink for the batch-3 marker
+    # pair, then stop.
+    import time as _time
+
+    def _got():
+        return {
+            (r["id_a"], r["id_b"])
+            for r in spark.sql(
+                "SELECT DISTINCT id_a, id_b FROM mh_neardup_ttl_sink"
+            ).collect()
+        }
+
+    deadline = _time.time() + 300
+    got = _got()
+    while (201, 202) not in got and _time.time() < deadline:
+        assert q.exception() is None, q.exception()
+        _time.sleep(2)
+        got = _got()
+    q.stop()
+    # doc 1's bucket expired before batch 3: 201 re-seeds it and pairs
+    # only with its within-batch duplicate 202.
+    assert (201, 202) in got, got
+    assert all(p[0] != 1 for p in got), got
