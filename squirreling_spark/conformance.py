@@ -774,7 +774,8 @@ def run_conformance(
         label = f"{c.file}::{c.name}"
         try:
             rows = execute_sql(
-                spark, c.query, tables=dict(c.tables), like_mode="ci", ident_quotes="ansi"
+                spark, c.query, tables=dict(c.tables), like_mode="ci",
+                ident_quotes="ansi", strict=True,
             ).collect()
         except Exception as exc:  # noqa: BLE001 — classification, not flow
             if c.expect_error:

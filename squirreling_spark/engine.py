@@ -357,9 +357,20 @@ def execute_sql(
     like_mode: str = "ansi",
     pos_order: dict[str, list[str]] | None = None,
     ident_quotes: str = "spark",
+    strict: bool = False,
 ) -> QueryResult:
     """Run SQL over a per-query table namespace with optional scalar UDFs —
     the reference's ``executeSql({tables, query, functions})``.
+
+    ``strict=True`` opts into the reference's REJECTIONS as well as its
+    acceptances: function arity/type validation, cast-target and interval
+    allowlists, join-shape and LATERAL VIEW rules, window-vs-GROUP-BY
+    exclusion (functions/sqlstrict.py — ported from the reference's
+    src/validation/functions.js and parse-layer checks). Statically
+    decidable rules raise StrictDialectError before planning; per-row
+    value rules (SUBSTRING start from a column) compile to JVM-side
+    raise_error branches. Default stays loose: Spark is a deliberate
+    SUPERSET of the reference's accepted surface.
 
     Reference-dialect syntax is accepted directly: ``POSITIONAL JOIN``,
     FROM-clause ``JSON_EACH(expr)``, and ``123n`` BigInt literals are
@@ -377,6 +388,11 @@ def execute_sql(
     )
 
     register_reference_functions(spark)
+    # Strict validation runs on the PRE-rename text with the PRE-rename
+    # table keys: the reference rejects `FROM dataset.parquet` unquoted
+    # even when "dataset.parquet" is a flat table-map key, and the rename
+    # shim below would erase exactly that evidence.
+    orig_query, orig_tables = query, tables
     if tables:
         # Names Spark can't hold in a temp view (dots: ``dataset.parquet``
         # is a FLAT name in the reference's table map, not a schema path)
@@ -407,10 +423,22 @@ def execute_sql(
         spark.catalog.cacheTable(name)
     if functions:
         register_functions(spark, functions)
+    if strict:
+        from squirreling_spark.functions.sqlstrict import (
+            strict_guards,
+            validate_reference_sql,
+        )
+
+        validate_reference_sql(
+            orig_query, spark=spark, tables=orig_tables,
+            functions=functions,
+        )
     query = rewrite_reference_sql(
         query, spark=spark, like_mode=like_mode, pos_order=pos_order,
         ident_quotes=ident_quotes,
     )
+    if strict:
+        query = strict_guards(query)
 
     job_group = f"squirreling-{uuid.uuid4().hex[:12]}"
     spark.sparkContext.setJobGroup(job_group, query[:200], interruptOnCancel=True)
@@ -423,11 +451,31 @@ def execute_sql(
         if "MISSING_AGGREGATION" in msg or "MISSING_GROUP_BY" in msg:
             from squirreling_spark.functions.sqldialect import loosen_group_by
 
-            loose = loosen_group_by(query)
+            loose = loosen_group_by(query, spark=spark)
             if loose is not None:
                 try:
                     return QueryResult(
                         spark.sql(loose), job_group, _spark=spark
+                    )
+                except Exception:  # noqa: BLE001 — report the original
+                    pass
+        # Reference alias-chaining shapes Spark rejects: GROUP BY on a
+        # chained select alias (lateral-column-alias) and select aliases
+        # nested inside ORDER BY aggregates. Retry with the aliases
+        # inlined (sqldialect.inline_select_aliases).
+        if (
+            "LATERAL_COLUMN_ALIAS_IN_GROUP_BY" in msg
+            or "MISSING_ATTRIBUTES" in msg
+        ):
+            from squirreling_spark.functions.sqldialect import (
+                inline_select_aliases,
+            )
+
+            inlined = inline_select_aliases(query)
+            if inlined is not None:
+                try:
+                    return QueryResult(
+                        spark.sql(inlined), job_group, _spark=spark
                     )
                 except Exception:  # noqa: BLE001 — report the original
                     pass

@@ -1568,7 +1568,7 @@ def _collapse_dots(item: str) -> str:
 _SELECT_HEAD_RE = re.compile(r"\bSELECT\b(\s+(?:DISTINCT|ALL)\b)?", re.I)
 
 
-def loosen_group_by(q: str) -> str | None:
+def loosen_group_by(q: str, spark=None) -> str | None:
     """Reference-style loose GROUP BY: non-aggregated bare columns in the
     select list take the group's first value (the reference's row-object
     evaluation keeps whatever the first row held). Rewrites them to
@@ -1601,6 +1601,21 @@ def loosen_group_by(q: str) -> str | None:
     fm = re.search(r"\bFROM\b", q[start:], re.I)
     end = start + (fm.start() if fm else len(q) - start)
     items = _split_top_args(q[start:end])
+    # `SELECT * .. GROUP BY k`: the reference keeps the group's first row
+    # for every non-key column. Expand the star from the (single, bare)
+    # FROM table so each column can be wrapped individually.
+    if spark is not None and any(i.strip() == "*" for i in items):
+        tm = re.match(r"\s*FROM\s+([A-Za-z_]\w*)", q[end:], re.I)
+        if tm:
+            try:
+                cols = spark.table(tm.group(1)).columns
+            except Exception:  # noqa: BLE001 — leave the star alone
+                cols = None
+            if cols:
+                expanded = []
+                for i in items:
+                    expanded.extend(cols if i.strip() == "*" else [i])
+                items = expanded
     changed = False
     out = []
     for item in items:
@@ -1619,6 +1634,129 @@ def loosen_group_by(q: str) -> str | None:
     if not changed:
         return None
     return q[:start] + " " + ", ".join(out) + " " + q[end:]
+
+
+_AGG_TOKEN_RE = re.compile(
+    r"\b(SUM|COUNT|AVG|MIN|MAX|MEDIAN|STDDEV\w*|VAR\w*|PERCENTILE\w*"
+    r"|ARRAY_AGG|STRING_AGG|ANY_VALUE|COUNT_?IF|BOOL_AND|BOOL_OR)\s*\(",
+    re.I,
+)
+
+
+def _alias_sub(expr: str, amap: dict[str, str]) -> str:
+    """Replace bare alias tokens in ``expr`` with their parenthesized
+    definitions (never touching qualified/dotted or call positions)."""
+    for al, ex in amap.items():
+        expr = re.sub(
+            rf"(?<![\w.\"']){re.escape(al)}(?![\w.(])", f"({ex})", expr
+        )
+    return expr
+
+
+def inline_select_aliases(q: str) -> str | None:
+    """Retry rewrite for the reference's alias-chaining GROUP BY / ORDER
+    BY shapes Spark rejects (execute.group 'chained SELECT alias',
+    execute.orderby 'alias nested inside aggregate'):
+
+    - select-list aliases are inlined transitively (``x AS a, a+1 AS b``
+      → ``x AS a, (x)+1 AS b``), so a GROUP BY on the chained alias stops
+      being a lateral-column-alias reference;
+    - GROUP BY keys that are bare aliases become their definitions;
+    - alias tokens INSIDE larger ORDER BY / HAVING expressions are
+      substituted (``ORDER BY SUM(a)`` → ``SUM((age))``) — a bare alias
+      as the whole sort key is left alone (Spark resolves that natively);
+    - with a GROUP BY present, non-aggregate select items that are not
+      group keys get the reference's loose first-value semantics via
+      ``any_value`` (same convention as ``loosen_group_by``).
+
+    Returns None when nothing applies."""
+    mask = _string_mask(q)
+    m = _SELECT_HEAD_RE.search(q)
+    if not m or mask[m.start()]:
+        return None
+    start = m.end()
+    fm = re.search(r"\bFROM\b", q[start:], re.I)
+    end = start + (fm.start() if fm else len(q) - start)
+    amap: dict[str, str] = {}
+    items = []
+    for item in _split_top_args(q[start:end]):
+        mm = re.match(
+            r"(.*\S)\s+AS\s+([A-Za-z_]\w*)\s*$", item.strip(),
+            re.I | re.S,
+        )
+        if mm:
+            expr = _alias_sub(mm.group(1).strip(), amap)
+            amap[mm.group(2)] = expr
+            items.append((expr, mm.group(2)))
+        else:
+            items.append((item.strip(), None))
+    if not amap:
+        return None
+
+    def norm(e: str) -> str:
+        return re.sub(r"[\s()]", "", e).lower()
+
+    tail = q[end:]
+    gm = re.search(r"\bGROUP\s+BY\b", tail, re.I)
+    keys_norm: set[str] = set()
+    if gm:
+        gtail = tail[gm.end():]
+        km = re.search(
+            r"\b(HAVING|ORDER\s+BY|LIMIT|OFFSET|WINDOW|UNION|INTERSECT"
+            r"|EXCEPT)\b", gtail, re.I,
+        )
+        kend = km.start() if km else len(gtail)
+        new_keys = []
+        for k in _split_top_args(gtail[:kend]):
+            ks = k.strip()
+            if ks in amap:
+                ks = f"({amap[ks]})"
+            new_keys.append(ks)
+            keys_norm.add(norm(ks))
+        tail = (
+            tail[: gm.end()] + " " + ", ".join(new_keys) + " "
+            + gtail[kend:]
+        )
+    # ORDER BY / HAVING: substitute aliases inside larger expressions
+    # only — a whole-key alias resolves natively and (for `count`-style
+    # aliases of aggregates) substituting it is never necessary.
+    om = re.search(r"\b(ORDER\s+BY|HAVING)\b", tail, re.I)
+    if om:
+        seg = tail[om.start():]
+        lm = re.search(r"\b(LIMIT|OFFSET)\b", seg, re.I)
+        send = lm.start() if lm else len(seg)
+        body = seg[:send]
+        head_kw = re.match(r"\b(ORDER\s+BY|HAVING)\b", body, re.I).group(0)
+        rest = body[len(head_kw):]
+        parts = []
+        for p in _split_top_args(rest):
+            ps = p.strip()
+            bare = re.fullmatch(
+                r"([A-Za-z_]\w*)(\s+(ASC|DESC))?(\s+NULLS\s+\w+)?", ps,
+                re.I,
+            )
+            if bare and bare.group(1) in amap:
+                parts.append(ps)  # whole-key alias: Spark-native
+            else:
+                parts.append(_alias_sub(ps, amap))
+        tail = (
+            tail[: om.start()] + head_kw + " " + ", ".join(parts)
+            + seg[send:]
+        )
+    changed_groupby = bool(gm)
+    new_items = []
+    for expr, alias in items:
+        wrapped = expr
+        if (
+            changed_groupby
+            and alias is not None
+            and norm(expr) not in keys_norm
+            and not _AGG_TOKEN_RE.search(expr)
+        ):
+            wrapped = f"any_value({expr})"
+        new_items.append(f"{wrapped} AS {alias}" if alias else wrapped)
+    out = q[:start] + " " + ", ".join(new_items) + " " + tail
+    return out if out != q else None
 
 
 def _rewrite_auto_alias(q: str) -> str:

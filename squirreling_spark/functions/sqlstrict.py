@@ -215,6 +215,10 @@ def _validate_arity(q: str, functions) -> None:
             r"\sIN\s", args[0], re.I
         ):
             continue  # POSITION(needle IN haystack) standard form
+        if name in ("PERCENTILE_CONT", "PERCENTILE_DISC") and re.search(
+            r"\bWITHIN\s+GROUP\b", q[pos:], re.I
+        ):
+            continue  # ordered-set form: ORDER BY expr is the 2nd arg
         if name == "SUBSTRING" and len(args) == 1 and re.search(
             r"\sFROM\s", args[0], re.I
         ):
@@ -267,6 +271,22 @@ def _validate_literal_args(q: str) -> None:
                     f"{name} position must be >= 1, got {p} "
                     f"at position {pos}"
                 )
+        if name == "JSON_EACH" and len(args) >= 1:
+            a = args[0].strip()
+            if len(a) >= 2 and a[0] == "'" and a[-1] == "'":
+                import json as _json
+
+                try:
+                    v = _json.loads(a[1:-1].replace("''", "'"))
+                except ValueError:
+                    raise StrictDialectError(
+                        f"Invalid JSON in JSON_EACH at position {pos}"
+                    ) from None
+                if not isinstance(v, (list, dict)):
+                    raise StrictDialectError(
+                        f"JSON_EACH requires a JSON object or array, got "
+                        f"{a} at position {pos}"
+                    )
 
 
 def _validate_string_arg_types(q: str, spark) -> None:
@@ -409,6 +429,18 @@ def _from_scope(q: str, tables) -> set[str]:
     ):
         if not mask[m.start()] and m.group(1):
             scope.add(m.group(1))
+    # column aliases of a table-function alias list — `UNNEST(..) AS
+    # u(x, y)` exposes x/y directly, and a struct-typed element alias
+    # makes `x.field` a legal dotted reference.
+    for m in re.finditer(
+        r"\)\s*(?:AS\s+)?[A-Za-z_]\w*\s*\(([^)]*)\)", q, re.I
+    ):
+        if mask[m.start()]:
+            continue
+        for col in m.group(1).split(","):
+            col = col.strip()
+            if re.fullmatch(r"[A-Za-z_]\w*", col):
+                scope.add(col)
     for m in re.finditer(r"\bWITH\s+([A-Za-z_]\w*)\s+AS\b", q, re.I):
         if not mask[m.start()]:
             scope.add(m.group(1))
@@ -416,6 +448,22 @@ def _from_scope(q: str, tables) -> set[str]:
         if not mask[m.start()]:
             scope.add(m.group(1))
     return scope
+
+
+def _validate_dotted_from(q: str) -> None:
+    """A dotted table name directly in FROM/JOIN position is rejected —
+    the reference has no schemas, so ``FROM dataset.parquet`` never
+    resolves unquoted even when 'dataset.parquet' is a flat table-map
+    key (execute.dot tests). Static — needs no session."""
+    mask = _string_mask(q)
+    for m in re.finditer(
+        r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*\.[A-Za-z_]\w*)", q, re.I
+    ):
+        if not mask[m.start()]:
+            raise StrictDialectError(
+                f'Unknown table "{m.group(1)}" — quote dotted table '
+                f'names ("{m.group(1)}") at position {m.start()}'
+            )
 
 
 def _validate_dotted_refs(q: str, spark, tables) -> None:
@@ -427,15 +475,6 @@ def _validate_dotted_refs(q: str, spark, tables) -> None:
     from .sqldialect import _ref_dtype
 
     mask = _string_mask(q)
-    # dotted table name directly in FROM/JOIN position
-    for m in re.finditer(
-        r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*\.[A-Za-z_]\w*)", q, re.I
-    ):
-        if not mask[m.start()]:
-            raise StrictDialectError(
-                f'Unknown table "{m.group(1)}" — quote dotted table '
-                f'names ("{m.group(1)}") at position {m.start()}'
-            )
     scope = _from_scope(q, tables)
     for m in re.finditer(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", q):
         if mask[m.start()]:
@@ -476,8 +515,14 @@ def _validate_joins(q: str, tables) -> None:
 
 def _validate_lateral(q: str) -> None:
     mask = _string_mask(q)
-    m = re.search(r"\bLATERAL\s+(?!VIEW\b)(\w+)", q, re.I)
-    if m and not mask[m.start()]:
+    for m in re.finditer(r"\bLATERAL\s+(?!VIEW\b)(\w+)", q, re.I):
+        if mask[m.start()]:
+            continue
+        # `JOIN LATERAL UNNEST(..)` is the reference's explicit-LATERAL
+        # join form (execute.unnest.test.js "explicit LATERAL keyword");
+        # only the bare `t LATERAL fn(..)` shape requires VIEW.
+        if re.search(r"\bJOIN\s*$", q[: m.start()], re.I):
+            continue
         raise StrictDialectError(
             f'Expected VIEW after "LATERAL" but found "{m.group(1)}" '
             f"at position {m.start()}"
@@ -509,7 +554,10 @@ def _validate_table_functions(q: str) -> None:
         if mask[m.start()]:
             continue
         before = q[: m.start()].rstrip()
-        if re.search(r"(\bFROM|\bJOIN|\bVIEW|,)$", before, re.I):
+        # LATERAL VIEW [OUTER] EXPLODE / JOIN LATERAL UNNEST both keep the
+        # call in FROM position.
+        if re.search(r"(\bFROM|\bJOIN|\bVIEW|\bOUTER|\bLATERAL|,)$",
+                     before, re.I):
             continue
         raise StrictDialectError(
             f"{m.group(1).upper()} is a table function and can only be "
@@ -674,6 +722,7 @@ def validate_reference_sql(
     would reject the query. Call on the ORIGINAL query text, after
     fixture tables are registered (dtype checks), before rewrites."""
     _validate_arity(query, functions)
+    _validate_dotted_from(query)
     _validate_literal_args(query)
     _validate_cast_targets(query)
     _validate_intervals(query)

@@ -458,3 +458,108 @@ def test_memory_table_void_columns(spark):
         )
     )
     assert all(r["s"] is None and r["c"] is None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Alias-chaining retries (execute.group / execute.orderby shapes Spark
+# rejects natively; engine retries with sqldialect.inline_select_aliases)
+# ---------------------------------------------------------------------------
+
+
+def test_group_by_chained_alias_retry(spark):
+    data = [{"x": 1}, {"x": 1}, {"x": 2}]
+    rows = sorted(
+        _rows(
+            execute_sql(
+                spark,
+                "SELECT x AS a, a + 1 AS b, COUNT(*) AS count FROM data "
+                "GROUP BY b ORDER BY b",
+                tables={"data": data},
+            )
+        ),
+        key=lambda r: r["b"],
+    )
+    assert rows == [
+        {"a": 1, "b": 2, "count": 2},
+        {"a": 2, "b": 3, "count": 1},
+    ]
+
+
+def test_order_by_aggregate_of_alias_retry(spark):
+    users = [{"age": 30}, {"age": 35}, {"age": 30}]
+    rows = _rows(
+        execute_sql(
+            spark,
+            "SELECT age AS a, COUNT(*) AS count FROM users GROUP BY a "
+            "ORDER BY SUM(a)",
+            tables={"users": users},
+        )
+    )
+    assert [r["a"] for r in rows] == [35, 30]  # sums 35 < 60
+
+
+def test_loose_group_by_star_expansion(spark):
+    data = [{"id": 1, "age": 20, "city": "X"}]
+    rows = _rows(
+        execute_sql(
+            spark,
+            "SELECT * FROM data WHERE age > 100 GROUP BY city",
+            tables={"data": data},
+        )
+    )
+    assert rows == []  # empty groups, reference returns zero rows
+    rows = _rows(
+        execute_sql(
+            spark,
+            "SELECT * FROM data GROUP BY city",
+            tables={"data": data},
+        )
+    )
+    assert rows == [{"id": 1, "age": 20, "city": "X"}]
+
+
+# ---------------------------------------------------------------------------
+# Dtype-directed dynamic-typing rewrites (_rewrite_dynamic_typing): the
+# reference evaluates per row (evaluate.js:574-633); with a statically
+# typed column the whole-column outcome is decidable at rewrite time.
+# ---------------------------------------------------------------------------
+
+
+def test_dynamic_typing_array_fn_on_scalar_is_null(spark):
+    data = [{"n": 5, "arr": [1, 2]}]
+    rows = _rows(
+        execute_sql(
+            spark,
+            "SELECT ARRAY_CONTAINS(n, 1) AS c, ARRAY_LENGTH(n) AS l "
+            "FROM data",
+            tables={"data": data},
+        )
+    )
+    assert rows == [{"c": None, "l": None}]
+
+
+def test_dynamic_typing_len_dispatches_arrays_to_size(spark):
+    # reference LEN is array-only (evaluate.js:574-576): arrays get their
+    # length, any non-array input is NULL — including strings.
+    data = [{"arr": [1, 2, 3], "s": "ab"}]
+    rows = _rows(
+        execute_sql(
+            spark,
+            "SELECT LEN(arr) AS la, LEN(s) AS ls FROM data",
+            tables={"data": data},
+        )
+    )
+    assert rows == [{"la": 3, "ls": None}]
+
+
+def test_dynamic_typing_array_length_beyond_depth_is_null(spark):
+    data = [{"arr": [1, 2, 3]}]
+    rows = _rows(
+        execute_sql(
+            spark,
+            "SELECT ARRAY_LENGTH(arr, 2) AS l2, ARRAY_LENGTH(arr, 1) AS l1 "
+            "FROM data",
+            tables={"data": data},
+        )
+    )
+    assert rows == [{"l2": None, "l1": 3}]

@@ -14,24 +14,38 @@ import pytest
 
 from squirreling_spark.conformance import extract_all, run_conformance
 
-# per-file floor: (min_ok, min_value_checked) as of round 5.
-# ok = pass + run_only + expected_errors. Floors are a few below current
-# so environmental flake doesn't trip them; real regressions (a rewrite
-# breaking a family) drop counts by tens.
+# per-file floor: (min_ok, min_value_checked) as of round 6 (strict mode
+# wired: CONFORMANCE totals 1126/1136 ok, 879 value-verified, 0 fail).
+# ok = pass + run_only + expected_errors. Floors sit one ok / two checked
+# below current so environmental flake doesn't trip them; real
+# regressions (a rewrite breaking a family) drop counts by tens.
 FLOORS = {
-    "execute.between.test.js": (18, 18),
-    "execute.cte.test.js": (28, 25),
-    "execute.datetime.test.js": (52, 39),
-    "execute.having.test.js": (28, 26),
-    "execute.interval.test.js": (14, 12),
-    "execute.join.test.js": (58, 46),
-    "execute.json.test.js": (87, 69),
-    "execute.spatial.test.js": (14, 3),
-    "execute.test.js": (54, 46),
-    "execute.trig.test.js": (34, 18),
-    "execute.unnest.test.js": (56, 42),
-    "positional.test.js": (11, 10),
-    "execute.strings.test.js": (136, 126),
+    "execute.aggregate.test.js": (79, 66),
+    "execute.arrays.test.js": (72, 66),
+    "execute.between.test.js": (17, 16),
+    "execute.cast.test.js": (5, 3),
+    "execute.cte.test.js": (27, 23),
+    "execute.datetime.test.js": (54, 39),
+    "execute.dot.test.js": (26, 11),
+    "execute.errors.test.js": (27, 0),
+    "execute.group.test.js": (11, 8),
+    "execute.having.test.js": (27, 24),
+    "execute.interval.test.js": (14, 11),
+    "execute.join.test.js": (58, 45),
+    "execute.json.test.js": (92, 71),
+    "execute.math.test.js": (55, 41),
+    "execute.orderby.test.js": (37, 29),
+    "execute.regex.test.js": (37, 27),
+    "execute.spatial.test.js": (14, 2),
+    "execute.strings.test.js": (148, 130),
+    "execute.subquery.test.js": (57, 51),
+    "execute.test.js": (54, 45),
+    "execute.trig.test.js": (35, 18),
+    "execute.union.test.js": (21, 13),
+    "execute.unnest.test.js": (66, 43),
+    "execute.where.test.js": (35, 26),
+    "execute.window.test.js": (22, 13),
+    "positional.test.js": (11, 9),
 }
 
 
