@@ -337,7 +337,9 @@ def semdedup(
     id_col: str,
     centroids: DataFrame | None = None,
     threshold: float = 0.8,
-    cent_mod: int = 50,
+    cent_mod: int | None = None,
+    k: int | None = None,
+    iters: int = 2,
 ) -> DataFrame:
     """Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
     space, then inside each cluster mark a vector as a semantic duplicate
@@ -353,13 +355,33 @@ def semdedup(
     corpus × centroids product). Output: (vec_id, cell, n_close, is_dup) —
     n_close = lower-id in-cell neighbors within threshold.
 
-    ``centroids`` defaults to the ad-hoc every-``cent_mod``-th-vector set
-    (deterministic); pass a k-means-trained set (pipeline/cluster.py) for
-    better cell balance at scale."""
+    ``centroids`` defaults to a k-means-TRAINED set (pipeline/cluster.py,
+    ``iters`` Lloyd rounds) with ``k = ceil(sqrt(n))`` — the classic IVF
+    sizing that balances the two products: assignment is O(n·k) = O(n^1.5)
+    and the in-cell pairwise step is O(n²/k) = O(n^1.5), so neither term
+    goes quadratic as the corpus grows (the previous every-``cent_mod``-th
+    default grew k WITH the corpus, making assignment O(n²/cent_mod) —
+    18.9× wall at 10× data in the round-5 scale probe). Sizing k needs
+    ``df.count()`` — one cheap column-pruned job at build time; pass ``k``
+    explicitly to skip it, or pass ``centroids`` / legacy ``cent_mod`` to
+    override the construction entirely."""
     if centroids is None:
-        centroids = df.filter(F.col(id_col) % cent_mod == 0).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
-        )
+        if cent_mod is not None:
+            centroids = df.filter(F.col(id_col) % cent_mod == 0).select(
+                F.col(id_col).alias("cent_id"),
+                F.col(vec_col).alias("cent_vec"),
+            )
+        else:
+            from .cluster import kmeans_centroids
+
+            if k is None:
+                import math
+
+                n = df.count()
+                k = max(4, math.isqrt(max(n - 1, 0)) + 1)  # ceil(sqrt(n))
+            centroids = kmeans_centroids(
+                df, vec_col, id_col, k=k, iters=iters
+            ).select("cent_id", "cent_vec")
     assigned = assign_cells(
         df.select(id_col, vec_col), centroids, c_id=id_col, c_vec=vec_col
     )

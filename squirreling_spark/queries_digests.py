@@ -860,12 +860,41 @@ _DIALECT_BRANCHES = {
     ),
 }
 
+# Strict-mode REJECTION surface (functions/sqlstrict.py, reference
+# src/validation/functions.js + parse-layer checks): each SQL here is one
+# the reference rejects and loose Spark would happily run. The digest
+# branch executes them under execute_sql(strict=True) and emits one row
+# per correctly-raised StrictDialectError — so the error surface gets a
+# driver-graded row, not just unit tests + conformance floors.
+_STRICT_REJECT_CASES = {
+    "arity": "SELECT TRIM(n_name, n_nationkey) FROM sq_dl_nat",
+    "cast_target": "SELECT CAST(n_nationkey AS BINARY) FROM sq_dl_nat",
+    "interval_unit":
+        "SELECT CURRENT_DATE + INTERVAL 1 FORTNIGHT FROM sq_dl_nat",
+    "substring_start": "SELECT SUBSTRING(n_name, 0, 3) FROM sq_dl_nat",
+    "window_groupby":
+        "SELECT n_name, ROW_NUMBER() OVER (ORDER BY n_name) AS rn "
+        "FROM sq_dl_nat GROUP BY n_name",
+    "table_fn_scalar": "SELECT EXPLODE([1, 2, 3]) FROM sq_dl_nat",
+}
+
+_STRICT_CK = "length(reject_case) * 31 + ascii(substring(reject_case, 1, 1))"
+
+_STRICT_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{c}')" for c in sorted(_STRICT_REJECT_CASES))
+    + ') AS t(reject_case)'
+)
+
 
 @query(
     "dialect_digest",
     oracle="\nUNION ALL\n".join(
-        _inline_oracle(tag, sql, ck)
-        for tag, (_, _, ck, sql) in _DIALECT_BRANCHES.items()
+        [
+            _inline_oracle(tag, sql, ck)
+            for tag, (_, _, ck, sql) in _DIALECT_BRANCHES.items()
+        ]
+        + [_inline_oracle("strict_reject", _STRICT_ORACLE, _STRICT_CK)]
     ),
 )
 def dialect_digest(spark, sf):
@@ -897,4 +926,21 @@ def dialect_digest(spark, sf):
             spark, sql, like_mode=like_mode, pos_order=pos_order
         )
         branches.append(_digest_branch(res.df, tag, ck))
+    # strict rejection surface: one row per case that raised the
+    # reference's error (an accepted-but-should-reject case drops its
+    # row and hash-mismatches the oracle's full VALUES list)
+    from squirreling_spark.functions.sqlstrict import StrictDialectError
+
+    rejected = []
+    for case, sql in _STRICT_REJECT_CASES.items():
+        try:
+            execute_sql(spark, sql, strict=True).collect()
+        except StrictDialectError:
+            rejected.append((case,))
+        except Exception:  # noqa: BLE001 — wrong error class ≠ rejected
+            pass
+    rej_df = spark.createDataFrame(
+        rejected or [(None,)], "reject_case string"
+    ).filter(F.col("reject_case").isNotNull())
+    branches.append(_digest_branch(rej_df, "strict_reject", _STRICT_CK))
     return _union_all(branches)

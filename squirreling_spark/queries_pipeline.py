@@ -1348,15 +1348,43 @@ def knn_ivf_trained_q(spark, sf):
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
     ),
-    c AS (
-      SELECT vec_id AS cent_id, emb AS cent FROM e WHERE vec_id % 50 = 0
+    c0 AS (
+      SELECT vec_id AS cid, emb AS cent FROM e ORDER BY vec_id
+      LIMIT (SELECT GREATEST(4, CAST(ceil(sqrt(count(*))) AS BIGINT))
+             FROM e)
+    ),
+    a1 AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_d_cos_ec('c.cent')} DESC, c.cid)
+                 AS rn
+        FROM e, c0 c) x WHERE rn = 1
+    ),
+    m1 AS ({_D_KM_MEAN.format(src='a1')}),
+    c1 AS (
+      SELECT cid, list(mean_v ORDER BY dim) AS cent FROM m1 GROUP BY cid
+    ),
+    a2 AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_d_cos_ec('c.cent')} DESC, c.cid)
+                 AS rn
+        FROM e, c1 c) x WHERE rn = 1
+    ),
+    m2 AS ({_D_KM_MEAN.format(src='a2')}),
+    c2 AS (
+      SELECT cid AS cent_id, list(mean_v ORDER BY dim) AS cent
+      FROM m2 GROUP BY cid
     ),
     ass AS (
       SELECT vec_id, cell FROM (
         SELECT e.vec_id, c.cent_id AS cell,
                row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {_D_COS_EC} DESC, c.cent_id) AS rn
-        FROM e, c) x WHERE rn = 1
+                                  ORDER BY {_d_cos_ec('c.cent')} DESC,
+                                           c.cent_id) AS rn
+        FROM e, c2 c) x WHERE rn = 1
     ),
     close AS (
       SELECT a.vec_id, CAST(count(*) AS BIGINT) AS n_close
@@ -1862,20 +1890,28 @@ def knn_ivfpq_q(spark, sf):
              CAST(1 + doc_id % 5 AS INT) AS height,
              CAST(doc_id % 256 AS DOUBLE) AS r,
              CAST((doc_id * 7) % 256 AS DOUBLE) AS g,
-             CAST((doc_id * 13) % 256 AS DOUBLE) AS b
+             CAST((doc_id * 13) % 256 AS DOUBLE) AS b,
+             CAST(192 + doc_id % 64 AS DOUBLE) AS jy
       FROM documents
     )
     SELECT CAST(doc_id AS VARCHAR) || ':' || v.variant AS media_id,
            v.decoder,
-           width, height,
-           CAST(width * height AS INT) AS n_pixels,
-           r AS mean_r, g AS mean_g, b AS mean_b
+           CAST(CASE WHEN v.variant = 'jpeg' THEN 8 ELSE width END AS INT)
+             AS width,
+           CAST(CASE WHEN v.variant = 'jpeg' THEN 8 ELSE height END AS INT)
+             AS height,
+           CAST(CASE WHEN v.variant = 'jpeg' THEN 64
+                ELSE width * height END AS INT) AS n_pixels,
+           CASE WHEN v.variant = 'jpeg' THEN jy ELSE r END AS mean_r,
+           CASE WHEN v.variant = 'jpeg' THEN jy ELSE g END AS mean_g,
+           CASE WHEN v.variant = 'jpeg' THEN jy ELSE b END AS mean_b
     FROM geom, (VALUES ('bmp24', 'bmp'), ('rle8', 'bmp'),
-                       ('png16', 'png')) AS v(variant, decoder)
+                       ('png16', 'png'), ('jpeg', 'jpeg'))
+           AS v(variant, decoder)
     """,
 )
 def image_pixel_decode_q(spark, sf):
-    """REAL pixel decode under the correctness gate, THREE codec paths
+    """REAL pixel decode under the correctness gate, FOUR codec paths
     per document, all payloads synthesized JVM-side from doc_id:
 
     - ``bmp24``: solid-color 24-bit BMP (width a multiple of 4 — no row
@@ -1889,6 +1925,11 @@ def image_pixel_decode_q(spark, sf):
       decode runs the REAL stdlib-zlib path, which verifies the adler32
       we fold JVM-side with F.aggregate — plus scanline unfiltering and
       the 16→8-bit high-byte downscale (round 5).
+    - ``jpeg``: an 8×8 solid-grey BASELINE JPEG through the full huffman
+      entropy decode + dequant + IDCT path (round 6). The color is
+      constructed DC-exact (see the inline derivation), so the decoded
+      means have a closed-form oracle; lossy-JPEG generality is pinned
+      separately against independent encoders in tests/test_multimodal.py.
 
     The oracle states the expected per-channel means directly: a solid
     (r,g,b) image must decode to exactly those channel means in every
@@ -2006,7 +2047,37 @@ def image_pixel_decode_q(spark, sf):
         chunk_hex("49454E44", F.lit(""), F.lit(0)),           # IEND
     )
 
-    variants = [("bmp24", bmp24_hex), ("rle8", rle8_hex), ("png16", png16_hex)]
+    # --- jpeg: 8×8 solid-grey baseline JPEG, DC-exact closed form ------
+    # Y = 192 + doc_id%64 level-shifts to v = Y-128 ∈ [64,127]: DCT DC of
+    # a constant 8×8 block is 8·(Y-128); with quant step 8 the quantized
+    # DC is exactly v, always huffman category 7 under the standard DC
+    # luminance table ('11110', 5 bits). A 1-code AC table makes EOB a
+    # single '0' bit, so the whole entropy segment is 5+7+1 = 13 bits →
+    # 2 bytes (pad '111'), and neither byte can be 0xFF (no stuffing).
+    # Decode: dequant 8v, IDCT → v exactly, +128 → Y in every pixel, so
+    # the oracle states mean_r = mean_g = mean_b = Y in closed form.
+    jv = (F.lit(64) + F.col("doc_id") % 64).cast("bigint")  # Y - 128
+    jpeg_static = (
+        "FFD8"
+        + "FFDB004300" + "08" * 64                  # DQT: all steps 8
+        + "FFC0000B08" + "0008" + "0008" + "01011100"  # SOF0 8×8 grey
+        + "FFC4001F00"                               # DHT DC (standard)
+        + "00010501010101010100000000000000"         # bits 1..16
+        + "000102030405060708090A0B"                 # categories 0..11
+        + "FFC4001410" + "01" + "00" * 15 + "00"     # DHT AC: EOB = '0'
+        + "FFDA0008010100003F00"                     # SOS
+    )
+    jpeg_hex = F.concat(
+        F.lit(jpeg_static),
+        le_hex(F.lit(0xF0) + (jv / 16).cast("bigint"), 1),   # 11110 + v>>4
+        le_hex((jv % 16) * 16 + 7, 1),                        # v&15,0,111
+        F.lit("FFD9"),
+    )
+
+    variants = [
+        ("bmp24", bmp24_hex), ("rle8", rle8_hex),
+        ("png16", png16_hex), ("jpeg", jpeg_hex),
+    ]
     frames = [
         d.select(
             F.concat(F.col("doc_id").cast("string"), F.lit(f":{tag}"))
@@ -2015,7 +2086,9 @@ def image_pixel_decode_q(spark, sf):
         )
         for tag, hexstr in variants
     ]
-    media = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    media = frames[0]
+    for fr in frames[1:]:
+        media = media.unionByName(fr)
     return decode_image(media).select(
         "media_id", "decoder", "width", "height", "n_pixels",
         "mean_r", "mean_g", "mean_b",
