@@ -86,6 +86,10 @@ HEADLINE = [
     "spatial_join",
     "dialect_digest",
     "url_canonicalize",
+    # round-6 operators: sliding-window chunking (scan-bandwidth path),
+    # z-order layout clustering (one range exchange + stats groupBy)
+    "doc_chunking",
+    "zorder_layout_orders",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

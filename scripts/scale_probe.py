@@ -78,6 +78,9 @@ QUERIES = [
     "spatial_join",
     "url_canonicalize",
     "dedup_minhash_stream",
+    # round-6 additions
+    "doc_chunking",
+    "zorder_layout_orders",
 ]
 
 

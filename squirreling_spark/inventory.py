@@ -112,9 +112,14 @@ GRADE_ORDER: list[str] = [
     # pipeline operators (LLM-data north star)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_lsh",
+    # round-6 window swap: SimHash + n-gram-Jaccard + embedding-LSH are
+    # graded THROUGH dedup_variants_digest (full-result checksums of the
+    # same oracles); their freed slots host the round-6 operators
+    # doc_chunking + zorder_layout_orders. Standalone forms stay
+    # registered after the window (local parity gate + sf0.1 sweep).
+    "dedup_variants_digest",
+    "doc_chunking",
+    "zorder_layout_orders",
     "knn_digest",
     "text_digest",
     "corpus_clean_digest",

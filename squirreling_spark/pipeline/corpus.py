@@ -33,6 +33,57 @@ def _segments(df: DataFrame, text_col: str, id_col: str, width: int) -> DataFram
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking — the standard long-document →
+    training-example splitter: ``chunk_tokens``-token windows advancing
+    by ``chunk_tokens - overlap``, so consecutive chunks share
+    ``overlap`` tokens of context. Output (id, chunk_idx, start_tok,
+    n_tokens, chunk_text).
+
+    Rules (pinned by tests/test_corpus_ops.py and the DuckDB oracle):
+    the final window keeps whatever tokens remain; a non-first window
+    whose content is entirely contained in its predecessor (fewer than
+    ``overlap + 1`` tokens left) is NOT emitted; blank documents emit no
+    chunks.
+
+    Scale shape: one row-local projection + posexplode — no shuffle at
+    all; chunk rows inherit the document partitioning, so a 100 TB
+    corpus chunks at full scan bandwidth. The window arithmetic is a
+    static ``sequence`` expression (whole-stage codegen), not a UDF."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)),
+        lambda s: (s == 0) | (s + overlap < n),
+    )
+    exploded = (
+        spread(df)
+        .filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.posexplode(starts).alias("chunk_idx", "start_tok"),
+        )
+    )
+    chunk = F.slice(F.col("__toks"), F.col("start_tok") + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        "start_tok",
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def dedup_segments(
     df: DataFrame, text_col: str, id_col: str, width: int = 8
 ) -> DataFrame:

@@ -409,6 +409,52 @@ _KNN_CK = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Dedup-variant digest (round 6): SimHash fingerprints, n-gram Jaccard
+# verification, and embedding LSH candidates in ONE graded row — frees
+# their standalone window slots for the round-6 operators while keeping
+# every family driver-graded (full-result checksums over the original
+# oracles; standalone forms stay registered after the window, enforced by
+# the local parity gate + the sf0.1 sweep).
+# ---------------------------------------------------------------------------
+
+_DEDUPV_CK = {
+    # tag -> (spark ck, duckdb ck)
+    "dedup_simhash": (
+        # full 48-bit fingerprint folded to a number (not a prefix)
+        "doc_id * 131 + CAST(conv(simhash, 2, 10) AS BIGINT)",
+        "doc_id * 131 + list_sum(list_transform(generate_series(1, 48),"
+        " i -> CASE WHEN simhash[i] = '1'"
+        " THEN (1::BIGINT << (48 - i)) ELSE 0 END))",
+    ),
+    "dedup_ngram_jaccard": (
+        "id_a * 1009 + id_b * 31 + floor(jaccard * 1000000)",
+    ) * 2,
+    "dedup_embedding_lsh": (
+        "id_a * 1009 + id_b * 31 + floor(sim * 1000000)",
+    ) * 2,
+}
+
+
+@query(
+    "dedup_variants_digest",
+    oracle="\nUNION ALL\n".join(
+        _oracle_branch(tag, tag, dck) for tag, (_, dck) in _DEDUPV_CK.items()
+    ),
+)
+def dedup_variants_digest(spark, sf):
+    """Dedup variant family, one checksum row per member: 48-bit SimHash
+    fingerprints (row-local fold), top-20 3-gram Jaccard pairs (the
+    LSH refine verifier), and sign-hyperplane embedding LSH candidates
+    with exact-cosine verification (pipeline/dedup.py)."""
+    return _union_all(
+        [
+            _digest_branch(inventory.QUERIES[tag](spark, sf), tag, sck)
+            for tag, (sck, _) in _DEDUPV_CK.items()
+        ]
+    )
+
+
 @query(
     "knn_digest",
     oracle="\nUNION ALL\n".join(

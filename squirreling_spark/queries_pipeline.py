@@ -2765,3 +2765,114 @@ def dedup_minhash_stream_q(spark, sf):
     # cross-band duplicates of the same pair: one distinct on the sink
     # (in production the downstream verifier's groupBy absorbs this)
     return spark.table(sink).distinct()
+
+
+@query(
+    "doc_chunking",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+               AS toks
+      FROM documents WHERE trim(text) != ''
+    ),
+    st AS (
+      SELECT doc_id, toks, n, s AS start_tok,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+                  AS INT) AS chunk_idx
+      FROM (
+        SELECT doc_id, toks, len(toks) AS n,
+               unnest(generate_series(0, len(toks) - 1, 18)) AS s
+        FROM tk) x
+      WHERE s = 0 OR s + 6 < n
+    )
+    SELECT doc_id,
+           chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(least(start_tok + 24, n) - start_tok AS BIGINT) AS n_tokens,
+           array_to_string(
+             list_slice(toks, start_tok + 1, least(start_tok + 24, n)), ' '
+           ) AS chunk_text
+    FROM st
+    """,
+)
+def doc_chunking_q(spark, sf):
+    """Sliding-window chunking (pipeline/corpus.py::chunk_documents) —
+    the long-document → training-example splitter: 24-token windows
+    advancing by 18 (6 tokens of shared context), final window keeps the
+    remainder, a tail window fully contained in its predecessor is
+    dropped. One row-local projection + posexplode, zero shuffles — a
+    100 TB corpus chunks at scan bandwidth."""
+    from squirreling_spark.pipeline.corpus import chunk_documents
+
+    out = chunk_documents(
+        t(spark, sf, "documents"), "text", "doc_id",
+        chunk_tokens=24, overlap=6,
+    )
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        "n_tokens",
+        "chunk_text",
+    )
+
+
+@query(
+    "zorder_layout_orders",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(min(o_custkey) AS BIGINT) AS mn1,
+             CAST(max(o_custkey) AS BIGINT) AS mx1,
+             CAST(min(o_orderkey) AS BIGINT) AS mn2,
+             CAST(max(o_orderkey) AS BIGINT) AS mx2
+      FROM orders
+    ),
+    q AS (
+      SELECT o.o_custkey, o.o_orderkey,
+             ((o.o_custkey - b.mn1) * 256) // (b.mx1 - b.mn1 + 1) AS q1,
+             ((o.o_orderkey - b.mn2) * 256) // (b.mx2 - b.mn2 + 1) AS q2
+      FROM orders o, b
+    ),
+    z AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(list_sum(list_transform(generate_series(0, 7),
+               i -> (((q1 >> i) & 1) << (2 * i + 1))
+                  + (((q2 >> i) & 1) << (2 * i))
+             )) AS BIGINT) AS zkey
+      FROM q
+    )
+    SELECT (zkey >> 12) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_custkey) AS BIGINT) AS min_custkey,
+           CAST(max(o_custkey) AS BIGINT) AS max_custkey,
+           CAST(min(o_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(max(o_orderkey) AS BIGINT) AS max_orderkey,
+           min(zkey) AS min_zkey, max(zkey) AS max_zkey
+    FROM z GROUP BY 1
+    """,
+)
+def zorder_layout_orders_q(spark, sf):
+    """Z-order layout clustering (pipeline/layout.py) — Delta OPTIMIZE
+    ZORDER / Iceberg sort-rewrite semantics: Morton-interleave
+    (o_custkey, o_orderkey) at 8 bits each, bucket on the top 4 key
+    bits, and report each bucket's per-column min/max — exactly the
+    file-level statistics data skipping prunes on. Tight per-bucket
+    spans on BOTH columns (vs a single-column sort, where the second
+    column spans the full domain in every file) are the graded
+    evidence. Integer-exact quantization; the only shuffle is the
+    stats groupBy."""
+    from squirreling_spark.pipeline.layout import zorder_layout
+
+    o = t(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    laid = zorder_layout(o, ["o_custkey", "o_orderkey"], bits=8,
+                         n_buckets=16)
+    return laid.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("o_custkey").cast("bigint").alias("min_custkey"),
+        F.max("o_custkey").cast("bigint").alias("max_custkey"),
+        F.min("o_orderkey").cast("bigint").alias("min_orderkey"),
+        F.max("o_orderkey").cast("bigint").alias("max_orderkey"),
+        F.min("zkey").alias("min_zkey"),
+        F.max("zkey").alias("max_zkey"),
+    )

@@ -355,3 +355,44 @@ def test_temperature_mix_flattens_skew(spark):
     # (same source sizes here, so subset keeps ⊆ full keeps per bucket)
     kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert len(kept_ids) == sum(k.values())
+
+
+def test_chunk_documents_rules(spark):
+    """Window arithmetic: remainder tail kept, contained tail dropped,
+    blank docs emit nothing, overlap shares exactly `overlap` tokens."""
+    from squirreling_spark.pipeline.corpus import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, "   "), (4, "solo")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=6, overlap=2)
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r for r in out.collect()
+    }
+    # doc 1: 10 tokens, step 4 -> starts 0, 4; start 8 has 2 (= overlap)
+    # tokens left, fully contained in the previous chunk -> dropped
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1)}
+    assert rows[(1, 0)]["chunk_text"] == "w0 w1 w2 w3 w4 w5"
+    assert rows[(1, 1)]["chunk_text"] == "w4 w5 w6 w7 w8 w9"
+    assert rows[(1, 1)]["start_tok"] == 4 and rows[(1, 1)]["n_tokens"] == 6
+    # consecutive chunks share exactly `overlap` tokens
+    assert rows[(1, 0)]["chunk_text"].split()[-2:] == \
+        rows[(1, 1)]["chunk_text"].split()[:2]
+    # doc 2: 3 tokens -> one short chunk
+    assert rows[(2, 0)]["chunk_text"] == "a b c"
+    assert rows[(2, 0)]["n_tokens"] == 3
+    # doc 3 blank: no chunks; doc 4: single token
+    assert not any(k[0] == 3 for k in rows)
+    assert rows[(4, 0)]["chunk_text"] == "solo"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from squirreling_spark.pipeline.corpus import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
