@@ -1645,10 +1645,13 @@ _AGG_TOKEN_RE = re.compile(
 
 def _alias_sub(expr: str, amap: dict[str, str]) -> str:
     """Replace bare alias tokens in ``expr`` with their parenthesized
-    definitions (never touching qualified/dotted or call positions)."""
+    definitions (never touching qualified/dotted or call positions, nor
+    matches inside string literals)."""
     for al, ex in amap.items():
-        expr = re.sub(
-            rf"(?<![\w.\"']){re.escape(al)}(?![\w.(])", f"({ex})", expr
+        expr = _sub_outside_strings(
+            expr,
+            re.compile(rf"(?<![\w.\"']){re.escape(al)}(?![\w.(])"),
+            lambda m, _ex=ex: f"({_ex})",
         )
     return expr
 
