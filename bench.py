@@ -90,6 +90,7 @@ HEADLINE = [
     # z-order layout clustering (one range exchange + stats groupBy)
     "doc_chunking",
     "zorder_layout_orders",
+    "image_dhash_neardup",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -81,6 +81,7 @@ QUERIES = [
     # round-6 additions
     "doc_chunking",
     "zorder_layout_orders",
+    "image_dhash_neardup",
 ]
 
 

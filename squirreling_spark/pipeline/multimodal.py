@@ -107,7 +107,9 @@ def _rgb_result(decoder: str, rgb: "np.ndarray") -> dict:
     """Decoded-pixel summary: dimensions, per-channel means, and a
     checksum of the CANONICAL pixel array (top-down RGB byte order) —
     format-independent, so the same image stored as BMP and PNG hashes
-    identically, which is what the round-trip tests assert."""
+    identically, which is what the round-trip tests assert. The raw
+    array rides along under ``_rgb`` for pixel consumers (dHash);
+    summary consumers drop the key at the schema projection."""
     h, w = rgb.shape[:2]
     return {
         "decoder": decoder,
@@ -120,6 +122,7 @@ def _rgb_result(decoder: str, rgb: "np.ndarray") -> dict:
         "checksum": hashlib.sha256(
             np.ascontiguousarray(rgb).tobytes()
         ).hexdigest(),
+        "_rgb": rgb,
     }
 
 
@@ -1567,4 +1570,114 @@ def mp4_metadata(
         F.when(is_mp4 & F.col("_moov_at").isNotNull(), F.col("_n_trak"))
         .cast("bigint")
         .alias("n_tracks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection (dHash): the image-side
+# analogue of MinHash-LSH text dedup. A 100 TB crawl carries the same
+# image re-encoded, recompressed, and brightness-shifted millions of
+# times — byte checksums miss all of it; the 64-bit difference hash
+# (gradient signs on a fixed 9×8 luma grid) survives those transforms.
+# Banding the hash into 4×16-bit keys turns all-pairs comparison into a
+# bucket-local equi-join, exactly like streaming/batch MinHash-LSH.
+# ---------------------------------------------------------------------------
+
+
+def _dhash_bands(rgb: "np.ndarray") -> list | None:
+    """4×16-bit dHash bands of a decoded RGB raster: integer BT.601 luma
+    (×1000 floor — exact for grayscale), nearest-neighbour resample to a
+    9×8 grid, bit (r, c) = luma[r, c] > luma[r, c+1]; band i packs rows
+    2i..2i+1 MSB-first. Integer-only, so any engine reproduces it."""
+    if rgb is None or not hasattr(rgb, "shape"):
+        return None
+    h, w = rgb.shape[:2]
+    if h < 1 or w < 2:
+        return None
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    px = rgb[ys][:, xs].astype(np.int64)
+    luma = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+    bits = (luma[:, :-1] > luma[:, 1:]).astype(np.int64)  # (8, 8)
+    weights = 1 << (15 - np.arange(16, dtype=np.int64))
+    return [
+        int((bits[2 * i : 2 * i + 2].reshape(-1) * weights).sum())
+        for i in range(4)
+    ]
+
+
+_DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), True),
+        StructField("b0", LongType(), True),
+        StructField("b1", LongType(), True),
+        StructField("b2", LongType(), True),
+        StructField("b3", LongType(), True),
+    ]
+)
+
+
+def image_dhash_bands(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """(media_id, b0..b3): 16-bit dHash band keys per image, through the
+    REAL pixel decoders (BMP/PNG/GIF/JPEG — undecodable payloads yield
+    NULL bands). Arrow-batched mapInPandas, one pass."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    bands = _dhash_bands(_decode_bytes(blob).get("_rgb"))
+                except Exception:  # noqa: BLE001 — hostile bytes → NULL
+                    bands = None
+                b = bands or [None] * 4
+                rows.append(
+                    {"media_id": mid, "b0": b[0], "b1": b[1],
+                     "b2": b[2], "b3": b[3]}
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, schema=_DHASH_SCHEMA)
+
+
+def dhash_near_dup(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 16,
+) -> DataFrame:
+    """Near-dup pairs (id_a, id_b, hamming) from banded dHashes:
+    candidates = pairs agreeing on AT LEAST one 16-bit band (bucket-local
+    equi-join on (band_idx, band_value) — never an all-pairs product),
+    verified by total Hamming distance over all four bands ≤
+    ``max_hamming``. Same shape as the MinHash-LSH text path: the
+    quadratic step is confined to hash-identical buckets."""
+    bands = hashes.select(
+        F.col(id_col).alias("__id"), "b0", "b1", "b2", "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band_idx", "band_val"
+        ),
+    ).filter(F.col("band_val").isNotNull())
+    left = bands.select(
+        "band_idx", "band_val",
+        F.col("__id").alias("id_a"),
+        F.col("b0").alias("a0"), F.col("b1").alias("a1"),
+        F.col("b2").alias("a2"), F.col("b3").alias("a3"),
+    )
+    right = bands.select(
+        "band_idx", "band_val",
+        F.col("__id").alias("id_b"),
+        F.col("b0").alias("c0"), F.col("b1").alias("c1"),
+        F.col("b2").alias("c2"), F.col("b3").alias("c3"),
+    )
+    ham = sum(
+        F.expr(f"bit_count(a{i} ^ c{i})") for i in range(4)
+    )
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("bigint").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )

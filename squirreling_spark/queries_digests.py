@@ -433,6 +433,11 @@ _DEDUPV_CK = {
     "dedup_embedding_lsh": (
         "id_a * 1009 + id_b * 31 + floor(sim * 1000000)",
     ) * 2,
+    # round 6: perceptual-hash image near-dup (real BMP decode → dHash →
+    # 16-bit band bucket join → Hamming verify)
+    "image_dhash_neardup": (
+        "id_a * 1009 + id_b * 31 + hamming * 7",
+    ) * 2,
 }
 
 
@@ -445,8 +450,10 @@ _DEDUPV_CK = {
 def dedup_variants_digest(spark, sf):
     """Dedup variant family, one checksum row per member: 48-bit SimHash
     fingerprints (row-local fold), top-20 3-gram Jaccard pairs (the
-    LSH refine verifier), and sign-hyperplane embedding LSH candidates
-    with exact-cosine verification (pipeline/dedup.py)."""
+    LSH refine verifier), sign-hyperplane embedding LSH candidates with
+    exact-cosine verification (pipeline/dedup.py), and perceptual-hash
+    image near-dup through the real BMP decoder
+    (pipeline/multimodal.py::image_dhash_bands + dhash_near_dup)."""
     return _union_all(
         [
             _digest_branch(inventory.QUERIES[tag](spark, sf), tag, sck)

@@ -2877,3 +2877,104 @@ def zorder_layout_orders_q(spark, sf):
         F.min("zkey").alias("min_zkey"),
         F.max("zkey").alias("max_zkey"),
     )
+
+
+@query(
+    "image_dhash_neardup",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (doc_id // 3 * 37 + doc_id % 3) % 256 AS base,
+             11 + (doc_id // 3 % 7) * 13 AS ax
+      FROM documents
+    ),
+    hb AS (
+      SELECT doc_id, i AS band_idx,
+             CAST(list_sum(list_transform(generate_series(0, 15), k ->
+               CASE WHEN ((base + ax * (k % 8) + 29 * (2 * i + k // 8))
+                          % 256)
+                  > ((base + ax * ((k % 8) + 1) + 29 * (2 * i + k // 8))
+                          % 256)
+               THEN (1::BIGINT << (15 - k)) ELSE 0 END)) AS BIGINT) AS bv
+      FROM p, generate_series(0, 3) g(i)
+    ),
+    h4 AS (
+      SELECT doc_id,
+             max(CASE WHEN band_idx = 0 THEN bv END) AS b0,
+             max(CASE WHEN band_idx = 1 THEN bv END) AS b1,
+             max(CASE WHEN band_idx = 2 THEN bv END) AS b2,
+             max(CASE WHEN band_idx = 3 THEN bv END) AS b3
+      FROM hb GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM hb l JOIN hb r
+        ON l.band_idx = r.band_idx AND l.bv = r.bv
+       AND l.doc_id < r.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+             AS BIGINT) AS hamming
+    FROM cand c
+    JOIN h4 a ON a.doc_id = c.id_a
+    JOIN h4 b ON b.doc_id = c.id_b
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 16
+    """,
+)
+def image_dhash_neardup_q(spark, sf):
+    """Perceptual-hash image near-dup (pipeline/multimodal.py::
+    image_dhash_bands + dhash_near_dup): per document, synthesize a 9×8
+    grayscale-GRADIENT 24-bit BMP (value = (base + ax·x + 29·y) mod 256;
+    base and the x-slope are group-keyed off doc_id so groups of three
+    docs carry brightness-shifted variants of one pattern), decode it
+    through the REAL BMP pixel decoder, dHash the raster (BT.601 integer
+    luma, 9×8 grid, gradient-sign bits), band the 64-bit hash into four
+    16-bit keys, bucket-join candidates, and keep pairs within Hamming
+    16. The oracle derives every band bit in closed form from the
+    gradient formula and replays the banding + Hamming verify — so the
+    whole decode→hash→band→verify chain is value-checked, including the
+    BMP bottom-up row order and the 4-byte row padding (w=9 forces a pad
+    byte, which the solid-color variants never exercised)."""
+    from squirreling_spark.pipeline.multimodal import (
+        dhash_near_dup,
+        image_dhash_bands,
+    )
+    from squirreling_spark.qutil import spread
+
+    d = spread(t(spark, sf, "documents").select("doc_id"), by=["doc_id"])
+    grp = F.expr("doc_id div 3")
+    base = (grp * 37 + F.col("doc_id") % 3) % 256
+    ax = F.lit(11) + (grp % 7) * 13
+
+    def vhex(x: int, y: int):
+        v = ((base + ax * x + 29 * y) % 256).cast("bigint")
+        h1 = F.lpad(F.hex(v), 2, "0")
+        return F.concat(h1, h1, h1)  # grayscale → equal B, G, R
+
+    header = (
+        "424D" + "00000000" + "00000000" + "36000000"  # BM, size, res, off
+        + "28000000" + "09000000" + "08000000"          # ihdr, w=9, h=8
+        + "0100" + "1800" + "00000000" + "00000000"     # planes, 24bpp
+        + "00" * 8 + "00000000" + "00000000"            # ppm, clr
+    )
+    parts = [F.lit(header)]
+    for j in range(8):          # stored bottom-up
+        y = 7 - j
+        parts.extend(vhex(x, y) for x in range(9))
+        parts.append(F.lit("00"))  # 27-byte row → 4-byte alignment pad
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.unhex(F.concat(*parts)).alias("payload"),
+    )
+    pairs = dhash_near_dup(
+        image_dhash_bands(media), id_col="media_id", max_hamming=16
+    )
+    a = F.col("id_a").cast("bigint")
+    b = F.col("id_b").cast("bigint")
+    return pairs.select(
+        F.least(a, b).alias("id_a"),
+        F.greatest(a, b).alias("id_b"),
+        "hamming",
+    )

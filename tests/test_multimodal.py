@@ -1684,3 +1684,86 @@ def test_decode_survives_corrupt_payloads(spark):
     for bomb in ("bomb_bmp", "bomb_jpg"):
         assert by_id[bomb]["decoder"] == "fake", bomb
         assert (by_id[bomb]["n_pixels"] or 0) <= _MAX_PIXELS
+
+
+def test_dhash_bands_match_naive_reference():
+    """_dhash_bands vs a from-scratch dHash on a random raster (resample
+    indices, luma rounding, bit packing all re-derived independently)."""
+    import numpy as np
+
+    from squirreling_spark.pipeline.multimodal import _dhash_bands
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, size=(23, 31, 3)).astype(np.uint8)
+    got = _dhash_bands(rgb)
+    bits = []
+    for r in range(8):
+        y = (r * 23) // 8
+        row = []
+        for c in range(9):
+            x = (c * 31) // 9
+            p = rgb[y, x].astype(int)
+            row.append((299 * p[0] + 587 * p[1] + 114 * p[2]) // 1000)
+        bits.extend(1 if row[c] > row[c + 1] else 0 for c in range(8))
+    want = [
+        sum(b << (15 - k) for k, b in enumerate(bits[16 * i : 16 * i + 16]))
+        for i in range(4)
+    ]
+    assert got == want
+
+
+def test_dhash_brightness_shift_is_near_dup():
+    """A mild brightness shift flips only wrap-boundary bits — total
+    Hamming stays small; an unrelated pattern lands far away."""
+    import numpy as np
+
+    from squirreling_spark.pipeline.multimodal import _dhash_bands
+
+    x = np.arange(9)[None, :, None]
+    y = np.arange(8)[:, None, None]
+    base = ((17 * x + 29 * y) % 256).astype(np.uint8).repeat(3, axis=2)
+    shifted = ((17 * x + 29 * y + 2) % 256).astype(np.uint8).repeat(3, 2)
+    rng = np.random.RandomState(1)
+    noise = rng.randint(0, 256, size=(8, 9, 3)).astype(np.uint8)
+
+    def ham(a, b):
+        return sum(bin(p ^ q).count("1") for p, q in zip(a, b))
+
+    ha, hs, hn = (
+        _dhash_bands(base), _dhash_bands(shifted), _dhash_bands(noise)
+    )
+    assert ham(ha, hs) <= 8
+    assert ham(ha, hn) > 8
+
+
+def test_image_dhash_bands_null_for_undecodable(spark):
+    from squirreling_spark.pipeline.multimodal import image_dhash_bands
+
+    df = spark.createDataFrame(
+        [("x", bytearray(b"not an image")), ("y", None)],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in image_dhash_bands(df).collect()}
+    assert rows["x"]["b0"] is None and rows["y"]["b0"] is None
+
+
+def test_dhash_near_dup_buckets_and_verifies(spark):
+    from squirreling_spark.pipeline.multimodal import dhash_near_dup
+
+    hashes = spark.createDataFrame(
+        [
+            ("a", 1, 2, 3, 4),
+            ("b", 1, 2, 3, 5),      # shares 3 bands with a, hamming small
+            ("c", 9999, 8888, 777, 66),   # no shared band with a/b
+            ("d", 1, 60000, 50000, 40000),  # shares band 0 with a/b only
+        ],
+        "media_id string, b0 long, b1 long, b2 long, b3 long",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_near_dup(hashes, max_hamming=16).collect()
+    }
+    assert pairs[("a", "b")] == bin(4 ^ 5).count("1")
+    assert not any("c" in p for p in pairs)
+    # d is a CANDIDATE via band 0 but fails the hamming verify
+    assert not any("d" in p for p in pairs)
