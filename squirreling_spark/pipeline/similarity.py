@@ -413,3 +413,158 @@ def semdedup(
             (F.coalesce("n_close", F.lit(0)) > 0).alias("is_dup"),
         )
     )
+
+
+def cosine_block_join(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block: int = 512,
+    round_digits: int = 6,
+) -> DataFrame:
+    """EXACT all-pairs cosine ε-join as a block-matrix product.
+
+    The naive exact verifier (a < b theta-join + the per-pair HOF dot
+    product) materializes O(n²) join ROWS and evaluates an interpreted
+    64-term fold on every one. Same asymptotics, different constants —
+    the classical block-nested-loop formulation every distributed
+    exact-similarity system uses:
+
+    1. every vector is hashed to one of ``m = ceil(n/block)`` blocks by
+       ``xxhash64(id) % m`` — membership depends only on the id, NEVER on
+       physical layout, so the blocks subtree can be recomputed on both
+       sides of the self-join (or on task retry on a real cluster) and
+       always packs identically;
+    2. each block packs to ONE row (ids + a ``block×d`` matrix) via
+       ``applyInPandas``;
+    3. the m(m+1)/2 unordered block pairs come from ``spark.range(m)``
+       cross ``spark.range(m)`` (tiny, id-only — no data in the
+       nested-loop); two bid equi-joins attach the packed matrices, so
+       shuffle volume is O(n·m) = O(n²/block) VALUES instead of O(n²)
+       rows — ``block`` is the replication divisor;
+    4. one ``mapInPandas`` per block pair runs a single dgemm
+       (``Va @ Vb.T`` — BLAS, ~raw-FLOP speed) with a
+       ``threshold - 10^-round_digits`` slack mask, then recomputes the
+       few survivors with a LEFT-TO-RIGHT float64 fold over dims — the
+       exact IEEE operation sequence of the ``cosine()`` HOF expression
+       (products, then a sequential ``acc + v`` fold; ``norm2`` the same)
+       — so emitted sims are bit-identical to the HOF plan and the DuckDB
+       oracle, and the BLAS value only ever decides membership with 1e-6
+       slack against a ~1e-14 error bound.
+
+    Still O(n²) FLOPs — an exact ε-join on unstructured vectors cannot
+    beat that (this fixture is isotropic with planted near-dups; centroid
+    triangle-inequality pruning measurably removes nothing, which is WHY
+    ``dedup_embedding_lsh`` is the approximate default at scale) — but
+    the work is dense linear algebra on O(n²/block) shuffled values, not
+    an interpreted fold on O(n²) shuffled rows. Rounding happens
+    Spark-side (``F.round``) on the bit-identical raw sim, keeping the
+    round semantics of the previous plan."""
+    import math
+
+    spark = df.sparkSession
+    n = df.count()
+    m = max(1, math.ceil(n / block))
+
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("bid", F.pmod(F.xxhash64(F.col("id")), F.lit(m)))
+
+    def _pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("id")
+        return pd.DataFrame(
+            {
+                "bid": [int(pdf["bid"].iloc[0])],
+                "ids": [pdf["id"].tolist()],
+                "vecs": [[list(v) for v in pdf["vec"]]],
+            }
+        )
+
+    blocks = e.groupBy("bid").applyInPandas(
+        _pack, schema="bid bigint, ids array<bigint>, vecs array<array<double>>"
+    )
+
+    pairs = (
+        spark.range(m)
+        .select(F.col("id").alias("pa"))
+        .crossJoin(spark.range(m).select(F.col("id").alias("pb")))
+        .filter(F.col("pa") <= F.col("pb"))
+    )
+    joined = (
+        pairs.join(
+            blocks.select(
+                F.col("bid").alias("pa"),
+                F.col("ids").alias("ids_a"),
+                F.col("vecs").alias("vecs_a"),
+            ),
+            "pa",
+        )
+        .join(
+            blocks.select(
+                F.col("bid").alias("pb"),
+                F.col("ids").alias("ids_b"),
+                F.col("vecs").alias("vecs_b"),
+            ),
+            "pb",
+        )
+    )
+
+    slack = 10.0 ** (-round_digits)
+    thr = threshold
+
+    def _emit(batches):
+        import numpy as np
+        import pandas as pd
+
+        def seq_norm2(V):
+            acc = np.zeros(V.shape[0])
+            for d in range(V.shape[1]):
+                acc = acc + V[:, d] * V[:, d]
+            return acc
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                Va = np.array([np.asarray(v) for v in row.vecs_a])
+                Vb = np.array([np.asarray(v) for v in row.vecs_b])
+                na, nb = seq_norm2(Va), seq_norm2(Vb)
+                G = Va @ Vb.T
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    mask = G / np.sqrt(np.outer(na, nb)) >= thr - slack
+                # each unordered vector pair appears in exactly one
+                # unordered block pair; within the diagonal block pair
+                # the full grid holds both orientations + self-pairs, so
+                # keep the id_a < id_b triangle there
+                if row.pa == row.pb:
+                    mask &= ids_a[:, None] < ids_b[None, :]
+                ii, jj = np.nonzero(mask)
+                if len(ii) == 0:
+                    continue
+                Ac, Bc = Va[ii], Vb[jj]
+                acc = np.zeros(len(ii))
+                for d in range(Ac.shape[1]):
+                    acc = acc + Ac[:, d] * Bc[:, d]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = acc / np.sqrt(na[ii] * nb[jj])
+                ida, idb = ids_a[ii], ids_b[jj]
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.minimum(ida, idb),
+                        "id_b": np.maximum(ida, idb),
+                        "sim_raw": sim,
+                    }
+                )
+
+    raw = joined.mapInPandas(
+        _emit, schema="id_a bigint, id_b bigint, sim_raw double"
+    )
+    return raw.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("sim_raw"), round_digits).alias("sim"),
+    ).filter(F.col("sim") >= threshold)

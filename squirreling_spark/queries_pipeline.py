@@ -21,7 +21,11 @@ from squirreling_spark.pipeline.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from squirreling_spark.pipeline.similarity import cosine, cosine_topk_bruteforce
+from squirreling_spark.pipeline.similarity import (
+    cosine,
+    cosine_block_join,
+    cosine_topk_bruteforce,
+)
 from squirreling_spark.pipeline.text import (
     fingerprint,
     lang_id,
@@ -178,19 +182,17 @@ def dedup_ngram_jaccard_q(spark, sf):
     """,
 )
 def dedup_embedding_cosine_q(spark, sf):
-    """EXACT all-pairs verifier for embedding near-dup — O(n^2) nested-loop
-    by construction; registered only as the small-scale correctness
-    baseline for ``dedup_embedding_lsh``, which is the default (and only
-    100 TB-viable) path. Never use this in a bench headline or composite
-    pipeline; at scale, run the LSH bands and verify candidates only."""
-    e = t(spark, sf, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("sim"))
-        .filter(F.col("sim") >= 0.45)
+    """EXACT all-pairs verifier for embedding near-dup. O(n²) FLOPs by
+    definition (an exact ε-join on unstructured vectors can't do better —
+    ``dedup_embedding_lsh`` is the approximate default at scale), but
+    executed as ``cosine_block_join``: a block-matrix BLAS product with
+    O(n²/block) shuffle values instead of the previous a<b theta-join's
+    O(n²) shuffled rows each paying an interpreted 64-term HOF fold.
+    Emitted sims are bit-identical to the HOF plan (sequential-fold
+    recompute for the slack-mask survivors) — pinned by
+    tests/test_operators.py::test_cosine_block_join_matches_hof."""
+    return cosine_block_join(
+        t(spark, sf, "embeddings"), threshold=0.45, block=1024
     )
 
 

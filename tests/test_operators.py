@@ -222,3 +222,71 @@ def test_pack_sequences_greedy_budget(spark):
     # no bin over budget except single oversize chunks
     for (shard, doc, idx), (seq, tot) in got.items():
         assert tot <= 100 or tot == 150
+
+
+# ---------------------------------------------------------------------------
+# cosine_block_join — exact block-BLAS ε-join vs the naive HOF theta-join
+# ---------------------------------------------------------------------------
+
+
+def _hof_allpairs(spark, sf_dir, threshold=0.45):
+    """The pre-round-6 plan: a<b theta-join + per-pair HOF cosine. Kept
+    here (test-only) as the bit-parity reference for cosine_block_join."""
+    from squirreling_spark.pipeline.similarity import cosine
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def _pairs_set(df):
+    return sorted((r["id_a"], r["id_b"], r["sim"]) for r in df.collect())
+
+
+def test_cosine_block_join_matches_hof(spark, sf001):
+    """Bit-identical output (ids AND float sims) vs the naive exact plan."""
+    from squirreling_spark.pipeline.similarity import cosine_block_join
+
+    e = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    got = _pairs_set(cosine_block_join(e, threshold=0.45, block=16))
+    want = _pairs_set(_hof_allpairs(spark, sf001))
+    assert len(want) > 0  # fixture plants near-dup pairs
+    assert got == want
+
+
+def test_cosine_block_join_block_size_invariant(spark, sf001):
+    """Output must not depend on the blocking granularity: one block,
+    tiny blocks, defaults — same exact pair set, same sim bits."""
+    from squirreling_spark.pipeline.similarity import cosine_block_join
+
+    e = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    base = _pairs_set(cosine_block_join(e, threshold=0.45, block=100000))
+    for blk in (7, 64):
+        assert _pairs_set(cosine_block_join(e, threshold=0.45, block=blk)) == base
+
+
+def test_cosine_block_join_slack_keeps_boundary_pairs(spark):
+    """A pair whose raw sim sits just UNDER the threshold but rounds up to
+    it must survive the BLAS slack mask (the mask uses threshold - 1e-6)."""
+    from squirreling_spark.pipeline.similarity import cosine_block_join
+    import math
+
+    # unit vectors at angle arccos(0.4499996): rounds to 0.450000
+    c = 0.4499996
+    s = math.sqrt(1 - c * c)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [c, s]), (3, [-1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in cosine_block_join(df, threshold=0.45, block=2).collect()
+    }
+    assert (1, 2) in rows and abs(rows[(1, 2)] - 0.45) < 1e-12
+    assert all(k == (1, 2) for k in rows)
