@@ -318,6 +318,85 @@ def events_tumbling_stream(spark, sf):
         )
     return spark.table(sink)
 
+
+@query(
+    "events_session_stream",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, us
+                     ROWS UNBOUNDED PRECEDING) AS seq
+      FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, seq
+    """,
+)
+def events_session_stream(spark, sf):
+    """Gap-based sessions (30-min inactivity) via the NATIVE streaming
+    ``session_window`` operator, run through a real Structured Streaming
+    micro-batch cycle (readStream → merging session state → memory sink).
+    The oracle restates session semantics as batch SQL: a lag/running-sum
+    sessionize, then per-session bounds. Boundary rule (pinned by
+    tests/test_streaming.py::test_session_window_exact_gap_merges): a gap
+    EXACTLY equal to the threshold still MERGES — session windows
+    [t, t+gap) that touch are coalesced — so the oracle's new-session
+    predicate is strictly-greater, the same rule as the batch
+    ``events_sessionize`` lag operator. ``session_end`` is
+    last-event-ts + gap, the session_window contract.
+    Stream/batch equivalence is the graded contract, as with
+    events_tumbling_stream."""
+    ev = t(spark, sf, "events")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"sq_sess_stream_{os.path.basename(sf.rstrip('/'))}",
+    )
+    ev.select("event_id", "user_id", "ts").write.mode("overwrite").parquet(
+        stage
+    )
+    src = spark.readStream.schema(
+        ev.select("event_id", "user_id", "ts").schema
+    ).parquet(stage)
+    agg = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    digest = hashlib.md5(sf.encode("utf-8")).hexdigest()[:8]
+    sink = f"sq_sess_sink_{digest}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(
+            f"session stream did not finish within 300s (exception: {exc})"
+        )
+    return spark.table(sink)
+
+
 @query(
     "q7_volume_shipping",
     oracle=f"""

@@ -324,3 +324,28 @@ def test_stream_minhash_neardup_ttl_expires_cold_buckets(
     # only with its within-batch duplicate 202.
     assert (201, 202) in got, got
     assert all(p[0] != 1 for p in got), got
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Pin the boundary rule the events_session_stream oracle encodes: a
+    gap EXACTLY equal to the threshold still MERGES (session windows
+    [t, t+gap) that touch are coalesced) — the same strictly-greater
+    new-session predicate as the lag-based batch sessionize; one past the
+    threshold splits."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=30)),  # == gap -> merges
+        (1, t0 + dt.timedelta(minutes=60, seconds=1)),  # > gap -> new
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("s.start")
+        .collect()
+    )
+    assert [r["n"] for r in out] == [2, 1]
+    assert out[0]["s"]["end"] == t0 + dt.timedelta(minutes=60)
