@@ -91,6 +91,11 @@ HEADLINE = [
     "doc_chunking",
     "zorder_layout_orders",
     "image_dhash_neardup",
+    # round-6 continuation: streaming session windows (real micro-batch
+    # cycle), BPE vocabulary training (8 iterative merge rounds over the
+    # persisted vocab — driver traffic is one row per round)
+    "events_session_stream",
+    "bpe_train_merges",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -1,0 +1,180 @@
+"""BPE vocabulary training at corpus scale — the tokenizer-training
+primitive of an LLM data pipeline (learn the merge table that the
+`token_stats` BPE-ish estimator approximates).
+
+Spark-first shape (reference has no tokenizer training; this is part of
+the beyond-reference training-pipeline surface, like dedup/ANN/export):
+
+- the corpus collapses ONCE to its distinct-word vocabulary with
+  frequencies (a map-side-combined groupBy — vocab ≪ corpus, so every
+  later round works on vocab-sized state, never re-reading the corpus);
+- each merge round is (1) one weighted pair-count aggregation over the
+  vocabulary (explode adjacent token pairs, map-side combine), (2) ONE
+  driver-collected row — the argmax merge rule (count DESC, then
+  lexicographic (left, right): deterministic under any partitioning),
+  (3) one codegen'd `replace` applying the rule to every word.
+
+Token sequences are carried as a WRAPPED STRING — ``"her"`` is
+``"<h><e><r>"`` — so a merge is a single literal `replace(repr,
+'<l><r>', '<lr>')`. Leftmost non-overlapping replacement over the
+wrapped form IS greedy left-to-right BPE merging: matches can never
+share characters (each consumes both full wrapped tokens), can never
+start inside a longer token (the '<' boundary), and ``<a><a><a>``
+correctly becomes ``<aa><a>``. The same representation runs verbatim in
+the DuckDB oracle (string `replace` has identical leftmost semantics),
+which unrolls every round in SQL — the k-means-oracle pattern.
+
+Pair counts include OVERLAPPING adjacent positions ("aaa" contributes
+two (a,a) pairs) — the standard pre-merge occurrence count; both
+engines count the same way.
+
+Words are the ``[a-z]+`` runs of the raw text (no case folding: Spark
+and DuckDB disagree on non-ASCII case mapping — see
+tests/test_props.py — so the corpus contract is ASCII-lowercase runs).
+
+Scale: per-round driver traffic is ONE row; state is the distinct-word
+vocabulary; the corpus is read exactly once. Lineage grows by one
+`replace` projection per round — for large k, checkpoint the vocab
+every ~32 rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from squirreling_spark.qutil import spread
+
+_PAIRS = (
+    "transform(sequence(0, size(__t) - 2), i ->"
+    " struct(__t[i] AS l, __t[i + 1] AS r))"
+)
+
+
+def _vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """Distinct [a-z]+ words with corpus frequencies, each as its
+    initial wrapped character sequence."""
+    words = df.select(
+        F.explode(
+            F.expr(f"regexp_extract_all({text_col}, '[a-z]+', 0)")
+        ).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.regexp_replace(F.col("word"), "(.)", "<$1>").alias("repr"),
+            "freq",
+        )
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    toks = F.split(
+        F.expr("substring(repr, 2, length(repr) - 2)"), "><"
+    ).alias("__t")
+    return (
+        vocab.filter(F.length("repr") > 0)
+        .select("freq", toks)
+        .filter(F.size("__t") >= 2)
+        .select("freq", F.explode(F.expr(_PAIRS)).alias("p"))
+        .groupBy(F.col("p.l").alias("lhs"), F.col("p.r").alias("rhs"))
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+    )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str, merges: int = 8
+) -> DataFrame:
+    """Learn the top-``merges`` BPE merge rules from a document corpus.
+
+    Returns one row per learned rule: ``merge_rank`` (1-based merge
+    order), ``lhs``, ``rhs`` (the merged pair), ``merged`` (the new
+    token), ``pair_count`` (the rule's pre-merge weighted occurrence
+    count). (``lhs``/``rhs`` because LEFT/RIGHT are reserved words on
+    the oracle side.)
+    """
+    spark = df.sparkSession
+    # persist the collapsed vocabulary: every round's lineage otherwise
+    # re-scans the CORPUS (8 merges = 8 full scans); the vocab is
+    # vocab-sized — small at any corpus scale — so this is the right
+    # trade at 100 TB too. Rounds then replay only the stacked replaces.
+    base = spread(_vocab(df, text_col), by=["repr"]).persist()
+    vocab = base
+    rules = []
+    try:
+        for rank in range(1, merges + 1):
+            best = (
+                _pair_counts(vocab)
+                .orderBy(F.desc("pair_count"), "lhs", "rhs")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            l, r = best[0]["lhs"], best[0]["rhs"]
+            rules.append((rank, l, r, l + r, best[0]["pair_count"]))
+            vocab = vocab.select(
+                F.replace(
+                    F.col("repr"),
+                    F.lit(f"<{l}><{r}>"),
+                    F.lit(f"<{l}{r}>"),
+                ).alias("repr"),
+                "freq",
+            )
+        return spark.createDataFrame(
+            rules, "merge_rank int, lhs string, rhs string, merged string,"
+            " pair_count bigint"
+        )
+    finally:
+        base.unpersist()
+
+
+def bpe_oracle_sql(merges: int = 8, table: str = "documents",
+                   text_col: str = "text") -> str:
+    """DuckDB SQL replaying the exact training loop, every round unrolled
+    (the k-means-oracle pattern): per-round pair counts, argmax with the
+    (count DESC, left, right) tie-break, wrapped-string replace."""
+    parts = [
+        f"""v0 AS (
+      SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS repr,
+             CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_extract_all({text_col}, '[a-z]+')) AS word
+            FROM {table})
+      GROUP BY 1
+    )"""
+    ]
+    rows = []
+    for k in range(1, merges + 1):
+        prev = f"v{k - 1}"
+        parts.append(f"""p{k} AS (
+      SELECT t[i] AS l, t[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS c
+      FROM (
+        SELECT string_split(substr(repr, 2, length(repr) - 2), '><') AS t,
+               freq,
+               unnest(generate_series(
+                 1, len(string_split(substr(repr, 2, length(repr) - 2),
+                                     '><')) - 1)) AS i
+        FROM {prev} WHERE length(repr) > 0
+      )
+      GROUP BY 1, 2
+    )""")
+        parts.append(f"""b{k} AS (
+      SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1
+    )""")
+        parts.append(f"""v{k} AS (
+      SELECT replace(repr, '<' || b.l || '><' || b.r || '>',
+                     '<' || b.l || b.r || '>') AS repr, freq
+      FROM {prev} CROSS JOIN b{k} AS b
+    )""")
+        rows.append(
+            f"SELECT {k} AS merge_rank, l AS lhs, r AS rhs,"
+            f" l || r AS merged, c AS pair_count FROM b{k}"
+        )
+    body = "\n    UNION ALL ".join(rows)
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs,"
+        f" merged, pair_count FROM ({body}) ORDER BY merge_rank"
+    )

@@ -2980,3 +2980,24 @@ def image_dhash_neardup_q(spark, sf):
         F.greatest(a, b).alias("id_b"),
         "hamming",
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary training (pipeline/bpe.py) — the tokenizer-training
+# primitive. The oracle unrolls every merge round in SQL (the k-means
+# pattern): pair counts → (count DESC, lhs, rhs) argmax → wrapped-string
+# replace, so the full iterative training loop is value-hash-checked.
+# ---------------------------------------------------------------------------
+
+from squirreling_spark.pipeline.bpe import bpe_oracle_sql as _bpe_oracle
+from squirreling_spark.pipeline.bpe import bpe_train as _bpe_train
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle(8))
+def bpe_train_merges_q(spark, sf):
+    """Top-8 BPE merge rules learned from the documents corpus: one
+    vocab-collapse scan, then per-round one map-side-combined pair-count
+    aggregation + a ONE-row driver argmax + one codegen'd replace. Later
+    rounds merge into earlier merged tokens (multi-character units), so
+    the full iterative dependency chain is graded."""
+    return _bpe_train(t(spark, sf, "documents"), "text", merges=8)

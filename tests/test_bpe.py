@@ -1,0 +1,52 @@
+"""BPE trainer semantics: greedy left-to-right merging over the wrapped
+representation, overlap counting, deterministic tie-break, multi-round
+merges into merged tokens."""
+
+from squirreling_spark.pipeline.bpe import bpe_train
+
+
+def _rules(spark, texts, merges):
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    return [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in bpe_train(df, "text", merges=merges).collect()
+    ]
+
+
+def test_overlapping_pairs_counted_merged_greedily(spark):
+    # "aaaa": three adjacent (a,a) positions counted; the merge itself is
+    # greedy left-to-right, so round 2's best pair is (aa,aa) from
+    # "aaaa" -> <aa><aa> while "aaa" -> <aa><a> contributes (aa,a).
+    rules = _rules(spark, ["aaaa aaaa aaa"], 2)
+    assert rules[0] == (1, "a", "a", "aa", 2 * 3 + 2)
+    assert rules[1][1:4] == ("aa", "aa", "aaaa")
+
+
+def test_tiebreak_is_lexicographic(spark):
+    # (a,b) and (b,a) both occur twice ("abab": ab x2, ba x1... use two
+    # words): "ab ab" gives (a,b)=2; "ba ba" gives (b,a)=2 -> (a,b) wins.
+    rules = _rules(spark, ["ab ab ba ba"], 1)
+    assert rules[0] == (1, "a", "b", "ab", 2)
+
+
+def test_merges_build_on_merged_tokens(spark):
+    # "abc" x3: round 1 (a,b) vs (b,c) tie -> (a,b); round 2 merges the
+    # MERGED token (ab, c).
+    rules = _rules(spark, ["abc abc abc"], 2)
+    assert rules[0] == (1, "a", "b", "ab", 3)
+    assert rules[1] == (2, "ab", "c", "abc", 3)
+
+
+def test_word_boundaries_and_case_contract(spark):
+    # Words are [a-z]+ runs of the RAW text: "Go-cart" contributes "o"
+    # and "cart"; pairs never span word boundaries.
+    rules = _rules(spark, ["Go-cart cart"], 1)
+    assert rules[0][1:4] == ("a", "r", "ar") or rules[0][1:4] == ("c", "a", "ca")
+    # deterministic: (a,r) and (c,a) and (r,t) all have count 2 -> lex
+    # smallest (a,r) wins
+    assert rules[0] == (1, "a", "r", "ar", 2)
+
+
+def test_exhausted_corpus_stops_early(spark):
+    # single-char words have no pairs: training stops with no rules.
+    assert _rules(spark, ["a b c a"], 4) == []
