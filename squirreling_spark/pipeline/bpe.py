@@ -83,6 +83,38 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+def _train(df: DataFrame, text_col: str, merges: int):
+    """Shared training loop: returns (rules, final_vocab, base_to_unpersist).
+
+    The collapsed vocabulary is persisted: every round's lineage would
+    otherwise re-scan the CORPUS (8 merges = 8 full scans); the vocab is
+    vocab-sized — small at any corpus scale — so this is the right trade
+    at 100 TB too. Rounds then replay only the stacked replaces."""
+    base = spread(_vocab(df, text_col), by=["repr"]).persist()
+    vocab = base
+    rules = []
+    for rank in range(1, merges + 1):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("pair_count"), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r = best[0]["lhs"], best[0]["rhs"]
+        rules.append((rank, l, r, l + r, best[0]["pair_count"]))
+        vocab = vocab.select(
+            F.replace(
+                F.col("repr"),
+                F.lit(f"<{l}><{r}>"),
+                F.lit(f"<{l}{r}>"),
+            ).alias("repr"),
+            "freq",
+        )
+    return rules, vocab, base
+
+
 def bpe_train(
     df: DataFrame, text_col: str, merges: int = 8
 ) -> DataFrame:
@@ -95,38 +127,48 @@ def bpe_train(
     the oracle side.)
     """
     spark = df.sparkSession
-    # persist the collapsed vocabulary: every round's lineage otherwise
-    # re-scans the CORPUS (8 merges = 8 full scans); the vocab is
-    # vocab-sized — small at any corpus scale — so this is the right
-    # trade at 100 TB too. Rounds then replay only the stacked replaces.
-    base = spread(_vocab(df, text_col), by=["repr"]).persist()
-    vocab = base
-    rules = []
+    rules, _vocab_final, base = _train(df, text_col, merges)
     try:
-        for rank in range(1, merges + 1):
-            best = (
-                _pair_counts(vocab)
-                .orderBy(F.desc("pair_count"), "lhs", "rhs")
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break
-            l, r = best[0]["lhs"], best[0]["rhs"]
-            rules.append((rank, l, r, l + r, best[0]["pair_count"]))
-            vocab = vocab.select(
-                F.replace(
-                    F.col("repr"),
-                    F.lit(f"<{l}><{r}>"),
-                    F.lit(f"<{l}{r}>"),
-                ).alias("repr"),
-                "freq",
-            )
         return spark.createDataFrame(
             rules, "merge_rank int, lhs string, rhs string, merged string,"
             " pair_count bigint"
         )
     finally:
+        base.unpersist()
+
+
+def bpe_subword_freqs(
+    df: DataFrame, text_col: str, merges: int = 8, top: int = 20
+) -> DataFrame:
+    """The ENCODE half: corpus subword frequencies under the trained
+    vocabulary. The final vocab's wrapped reprs ARE the segmentation of
+    every distinct word (training and encoding apply the identical merge
+    sequence), so corpus token frequencies are one explode of the
+    vocab-sized state weighted by word frequency — the corpus is never
+    re-tokenized. Returns the ``top`` (token, n_occurrences, token_len)
+    rows, count DESC then token ASC (deterministic)."""
+    _rules, vocab, base = _train(df, text_col, merges)
+    try:
+        toks = F.split(
+            F.expr("substring(repr, 2, length(repr) - 2)"), "><"
+        ).alias("__t")
+        return (
+            vocab.select("freq", toks)
+            .select("freq", F.explode("__t").alias("token"))
+            .groupBy("token")
+            .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
+            .select(
+                "token",
+                "n_occurrences",
+                F.length("token").cast("bigint").alias("token_len"),
+            )
+            .orderBy(F.desc("n_occurrences"), "token")
+            .limit(top)
+        )
+    finally:
+        # the learned rules are already embedded as literals, so the
+        # returned (lazy) plan replays the replace chain in ONE pass
+        # when the caller executes it — no iteration, no stale cache.
         base.unpersist()
 
 
@@ -177,4 +219,31 @@ def bpe_oracle_sql(merges: int = 8, table: str = "documents",
         + ",\n    ".join(parts)
         + f"\n    SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs,"
         f" merged, pair_count FROM ({body}) ORDER BY merge_rank"
+    )
+
+
+def bpe_subword_oracle_sql(
+    merges: int = 8, top: int = 20, table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """Oracle for ``bpe_subword_freqs``: replay the unrolled training
+    CTEs, then explode the FINAL vocab's wrapped reprs weighted by word
+    frequency — identical to the Spark plan's encode step."""
+    train = bpe_oracle_sql(merges, table, text_col)
+    with_block = train[: train.rindex("\n    SELECT CAST(merge_rank")]
+    return (
+        with_block
+        + f"""
+    SELECT token, n_occurrences,
+           CAST(length(token) AS BIGINT) AS token_len
+    FROM (
+      SELECT t AS token, CAST(sum(freq) AS BIGINT) AS n_occurrences
+      FROM (
+        SELECT unnest(string_split(substr(repr, 2, length(repr) - 2),
+                                   '><')) AS t, freq
+        FROM v{merges} WHERE length(repr) > 0
+      )
+      GROUP BY 1
+    )
+    ORDER BY n_occurrences DESC, token LIMIT {top}"""
     )

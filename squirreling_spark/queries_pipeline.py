@@ -3001,3 +3001,19 @@ def bpe_train_merges_q(spark, sf):
     rounds merge into earlier merged tokens (multi-character units), so
     the full iterative dependency chain is graded."""
     return _bpe_train(t(spark, sf, "documents"), "text", merges=8)
+
+
+from squirreling_spark.pipeline.bpe import (  # noqa: E402
+    bpe_subword_freqs as _bpe_subword_freqs,
+    bpe_subword_oracle_sql as _bpe_subword_oracle,
+)
+
+
+@query("bpe_subword_freqs", oracle=_bpe_subword_oracle(8, 20))
+def bpe_subword_freqs_q(spark, sf):
+    """The ENCODE half of BPE: top-20 corpus subword frequencies under
+    the trained 8-merge vocabulary. The final vocab's wrapped reprs ARE
+    the segmentation of every distinct word, so encoding is one explode
+    of vocab-sized state weighted by word frequency — the corpus is
+    never re-tokenized."""
+    return _bpe_subword_freqs(t(spark, sf, "documents"), "text", merges=8)

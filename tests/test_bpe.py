@@ -50,3 +50,18 @@ def test_word_boundaries_and_case_contract(spark):
 def test_exhausted_corpus_stops_early(spark):
     # single-char words have no pairs: training stops with no rules.
     assert _rules(spark, ["a b c a"], 4) == []
+
+
+def test_subword_freqs_segment_with_trained_vocab(spark):
+    from squirreling_spark.pipeline.bpe import bpe_subword_freqs
+
+    # merges learned: (a,b)->ab then (ab,c)->abc; "ab" alone stays "ab",
+    # "abd" segments to [ab, d].
+    df = spark.createDataFrame(
+        [("abc abc abc ab abd",)], ["text"]
+    )
+    got = {
+        r["token"]: (r["n_occurrences"], r["token_len"])
+        for r in bpe_subword_freqs(df, "text", merges=2).collect()
+    }
+    assert got == {"abc": (3, 3), "ab": (2, 2), "d": (1, 1)}
