@@ -32,7 +32,7 @@ from squirreling_spark.pipeline.text import (
     quality_score,
     token_stats,
 )
-from squirreling_spark.qutil import dsum, o_dsum, spread as qspread, t
+from squirreling_spark.qutil import det_round, dsum, o_dsum, spread as qspread, t
 
 # DuckDB fragments shared across oracles ------------------------------------
 
@@ -3017,3 +3017,65 @@ def bpe_subword_freqs_q(spark, sf):
     of vocab-sized state weighted by word frequency — the corpus is
     never re-tokenized."""
     return _bpe_subword_freqs(t(spark, sf, "documents"), "text", merges=8)
+
+
+from squirreling_spark.pipeline.rp import (  # noqa: E402
+    project_embeddings as _rp_project,
+    project_oracle_expr as _rp_oracle_expr,
+)
+
+_RP_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    p AS (
+      SELECT vec_id, emb, {_rp_oracle_expr('emb')} AS proj FROM e
+    )
+    SELECT vec_id,
+           array_to_string(list_transform(proj, v -> printf('%.6f', v)),
+                           '/') AS proj,
+           round(sqrt(list_sum(list_transform(proj, x -> x * x))
+                      / list_sum(list_transform(emb, x -> x * x))), 6)
+             AS l2_ratio
+    FROM p
+"""
+
+
+@query("embedding_rp_project", oracle=_RP_ORACLE)
+def embedding_rp_project_q(spark, sf):
+    """Johnson–Lindenstrauss random projection 64→16 of every embedding:
+    the projection matrix is an inline deterministic ±1 PRF, so the whole
+    operator is ONE codegen'd HOF projection over the scan — no shuffle,
+    no broadcast, no Python; scan-bandwidth at 100 TB. Output: the
+    projected vector ('/'-joined %.6f, the centroid string convention)
+    and the per-row L2 ratio (how much norm the projection preserved)."""
+    from squirreling_spark.pipeline.similarity import norm2
+
+    e = t(spark, sf, "embeddings")
+    p = _rp_project(e, "embedding", "vec_id").join(
+        e.select("vec_id", "embedding"), "vec_id"
+    )
+    return p.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                F.col("proj"), lambda v: F.format_string("%.6f", v)
+            ),
+            "/",
+        ).alias("proj"),
+        # plain ROUND is safe here: the ratio is computed from RAW
+        # bit-identical projections (irrational, never on a decimal tie).
+        # Two divergences were root-caused to get here: (1) rounding
+        # INSIDE the projection materializes 1-ulp-different doubles per
+        # engine; (2) norm2() does NOT cast, so the raw float32 column
+        # must be cast to array<double> FIRST or squares happen in
+        # float32 (cosine() casts internally, which is why other rows
+        # never hit this).
+        F.round(
+            F.sqrt(
+                norm2(F.col("proj"))
+                / norm2(F.col("embedding").cast("array<double>"))
+            ),
+            6,
+        ).alias("l2_ratio"),
+    )
