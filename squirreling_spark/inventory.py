@@ -63,7 +63,6 @@ GRADE_ORDER: list[str] = [
     # §2.1 plan operators + §2.5 shapes
     "scan_project",
     "filter_where",
-    "single_row",
     "count_star",
     "scalar_agg",
     "hash_agg_q1",
@@ -85,7 +84,6 @@ GRADE_ORDER: list[str] = [
     "dialect_digest",
     "subquery_digest",
     "cte_chain",
-    "alias_chaining",
     # §2.4 scalar packs + §2.3 aggregates
     "string_funcs",
     "regex_funcs",
@@ -142,6 +140,16 @@ GRADE_ORDER: list[str] = [
     # Structured Streaming contract. (Freed slot: group_positional, whose
     # positional-ref surface merged into group_having's GROUP BY 1.)
     "events_tumbling_stream",
+    # round-6-continuation window swap: single_row + alias_chaining out —
+    # both surfaces are hammered in-window by dialect_digest (FROM-first /
+    # strict / derived-name branches) and cte_chain, and their standalone
+    # forms stay registered after the window (local parity gate + sf0.1
+    # sweep). Freed slots host the two flagship round-6 additions:
+    # BPE vocabulary training (iterative merge rounds, fully unrolled SQL
+    # oracle) and the stream-STREAM interval join (watermarked both
+    # sides, batch-equivalence oracle).
+    "bpe_train_merges",
+    "events_stream_join",
 ]
 
 
