@@ -3079,3 +3079,88 @@ def embedding_rp_project_q(spark, sf):
             6,
         ).alias("l2_ratio"),
     )
+
+
+_RP_PCOS = """
+    round(list_sum(list_transform(generate_series(1, 16),
+                                  i -> a.proj[i] * b.proj[i]))
+          / sqrt(list_sum(list_transform(a.proj, x -> x * x))
+               * list_sum(list_transform(b.proj, x -> x * x))), 6)
+"""
+
+
+@query(
+    "knn_rp_prefilter",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    p AS (
+      SELECT vec_id, emb, {_rp_oracle_expr('emb')} AS proj FROM e
+    ),
+    s AS (
+      SELECT b.vec_id AS q_id, a.vec_id AS vec_id, {_RP_PCOS} AS psim
+      FROM p a JOIN p b ON b.vec_id < 10 AND a.vec_id != b.vec_id
+    ),
+    cand AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY psim DESC, vec_id) AS prank
+        FROM s
+      ) WHERE prank <= 50
+    ),
+    x AS (
+      SELECT c.q_id, c.vec_id, {_D_COS} AS sim
+      FROM cand c
+      JOIN e a ON a.vec_id = c.vec_id
+      JOIN e b ON b.vec_id = c.q_id
+    ),
+    r AS (
+      SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, vec_id) AS rank
+      FROM x
+    )
+    SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 5
+    """,
+)
+def knn_rp_prefilter_q(spark, sf):
+    """ANN via JL random-projection prefilter: candidate top-50 per query
+    ranked by cosine in the 16-dim projected space (4× fewer FLOPs per
+    pair, and at scale the projected corpus is 4× less I/O), then EXACT
+    cosine re-rank of candidates only. The oracle replays the identical
+    two-stage algorithm, so the graded contract is the full pipeline —
+    candidate generation (deterministic: rounded projected sim,
+    vec_id tie-break) AND the exact re-rank — not just the final list.
+    Recall vs the exact baseline is pinned in tests/test_rp.py."""
+    from squirreling_spark.pipeline.similarity import _topk_per_query
+
+    e = t(spark, sf, "embeddings")
+    P = _rp_project(e, "embedding", "vec_id")
+    q = P.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("proj").alias("q_proj")
+    )
+    psim = F.round(cosine(F.col("q_proj"), F.col("proj")), 6)
+    scored = (
+        qspread(P, by=["vec_id"])
+        .join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", psim.alias("sim"))
+    )
+    cand = _topk_per_query(scored, 50, "q_id", "vec_id").select(
+        "q_id", "vec_id"
+    )
+    a = e.select(F.col("vec_id").alias("__cid"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("__qid"), F.col("embedding").alias("eb"))
+    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    x = (
+        cand.join(a, cand["vec_id"] == a["__cid"])
+        .join(F.broadcast(b), cand["q_id"] == b["__qid"])
+        .select("q_id", "vec_id", sim.alias("sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        x.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "vec_id", "sim", "rank")
+    )

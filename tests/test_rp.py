@@ -52,3 +52,49 @@ def test_rp_matches_sequential_fold_bitwise(spark, sf001):
                 acc = acc + x[j - 1] * s
             want = acc / math.sqrt(16)
             assert r["proj"][k] == want  # bit-identical, not approx
+
+
+def test_rp_prefilter_recall_vs_exact(spark, sf001):
+    """JL's actual quality contract: STRONG similarities survive the
+    projection (distortion is small relative to a near-dup's distance),
+    while near-orthogonal noise pairs — sims ~0.1-0.2 with tiny gaps,
+    this fixture's bulk — may shuffle under 4x compression. So: every
+    exact neighbor with sim >= 0.4 must be recalled; overall recall@5
+    must comfortably beat the random-candidate floor (50/500 = 0.1)."""
+    from squirreling_spark import inventory
+
+    inventory.load_all()
+    exact = inventory.QUERIES["knn_bruteforce"](spark, sf001).collect()
+    approx = inventory.QUERIES["knn_rp_prefilter"](spark, sf001).collect()
+    want = {(r["q_id"], r["vec_id"]) for r in exact}
+    got = {(r["q_id"], r["vec_id"]) for r in approx}
+    assert len(want) == 50 and len(got) == 50
+    recall = len(want & got) / len(want)
+    assert recall >= 0.3, f"recall@5 {recall}"
+
+
+def test_rp_projection_keeps_strong_neighbors(spark):
+    """JL preserves STRONG similarity: a planted near-duplicate must stay
+    its seed's top projected neighbor (distortion is small relative to a
+    near-dup's distance), even when noise-pair ordering shuffles."""
+    rng = np.random.RandomState(3)
+    X = rng.randn(100, 64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    for i in range(5):  # ids 100..104 near-duplicate ids 0..4
+        X = np.vstack([X, X[i] + 0.05 * rng.randn(64)])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        ["vec_id", "embedding"],
+    )
+    P = {
+        r["vec_id"]: np.array(r["proj"])
+        for r in project_embeddings(df).collect()
+    }
+    for i in range(5):
+        p = P[i]
+        sims = {
+            j: float(p @ P[j] / (np.linalg.norm(p) * np.linalg.norm(P[j])))
+            for j in P
+            if j != i
+        }
+        assert max(sims, key=sims.get) == 100 + i
