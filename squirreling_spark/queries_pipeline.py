@@ -3209,3 +3209,48 @@ def video_frame_plan_q(spark, sf):
         .alias("sample_ms"),
         F.lit(k).cast("int").alias("n_samples"),
     )
+
+
+@query(
+    "image_resize_plan",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id,
+             CAST(16 + doc_id % 1024 AS INT) AS w,
+             CAST(16 + (doc_id * 7) % 1024 AS INT) AS h
+      FROM documents
+    ),
+    s AS (
+      SELECT media_id, w, h,
+             least(1.0, 256 / CAST(greatest(w, h) AS DOUBLE)) AS sc
+      FROM m
+    )
+    SELECT media_id,
+           round(sc, 6) AS scale,
+           CAST(ceil(w * sc) AS INT) AS target_w,
+           CAST(ceil(h * sc) AS INT) AS target_h
+    FROM s
+    """,
+)
+def image_resize_plan_q(spark, sf):
+    """Resize planning over the REAL binary header parse (the resize half
+    of the multimodal decode/feature/resize/frame-sample quartet):
+    max-dim-256 scale factors and ceil'd target dimensions computed
+    JVM-side from the dimensions image_dimensions recovered from
+    synthesized BMP/PNG/JPEG/GIF headers — composes on
+    binary_header_parse's chain, so any header-offset bug upstream flips
+    this row; the decode+resample consumer is the Arrow-batched decode
+    path (pipeline/multimodal.py)."""
+    from squirreling_spark import inventory as _inv
+    from squirreling_spark.pipeline.multimodal import resize_plan
+
+    meta = _inv.QUERIES["binary_header_parse"](spark, sf)
+    return resize_plan(
+        meta.select(
+            "media_id",
+            F.struct(
+                F.col("width").alias("width"), F.col("height").alias("height")
+            ).alias("meta"),
+        ),
+        max_dim=256,
+    )
