@@ -51,6 +51,12 @@ SHOW = [
     # round 6
     ("doc_chunking", "sliding-window chunking: one generate+posexplode projection; the only Exchange is qutil.spread's fixture repartition (single-row-group files), not operator logic"),
     ("zorder_layout_orders", "z-order layout: broadcast single-row bounds, static shift/and Morton key, one stats groupBy"),
+    # round 6 continuation
+    ("dedup_embedding_cosine", "block-BLAS exact ε-join: xxhash block packing (ArrowEvalPython pack), id-only range cross for pairs, bid equi-joins — no NestedLoop over vector data"),
+    ("embedding_rp_project", "JL projection: ONE codegen HOF projection over the scan — Exchange-free, matrix never materialized"),
+    ("knn_rp_prefilter", "RP-prefiltered ANN: broadcast projected queries, two-stage candidate top-k, exact re-rank join on candidates only"),
+    ("bpe_train_merges", "BPE round shape: vocab groupBy (map-combined), pair explode+count, ONE-row argmax; replace chain is row-local"),
+    ("image_resize_plan", "resize planning: header parse + scale arithmetic fused into one codegen projection over the scan"),
 ]
 
 
