@@ -82,6 +82,16 @@ QUERIES = [
     "doc_chunking",
     "zorder_layout_orders",
     "image_dhash_neardup",
+    # round-6 continuation
+    "dedup_embedding_cosine",
+    "events_session_stream",
+    "events_stream_join",
+    "bpe_train_merges",
+    "bpe_subword_freqs",
+    "embedding_rp_project",
+    "knn_rp_prefilter",
+    "video_frame_plan",
+    "image_resize_plan",
 ]
 
 

@@ -587,3 +587,24 @@ def dedup_substrings_q(spark, sf):
     from squirreling_spark.pipeline.dedup import substring_dup_profile
 
     return substring_dup_profile(t(spark, sf, "documents"), "text", "doc_id")
+
+
+@query(
+    "bm25_rank",
+    oracle=__import__(
+        "squirreling_spark.pipeline.retrieval", fromlist=["bm25_oracle_sql"]
+    ).bm25_oracle_sql(["query", "merge", "customer"], topk=25),
+)
+def bm25_rank_q(spark, sf):
+    """BM25 retrieval ranking (pipeline/retrieval.py::bm25_rank): top-25
+    documents for the fixed query {query, merge, customer} — the
+    importance-resampling / search-scoring primitive. Rational idf
+    (exact (N-df+0.5)/(df+0.5), no libm ln) keeps scores bit-identical
+    across engines; tf folds are one codegen'd scan, stats broadcast
+    back as a 1-row aggregate, top-k is TakeOrderedAndProject."""
+    from squirreling_spark.pipeline.retrieval import bm25_rank
+
+    return bm25_rank(
+        t(spark, sf, "documents"), "text", "doc_id",
+        ["query", "merge", "customer"], topk=25,
+    )

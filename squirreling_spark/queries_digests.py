@@ -804,6 +804,12 @@ _MIX_CK = {
     "temperature_mix": (
         "doc_id * 17 + n_source + w_ppm + bucket * 3"
     ),
+    # round 6: BM25 retrieval ranking (rational idf — bit-identical
+    # doubles, so the floor fold is safe)
+    "bm25_rank": (
+        "doc_id * 7 + dl + tf1 * 3 + tf2 * 5 + tf3 * 11"
+        " + CAST(floor(score * 1000000) AS BIGINT)"
+    ),
 }
 
 

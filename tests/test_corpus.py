@@ -396,3 +396,38 @@ def test_chunk_documents_rejects_bad_overlap(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
+
+
+def test_bm25_rank_orders_by_relevance(spark):
+    from squirreling_spark.pipeline.retrieval import bm25_rank
+
+    # doc 1 saturates on "x" (tf=4) but is long; doc 2 has tf=1 and is
+    # short; doc 3 has no hits. With one term, rational idf is shared, so
+    # ranking reduces to the tf-saturation component.
+    df = _docs(
+        spark,
+        [
+            (1, "x x x x a b c d e f"),
+            (2, "x a"),
+            (3, "a b c"),
+        ],
+    )
+    rows = bm25_rank(df, "text", "doc_id", ["x"], topk=3).collect()
+    assert [r["doc_id"] for r in rows] == [1, 2, 3]
+    assert rows[2]["score"] == 0.0
+    # hand-check doc 2: N=3, df=2 ("x" is in docs 1 and 2) ->
+    # idf=(3-2+.5)/(2+.5)=0.6; dl=2, avgdl=5 ->
+    # tfs = 2.25/(1+1.25*(0.25+0.75*2/5)) = 4/3 -> score = 0.8
+    r2 = rows[1]
+    assert r2["tf1"] == 1 and r2["dl"] == 2
+    idf = (3 - 2 + 0.5) / (2 + 0.5)
+    tfs = (1.0 * 2.25) / (1.0 + 1.25 * (1.0 - 0.75 + 0.75 * 2.0 / 5.0))
+    assert r2["score"] == idf * tfs
+
+
+def test_bm25_rank_tie_breaks_on_id(spark):
+    from squirreling_spark.pipeline.retrieval import bm25_rank
+
+    df = _docs(spark, [(2, "x y"), (1, "x y"), (3, "z z")])
+    rows = bm25_rank(df, "text", "doc_id", ["x"], topk=2).collect()
+    assert [r["doc_id"] for r in rows] == [1, 2]
