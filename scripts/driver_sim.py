@@ -23,6 +23,11 @@ rows = e.entry(spark).collect()
 print(f"entry(): {len(rows)} rows OK")
 
 qs, oracles = e.queries(), e.oracle_sql()
+if len(sys.argv) > 1:  # incremental re-verify: driver_sim.py q1 q2 ...
+    unknown = [n for n in sys.argv[1:] if n not in qs]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
+    qs = {n: qs[n] for n in sys.argv[1:]}
 fails = []
 for name in sorted(qs):
     if name not in oracles:

@@ -247,3 +247,112 @@ def bpe_subword_oracle_sql(
     )
     ORDER BY n_occurrences DESC, token LIMIT {top}"""
     )
+
+
+def bpe_encode_docs(
+    df: DataFrame, text_col: str, id_col: str, merges: int = 8
+) -> DataFrame:
+    """Tokenize the CORPUS under the trained vocabulary — the per-document
+    encode pass (context-length budgeting, packing input): for each
+    document, its word count, its BPE token count, and an order-preserving
+    md5 fingerprint of the full token stream.
+
+    Scale shape: training runs once (vocab-sized state, see _train); the
+    learned rules come back as literals and the word->segmentation map is
+    DISTINCT-WORD-sized, so it broadcasts; the corpus is scanned once,
+    posexplode -> broadcast-join -> one map-side-combined groupBy on the
+    document id. The token stream is reassembled in word order via
+    array_sort(collect_list(struct(pos, toks))) — deterministic under any
+    partitioning (pos is unique per document)."""
+    rules, _vocab_final, base = _train(df, text_col, merges)
+    base.unpersist()
+
+    word_repr = F.regexp_replace(F.col("word"), "(.)", "<$1>")
+    for _rank, l, r, _merged, _cnt in rules:
+        word_repr = F.replace(
+            word_repr, F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>")
+        )
+    toks = F.split(
+        F.expr("substring(__repr, 2, length(__repr) - 2)"), "><"
+    )
+    wmap = (
+        df.select(
+            F.explode(
+                F.expr(f"regexp_extract_all({text_col}, '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .distinct()
+        .select("word", word_repr.alias("__repr"))
+        .select("word", toks.alias("__toks"))
+    )
+    words = spread(df, by=[id_col]).select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"regexp_extract_all({text_col}, '[a-z]+', 0)")
+        ).alias("pos", "word"),
+    )
+    return (
+        words.join(F.broadcast(wmap), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.size("__toks")).cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.flatten(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("pos", "__toks"))
+                            ),
+                            lambda s: s["__toks"],
+                        )
+                    ),
+                    " ",
+                )
+            ).alias("fp_tokens"),
+        )
+    )
+
+
+def bpe_encode_oracle_sql(
+    merges: int = 8, table: str = "documents", text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle for ``bpe_encode_docs``: replay the unrolled training CTEs,
+    build the word->repr map by applying each round's rule in order, then
+    explode the corpus with positions and aggregate per document (token
+    stream reassembled with ORDER BY pos — same string as the Spark
+    array_sort reassembly)."""
+    train = bpe_oracle_sql(merges, table, text_col)
+    with_block = train[: train.rindex("\n    SELECT CAST(merge_rank")]
+    parts = [with_block]
+    parts.append(f""",
+    wm0 AS (
+      SELECT word, regexp_replace(word, '(.)', '<\\1>', 'g') AS r
+      FROM (SELECT DISTINCT unnest(regexp_extract_all({text_col}, '[a-z]+'))
+              AS word FROM {table})
+    )""")
+    for k in range(1, merges + 1):
+        parts.append(f""",
+    wm{k} AS (
+      SELECT word, replace(wm{k - 1}.r, '<' || b.l || '><' || b.r || '>',
+                           '<' || b.l || b.r || '>') AS r
+      FROM wm{k - 1} CROSS JOIN b{k} AS b
+    )""")
+    parts.append(f""",
+    dw AS (
+      SELECT {id_col}, i AS pos, ws[i] AS word
+      FROM (SELECT {id_col}, regexp_extract_all({text_col}, '[a-z]+') AS ws
+            FROM {table}),
+           unnest(generate_series(1, len(ws))) AS u(i)
+    )
+    SELECT {id_col},
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(substr(r, 2, length(r) - 2), '><')))
+             AS BIGINT) AS n_tokens,
+           md5(string_agg(
+             array_to_string(string_split(substr(r, 2, length(r) - 2), '><'),
+                             ' '), ' ' ORDER BY pos)) AS fp_tokens
+    FROM dw JOIN wm{merges} USING (word)
+    GROUP BY {id_col}""")
+    return "".join(parts)

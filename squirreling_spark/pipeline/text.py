@@ -5,6 +5,7 @@ so they run at full scan speed over 100 TB of documents.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -321,4 +322,41 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.md5(norm).alias("fp_exact"),
         bag.alias("fp_bag"),
         F.md5(F.substring(norm, 1, 64)).alias("fp_prefix"),
+    )
+
+
+def nfc_normalize_docs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Unicode NFC normalization + change audit — the canonicalization
+    step a multilingual corpus needs before dedup/fingerprinting (the
+    same text arrives composed from one crawl and decomposed from
+    another; NFC makes hash-based dedup see them as equal).
+
+    Spark has no built-in normalizer, so this is an Arrow-batched pandas
+    UDF (``unicodedata.normalize`` — same Unicode composition tables as
+    the oracle's utf8proc ``nfc_normalize``). Scale shape: row-local
+    scan-parallel batches, zero shuffles; the UDF output is materialized
+    ONCE in its own projection (PythonUDF aliases are non-cheap, so
+    CollapseProject keeps the two-step select and every downstream use
+    references the single materialized attribute)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    staged = spread(df, by=[id_col]).select(
+        F.col(id_col),
+        F.col(text_col),
+        _nfc(F.col(text_col)).alias("__nfc"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.length(text_col).cast("bigint").alias("n_chars_raw"),
+        F.length("__nfc").cast("bigint").alias("n_chars_nfc"),
+        (F.col(text_col) != F.col("__nfc")).alias("changed"),
+        F.md5(F.col("__nfc")).alias("fp_nfc"),
     )

@@ -510,6 +510,13 @@ _CLEAN_CK = {
         "doc_id * 3 + n_windows + n_dup_windows * 7"
         " + CAST(floor(dup_frac * 1000000) AS BIGINT)"
     ),
+    # round 6: Unicode NFC canonicalization audit (Arrow-batched
+    # unicodedata vs utf8proc; fp keyed via its first hex char)
+    "text_nfc_normalize": (
+        "doc_id * 3 + n_chars_raw + n_chars_nfc * 7"
+        " + CASE WHEN changed THEN 11 ELSE 0 END"
+        " + ascii(substring(fp_nfc, 1, 1))"
+    ),
 }
 
 

@@ -3254,3 +3254,68 @@ def image_resize_plan_q(spark, sf):
         ),
         max_dim=256,
     )
+
+
+_NFC_SUFFIXES = [
+    "café latte",          # combining acute -> composes to é
+    "café latte",           # already NFC -> unchanged
+    "Ångström",      # A+ring, o+diaeresis -> Å, ö
+    "Ångström",        # ANGSTROM SIGN singleton -> U+00C5
+    "가각",        # Hangul jamo pair -> composes to 가
+    "plain ascii",               # no-op branch
+]
+
+
+@query(
+    "text_nfc_normalize",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, text || ' ' || CASE doc_id % 6
+        WHEN 0 THEN '{0}' WHEN 1 THEN '{1}' WHEN 2 THEN '{2}'
+        WHEN 3 THEN '{3}' WHEN 4 THEN '{4}' ELSE '{5}' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS n_chars_raw,
+           CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars_nfc,
+           t != nfc_normalize(t) AS changed,
+           md5(nfc_normalize(t)) AS fp_nfc
+    FROM w
+    """.format(*_NFC_SUFFIXES),
+)
+def text_nfc_normalize_q(spark, sf):
+    """Unicode NFC canonicalization audit (pipeline/text.py::
+    nfc_normalize_docs): Arrow-batched unicodedata NFC vs the oracle's
+    utf8proc nfc_normalize — composed/decomposed accents, the U+212B
+    singleton, and Hangul jamo composition are appended deterministically
+    (the fixture corpus is pure ASCII, where NFC is the identity)."""
+    from squirreling_spark.pipeline.text import nfc_normalize_docs
+
+    docs = t(spark, sf, "documents")
+    mod = F.col("doc_id") % 6
+    suffix = F.lit(_NFC_SUFFIXES[5])
+    for i in range(4, -1, -1):
+        suffix = F.when(mod == i, F.lit(_NFC_SUFFIXES[i])).otherwise(suffix)
+    aug = docs.select(
+        "doc_id", F.concat("text", F.lit(" "), suffix).alias("text")
+    )
+    return nfc_normalize_docs(aug, "text", "doc_id")
+
+
+from squirreling_spark.pipeline.bpe import (  # noqa: E402
+    bpe_encode_docs as _bpe_encode_docs,
+    bpe_encode_oracle_sql as _bpe_encode_oracle,
+)
+
+
+@query("bpe_encode_docs", oracle=_bpe_encode_oracle(8))
+def bpe_encode_docs_q(spark, sf):
+    """Per-DOCUMENT BPE encoding under the trained 8-merge vocabulary
+    (pipeline/bpe.py::bpe_encode_docs): word count, token count, and an
+    order-preserving fingerprint of each document's token stream — the
+    tokenize-the-corpus pass that feeds context-length budgeting and
+    sequence packing. Rules come back as literals; the word->segmentation
+    map is distinct-word-sized and broadcasts; one scan + one combining
+    groupBy on doc_id."""
+    return _bpe_encode_docs(t(spark, sf, "documents"), "text", "doc_id",
+                            merges=8)

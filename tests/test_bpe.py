@@ -65,3 +65,30 @@ def test_subword_freqs_segment_with_trained_vocab(spark):
         for r in bpe_subword_freqs(df, "text", merges=2).collect()
     }
     assert got == {"abc": (3, 3), "ab": (2, 2), "d": (1, 1)}
+
+
+def test_encode_docs_counts_and_order_preserving_fp(spark):
+    from squirreling_spark.pipeline.bpe import bpe_encode_docs
+
+    # corpus: "ab" dominates -> merge 1 = (a,b)->ab. Doc 1 "ab ab cd":
+    # 3 words; "ab" encodes to 1 token, "cd" stays 2 -> 4 tokens.
+    df = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "ab ba")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bpe_encode_docs(df, "text", "doc_id", merges=1).collect()
+    }
+    assert rows[1]["n_words"] == 3 and rows[1]["n_tokens"] == 4
+    assert rows[2]["n_words"] == 2 and rows[2]["n_tokens"] == 3  # ab + b,a
+    # fingerprint is order-preserving: "ab ab cd" != "cd ab ab"
+    df2 = spark.createDataFrame(
+        [(1, "cd ab ab"), (2, "ab ba")], "doc_id bigint, text string"
+    )
+    rows2 = {
+        r["doc_id"]: r
+        for r in bpe_encode_docs(df2, "text", "doc_id", merges=1).collect()
+    }
+    assert rows2[1]["fp_tokens"] != rows[1]["fp_tokens"]
+    assert rows2[2]["fp_tokens"] == rows[2]["fp_tokens"]

@@ -431,3 +431,22 @@ def test_bm25_rank_tie_breaks_on_id(spark):
     df = _docs(spark, [(2, "x y"), (1, "x y"), (3, "z z")])
     rows = bm25_rank(df, "text", "doc_id", ["x"], topk=2).collect()
     assert [r["doc_id"] for r in rows] == [1, 2]
+
+
+def test_nfc_normalize_composes_and_audits(spark):
+    from squirreling_spark.pipeline.text import nfc_normalize_docs
+
+    df = _docs(
+        spark,
+        [
+            (1, "café"),       # decomposed -> composes, 5 -> 4 chars
+            (2, "café"),        # already NFC -> unchanged
+            (3, "Å"),           # singleton -> U+00C5, same length
+        ],
+    )
+    rows = {r["doc_id"]: r for r in nfc_normalize_docs(df, "text", "doc_id").collect()}
+    assert rows[1]["changed"] and rows[1]["n_chars_raw"] == 5 and rows[1]["n_chars_nfc"] == 4
+    assert not rows[2]["changed"]
+    assert rows[3]["changed"] and rows[3]["n_chars_nfc"] == 1
+    # docs 1 and 2 normalize to the same text -> same fingerprint
+    assert rows[1]["fp_nfc"] == rows[2]["fp_nfc"]
