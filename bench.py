@@ -96,6 +96,13 @@ HEADLINE = [
     # persisted vocab — driver traffic is one row per round)
     "events_session_stream",
     "bpe_train_merges",
+    # round-6 continuation: block-BLAS exact cosine ε-join (the
+    # re-planned dedup_embedding_cosine), BM25 retrieval ranking,
+    # Arrow-batched NFC canonicalization, per-doc BPE encoding
+    "dedup_embedding_cosine",
+    "bm25_rank",
+    "text_nfc_normalize",
+    "bpe_encode_docs",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

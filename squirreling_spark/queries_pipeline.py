@@ -3049,11 +3049,14 @@ def embedding_rp_project_q(spark, sf):
     no broadcast, no Python; scan-bandwidth at 100 TB. Output: the
     projected vector ('/'-joined %.6f, the centroid string convention)
     and the per-row L2 ratio (how much norm the projection preserved)."""
+    from squirreling_spark.pipeline.rp import project_expr
     from squirreling_spark.pipeline.similarity import norm2
 
-    e = t(spark, sf, "embeddings")
-    p = _rp_project(e, "embedding", "vec_id").join(
-        e.select("vec_id", "embedding"), "vec_id"
+    # one spread projection carrying the raw vector alongside its
+    # projection — no self-join (the fixture file is single-row-group, so
+    # qspread buys scan parallelism for the 64x16 fold)
+    p = qspread(t(spark, sf, "embeddings"), by=["vec_id"]).select(
+        "vec_id", "embedding", project_expr("embedding").alias("proj")
     )
     return p.select(
         "vec_id",
@@ -3319,3 +3322,69 @@ def bpe_encode_docs_q(spark, sf):
     groupBy on doc_id."""
     return _bpe_encode_docs(t(spark, sf, "documents"), "text", "doc_id",
                             merges=8)
+
+
+@query(
+    "dedup_stream_exact",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp, CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def dedup_stream_exact_q(spark, sf):
+    """Exactly-once ingest through a REAL streaming cycle with the NATIVE
+    dropDuplicatesWithinWatermark operator (streaming/windows.py::
+    stream_dedup): delivery 1 ships every document, delivery 2 replays a
+    third of them (at-least-once redelivery) in a second micro-batch; the
+    watermarked key state filters the replays, so the sink holds each
+    document exactly once — the batch oracle is simply the documents
+    table. State is bounded by the redelivery window (event_ts + delay),
+    never by corpus size; a replay can never re-emit — while its key's
+    state lives it deduplicates against it, and once expired the
+    watermark has passed its (equal) event time, so it drops as late."""
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    from squirreling_spark.streaming.windows import stream_dedup
+
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.timestamp_seconds(F.lit(1767225600) + F.col("doc_id")).alias("ts"),
+    )
+    stage = _os.path.join(
+        _tempfile.gettempdir(),
+        f"sq_exact_stream_{_os.path.basename(sf.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(stage, "s0")
+    )
+    docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(stage, "s1"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage + "/*")
+    )
+    deduped = stream_dedup(stream, ["doc_id"], watermark="1 hour")
+    digest = _hashlib.md5(sf.encode("utf-8")).hexdigest()[:8]
+    sink = f"sq_exact_sink_{digest}"
+    q = (
+        deduped.select("doc_id", "fp", "n_chars")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(
+            f"streaming exact dedup did not finish within 300s (exc: {exc})"
+        )
+    return spark.table(sink)
