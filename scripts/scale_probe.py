@@ -92,6 +92,11 @@ QUERIES = [
     "knn_rp_prefilter",
     "video_frame_plan",
     "image_resize_plan",
+    # round-6 fourth session
+    "bm25_rank",
+    "text_nfc_normalize",
+    "bpe_encode_docs",
+    "dedup_stream_exact",
 ]
 
 

@@ -357,3 +357,33 @@ def test_spatial_join_is_grid_hash_join(spark):
     # the pandas predicate must sit above the join (candidate filter),
     # so the join condition itself is Python-free
     assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+
+
+def test_bm25_single_scan_broadcast_stats_take_ordered(spark):
+    """bm25_rank: tf folds are row-local (no per-term shuffle), the 1-row
+    stats aggregate broadcasts back, and top-k is TakeOrderedAndProject —
+    no full sort, no Python."""
+    plan = plan_of("bm25_rank", spark)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats crossJoin
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly one scan of the documents file feeds the tf fold side
+    assert plan.count("Scan parquet") <= 3  # doc scan + stats scan (+reuse)
+
+
+def test_bpe_encode_broadcast_word_map(spark):
+    """bpe_encode_docs: the word->segmentation map joins via broadcast
+    (vocab-sized), never a shuffled join of the exploded corpus."""
+    plan = plan_of("bpe_encode_docs", spark)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_nfc_python_stage_is_arrow_and_single(spark):
+    """text_nfc_normalize: exactly ONE Arrow-batched Python stage (the
+    UDF result is materialized once, not re-evaluated per consumer)."""
+    plan = plan_of("text_nfc_normalize", spark)
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan  # never row-at-a-time
