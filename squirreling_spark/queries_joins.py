@@ -216,3 +216,69 @@ def positional_join_q(spark, sf):
     return positional_join(
         n, r, left_order=["n_nationkey"], right_order=["r_regionkey"]
     ).select("n_nationkey", "n_name", "r_regionkey", "r_name")
+
+
+@query(
+    "salted_agg_skew",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {o_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def salted_agg_skew_q(spark, sf):
+    """Two-phase SALTED aggregation over a genuinely skewed key —
+    (l_returnflag, l_linestatus) has ~4 groups, so a plain shuffle lands
+    the whole table on 4 reducers; salting spreads each hot group over 16
+    (operators/skew.py::salted_agg). The graded contract is
+    salt-INVARIANCE: decimal partials re-combine exactly, so the result
+    equals the plain GROUP BY the oracle runs, bit-for-bit, for any salt
+    assignment."""
+    from squirreling_spark.operators.skew import salted_agg
+    from squirreling_spark.qutil import dcol, spread
+
+    li = spread(t(spark, sf, "lineitem"))
+    return salted_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        aggs=[
+            F.count(F.lit(1)).alias("__pn"),
+            F.sum(dcol("l_quantity")).alias("__pq"),
+        ],
+        final_aggs=[
+            F.sum("__pn").cast("bigint").alias("n_rows"),
+            F.sum("__pq").cast("double").alias("sum_qty"),
+        ],
+    )
+
+
+@query(
+    "salted_join_brand",
+    oracle=f"""
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {o_dsum('l.l_quantity')} AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def salted_join_brand_q(spark, sf):
+    """SALTED fact-dim join (operators/skew.py::salted_join): the fact
+    side is salted, the dimension replicated once per salt, and the join
+    key becomes (key, salt) — the broadcast-incompatible-dimension skew
+    mitigation. Salt-invariance is the graded contract: the per-brand
+    rollup must equal the oracle's plain join exactly."""
+    from squirreling_spark.operators.skew import salted_join
+    from squirreling_spark.qutil import dcol, spread
+
+    li = spread(t(spark, sf, "lineitem")).select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity"
+    )
+    p = t(spark, sf, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, p, ["p_partkey"], salt_buckets=8)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(dcol("l_quantity")).cast("double").alias("sum_qty"),
+    )
