@@ -681,3 +681,79 @@ def substring_dup_profile(
             ),
         )
     )
+
+
+def decontaminate_neardup(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_id_col: str = "bench_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """NEAR-DUP benchmark decontamination — the cross-corpus complement of
+    ``contamination_check`` (exact n-gram overlap): a benchmark item that
+    QUOTES or lightly paraphrases a training document shares most of its
+    shingles without sharing every 13-gram, so exact matching misses it;
+    MinHash-LSH banding catches it.
+
+    Two-stage, both corpora through the SAME signature family
+    (md5-derived a+jb, engine-exact): corpus bands shuffle-partition on
+    (band_idx, band_key) while the benchmark side — tiny by definition —
+    broadcasts; candidates (≥1 shared band) then verify by exact shingle
+    Jaccard, computed only on candidates. Per-document rollup: how many
+    benchmark items the doc leaks into, the strongest match and its
+    Jaccard. At 100 TB this is one corpus scan + a broadcast hash join +
+    a candidate-sized verify — never an all-pairs product, and recall is
+    the standard LSH s-curve (1-(1-j^r)^b) — deterministic given the
+    hash family, so an oracle can replay it exactly."""
+    cb = minhash_lsh_bands(
+        corpus, text_col, id_col, num_hashes, bands, shingle_k
+    )
+    bb = minhash_lsh_bands(
+        benchmark, text_col, bench_id_col, num_hashes, bands, shingle_k
+    )
+    cand = (
+        cb.alias("c")
+        .join(
+            F.broadcast(bb.alias("b")),
+            (F.col("c.band_idx") == F.col("b.band_idx"))
+            & (F.col("c.band_key") == F.col("b.band_key")),
+        )
+        .select(F.col(f"c.{id_col}"), F.col(f"b.{bench_id_col}"))
+        .distinct()
+    )
+    cs = corpus.select(
+        F.col(id_col),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("__csh"),
+    )
+    bs = benchmark.select(
+        F.col(bench_id_col),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("__bsh"),
+    )
+    jac = F.round(
+        F.size(F.array_intersect(F.col("__csh"), F.col("__bsh"))).cast(
+            "double"
+        )
+        / F.size(F.array_distinct(F.concat(F.col("__csh"), F.col("__bsh")))),
+        6,
+    )
+    verified = (
+        cand.join(cs, id_col)
+        .join(F.broadcast(bs), bench_id_col)
+        .select(F.col(id_col), F.col(bench_id_col), jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    top = F.max(
+        F.struct(
+            F.col("jaccard").alias("j"), (-F.col(bench_id_col)).alias("nb")
+        )
+    )
+    return verified.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bench_matches"),
+        top.getField("j").alias("max_jaccard"),
+        (-top.getField("nb")).cast("bigint").alias("top_bench_id"),
+    )

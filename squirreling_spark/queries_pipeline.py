@@ -3388,3 +3388,98 @@ def dedup_stream_exact_q(spark, sf):
             f"streaming exact dedup did not finish within 300s (exc: {exc})"
         )
     return spark.table(sink)
+
+
+def _mh_bands_cte(src: str, idc: str, pre: str) -> str:
+    """Render the established minhash+banding oracle CTEs (md5-nibble
+    a/b, a+jb family, 8 bands x 4) over source CTE ``src`` keyed by
+    ``idc`` — the dedup_minhash_lsh oracle fragment, parametrized so the
+    decontamination oracle can replay it for BOTH corpora."""
+    return f"""
+    {pre}_ab AS (
+      SELECT {idc},
+             list_transform({_D_SHINGLES}, s -> {{
+               'a': list_sum(list_transform(generate_series(1, 12),
+                      i -> (instr('0123456789abcdef', md5(s)[i]) - 1)::BIGINT
+                           << (4 * (12 - i))))::BIGINT,
+               'b': list_sum(list_transform(generate_series(1, 12),
+                      i -> (instr('0123456789abcdef', md5(s)[i + 12]) - 1)::BIGINT
+                           << (4 * (12 - i))))::BIGINT
+             }}) AS hs
+      FROM {src}
+    ),
+    {pre}_sig AS (
+      SELECT {idc},
+             list_transform(generate_series(0, 31),
+               j -> list_min(list_transform(hs, x -> x.a + j * x.b))) AS sig
+      FROM {pre}_ab
+    ),
+    {pre}_bands AS (
+      SELECT {idc}, u.b AS band_idx,
+             array_to_string(sig[u.b * 4 + 1 : u.b * 4 + 4], '|') AS band_key
+      FROM {pre}_sig, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) u
+    )"""
+
+
+@query(
+    "decontaminate_neardup",
+    oracle=f"""
+    WITH tkall AS (
+      SELECT doc_id, text, {_D_TOKS} AS tk FROM documents
+    ),
+    bench AS (
+      SELECT doc_id AS bench_id, array_to_string(tk[1:24], ' ') AS text
+      FROM tkall WHERE doc_id % 37 = 0
+    ),
+    {_mh_bands_cte('documents', 'doc_id', 'c')},
+    {_mh_bands_cte('bench', 'bench_id', 'b')},
+    c_sh AS (
+      SELECT doc_id, list_distinct({_D_SHINGLES}) AS sh FROM documents
+    ),
+    b_sh AS (
+      SELECT bench_id, list_distinct({_D_SHINGLES}) AS sh FROM bench
+    ),
+    cand AS (
+      SELECT DISTINCT c.doc_id, b.bench_id
+      FROM c_bands c
+      JOIN b_bands b ON c.band_idx = b.band_idx
+                    AND c.band_key = b.band_key
+    ),
+    v AS (
+      SELECT doc_id, bench_id,
+             round(len(list_intersect(cs.sh, bs.sh))::DOUBLE
+                   / len(list_distinct(list_concat(cs.sh, bs.sh))), 6) AS j
+      FROM cand JOIN c_sh cs USING (doc_id) JOIN b_sh bs USING (bench_id)
+    ),
+    f AS (SELECT * FROM v WHERE j >= 0.35)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bench_matches,
+           (max(struct_pack(j := j, nb := -bench_id))).j AS max_jaccard,
+           CAST(-(max(struct_pack(j := j, nb := -bench_id))).nb AS BIGINT)
+             AS top_bench_id
+    FROM f GROUP BY doc_id
+    """,
+)
+def decontaminate_neardup_q(spark, sf):
+    """NEAR-DUP benchmark decontamination (pipeline/dedup.py::
+    decontaminate_neardup): the benchmark is synthesized as the first 24
+    tokens of every 37th document — the realistic leak shape (a benchmark
+    item quoting a training passage), which exact 13-gram matching can
+    miss but shingle-level MinHash-LSH catches. Corpus bands shuffle on
+    (band_idx, band_key); the benchmark side broadcasts; exact Jaccard
+    verifies candidates only. The oracle replays the identical two-stage
+    algorithm (same md5 hash family), so candidate recall AND the verify
+    are value-checked."""
+    from squirreling_spark.pipeline.dedup import decontaminate_neardup
+
+    docs = t(spark, sf, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "
+    )
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(toks, 1, 24), " ").alias("text"),
+    )
+    return decontaminate_neardup(
+        docs.select("doc_id", "text"), bench, "text", "doc_id"
+    )

@@ -450,3 +450,33 @@ def test_nfc_normalize_composes_and_audits(spark):
     assert rows[3]["changed"] and rows[3]["n_chars_nfc"] == 1
     # docs 1 and 2 normalize to the same text -> same fingerprint
     assert rows[1]["fp_nfc"] == rows[2]["fp_nfc"]
+
+
+def test_decontaminate_neardup_flags_quoting_doc(spark):
+    from squirreling_spark.pipeline.dedup import decontaminate_neardup
+
+    # bench item 100 quotes the first 30 of doc 1's 40 tokens (near-dup,
+    # not exact); doc 2 is unrelated and must not be flagged even if a
+    # band collided (the exact-Jaccard verify guards). The doc is long
+    # enough (38 shingles) that the minhash estimate is reliable — on
+    # ~10-shingle docs banding recall is genuinely poor, which is the
+    # documented LSH s-curve, not a bug.
+    words = [f"w{i}tok" for i in range(40)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(words)),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, " ".join(words[:30]))], "bench_id bigint, text string"
+    )
+    rows = decontaminate_neardup(
+        docs, bench, "text", "doc_id", threshold=0.35
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["doc_id"] == 1 and r["top_bench_id"] == 100
+    # shingles: doc 38, bench 28, all bench shingles shared -> 28/38
+    assert r["max_jaccard"] == round(28 / 38, 6)
