@@ -3483,3 +3483,39 @@ def decontaminate_neardup_q(spark, sf):
     return decontaminate_neardup(
         docs.select("doc_id", "text"), bench, "text", "doc_id"
     )
+
+
+@query(
+    "web_host_stats",
+    oracle=f"""
+    WITH base AS ({{url_oracle}})
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM base GROUP BY host
+    """.format(
+        url_oracle=__import__(
+            "squirreling_spark.inventory", fromlist=["ORACLES"]
+        ).ORACLES["url_canonicalize"]
+    ),
+)
+def web_host_stats_q(spark, sf):
+    """Per-host crawl-curation stats (pipeline/web.py::host_stats): page
+    count, canonical-URL count, and kept-after-dedup count per host — the
+    per-domain cap / blocklist signal. One groupBy on host over the
+    canonicalization projection; the oracle wraps url_canonicalize's
+    oracle, so the whole parse→canon→keeper chain is re-verified under
+    the rollup. Counts cast to match Spark's bigint aggregates."""
+    from squirreling_spark.pipeline.web import host_stats
+
+    urls = t(spark, sf, "documents").select(
+        "doc_id", F.expr(_URL_SYNTH.format(S="STRING")).alias("url")
+    )
+    out = host_stats(urls, "url", "doc_id")
+    return out.select(
+        "host",
+        F.col("n_urls").cast("bigint").alias("n_urls"),
+        F.col("n_canonical").cast("bigint").alias("n_canonical"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+    )

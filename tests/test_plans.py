@@ -387,3 +387,26 @@ def test_nfc_python_stage_is_arrow_and_single(spark):
     plan = plan_of("text_nfc_normalize", spark)
     assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan  # never row-at-a-time
+
+
+def test_salted_agg_two_phase_partitioning(spark):
+    """salted_agg: phase 1 shuffles on (keys..., salt) — spreading the hot
+    groups — and phase 2 re-partitions on the bare keys; both partial
+    (map-side) aggregates present."""
+    plan = plan_of("salted_agg_skew", spark)
+    assert "__sq_salt" in plan
+    import re
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("__sq_salt" in p for p in parts)  # salted phase
+    assert any(
+        "l_returnflag" in p and "__sq_salt" not in p for p in parts
+    )  # de-salted final phase
+    assert "partial_" in plan.lower() or "partial" in plan
+
+
+def test_salted_join_key_includes_salt(spark):
+    """salted_join: the join key is (key, salt) — hot keys spread over
+    salt_buckets tasks; dimension side replicated via explode."""
+    plan = plan_of("salted_join_brand", spark)
+    assert "__sq_salt" in plan
+    assert "Generate explode" in plan or "explode" in plan
