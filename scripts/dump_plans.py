@@ -57,6 +57,14 @@ SHOW = [
     ("knn_rp_prefilter", "RP-prefiltered ANN: broadcast projected queries, two-stage candidate top-k, exact re-rank join on candidates only"),
     ("bpe_train_merges", "BPE round shape: vocab groupBy (map-combined), pair explode+count, ONE-row argmax; replace chain is row-local"),
     ("image_resize_plan", "resize planning: header parse + scale arithmetic fused into one codegen projection over the scan"),
+    # round 6, fourth session
+    ("bm25_rank", "BM25: tf array folds in one scan, 1-row stats broadcast, TakeOrderedAndProject top-k — no per-term shuffle"),
+    ("bpe_encode_docs", "BPE encode: broadcast word->segmentation map, posexplode + ONE combining groupBy on doc_id"),
+    ("text_nfc_normalize", "NFC audit: exactly one ArrowEvalPython stage; UDF output materialized once for all consumers"),
+    ("decontaminate_neardup", "cross-corpus near-dup decontamination: corpus bands shuffle, benchmark bands broadcast, Jaccard verify on candidates only"),
+    ("salted_agg_skew", "salted two-phase agg: shuffle on (keys, salt) then bare keys, map-side partials both phases"),
+    ("salted_join_brand", "salted fact-dim join: join key (key, salt), dimension replicated via explode"),
+    ("web_host_stats", "host stats: canonicalization projection + ONE groupBy on host"),
 ]
 
 

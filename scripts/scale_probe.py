@@ -97,6 +97,10 @@ QUERIES = [
     "text_nfc_normalize",
     "bpe_encode_docs",
     "dedup_stream_exact",
+    "decontaminate_neardup",
+    "salted_agg_skew",
+    "salted_join_brand",
+    "web_host_stats",
 ]
 
 

@@ -96,7 +96,14 @@ GRADE_ORDER: list[str] = [
     "null_semantics",
     # nested / JSON / table functions
     "unnest_ordinality",
-    "unnest_outer",
+    # round-6 fourth-session window swap: unnest_outer out — the OUTER
+    # lateral surface stays exercised in-window by unnest_ordinality +
+    # dialect_digest's lateral UNNEST branches, and the reference's
+    # unnest conformance file runs 100%; standalone form remains
+    # registered after the window (parity gate + sf0.1 sweep). The freed
+    # slot hosts the cross-corpus near-dup benchmark decontamination
+    # (MinHash-LSH corpus×benchmark join, exact-Jaccard verify).
+    "decontaminate_neardup",
     "array_funcs",
     "json_pack",
     # §2.2 window functions
