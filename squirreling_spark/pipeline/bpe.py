@@ -89,8 +89,21 @@ def _train(df: DataFrame, text_col: str, merges: int):
     The collapsed vocabulary is persisted: every round's lineage would
     otherwise re-scan the CORPUS (8 merges = 8 full scans); the vocab is
     vocab-sized — small at any corpus scale — so this is the right trade
-    at 100 TB too. Rounds then replay only the stacked replaces."""
+    at 100 TB too. Rounds then replay only the stacked replaces.
+
+    State-sized partitioning: the count() that materializes the persist
+    (needed anyway) also sizes it — a small vocabulary re-persists
+    coalesced so the 8 per-round stages schedule O(1) tasks instead of
+    32 each (at bench scale the vocab is tens of rows; a 100 TB corpus
+    with ~1e8 distinct words keeps the full width)."""
     base = spread(_vocab(df, text_col), by=["repr"]).persist()
+    n_words = base.count()
+    parts = max(1, min(32, n_words // 50_000 + 1))
+    if parts < 32:
+        wide = base
+        base = wide.coalesce(parts).persist()
+        base.count()
+        wide.unpersist()
     vocab = base
     rules = []
     for rank in range(1, merges + 1):
