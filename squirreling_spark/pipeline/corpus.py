@@ -548,3 +548,141 @@ def temperature_mix(
         .filter(F.col("bucket").cast(dec) * denom < numer)
         .select(id_col, strata_col, "n_source", "w_ppm", "bucket")
     )
+
+
+def domain_reweight(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    loss_col: str,
+    rounds: int = 2,
+    eta: int = 4,
+    floor_ppm: int = 10_000,
+    salt: str = "doremi",
+) -> DataFrame:
+    """DoReMi-style domain mixture reweighting — the data-mixing
+    OPTIMIZATION step (vs temperature_mix's static rebalance): domains
+    whose sampled documents score HIGH on a per-document loss proxy get
+    upweighted multiplicatively each round, re-sampled, and re-measured,
+    so the final mixture concentrates on high-excess-loss domains.
+
+    Determinism contract (the temperature_mix conventions): the loss
+    proxy arrives as an INTEGER per row; every round's domain means,
+    excess, multiplicative update (w·(1e6 + η·excess) DIV 1e6, clamped
+    to [floor_ppm, ·] and renormalized to ppm), and the salted-md5
+    sampling rule are pure integer arithmetic — every divisor positive,
+    so Spark's truncating DIV and DuckDB's flooring ``//`` agree — and
+    the whole T-round loop unrolls into oracle SQL.
+
+    Scale shape: per-round work is one row-local sample filter over the
+    corpus + one map-side-combined groupBy to |domains| rows; weights
+    stay a broadcast-sized table joined back (never collected); the
+    corpus is scanned T+1 times (persist the scored projection if memory
+    allows). Returns one row per domain: ``n_docs``, ``mean_loss``, and
+    per round t ``n_kept_r{t}`` + ``w{t}_ppm``."""
+    M = 1_000_000
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + ":"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % M
+    )
+    scored = df.select(
+        F.col(domain_col).alias("domain"),
+        F.col(loss_col).cast("bigint").alias("loss"),
+        bucket.alias("bucket"),
+    )
+    w_all = W.partitionBy()
+    cur = (
+        scored.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("loss").cast("bigint").alias("sum_loss"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            F.expr("sum_loss DIV n_docs").alias("mean_loss"),
+            F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_dom"),
+        )
+        .select(
+            "*", F.expr(f"{M} DIV n_dom").cast("bigint").alias("w_ppm")
+        )
+    )
+    out_cols = ["domain", "n_docs", "mean_loss"]
+    for t in range(1, rounds + 1):
+        rate = F.least(
+            F.lit(M).cast("bigint"), F.col("w_ppm") * F.col("n_dom")
+        )
+        kept = scored.join(
+            F.broadcast(
+                cur.select("domain", rate.alias("__rate"))
+            ),
+            "domain",
+        ).filter(F.col("bucket") < F.col("__rate"))
+        st = (
+            kept.groupBy("domain")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("__nk"),
+                F.sum("loss").cast("bigint").alias("__ks"),
+            )
+            .select(
+                "domain",
+                "__nk",
+                F.expr("__ks DIV __nk").alias("__kmean"),
+                F.expr("sum(__ks) over ()").cast("bigint").alias("__as"),
+                F.expr("sum(__nk) over ()").cast("bigint").alias("__an"),
+            )
+            .select(
+                "domain",
+                "__nk",
+                "__kmean",
+                F.expr("__as DIV __an").alias("__amean"),
+            )
+        )
+        factor = F.coalesce(
+            F.greatest(
+                F.lit(M).cast("bigint")
+                + eta * (F.col("__kmean") - F.col("__amean")),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit(M).cast("bigint"),
+        )
+        upd = (
+            cur.join(st, "domain", "left")
+            .select(
+                *[c for c in cur.columns if c != "w_ppm"],
+                F.coalesce("__nk", F.lit(0).cast("bigint")).alias(
+                    f"n_kept_r{t}"
+                ),
+                (F.col("w_ppm") * factor).alias("__wf"),
+            )
+            .select(
+                "*",
+                F.greatest(
+                    F.expr(f"__wf DIV {M}"),
+                    F.lit(floor_ppm).cast("bigint"),
+                ).alias("__wr"),
+            )
+            .drop("__wf")
+        )
+        cur = upd.select(
+            "*",
+            F.expr("sum(__wr) over ()").cast("bigint").alias("__wsum"),
+        ).select(
+            *[c for c in upd.columns if c != "__wr"],
+            F.expr(f"(__wr * {M}) DIV __wsum").alias("w_ppm"),
+        )
+        cur = cur.withColumn(f"w{t}_ppm", F.col("w_ppm"))
+        out_cols += [f"n_kept_r{t}", f"w{t}_ppm"]
+    return cur.select(*out_cols)

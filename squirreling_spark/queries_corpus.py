@@ -608,3 +608,106 @@ def bm25_rank_q(spark, sf):
         t(spark, sf, "documents"), "text", "doc_id",
         ["query", "merge", "customer"], topk=25,
     )
+
+
+def _doremi_round_sql(t: int, eta: int = 4, floor_ppm: int = 10_000) -> str:
+    """One unrolled reweighting round (mirrors domain_reweight's integer
+    arithmetic: every divisor positive, so DuckDB's // == Spark's DIV)."""
+    M = 1_000_000
+    prev = f"w{t - 1}"
+    return f"""
+    k{t} AS (
+      SELECT s.domain, s.loss FROM scored s JOIN {prev} USING (domain)
+      WHERE s.bucket < least({M}, {prev}.w_ppm * {prev}.n_dom)
+    ),
+    st{t} AS (
+      SELECT domain, CAST(count(*) AS BIGINT) AS nk,
+             CAST(sum(loss) AS BIGINT) AS ks
+      FROM k{t} GROUP BY domain
+    ),
+    m{t} AS (
+      SELECT domain, nk, ks // nk AS kmean,
+             (CAST(sum(ks) OVER () AS BIGINT))
+               // (CAST(sum(nk) OVER () AS BIGINT)) AS amean
+      FROM st{t}
+    ),
+    u{t} AS (
+      SELECT {prev}.* EXCLUDE (w_ppm),
+             CAST(coalesce(m{t}.nk, 0) AS BIGINT) AS n_kept_r{t},
+             greatest(
+               ({prev}.w_ppm
+                * coalesce(greatest({M} + {eta} * (m{t}.kmean - m{t}.amean),
+                                    0), {M})) // {M},
+               {floor_ppm}) AS wr
+      FROM {prev} LEFT JOIN m{t} USING (domain)
+    ),
+    w{t} AS (
+      SELECT * EXCLUDE (wr),
+             (wr * {M}) // (CAST(sum(wr) OVER () AS BIGINT)) AS w_ppm,
+             (wr * {M}) // (CAST(sum(wr) OVER () AS BIGINT)) AS w{t}_ppm
+      FROM u{t}
+    )"""
+
+
+@query(
+    "domain_reweight",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS tk
+      FROM documents
+    ),
+    scored AS (
+      SELECT source AS domain,
+             (1000000 * CAST(len(list_distinct(tk)) AS BIGINT))
+               // CAST(len(tk) AS BIGINT) AS loss,
+             ('0x' || substring(md5('doremi:' || CAST(doc_id AS VARCHAR)),
+                                1, 12))::BIGINT % 1000000 AS bucket
+      FROM tok
+    ),
+    w0 AS (
+      SELECT domain, n_docs, mean_loss,
+             CAST(count(*) OVER () AS BIGINT) AS n_dom,
+             1000000 // CAST(count(*) OVER () AS BIGINT) AS w_ppm
+      FROM (
+        SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(loss) AS BIGINT) // CAST(count(*) AS BIGINT)
+                 AS mean_loss
+        FROM scored GROUP BY domain
+      )
+    ),
+    {_doremi_round_sql(1)},
+    {_doremi_round_sql(2)}
+    SELECT domain, n_docs, mean_loss, n_kept_r1, w1_ppm, n_kept_r2, w2_ppm
+    FROM w2
+    """,
+)
+def domain_reweight_q(spark, sf):
+    """DoReMi-style domain mixture optimization (pipeline/corpus.py::
+    domain_reweight): two multiplicative-update rounds over the 20
+    sources with per-document type-token-ratio (ppm, integer) as the
+    loss proxy — high-excess-loss domains gain weight, the sample
+    re-draws under the new mixture, and the loop re-measures. All
+    arithmetic integer (clamped factors, positive divisors), so the
+    DuckDB oracle unrolls both rounds exactly."""
+    from squirreling_spark.pipeline.corpus import domain_reweight
+
+    docs = t(spark, sf, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "
+    )
+    staged = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.lit(1_000_000).cast("bigint")
+            * F.size(F.array_distinct(toks)).cast("bigint")
+        ).alias("__a"),
+        F.size(toks).cast("bigint").alias("__b"),
+    ).select(
+        "doc_id", "source", F.expr("__a DIV __b").alias("ttr_loss")
+    )
+    return domain_reweight(
+        staged, "doc_id", "source", "ttr_loss", rounds=2
+    )

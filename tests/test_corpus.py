@@ -480,3 +480,30 @@ def test_decontaminate_neardup_flags_quoting_doc(spark):
     assert r["doc_id"] == 1 and r["top_bench_id"] == 100
     # shingles: doc 38, bench 28, all bench shingles shared -> 28/38
     assert r["max_jaccard"] == round(28 / 38, 6)
+
+
+def test_domain_reweight_upweights_high_loss_domain(spark):
+    from squirreling_spark.pipeline.corpus import domain_reweight
+
+    # domain "hard" has loss 900k ppm per doc, "easy" 100k: after one
+    # multiplicative round hard must out-weigh easy; weights stay a
+    # ~1e6-ppm simplex; and the result is partition-invariant.
+    rows = [(i, "hard" if i % 2 == 0 else "easy",
+             900_000 if i % 2 == 0 else 100_000) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, dom string, loss bigint")
+    out = {r["domain"]: r for r in
+           domain_reweight(df, "doc_id", "dom", "loss", rounds=2).collect()}
+    assert set(out) == {"hard", "easy"}
+    assert out["hard"]["w1_ppm"] > out["easy"]["w1_ppm"]
+    # round 2 has converged (easy is pinned at the floor, so the kept
+    # sample is ~all hard -> excess ~0); hard stays dominant
+    assert out["hard"]["w2_ppm"] > 900_000
+    for t in ("w1_ppm", "w2_ppm"):
+        s = out["hard"][t] + out["easy"][t]
+        assert 999_990 <= s <= 1_000_000  # floored renormalization
+    out2 = {r["domain"]: r for r in
+            domain_reweight(df.repartition(7), "doc_id", "dom", "loss",
+                            rounds=2).collect()}
+    assert {k: (v["w1_ppm"], v["w2_ppm"]) for k, v in out.items()} == \
+           {k: (v["w1_ppm"], v["w2_ppm"]) for k, v in out2.items()}
+    assert out["hard"]["mean_loss"] == 900_000
