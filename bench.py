@@ -103,6 +103,8 @@ HEADLINE = [
     "bm25_rank",
     "text_nfc_normalize",
     "bpe_encode_docs",
+    "decontaminate_neardup",
+    "domain_reweight",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps
