@@ -101,6 +101,7 @@ QUERIES = [
     "salted_agg_skew",
     "salted_join_brand",
     "web_host_stats",
+    "domain_reweight",
 ]
 
 
