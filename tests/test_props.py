@@ -326,3 +326,83 @@ def test_connected_components_both_arms_match_union_find(spark, edges):
             ).collect()
         }
         assert got == want, (thresh, got, want)
+
+
+_nfc_text = st.one_of(
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs", "Cc"), max_codepoint=0x10FFF
+        ),
+        max_size=10,
+    ),
+    st.sampled_from(
+        ["café", "é", "Å", "Å", "가",
+         "q̣̇", "̣̇", "ｶﾞ", "क़"]
+    ),
+)
+
+
+@_SETTINGS
+@given(texts=st.lists(_nfc_text, min_size=1, max_size=8))
+def test_nfc_normalize_cross_implementation(spark, texts):
+    """Python unicodedata NFC (the Spark operator's Arrow UDF) must agree
+    byte-for-byte with DuckDB's utf8proc nfc_normalize on ARBITRARY
+    unicode — two independent Unicode implementations fuzzed against each
+    other (combining reordering under canonical ordering, singletons,
+    Hangul, composition exclusions like U+0958)."""
+    from squirreling_spark.pipeline.text import nfc_normalize_docs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_chars_nfc"], r["fp_nfc"], r["changed"])
+        for r in nfc_normalize_docs(sdf, "text", "doc_id").collect()
+    }
+    con = duckdb.connect()
+    con.register("nfc_t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {
+        int(d): (int(n), fp, bool(ch))
+        for d, n, fp, ch in con.execute(
+            "SELECT doc_id, length(nfc_normalize(text)),"
+            " md5(nfc_normalize(text)), text != nfc_normalize(text)"
+            " FROM nfc_t"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+
+
+_bm25_word = st.sampled_from(["query", "merge", "scan", "row", "agg", "x"])
+_bm25_doc = st.lists(_bm25_word, min_size=1, max_size=12).map(" ".join)
+
+
+@_SETTINGS
+@given(docs=st.lists(_bm25_doc, min_size=1, max_size=10))
+def test_bm25_scores_bit_identical_cross_engine(spark, docs):
+    """bm25_rank's rational-idf fixed-order arithmetic claim, fuzzed: for
+    arbitrary tiny corpora the double scores must be BIT-identical to the
+    DuckDB oracle (no tolerance), and invariant to partitioning."""
+    from squirreling_spark.pipeline.retrieval import bm25_oracle_sql, bm25_rank
+
+    terms = ["query", "merge"]
+    rows = [(i, d) for i, d in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_rank(sdf, "text", "doc_id", terms, topk=20).collect()
+    ]
+    got2 = [
+        (r["doc_id"], r["score"])
+        for r in bm25_rank(
+            sdf.repartition(5), "text", "doc_id", terms, topk=20
+        ).collect()
+    ]
+    assert got == got2  # partitioning-invariant
+    con = duckdb.connect()
+    con.register("bm_t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sql = bm25_oracle_sql(terms, topk=20, table="bm_t")
+    # oracle columns are (doc_id, dl, tf1, tf2, score) — id first, score last
+    want = [(int(r[0]), r[-1]) for r in con.execute(sql).fetchall()]
+    con.close()
+    # compare (id, exact double) pairs in rank order
+    assert [(d, s) for d, s in got] == want
