@@ -406,3 +406,50 @@ def test_bm25_scores_bit_identical_cross_engine(spark, docs):
     con.close()
     # compare (id, exact double) pairs in rank order
     assert [(d, s) for d, s in got] == want
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),           # skewed key space (hot keys)
+            st.integers(-(2**40), 2**40),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_salted_agg_equals_plain_agg(spark, rows):
+    """Salt-invariance, fuzzed: the two-phase salted aggregation must
+    equal the plain groupBy bit-for-bit for ANY input (including hot-key
+    distributions — the case it exists for) and any salt assignment."""
+    from pyspark.sql import functions as F
+
+    from squirreling_spark.operators.skew import salted_agg
+
+    sdf = spark.createDataFrame(rows, "k bigint, v bigint")
+    got = {
+        (r["k"]): (r["n"], r["s"])
+        for r in salted_agg(
+            sdf,
+            ["k"],
+            aggs=[
+                F.count(F.lit(1)).alias("pn"),
+                F.sum("v").alias("ps"),
+            ],
+            final_aggs=[
+                F.sum("pn").cast("bigint").alias("n"),
+                F.sum("ps").cast("bigint").alias("s"),
+            ],
+        ).collect()
+    }
+    want = {
+        (r["k"]): (r["n"], r["s"])
+        for r in sdf.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
