@@ -2092,6 +2092,11 @@ def image_pixel_decode_q(spark, sf):
     media = frames[0]
     for fr in frames[1:]:
         media = media.unionByName(fr)
+    # the union is 4 single-task branches (one per single-row-group
+    # fixture scan) with very different per-variant decode costs — hash
+    # the payloads across the cluster so the Arrow decode stage is
+    # balanced instead of bounded by the slowest codec's branch
+    media = qspread(media, by=["media_id"])
     return decode_image(media).select(
         "media_id", "decoder", "width", "height", "n_pixels",
         "mean_r", "mean_g", "mean_b",
