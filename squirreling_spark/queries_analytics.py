@@ -15,7 +15,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from squirreling_spark.inventory import query
-from squirreling_spark.qutil import dsum, o_dsum, t
+from squirreling_spark.qutil import dsum, o_dsum, pinned_shuffle, t
 
 
 @query(
@@ -302,20 +302,21 @@ def events_tumbling_stream(spark, sf):
     # in-session calls would leak one memory-sink table per run).
     digest = hashlib.md5(sf.encode("utf-8")).hexdigest()[:8]
     sink = f"sq_stream_sink_{digest}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        exc = q.exception()
-        q.stop()
-        raise RuntimeError(
-            f"streaming query did not finish within 300s"
-            f" (exception: {exc})"  # fail loudly, never grade a partial sink
+    with pinned_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(300):
+            exc = q.exception()
+            q.stop()
+            raise RuntimeError(
+                f"streaming query did not finish within 300s"
+                f" (exception: {exc})"  # fail loudly, never grade a partial sink
+            )
     return spark.table(sink)
 
 
@@ -381,19 +382,20 @@ def events_session_stream(spark, sf):
     )
     digest = hashlib.md5(sf.encode("utf-8")).hexdigest()[:8]
     sink = f"sq_sess_sink_{digest}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        exc = q.exception()
-        q.stop()
-        raise RuntimeError(
-            f"session stream did not finish within 300s (exception: {exc})"
+    with pinned_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(300):
+            exc = q.exception()
+            q.stop()
+            raise RuntimeError(
+                f"session stream did not finish within 300s (exception: {exc})"
+            )
     return spark.table(sink)
 
 
@@ -539,17 +541,18 @@ def events_stream_join(spark, sf):
     )
     digest = hashlib.md5(sf.encode("utf-8")).hexdigest()[:8]
     sink = f"sq_ssj_sink_{digest}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        exc = q.exception()
-        q.stop()
-        raise RuntimeError(
-            f"stream-stream join did not finish within 300s (exc: {exc})"
+    with pinned_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(300):
+            exc = q.exception()
+            q.stop()
+            raise RuntimeError(
+                f"stream-stream join did not finish within 300s (exc: {exc})"
+            )
     return spark.table(sink)

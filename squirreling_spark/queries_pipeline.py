@@ -32,7 +32,7 @@ from squirreling_spark.pipeline.text import (
     quality_score,
     token_stats,
 )
-from squirreling_spark.qutil import det_round, dsum, o_dsum, spread as qspread, t
+from squirreling_spark.qutil import det_round, dsum, o_dsum, pinned_shuffle, spread as qspread, t
 
 # DuckDB fragments shared across oracles ------------------------------------
 
@@ -2757,21 +2757,22 @@ def dedup_minhash_stream_q(spark, sf):
     pairs = stream_minhash_neardup(stream, "text", "doc_id")
     digest = _hashlib.md5(sf.encode("utf-8")).hexdigest()[:8]
     sink = f"sq_mh_stream_sink_{digest}"
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        exc = q.exception()
-        q.stop()
-        raise RuntimeError(
-            f"streaming near-dup did not finish within 300s (exc: {exc})"
+    with pinned_shuffle(spark):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-    # cross-band duplicates of the same pair: one distinct on the sink
-    # (in production the downstream verifier's groupBy absorbs this)
+        if not q.awaitTermination(300):
+            exc = q.exception()
+            q.stop()
+            raise RuntimeError(
+                f"streaming near-dup did not finish within 300s (exc: {exc})"
+            )
+        # cross-band duplicates of the same pair: one distinct on the sink
+        # (in production the downstream verifier's groupBy absorbs this)
     return spark.table(sink).distinct()
 
 
@@ -3378,20 +3379,21 @@ def dedup_stream_exact_q(spark, sf):
     deduped = stream_dedup(stream, ["doc_id"], watermark="1 hour")
     digest = _hashlib.md5(sf.encode("utf-8")).hexdigest()[:8]
     sink = f"sq_exact_sink_{digest}"
-    q = (
-        deduped.select("doc_id", "fp", "n_chars")
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        exc = q.exception()
-        q.stop()
-        raise RuntimeError(
-            f"streaming exact dedup did not finish within 300s (exc: {exc})"
+    with pinned_shuffle(spark):
+        q = (
+            deduped.select("doc_id", "fp", "n_chars")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(300):
+            exc = q.exception()
+            q.stop()
+            raise RuntimeError(
+                f"streaming exact dedup did not finish within 300s (exc: {exc})"
+            )
     return spark.table(sink)
 
 

@@ -10,6 +10,8 @@ semantics: results don't drift with partition count.
 
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
+
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -137,3 +139,22 @@ def o_det_round(expr: str, digits: int = 6) -> str:
     sync."""
     factor = 10 ** digits
     return f"floor(({expr}) * {factor} + 0.5) / {factor}"
+
+
+@_contextmanager
+def pinned_shuffle(spark: SparkSession, n: int = 16):
+    """Pin ``spark.sql.shuffle.partitions`` around a streaming cycle and
+    restore the previous value. Stateful streaming operators allocate one
+    state-store partition per shuffle partition in EVERY micro-batch —
+    under the driver's vanilla session (200) that is 200 state tasks per
+    batch for a few-thousand-row fixture stream. The value is captured at
+    stream START for the checkpoint's lifetime, so pinning here affects
+    only the wrapped query; results are partition-count-invariant. At
+    real scale, size this to the key cardinality instead."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
