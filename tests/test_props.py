@@ -453,3 +453,47 @@ def test_salted_agg_equals_plain_agg(spark, rows):
         .collect()
     }
     assert got == want
+
+
+_dw = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"])
+_ddoc = st.lists(_dw, min_size=3, max_size=25).map(" ".join)
+
+
+@_SETTINGS
+@given(
+    docs=st.lists(_ddoc, min_size=1, max_size=6),
+    bench=st.lists(_ddoc, min_size=1, max_size=3),
+)
+def test_decontaminate_flags_are_sound(spark, docs, bench):
+    """Soundness fuzz: every (doc, bench) match decontaminate_neardup
+    reports must have TRUE shingle Jaccard >= threshold against that
+    benchmark item (the exact-verify stage must never pass a band-only
+    collision through), and max_jaccard must equal the brute-force value
+    for the reported top match."""
+    from squirreling_spark.pipeline.dedup import decontaminate_neardup
+
+    tau = 0.35
+    drows = [(i, d) for i, d in enumerate(docs)]
+    brows = [(100 + i, b) for i, b in enumerate(bench)]
+    sdf = spark.createDataFrame(drows, "doc_id bigint, text string")
+    bdf = spark.createDataFrame(brows, "bench_id bigint, text string")
+    out = decontaminate_neardup(
+        sdf, bdf, "text", "doc_id", threshold=tau
+    ).collect()
+
+    def sh(t):
+        toks = t.split(" ")
+        if len(toks) < 3:
+            return {t}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    dsh = {i: sh(d) for i, d in drows}
+    bsh = {i: sh(b) for i, b in brows}
+    for r in out:
+        a, b = dsh[r["doc_id"]], bsh[r["top_bench_id"]]
+        j = round(len(a & b) / len(a | b), 6)
+        assert j >= tau, (r, j)
+        assert r["max_jaccard"] <= max(
+            round(len(dsh[r["doc_id"]] & bs) / len(dsh[r["doc_id"]] | bs), 6)
+            for bs in bsh.values()
+        )
