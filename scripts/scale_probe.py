@@ -102,6 +102,7 @@ QUERIES = [
     "salted_join_brand",
     "web_host_stats",
     "domain_reweight",
+    "dsir_sample",
 ]
 
 

@@ -686,3 +686,101 @@ def domain_reweight(
         cur = cur.withColumn(f"w{t}_ppm", F.col("w_ppm"))
         out_cols += [f"n_kept_r{t}", f"w{t}_ppm"]
     return cur.select(*out_cols)
+
+
+def dsir_importance_sample(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    base_rate_ppm: int = 500_000,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, 'Data Selection for
+    Language Models via Importance Resampling'): score every corpus
+    document under TWO pooled bigram models — one trained on the trusted
+    ``target`` slice, one on the raw corpus itself — and sample with
+    probability proportional to the importance ratio
+    ``lm_target / lm_raw``, so documents that look more like the target
+    distribution than like average crawl are kept preferentially.
+
+    Determinism: each model score is the ngram_lm_score pooled add-one
+    estimate — integer sums with ONE double division — and the ratio,
+    the base-rate product, and the floor(x+0.5) quantization are all
+    single correctly-rounded operations on bit-identical inputs, so the
+    keep decision (salted-md5 integer bucket < quantized rate) replays
+    exactly in the oracle.
+
+    Scale shape: bigrams explode ONCE; the target and raw count tables
+    are plain map-side-combined groupBys joined back on their natural
+    token keys (4 shuffle hash joins that partition evenly); the rollup
+    is one combining groupBy; the sample decision is row-local. No
+    windows, no Python, no driver state."""
+    bg = _bigrams(corpus, text_col, id_col)
+    tg = _bigrams(target, text_col, id_col)
+
+    def counts(src, pre):
+        c2 = src.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"{pre}c2")
+        )
+        c1 = src.groupBy("w1").agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"{pre}c1")
+        )
+        v = src.agg(F.countDistinct("w2").cast("bigint").alias(f"{pre}v"))
+        return c2, c1, v
+
+    tc2, tc1, tv = counts(tg, "t_")
+    rc2, rc1, rv = counts(bg, "r_")
+    scored = (
+        bg.join(tc2, ["w1", "w2"], "left")
+        .join(tc1, ["w1"], "left")
+        .join(rc2, ["w1", "w2"], "left")
+        .join(rc1, ["w1"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.coalesce("t_c2", F.lit(0))).cast("bigint").alias("t2"),
+            F.sum(F.coalesce("t_c1", F.lit(0))).cast("bigint").alias("t1"),
+            F.sum(F.coalesce("r_c2", F.lit(0))).cast("bigint").alias("r2"),
+            F.sum(F.coalesce("r_c1", F.lit(0))).cast("bigint").alias("r1"),
+        )
+        .crossJoin(F.broadcast(tv))
+        .crossJoin(F.broadcast(rv))
+    )
+    lm_t = (F.col("t2") + F.col("n_bigrams")).cast("double") / (
+        F.col("t1") + F.col("n_bigrams") * F.col("t_v")
+    )
+    lm_r = (F.col("r2") + F.col("n_bigrams")).cast("double") / (
+        F.col("r1") + F.col("n_bigrams") * F.col("r_v")
+    )
+    w = lm_t / lm_r
+    rate = F.least(
+        F.lit(1_000_000).cast("bigint"),
+        F.floor(w * F.lit(float(base_rate_ppm)) + F.lit(0.5)).cast("bigint"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + ":"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_bigrams",
+        lm_t.alias("lm_target"),
+        lm_r.alias("lm_raw"),
+        w.alias("importance"),
+        rate.alias("rate_ppm"),
+        bucket.alias("bucket"),
+        (bucket < rate).alias("keep"),
+    )

@@ -711,3 +711,78 @@ def domain_reweight_q(spark, sf):
     return domain_reweight(
         staged, "doc_id", "source", "ttr_loss", rounds=2
     )
+
+
+@query(
+    "dsir_sample",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                          ' ') AS tk
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM (
+        SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        FROM tok WHERE len(tk) >= 2
+      )
+    ),
+    tgt AS (SELECT * FROM bg WHERE doc_id % 5 = 0),
+    tc2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS t_c2
+            FROM tgt GROUP BY 1, 2),
+    tc1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS t_c1 FROM tgt GROUP BY 1),
+    tv AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS t_v FROM tgt),
+    rc2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS r_c2
+            FROM bg GROUP BY 1, 2),
+    rc1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS r_c1 FROM bg GROUP BY 1),
+    rv AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS r_v FROM bg),
+    per AS (
+      SELECT bg.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(coalesce(t_c2, 0)) AS BIGINT) AS t2,
+             CAST(sum(coalesce(t_c1, 0)) AS BIGINT) AS t1,
+             CAST(sum(coalesce(r_c2, 0)) AS BIGINT) AS r2,
+             CAST(sum(coalesce(r_c1, 0)) AS BIGINT) AS r1
+      FROM bg
+      LEFT JOIN tc2 USING (w1, w2) LEFT JOIN tc1 USING (w1)
+      LEFT JOIN rc2 USING (w1, w2) LEFT JOIN rc1 USING (w1)
+      GROUP BY bg.doc_id
+    ),
+    x AS (
+      SELECT doc_id, n_bigrams,
+             CAST(t2 + n_bigrams AS DOUBLE)
+               / (t1 + n_bigrams * t_v) AS lm_target,
+             CAST(r2 + n_bigrams AS DOUBLE)
+               / (r1 + n_bigrams * r_v) AS lm_raw
+      FROM per, tv, rv
+    ),
+    y AS (
+      SELECT doc_id, n_bigrams, lm_target, lm_raw,
+             lm_target / lm_raw AS importance,
+             least(1000000, CAST(floor(lm_target / lm_raw * 500000.0 + 0.5)
+                                 AS BIGINT)) AS rate_ppm,
+             ('0x' || substring(md5('dsir:' || CAST(doc_id AS VARCHAR)),
+                                1, 12))::BIGINT % 1000000 AS bucket
+      FROM x
+    )
+    SELECT doc_id, n_bigrams, lm_target, lm_raw, importance, rate_ppm,
+           bucket, bucket < rate_ppm AS keep
+    FROM y
+    """,
+)
+def dsir_sample_q(spark, sf):
+    """DSIR-style importance resampling (pipeline/corpus.py::
+    dsir_importance_sample): target model = the trusted slice
+    (doc_id % 5 == 0, the ngram_lm_score convention), raw model = the
+    corpus itself; keep probability ∝ lm_target/lm_raw at a 50% base
+    rate. One bigram explode, four count joins, one rollup, a row-local
+    integer keep decision — every double is a single correctly-rounded
+    op on bit-identical inputs, so the oracle replays the whole
+    selection exactly."""
+    from squirreling_spark.pipeline.corpus import dsir_importance_sample
+
+    docs = t(spark, sf, "documents")
+    target = docs.filter(F.col("doc_id") % 5 == 0)
+    return dsir_importance_sample(docs, target, "text", "doc_id")

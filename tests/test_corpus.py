@@ -507,3 +507,29 @@ def test_domain_reweight_upweights_high_loss_domain(spark):
     assert {k: (v["w1_ppm"], v["w2_ppm"]) for k, v in out.items()} == \
            {k: (v["w1_ppm"], v["w2_ppm"]) for k, v in out2.items()}
     assert out["hard"]["mean_loss"] == 900_000
+
+
+def test_dsir_upweights_target_like_docs(spark):
+    from squirreling_spark.pipeline.corpus import dsir_importance_sample
+
+    # target distribution is "a b" bigrams; doc 1 matches it, doc 2 is
+    # from a different distribution -> importance(doc1) > importance(doc2)
+    docs = _docs(
+        spark,
+        [
+            (1, "a b a b a b"),
+            (2, "x y x y x y"),
+            (3, "a b x y"),
+        ],
+    )
+    target = _docs(spark, [(100, "a b a b"), (101, "b a b a")])
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance_sample(
+            docs, target, "text", "doc_id"
+        ).collect()
+    }
+    assert out[1]["importance"] > out[3]["importance"] > out[2]["importance"]
+    for r in out.values():
+        assert r["keep"] == (r["bucket"] < r["rate_ppm"])
+        assert r["rate_ppm"] <= 1_000_000
