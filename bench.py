@@ -105,6 +105,7 @@ HEADLINE = [
     "bpe_encode_docs",
     "decontaminate_neardup",
     "domain_reweight",
+    "dsir_sample",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps
