@@ -65,6 +65,9 @@ SHOW = [
     ("salted_agg_skew", "salted two-phase agg: shuffle on (keys, salt) then bare keys, map-side partials both phases"),
     ("salted_join_brand", "salted fact-dim join: join key (key, salt), dimension replicated via explode"),
     ("web_host_stats", "host stats: canonicalization projection + ONE groupBy on host"),
+    ("image_pixel_decode", "4-codec decode: synthesized payloads hashed across the cluster BEFORE the Arrow decode stage (no per-codec straggler)"),
+    ("domain_reweight", "DoReMi rounds: row-local sample filter + |domains|-row combining groupBy per round, weights broadcast back"),
+    ("dsir_sample", "DSIR: one bigram explode, four token-keyed count joins, one rollup, row-local integer keep decision"),
 ]
 
 
