@@ -483,17 +483,24 @@ def dedup_clusters(
     bands: int = 8,
     shingle_k: int = 3,
     max_iter: int = 20,
+    driver_threshold: int | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id, cluster_size) for every document in a near-dup
     cluster: MinHash+LSH candidate pairs -> connected components ->
     canonical id = min doc id per component. The full 100 TB dedup story:
     bucket-local candidate generation, O(log diameter) clustering, and a
     per-cluster size so a downstream filter can keep `doc_id = cluster_id`
-    (one representative) or weight by cluster size."""
+    (one representative) or weight by cluster size. ``driver_threshold``
+    passes through to connected_components (0 forces the distributed
+    pointer-jumping arm — what a >5M-edge graph takes at 100 TB)."""
     pairs = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_k
     )
-    cc = connected_components(pairs, "id_a", "id_b", max_iter)
+    cc_kwargs = (
+        {} if driver_threshold is None
+        else {"driver_threshold": driver_threshold}
+    )
+    cc = connected_components(pairs, "id_a", "id_b", max_iter, **cc_kwargs)
     sizes = cc.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )

@@ -786,3 +786,24 @@ def dsir_sample_q(spark, sf):
     docs = t(spark, sf, "documents")
     target = docs.filter(F.col("doc_id") % 5 == 0)
     return dsir_importance_sample(docs, target, "text", "doc_id")
+
+
+@query(
+    "dedup_clusters_distributed",
+    oracle=inventory.ORACLES["dedup_clusters"],
+)
+def dedup_clusters_distributed_q(spark, sf):
+    """The DISTRIBUTED connected-components arm under the full oracle:
+    same MinHash-LSH pairs, but pointer-jumping min-label propagation
+    (driver_threshold=0) instead of the small-graph driver union-find —
+    the arm a >5M-edge collision graph takes at 100 TB. Until now this
+    arm was unit-tested and scale-probed but not value-graded; the
+    oracle (recursive-CTE transitive closure) is identical to
+    dedup_clusters', so both arms are now proven to produce the same
+    labeling on the real fixture."""
+    from squirreling_spark.pipeline.dedup import dedup_clusters
+
+    return dedup_clusters(
+        t(spark, sf, "documents"), "text", "doc_id",
+        num_hashes=32, bands=8, driver_threshold=0,
+    )
