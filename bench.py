@@ -180,7 +180,37 @@ def main() -> None:
         out["errors"] = errors
         out["incomplete"] = True
         out["partial_total"] = total
-    print(json.dumps(out))
+
+    # Full artifact → committed file (the driver's stdout capture keeps
+    # only the last 2000 chars — BENCH_r06.json lost its head that way).
+    # stdout gets a size-bounded summary line, printed LAST.
+    artifact = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r7.json")
+    artifact_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), artifact)
+    try:
+        with open(artifact_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"BENCH ARTIFACT WRITE ERROR: {exc}", file=sys.stderr)
+
+    compact = dict(out)
+    compact.pop("noise_band", None)  # lives in the file artifact
+    compact.pop("errors", None)
+    compact["queries"] = {n: round(v, 2) for n, v in timings.items()}
+    compact["artifact"] = artifact
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # keep the headline total parseable: drop per-query detail to the
+        # slowest N that fit; the full map is in the file artifact
+        slowest = sorted(timings, key=timings.get, reverse=True)
+        while len(line) > 1900 and slowest:
+            slowest.pop()
+            compact["queries"] = {
+                n: round(timings[n], 2) for n in slowest
+            }
+            compact["queries_truncated"] = True
+            line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     if errors:
         sys.exit(3)
 

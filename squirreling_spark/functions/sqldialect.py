@@ -165,6 +165,301 @@ def _rewrite_like_ci(q: str) -> str:
     return _sub_outside_strings(q, _LIKE_RE, lambda m: "ILIKE")
 
 
+# ---------------------------------------------------------------------------
+# Production wish-list dialect (reference syntax.md:22-41 — the ranked
+# DuckDB/Postgres habits the reference's users actually typed against it).
+# Everything here is a text-level pre-parse rewrite onto Spark built-ins;
+# argument-dependent rewrites (STRFTIME formats, GLOB patterns, JSON
+# arrows) only fire on LITERAL arguments and otherwise leave the query
+# untouched so the strict validator surfaces a real error.
+# ---------------------------------------------------------------------------
+
+_ARROW_RE = re.compile(r"->>?")
+_ARROW_RHS_RE = re.compile(r"\s*('(?:[^']|'')*'|\d+)")
+
+
+def _operand_left(q: str, i: int) -> tuple[int, int]:
+    """(start, end) span of the value operand ending just before position
+    ``i`` — an identifier chain, call/paren/subscript group (possibly
+    chained), or a string literal. (-1, end) when there is none."""
+    end = i
+    while end > 0 and q[end - 1].isspace():
+        end -= 1
+    if end == 0:
+        return -1, end
+    start = end
+    while start > 0:
+        c = q[start - 1]
+        if c in ")]":
+            opener = "(" if c == ")" else "["
+            depth = 0
+            k = start - 1
+            while k >= 0:
+                if q[k] == c:
+                    depth += 1
+                elif q[k] == opener:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            if k < 0:
+                return -1, end
+            start = k
+            # a function/array name may precede the group
+            while start > 0 and (q[start - 1].isalnum() or q[start - 1] in "_$."):
+                start -= 1
+            if start > 0 and q[start - 1] in ")]":
+                continue  # chained groups: a(..)[..]
+            break
+        if c == "'":
+            k = start - 2
+            while k >= 0:
+                if q[k] == "'" and (k == 0 or q[k - 1] != "'"):
+                    return k, end
+                k -= 1
+            return -1, end
+        if c.isalnum() or c in "_$.":
+            while start > 0 and (q[start - 1].isalnum() or q[start - 1] in "_$."):
+                start -= 1
+            break
+        return -1, end
+    if start >= end:
+        return -1, end
+    return start, end
+
+
+def _rewrite_json_arrows(q: str) -> str:
+    """DuckDB/Postgres JSON arrows (syntax.md item 11): ``x->'k'`` →
+    json_query, ``x->>'k'`` → json_value, ``x->0`` → ``$[0]`` paths;
+    chains rewrite left-associatively. Only literal string/int RHS —
+    a lambda arrow (``v -> expr``) never has a literal body, and an
+    integer-RHS arrow on a bare identifier directly after ``(`` or ``,``
+    (the only spot a lambda param can sit) is skipped as a guard."""
+    pos = 0
+    while True:
+        mask = _string_mask(q)
+        m = None
+        for cand in _ARROW_RE.finditer(q, pos):
+            if not mask[cand.start()]:
+                m = cand
+                break
+        if m is None:
+            return q
+        start, end = _operand_left(q, m.start())
+        rm = _ARROW_RHS_RE.match(q, m.end())
+        if start < 0 or rm is None:
+            pos = m.end()
+            continue
+        rhs = rm.group(1)
+        if rhs.isdigit():
+            lead = q[:start].rstrip()
+            if re.match(r"[A-Za-z_][\w.$]*$", q[start:end]) and lead.endswith(("(", ",")):
+                pos = m.end()  # plausible lambda param — don't touch
+                continue
+            path = f"$[{rhs}]"
+        else:
+            key = rhs[1:-1].replace("''", "'")
+            if key.startswith("$"):
+                path = key
+            elif re.fullmatch(r"\w+", key):
+                path = f"$.{key}"
+            else:
+                pos = m.end()  # quoted-key paths unsupported — leave as-is
+                continue
+        fn = "json_value" if m.group(0) == "->>" else "json_query"
+        path_lit = path.replace("'", "''")
+        q = (
+            q[:start]
+            + f"{fn}({q[start:end]}, '{path_lit}')"
+            + q[m.end() + (rm.end() - m.end()):]
+        )
+        pos = start  # rescan from the rewritten operand (chains)
+
+
+def _glob_to_rlike(pat: str) -> str:
+    """Glob pattern → anchored Java regex (``*``→``.*``, ``?``→``.``,
+    ``[!...]``→``[^...]`` classes kept, everything else escaped)."""
+    out = ["^"]
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        elif c == "[":
+            j = pat.find("]", i + 2)  # ']' legal at class position 0
+            if j == -1:
+                out.append(re.escape(c))
+            else:
+                body = pat[i + 1 : j]
+                if body.startswith("!"):
+                    body = "^" + body[1:]
+                out.append("[" + body + "]")
+                i = j
+        else:
+            out.append(re.escape(c))
+        i += 1
+    out.append("$")
+    return "".join(out)
+
+
+_GLOB_RE = re.compile(r"\bGLOB\s+('(?:[^']|'')*')", re.I)
+
+
+def _rewrite_glob(q: str) -> str:
+    """``x GLOB 'a*e'`` (syntax.md item 16) → anchored RLIKE; only
+    literal patterns (a column-valued glob stays an error)."""
+    def repl(m):
+        raw = m.group(1)[1:-1].replace("''", "'")
+        rx = _glob_to_rlike(raw)
+        return "RLIKE '" + rx.replace("\\", "\\\\").replace("'", "''") + "'"
+
+    return _sub_outside_strings(q, _GLOB_RE, repl)
+
+
+_TILDE_RE = re.compile(r"!~|~")
+
+# words that can directly precede a unary ~ (SELECT ~5, WHERE ~x = -6, …)
+_TILDE_UNARY_LEAD = {
+    "SELECT", "WHERE", "AND", "OR", "NOT", "WHEN", "THEN", "ELSE", "BY",
+    "ON", "HAVING", "CASE", "IN", "AS", "FROM", "JOIN", "SET", "VALUES",
+    "RETURN", "DISTINCT", "ALL", "BETWEEN", "LIKE", "ILIKE", "RLIKE",
+}
+
+
+def _rewrite_tilde_ops(q: str) -> str:
+    """Postgres regex-match operators (syntax.md item 16): binary ``~`` →
+    RLIKE, ``!~`` → NOT RLIKE (partial-match Postgres semantics — Spark's
+    RLIKE — not DuckDB's full-match ``~``). Unary ``~`` (bitwise NOT)
+    is left for Spark: binary context requires a value token on the
+    left."""
+    mask = _string_mask(q)
+    hits = []
+    for m in _TILDE_RE.finditer(q):
+        if mask[m.start()]:
+            continue
+        lead = q[: m.start()].rstrip()
+        if not lead or not (lead[-1].isalnum() or lead[-1] in ")]'_\""):
+            continue
+        wm = re.search(r"([A-Za-z_]\w*)$", lead)
+        if wm and wm.group(1).upper() in _TILDE_UNARY_LEAD:
+            continue
+        hits.append(m)
+    for m in reversed(hits):
+        op = " NOT RLIKE " if m.group(0) == "!~" else " RLIKE "
+        q = q[: m.start()] + op + q[m.end():]
+    return q
+
+
+_EXCLUDE_RE = re.compile(
+    r"(\*\s*)EXCLUDE\s*(\([^()]*\)|[A-Za-z_]\w*)", re.I
+)
+
+
+def _rewrite_exclude(q: str) -> str:
+    """DuckDB ``SELECT * EXCLUDE (...)`` (syntax.md item 16) → Spark's
+    native ``* EXCEPT (...)``."""
+    return _sub_outside_strings(
+        q,
+        _EXCLUDE_RE,
+        lambda m: m.group(1)
+        + "EXCEPT "
+        + (m.group(2) if m.group(2).startswith("(") else f"({m.group(2)})"),
+    )
+
+
+def _toplevel_kw(q: str, pattern: re.Pattern, start: int = 0) -> int:
+    """Start index of the first paren-depth-0, outside-string match of
+    ``pattern`` at/after ``start``; -1 when absent."""
+    mask = _string_mask(q)
+    depth = 0
+    i = start
+    while i < len(q):
+        if mask[i]:
+            i += 1
+            continue
+        c = q[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pattern.match(q, i)
+            if m:
+                return i
+        i += 1
+    return -1
+
+
+_DON_RE = re.compile(r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.I)
+_FROM_KW = re.compile(r"\bFROM\b", re.I)
+_ORDER_KW = re.compile(r"\bORDER\s+BY\b", re.I)
+_LIMIT_KW = re.compile(r"\bLIMIT\b", re.I)
+
+
+def _rewrite_distinct_on(q: str) -> str:
+    """Postgres/DuckDB ``SELECT DISTINCT ON (keys) ...`` (syntax.md item
+    16) → first-row-per-key via ROW_NUMBER: the ON keys partition, the
+    query's ORDER BY (or the keys themselves) ranks, rn=1 survives. The
+    outer ORDER BY/LIMIT are preserved. Single-SELECT shapes only — keys
+    and ORDER BY must resolve against the FROM relations (not select-list
+    aliases), which covers the production queries in the wish-list."""
+    while True:
+        mask = _string_mask(q)
+        m = next((c for c in _DON_RE.finditer(q) if not mask[c.start()]), None)
+        if m is None:
+            return q
+        open_idx = q.index("(", m.end() - 1)
+        key_end = _balanced_arg(q, open_idx)
+        keys = q[open_idx + 1 : key_end - 1].strip()
+        from_idx = _toplevel_kw(q, _FROM_KW, key_end)
+        if not keys or from_idx == -1:
+            return q
+        sel = q[key_end:from_idx].strip()
+        order_idx = _toplevel_kw(q, _ORDER_KW, from_idx)
+        limit_idx = _toplevel_kw(q, _LIMIT_KW, from_idx)
+        body_end = min(x for x in (order_idx, limit_idx, len(q)) if x != -1)
+        frombody = q[from_idx:body_end].rstrip()
+        order_clause = ""
+        if order_idx != -1:
+            oend = limit_idx if limit_idx != -1 else len(q)
+            order_clause = q[order_idx:oend].strip()
+        limit_clause = q[limit_idx:].strip() if limit_idx != -1 else ""
+        win_order = (
+            re.sub(r"^ORDER\s+BY\s+", "", order_clause, flags=re.I)
+            or keys
+        )
+        if sel == "*":
+            sel = "* EXCEPT (__sq_don)"
+        tail = f" {order_clause}" if order_clause else ""
+        if limit_clause:
+            tail += f" {limit_clause}"
+        q = (
+            q[: m.start()]
+            + f"SELECT {sel} FROM (SELECT *, ROW_NUMBER() OVER "
+            f"(PARTITION BY {keys} ORDER BY {win_order}) AS __sq_don "
+            f"{frombody}) WHERE __sq_don = 1{tail}"
+        )
+
+
+def _rewrite_wishlist(q: str) -> str:
+    """Apply the syntax.md wish-list rewrites that are token/operator
+    level (function-shaped items live in _rewrite_function_dialect)."""
+    up = q.upper()
+    if "->" in q:
+        q = _rewrite_json_arrows(q)
+    if "GLOB" in up:
+        q = _rewrite_glob(q)
+    if "~" in q:
+        q = _rewrite_tilde_ops(q)
+    if "EXCLUDE" in up:
+        q = _rewrite_exclude(q)
+    if "DISTINCT" in up and re.search(r"\bDISTINCT\s+ON\b", q, re.I):
+        q = _rewrite_distinct_on(q)
+    return q
+
+
 def _balanced_arg(q: str, open_idx: int) -> int:
     """Index just past the ')' matching the '(' at open_idx (string-aware)."""
     mask = _string_mask(q)
@@ -664,8 +959,11 @@ def _rewrite_date_dialect(q: str) -> str:
 
 def _extract_sql(field: str, x: str) -> str:
     cx = f"CAST(({x}) AS TIMESTAMP)"
-    if field == "DOW":   # JS getUTCDay(): Sunday=0 .. Saturday=6
-        return f"(dayofweek({cx}) - 1)"
+    if field == "DOW":   # JS getUTCDay(): Sunday=0 .. Saturday=6.
+        # weekday (Mon=0), not dayofweek-1: the DAYOFWEEK wish-list wrap
+        # rewrites the token DAYOFWEEK( through THIS function, so emitting
+        # dayofweek(...) here would self-feed and subtract twice.
+        return f"((weekday({cx}) + 1) % 7)"
     if field == "EPOCH":  # getTime()/1000 — fractional seconds
         return f"(unix_micros({cx}) / 1000000.0)"
     if field == "SECOND":  # getUTCSeconds() — integer
@@ -1053,6 +1351,66 @@ def _has_top_level_arith(frag: str) -> bool:
     return False
 
 
+_CORR_COUNT_RE = re.compile(r"\(\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s+FROM\b", re.I)
+_CORR_UNNEST_RE = re.compile(
+    r"\s*(?:INNER\s+|CROSS\s+)?JOIN\s+UNNEST\s*\(\s*"
+    r"([A-Za-z_]\w*\.[A-Za-z_]\w*)\s*\)\s*"
+    r"(?:AS\s+)?([A-Za-z_]\w*)\s*(?:\(\s*([A-Za-z_]\w*)\s*\))?"
+    r"\s*ON\s+TRUE\b",
+    re.I,
+)
+_FROM_ALIAS_RE = re.compile(
+    r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?",
+    re.I,
+)
+
+
+def _rewrite_correlated_unnest_count(q: str) -> str:
+    """Decorrelate ``(SELECT COUNT(*) FROM t JOIN UNNEST(o.arr) u(x)
+    ON TRUE)`` — a correlated table function below a scalar subquery's
+    FROM, which Spark's lateral decorrelation reaches only one level
+    deep (reference execute.subquery.test.js:567). When the unnest join
+    is an unconditioned cross product whose alias is never referenced
+    elsewhere, COUNT(*) factorizes: |rest| × size(arr) — so the unnest
+    hoists OUT of the subquery as a row-local multiplier (NULL/empty
+    arrays → 0 rows → coalesce(size, 0)). Conditioned or referenced
+    unnest aliases are left alone (Spark raises its correlation error,
+    matching the documented limitation)."""
+    pos = 0
+    while True:
+        mask = _string_mask(q)
+        m = next(
+            (c for c in _CORR_COUNT_RE.finditer(q, pos) if not mask[c.start()]),
+            None,
+        )
+        if m is None:
+            return q
+        sub_end = _balanced_arg(q, m.start())
+        body = q[m.start() + 1 : sub_end - 1]
+        um = _CORR_UNNEST_RE.search(body)
+        if um is None:
+            pos = sub_end
+            continue
+        qualifier = um.group(1).split(".")[0]
+        local_aliases = set()
+        for fm in _FROM_ALIAS_RE.finditer(body):
+            local_aliases.add(fm.group(1))
+            if fm.group(2):
+                local_aliases.add(fm.group(2))
+        rest = body[: um.start()] + body[um.end():]
+        alias = um.group(2)
+        refs_alias = re.search(rf"\b{alias}\b", rest, re.I)
+        if qualifier in local_aliases or refs_alias:
+            pos = sub_end  # not correlated / alias used — leave it
+            continue
+        q = (
+            q[: m.start()]
+            + f"(({rest.strip()}) * coalesce(size({um.group(1)}), 0))"
+            + q[sub_end:]
+        )
+        pos = m.start()
+
+
 _SUBSCRIPT_RE = re.compile(r"\b([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*\[")
 
 
@@ -1148,10 +1506,72 @@ _FN_RENAMES = {
     "APPROX_QUANTILE": "approx_percentile",
     "REGEXP_MATCHES": "regexp_like",
     "LIST": "collect_list",
+    # syntax.md wish-list pure renames (items 3, 6, 8, 10, 14)
+    "ARG_MIN": "min_by",
+    "ARG_MAX": "max_by",
+    "JSON_EXTRACT_STRING": "json_value",
+    "REGEXP_SPLIT_TO_ARRAY": "split",
+    "CHARINDEX": "locate",  # CHARINDEX(sub, str[, start]) = locate
+    "JSON_GROUP_ARRAY": "JSON_ARRAYAGG",  # null-keeping agg rewrite below
 }
 _FN_RENAME_RE = re.compile(
     r"\b(" + "|".join(_FN_RENAMES) + r")\s*\(", re.I
 )
+
+
+# C-style strftime %-codes → Java DateTimeFormatter pattern letters
+# (syntax.md item 13). %-X strips zero-padding (single pattern letter).
+_STRF_MAP = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH", "I": "hh",
+    "M": "mm", "S": "ss", "f": "SSSSSS", "j": "DDD", "a": "EEE",
+    "A": "EEEE", "b": "MMM", "B": "MMMM", "p": "a", "G": "YYYY",
+    "V": "ww", "u": "e",
+}
+_STRF_UNPAD = {"MM", "dd", "HH", "hh", "mm", "ss", "DDD"}
+
+
+def _strftime_java(fmt: str) -> str | None:
+    """Java date_format pattern for a C strftime format; None when the
+    format uses a %-code with no Java equivalent. Literal runs are
+    single-quoted so letters can't be read as pattern codes."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush():
+        if lit:
+            run = "".join(lit)
+            out.append("'" + run.replace("'", "''") + "'")
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c != "%":
+            lit.append(c)
+            i += 1
+            continue
+        if i + 1 >= len(fmt):
+            return None
+        nxt = fmt[i + 1]
+        unpad = False
+        if nxt == "-" and i + 2 < len(fmt):
+            unpad = True
+            i += 1
+            nxt = fmt[i + 1]
+        if nxt == "%":
+            lit.append("%")
+            i += 2
+            continue
+        code = _STRF_MAP.get(nxt)
+        if code is None:
+            return None
+        if unpad and code in _STRF_UNPAD:
+            code = code[0]
+        flush()
+        out.append(code)
+        i += 2
+    flush()
+    return "".join(out)
 
 
 def _rewrite_function_dialect(q: str) -> str:
@@ -1228,26 +1648,41 @@ def _rewrite_function_dialect(q: str) -> str:
         _regexp_substr,
     )
     # REGEXP_REPLACE 5-arg (occurrence) → registered UDF; 3/4-arg match
-    # Spark's builtin semantics already
+    # Spark's builtin semantics already. Postgres-habit 4th-arg FLAG
+    # string (syntax.md runtime table: regexp_replace(..., 'g')): 'g' is
+    # Spark's default (replace all) so it drops; 'i' folds into the
+    # pattern as (?i). A flagless-Postgres (first-match-only) call has no
+    # cheap Spark form and stays unrewritten.
+    def _regexp_replace(args):
+        if len(args) == 5:
+            return f"ref_regexp_replace({', '.join(args)})"
+        if len(args) == 4:
+            fm = re.fullmatch(r"\s*'([gis]*)'\s*", args[3])
+            if fm and "g" in fm.group(1):
+                pat = args[1]
+                if "i" in fm.group(1):
+                    pm = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", pat)
+                    pat = (
+                        f"'(?i){pm.group(1)}'"
+                        if pm
+                        else f"concat('(?i)', {pat})"
+                    )
+                return f"regexp_replace({args[0]}, {pat}, {args[2]})"
+        return None
+
     q = _rewrite_wrap_call(
-        q,
-        re.compile(r"\bREGEXP_REPLACE\s*\(", re.I),
-        lambda args: (
-            f"ref_regexp_replace({', '.join(args)})"
-            if len(args) == 5
-            else None
-        ),
+        q, re.compile(r"\bREGEXP_REPLACE\s*\(", re.I), _regexp_replace
     )
     # ARRAY_AGG / JSON_ARRAYAGG keep NULL elements in the reference;
     # Spark's collect_list drops them — struct-wrap to preserve. A
     # trailing FILTER (WHERE ...) clause must attach to the inner
     # collect_list (aggregate), not the outer transform/to_json.
     q = _rewrite_null_keeping_aggs(q)
-    # STRING_SPLIT(x, d) → split on \Q..\E-quoted literal delimiter;
-    # empty delimiter returns the whole string as one element (reference)
+    # STRING_SPLIT/STR_SPLIT(x, d) → split on \Q..\E-quoted literal
+    # delimiter; empty delimiter returns the whole string as one element
     q = _rewrite_wrap_call(
         q,
-        re.compile(r"\bSTRING_SPLIT\s*\(", re.I),
+        re.compile(r"\b(?:STRING_SPLIT|STR_SPLIT)\s*\(", re.I),
         lambda args: (
             f"(CASE WHEN ({args[1]}) = '' THEN array({args[0]}) ELSE "
             f"split({args[0]}, concat('\\\\Q', {args[1]}, '\\\\E')) END)"
@@ -1255,6 +1690,95 @@ def _rewrite_function_dialect(q: str) -> str:
             else None
         ),
     )
+    # --- syntax.md wish-list function shapes -----------------------------
+    # REGEXP_SPLIT_TO_TABLE(s, p) (item 3) → generator in select position
+    q = _rewrite_wrap_call(
+        q,
+        re.compile(r"\bREGEXP_SPLIT_TO_TABLE\s*\(", re.I),
+        lambda args: f"explode(split({args[0]}, {args[1]}))"
+        if len(args) == 2
+        else None,
+    )
+    # JSON_GROUP_OBJECT(k, v) (item 6) → sorted-by-key map → JSON text.
+    # DuckDB is insertion-ordered; a distributed engine has no stable
+    # arrival order, so keys sort — deterministic at any parallelism.
+    q = _rewrite_wrap_call(
+        q,
+        re.compile(r"\bJSON_GROUP_OBJECT\s*\(", re.I),
+        lambda args: (
+            f"to_json(map_from_entries(array_sort(collect_list("
+            f"struct(CAST({args[0]} AS STRING) AS key, {args[1]} AS value)))))"
+            if len(args) == 2
+            else None
+        ),
+    )
+    # STRUCT_EXTRACT(s, 'f') / STRUCT_PACK(a := x, ...) (item 12)
+    def _struct_extract(args):
+        if len(args) != 2:
+            return None
+        fm = re.fullmatch(r"\s*'(\w+)'\s*", args[1])
+        return f"({args[0]}).{fm.group(1)}" if fm else None
+
+    q = _rewrite_wrap_call(
+        q, re.compile(r"\bSTRUCT_EXTRACT\s*\(", re.I), _struct_extract
+    )
+
+    def _struct_pack(args):
+        parts = []
+        for a in args:
+            am = re.match(r"\s*([A-Za-z_]\w*)\s*:=\s*(.+)$", a, re.S)
+            if not am:
+                return None
+            parts.append(f"'{am.group(1)}', {am.group(2).strip()}")
+        return f"named_struct({', '.join(parts)})" if parts else None
+
+    q = _rewrite_wrap_call(
+        q, re.compile(r"\bSTRUCT_PACK\s*\(", re.I), _struct_pack
+    )
+    # STRFTIME(x, '%Y-%m-%d') (item 13) → date_format with the %-codes
+    # mapped to a Java pattern; literal runs are single-quoted so pattern
+    # letters can't leak. Unmapped codes leave the call unrewritten.
+    def _strftime(args):
+        if len(args) != 2:
+            return None
+        x, fmt = args[0], args[1]
+        if re.fullmatch(r"\s*'(?:[^']|'')*'\s*", x) and not re.fullmatch(
+            r"\s*'(?:[^']|'')*'\s*", fmt
+        ):
+            x, fmt = fmt, x  # strftime(fmt, ts) arg order also seen
+        fm = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", fmt)
+        if not fm:
+            return None
+        java = _strftime_java(fm.group(1).replace("''", "'"))
+        if java is None:
+            return None
+        return (
+            f"date_format(CAST({x} AS TIMESTAMP), "
+            f"'{java.replace(chr(39), chr(39) * 2)}')"
+        )
+
+    q = _rewrite_wrap_call(
+        q, re.compile(r"\bSTRFTIME\s*\(", re.I), _strftime
+    )
+    # DAYOFWEEK (item 13) = the reference's DATE_PART('dow'): JS
+    # getUTCDay(), Sunday=0 (Spark's builtin is Sunday=1). WEEKDAY
+    # (Monday=0) is Spark-native and already matches.
+    q = _rewrite_wrap_call(
+        q,
+        re.compile(r"\bDAYOFWEEK\s*\(", re.I),
+        lambda args: _extract_sql("DOW", args[0]) if len(args) == 1 else None,
+    )
+    # LTRIM/RTRIM(str, chars) (item 14): Postgres/DuckDB arg order;
+    # Spark's 2-arg form is (trimStr, str) — swap
+    for tfn in ("LTRIM", "RTRIM"):
+        q = _rewrite_wrap_call(
+            q,
+            re.compile(rf"\b{tfn}\s*\(", re.I),
+            lambda args, f=tfn.lower(): f"{f}({args[1]}, {args[0]})"
+            if len(args) == 2
+            else None,
+        )
+    # --- end wish-list function shapes -----------------------------------
     # ATAN(y, x) 2-arg → atan2 (JS Math.atan2, reference trig pack)
     q = _rewrite_wrap_call(
         q,
@@ -1897,6 +2421,11 @@ def rewrite_reference_sql(
     if ident_quotes == "ansi" and '"' in query:
         query = _rewrite_double_quoted_idents(query)
     query = _rewrite_from_first(query)
+    # Wish-list operator sugar (->/->>, GLOB, ~, EXCLUDE, DISTINCT ON)
+    # rewrites before aliasing: the reference never parsed these, so
+    # there is no reference-derived name to preserve for them.
+    if re.search(r"->|~|\bGLOB\b|\bEXCLUDE\b|\bDISTINCT\s+ON\b", query, re.I):
+        query = _rewrite_wishlist(query)
     # Derived aliases come FIRST: the reference names unaliased columns
     # from the ORIGINAL expression text (alias.js), so naming must see the
     # query before function rewrites change the text.
@@ -1904,6 +2433,8 @@ def rewrite_reference_sql(
     if "[" in query:
         query = _rewrite_array_literals(query)
     up = query.upper()
+    if "UNNEST" in up and "COUNT" in up:
+        query = _rewrite_correlated_unnest_count(query)
     if "UNNEST" in up or "EXPLODE" in up:
         query = _rewrite_unnest_from(query, spark)
     up = query.upper()

@@ -165,11 +165,16 @@ _TAG = "_squirreling_ref_funcs"
 
 def register_reference_functions(spark) -> None:
     """Idempotently register the reference's SQL function pack (JSON +
-    spatial) into the session."""
-    jconf = spark.sparkContext
-    if getattr(jconf, _TAG, False):
+    spatial) into the session.
+
+    The idempotency tag lives on the SESSION, not the SparkContext:
+    ``spark.newSession()`` shares the context but gets a fresh function
+    registry, so a context-level tag would skip registration for every
+    session after the first (json/spatial conformance would collapse in
+    any isolated-session harness)."""
+    if getattr(spark, _TAG, False):
         return
-    setattr(jconf, _TAG, True)
+    setattr(spark, _TAG, True)
 
     from squirreling_spark.functions.spatial import register_spatial
 

@@ -85,7 +85,14 @@ GRADE_ORDER: list[str] = [
     "subquery_digest",
     "cte_chain",
     # §2.4 scalar packs + §2.3 aggregates
-    "string_funcs",
+    # round-7 window swap: string_funcs out — the string scalar surface
+    # is enforced by the strings conformance file (149/151, 2 dynamic
+    # skips) plus wishlist_digest's string branches (string_misc,
+    # position_split, concat) ; standalone form stays registered after
+    # the window (parity gate + sf0.1 sweep). Freed slot hosts the
+    # boilerplate REMOVAL transform (remove_dup_substrings — clean_text
+    # value-checked against a full DuckDB replay).
+    "remove_dup_substrings",
     "regex_funcs",
     "math_funcs",
     "date_funcs",
@@ -94,6 +101,14 @@ GRADE_ORDER: list[str] = [
     "stddev_var",
     "string_agg_array_agg",
     "null_semantics",
+    # round-7 window swap: json_pack out — the JSON scalar surface is
+    # enforced by the 100%-green json conformance file (92 reference
+    # cases) and the wishlist_digest json branches (JSON_GROUP_*,
+    # JSON_EXTRACT_STRING, -> / ->> arrows); the standalone form stays
+    # registered after the window (local parity gate + sf0.1 sweep). The
+    # freed slot hosts the reference's production syntax wish-list
+    # (syntax.md:22-41), one checksummed branch per ranked item.
+    "wishlist_digest",
     # nested / JSON / table functions
     "unnest_ordinality",
     # round-6 fourth-session window swap: unnest_outer out — the OUTER
@@ -105,7 +120,6 @@ GRADE_ORDER: list[str] = [
     # (MinHash-LSH corpus×benchmark join, exact-Jaccard verify).
     "decontaminate_neardup",
     "array_funcs",
-    "json_pack",
     # §2.2 window functions
     "window_pack",
     # spatial + as-of

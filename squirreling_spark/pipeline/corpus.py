@@ -784,3 +784,74 @@ def dsir_importance_sample(
         bucket.alias("bucket"),
         (bucket < rate).alias("keep"),
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style boilerplate line REMOVAL — the transform counterpart of
+    ``boilerplate_stats`` (which only measures): a line whose normalized
+    form (lowercased, whitespace-trimmed) occurs in at least ``min_docs``
+    DISTINCT documents is dropped from every document; survivors
+    reassemble in original order. (C4 dropped lines duplicated across the
+    corpus — nav menus, cookie banners, license footers.)
+
+    Output: (doc_id, n_lines, n_removed, clean_text). Blank lines are
+    never counted as boilerplate (they'd trivially cross-match) and are
+    preserved.
+
+    Scale shape: line explode is row-local; the duplicate-line set is a
+    two-level map-combined aggregate on an 8-byte line hash; removal is
+    a semi-join on that hash and reassembly keys on doc_id. Same
+    partitioning discipline as remove_dup_substrings."""
+    lines = spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col)), by=["doc_id"]
+    ).select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), sep)).alias("p", "line"),
+    ).withColumn("_norm", F.lower(F.trim(F.col("line")))).withColumn(
+        "_h", F.xxhash64(F.col("_norm"))
+    )
+    boiler = (
+        lines.filter(F.col("_norm") != "")
+        .select("_h", "doc_id")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    flagged = lines.join(
+        boiler.withColumn("_boiler", F.lit(True)), "_h", "left"
+    ).withColumn(
+        "_drop", F.col("_boiler").isNotNull() & (F.col("_norm") != "")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.when(F.col("_drop"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_drop"),
+                                F.struct(
+                                    F.col("p"), F.col("line").alias("line")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s.line,
+                ),
+            ).alias("clean_text"),
+        )
+    )

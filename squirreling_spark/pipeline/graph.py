@@ -30,11 +30,19 @@ def pagerank(
     src: str = "id_a",
     dst: str = "id_b",
     iters: int = 2,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """(doc_id, degree, pr_scaled) after ``iters`` damped-rank rounds over
     the undirected edge list. ``pr_scaled`` is the rank on a 1e12
     fixed-point scale; base term (1-d)/N and damping d=17/20 are applied
-    in integer arithmetic (floor division), so results are exact."""
+    in integer arithmetic (floor division), so results are exact.
+
+    Caller-controlled cache release: the function persists the edge list
+    (see below) and the returned ranks are LAZY, so it cannot unpersist
+    before returning. Pass ``cache_registry=[]`` to receive the persisted
+    DataFrame(s); after materializing the ranks, call ``.unpersist()`` on
+    each to release executor storage (repeated invocations in one session
+    otherwise accumulate cached partitions for the session lifetime)."""
     # Persist the undirected edge list: it feeds the degree table AND
     # every iteration's contribution join — without the persist, a lazy
     # upstream (e.g. the minhash-LSH candidate generator) replays in
@@ -61,6 +69,8 @@ def pagerank(
         und = wide.coalesce(parts).persist()
         und.count()
         wide.unpersist()
+    if cache_registry is not None:
+        cache_registry.append(und)
     deg = und.groupBy("s").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     ).select(F.col("s").alias("node"), "deg")

@@ -1646,27 +1646,41 @@ def dhash_near_dup(
     hashes: DataFrame,
     id_col: str = "media_id",
     max_hamming: int = 16,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a, id_b, hamming) from banded dHashes:
     candidates = pairs agreeing on AT LEAST one 16-bit band (bucket-local
-    equi-join on (band_idx, band_value) — never an all-pairs product),
-    verified by total Hamming distance over all four bands ≤
-    ``max_hamming``. Same shape as the MinHash-LSH text path: the
-    quadratic step is confined to hash-identical buckets."""
+    equi-join on (band_idx, band_value)), verified by total Hamming
+    distance over all four bands ≤ ``max_hamming``. Same shape as the
+    MinHash-LSH text path: the quadratic step is confined to
+    hash-identical buckets — and those buckets ARE the degenerate risk
+    (every uniform/flat image bands to [0,0,0,0]), so buckets above
+    ``bucket_cap`` members sub-split into contiguous rank chunks
+    (pipeline/dedup.cap_hot_buckets): O(n·cap) candidates per bucket
+    instead of O(n²)."""
+    from squirreling_spark.pipeline.dedup import (
+        DEFAULT_BUCKET_CAP,
+        cap_hot_buckets,
+    )
+
     bands = hashes.select(
         F.col(id_col).alias("__id"), "b0", "b1", "b2", "b3",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
             "band_idx", "band_val"
         ),
     ).filter(F.col("band_val").isNotNull())
+    bands = cap_hot_buckets(
+        bands, "__id", bucket_cap or DEFAULT_BUCKET_CAP,
+        band_cols=("band_idx", "band_val"),
+    )
     left = bands.select(
-        "band_idx", "band_val",
+        "band_idx", "band_val", "_sub",
         F.col("__id").alias("id_a"),
         F.col("b0").alias("a0"), F.col("b1").alias("a1"),
         F.col("b2").alias("a2"), F.col("b3").alias("a3"),
     )
     right = bands.select(
-        "band_idx", "band_val",
+        "band_idx", "band_val", "_sub",
         F.col("__id").alias("id_b"),
         F.col("b0").alias("c0"), F.col("b1").alias("c1"),
         F.col("b2").alias("c2"), F.col("b3").alias("c3"),
@@ -1675,7 +1689,7 @@ def dhash_near_dup(
         F.expr(f"bit_count(a{i} ^ c{i})") for i in range(4)
     )
     return (
-        left.join(right, ["band_idx", "band_val"])
+        left.join(right, ["band_idx", "band_val", "_sub"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.cast("bigint").alias("hamming"))
         .distinct()

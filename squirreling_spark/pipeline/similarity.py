@@ -467,10 +467,22 @@ def cosine_block_join(
     n = df.count()
     m = max(1, math.ceil(n / block))
 
+    # NULL / ragged vectors would otherwise raise inside the packing
+    # task's np.array construction (or the dgemm) — filter them out
+    # row-locally before blocking, matching the defensive handling in the
+    # image decode paths. A NULL vector has no cosine to anything, and a
+    # wrong-dimension vector is malformed input, so dropping is the
+    # correct ε-join semantics (the HOF verifier yields NULL sims for
+    # them, which never pass the threshold either). Reference dimension =
+    # the first non-null row's (one LIMIT-1 probe; no extra full scan).
     e = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("bid", F.pmod(F.xxhash64(F.col("id")), F.lit(m)))
+    ).filter(F.col("vec").isNotNull())
+    ref = e.select(F.size("vec").alias("d")).first()
+    if ref is not None:
+        e = e.filter(F.size("vec") == int(ref["d"]))
+    e = e.withColumn("bid", F.pmod(F.xxhash64(F.col("id")), F.lit(m)))
 
     def _pack(pdf):
         import pandas as pd

@@ -807,3 +807,71 @@ def dedup_clusters_distributed_q(spark, sf):
         t(spark, sf, "documents"), "text", "doc_id",
         num_hashes=32, bands=8, driver_threshold=0,
     )
+
+
+@query(
+    "remove_dup_substrings",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS t
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, len(t) AS n, t,
+             unnest(CASE WHEN len(t) < 16 THEN [1]
+                         ELSE generate_series(1, len(t) - 15) END) AS i
+      FROM tk
+    ),
+    winh AS (
+      SELECT doc_id, n, i,
+             md5(CASE WHEN n < 16 THEN array_to_string(t, ' ')
+                      ELSE array_to_string(t[i:i+15], ' ') END) AS h
+      FROM win
+    ),
+    shared AS (
+      SELECT h FROM (SELECT h, doc_id FROM winh GROUP BY h, doc_id)
+      GROUP BY h HAVING count(*) > 1
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT doc_id,
+               unnest(generate_series(i, least(i + 15, n))) AS p
+        FROM winh JOIN shared USING (h)
+      )
+    ),
+    tokens AS (
+      SELECT doc_id, i AS p, t[i] AS tok FROM (
+        SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM tk
+      )
+    ),
+    kept AS (
+      SELECT tokens.doc_id, tokens.p, tokens.tok
+      FROM tokens LEFT JOIN cov
+        ON tokens.doc_id = cov.doc_id AND tokens.p = cov.p
+      WHERE cov.p IS NULL
+    ),
+    stats AS (SELECT doc_id, len(t) AS n_tokens FROM tk)
+    SELECT s.doc_id,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           CAST(s.n_tokens - coalesce(k.cnt, 0) AS BIGINT) AS n_removed,
+           coalesce(k.txt, '') AS clean_text
+    FROM stats s LEFT JOIN (
+      SELECT doc_id, count(*) AS cnt,
+             string_agg(tok, ' ' ORDER BY p) AS txt
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    """,
+)
+def remove_dup_substrings_q(spark, sf):
+    """Duplicated-substring REMOVAL (pipeline/dedup.py::
+    remove_dup_substrings): drop every token covered by a 16-token window
+    that appears verbatim in another document, reassemble the survivors —
+    the transform step that `dedup_substrings` (profile-only) feeds in a
+    real pipeline (Lee et al. ACL'22). The oracle replays window
+    hashing, shared-window detection, token coverage, and the ordered
+    reassembly, so clean_text itself is value-checked."""
+    from squirreling_spark.pipeline.dedup import remove_dup_substrings
+
+    return remove_dup_substrings(t(spark, sf, "documents"), "text", "doc_id")

@@ -1010,3 +1010,229 @@ def dialect_digest(spark, sf):
     ).filter(F.col("reject_case").isNotNull())
     branches.append(_digest_branch(rej_df, "strict_reject", _STRICT_CK))
     return _union_all(branches)
+
+
+# ---------------------------------------------------------------------------
+# Production wish-list digest (reference syntax.md:22-41): the reference's
+# own ranked log of what users typed against it and what failed. One branch
+# per syntax.md item, each a user-shaped SQL STRING through
+# engine.execute_sql (functions/sqldialect.py wish-list rewrites + Spark
+# natives), full result checksummed vs a hand-built DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+_STR_CK = "length({x}) * 100 + ascii(substr({x}, 1, 1))"
+
+_WISHLIST_BRANCHES = {
+    # tag -> (engine SQL, shared ck over result columns, DuckDB oracle SQL)
+    # items 1-3: POSITION(x IN y), col[0] (0-based, JS/ref convention;
+    # DuckDB lists are 1-based so the oracle subscripts [1]), split family
+    "position_split": (
+        "SELECT n_nationkey, POSITION('IA' IN n_name) AS p, "
+        "SPLIT_PART(n_name, 'A', 1) AS sp, "
+        "STRING_SPLIT(n_name, 'A')[0] AS s0, "
+        "REGEXP_SPLIT_TO_ARRAY(n_name, '[AEI]')[0] AS r0 FROM wl_nat",
+        "n_nationkey * 10000 + p * 31 + length(sp) * 7 + length(s0) * 3 "
+        "+ length(r0)",
+        "SELECT n_nationkey, position('IA' IN n_name) AS p, "
+        "split_part(n_name, 'A', 1) AS sp, "
+        "string_split(n_name, 'A')[1] AS s0, "
+        "regexp_split_to_array(n_name, '[AEI]')[1] AS r0 FROM nation",
+    ),
+    # items 4-5: || concatenation, TIMESTAMP cast + literal comparison
+    "concat_timestamp": (
+        "SELECT o_orderkey, o_orderstatus || '-' || "
+        "CAST(o_orderkey % 7 AS STRING) AS tag, "
+        "CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d FROM wl_ord "
+        "WHERE o_orderkey < 400 AND CAST(o_orderdate AS TIMESTAMP) >= "
+        "TIMESTAMP '1995-01-01 00:00:00'",
+        "o_orderkey * 100 + length(tag) * 5 + day(d)",
+        "SELECT o_orderkey, o_orderstatus || '-' || "
+        "CAST(o_orderkey % 7 AS VARCHAR) AS tag, "
+        "CAST(o_orderdate AS DATE) AS d FROM orders "
+        "WHERE o_orderkey < 400 AND o_orderdate >= "
+        "TIMESTAMP '1995-01-01 00:00:00'",
+    ),
+    # item 6: SQLite/DuckDB JSON aggregate aliases. Single-row groups pin
+    # array order; JSON_GROUP_OBJECT itself sorts keys (engine convention:
+    # a distributed engine has no insertion order).
+    "json_group_aliases": (
+        "SELECT n_nationkey, JSON_GROUP_ARRAY(n_name) AS ja, "
+        "JSON_GROUP_OBJECT(n_name, n_regionkey) AS jo FROM wl_nat "
+        "GROUP BY n_nationkey",
+        "n_nationkey * 10000 + length(ja) * 37 + length(jo) * 7 "
+        "+ ascii(substr(ja, 3, 1))",
+        "SELECT n_nationkey, CAST(json_group_array(n_name) AS VARCHAR) "
+        "AS ja, CAST(json_group_object(n_name, n_regionkey) AS VARCHAR) "
+        "AS jo FROM nation GROUP BY n_nationkey",
+    ),
+    # items 6 + 11: JSON_EXTRACT_STRING alias + -> / ->> arrows (incl. a
+    # left-assoc chain over a literal)
+    "json_arrows": (
+        "SELECT event_id, JSON_EXTRACT_STRING(props, '$.k') AS v1, "
+        "props->>'k' AS v2, CAST(props->'k' AS STRING) AS v3, "
+        "'{\"a\": {\"b\": [5, 7]}}'->'a'->'b'->>0 AS c FROM wl_ev",
+        "event_id * 100 + CAST(v1 AS BIGINT) + CAST(v2 AS BIGINT) * 3 "
+        "+ CAST(v3 AS BIGINT) * 7 + CAST(c AS BIGINT)",
+        "SELECT event_id, json_extract_string(props, '$.k') AS v1, "
+        "props->>'k' AS v2, CAST(props->'k' AS VARCHAR) AS v3, "
+        "'{\"a\": {\"b\": [5, 7]}}'->'a'->'b'->>0 AS c FROM events",
+    ),
+    # item 8: extra aggregates — ARG_MIN/ARG_MAX/MIN_BY, LISTAGG WITHIN
+    # GROUP, ANY_VALUE (ignore-nulls over a single non-null value so both
+    # engines are deterministic)
+    "agg_aliases": (
+        "SELECT ARG_MIN(n_name, n_nationkey) AS amin, "
+        "ARG_MAX(n_name, n_nationkey) AS amax, "
+        "MIN_BY(n_name, n_regionkey * 100 + n_nationkey) AS mb, "
+        "LISTAGG(n_name, '|') WITHIN GROUP (ORDER BY n_name) AS la, "
+        "ANY_VALUE(CASE WHEN n_nationkey = 7 THEN n_name END, TRUE) AS av "
+        "FROM wl_nat",
+        "length(amin) * 1000000 + length(amax) * 10000 + length(mb) * 100 "
+        "+ length(la) * 3 + length(av)",
+        "SELECT arg_min(n_name, n_nationkey) AS amin, "
+        "arg_max(n_name, n_nationkey) AS amax, "
+        "min_by(n_name, n_regionkey * 100 + n_nationkey) AS mb, "
+        "string_agg(n_name, '|' ORDER BY n_name) AS la, "
+        "any_value(CASE WHEN n_nationkey = 7 THEN n_name END) AS av "
+        "FROM nation",
+    ),
+    # item 13: STRFTIME %-codes, DAYOFWEEK (reference DOW: Sunday=0, JS
+    # getUTCDay — matches DuckDB), WEEKDAY (Monday=0)
+    "datetime_wishlist": (
+        "SELECT o_orderkey, STRFTIME(o_orderdate, '%Y/%m/%d %H:%M') AS s, "
+        "DAYOFWEEK(o_orderdate) AS dw, WEEKDAY(o_orderdate) AS wd "
+        "FROM wl_ord WHERE o_orderkey < 300",
+        "o_orderkey * 1000 + length(s) * 31 + dw * 7 + wd "
+        "+ ascii(substr(s, 1, 1))",
+        "SELECT o_orderkey, strftime(o_orderdate, '%Y/%m/%d %H:%M') AS s, "
+        "dayofweek(o_orderdate) AS dw, (dayofweek(o_orderdate) + 6) % 7 "
+        "AS wd FROM orders WHERE o_orderkey < 300",
+    ),
+    # item 14: misc string — LTRIM/RTRIM(str, chars) Postgres arg order,
+    # CHARINDEX, CONTAINS, CHAR
+    "string_misc": (
+        "SELECT n_nationkey, LTRIM('xx' || n_name, 'x') AS lt, "
+        "RTRIM(n_name || 'yy', 'y') AS rt, "
+        "CHARINDEX('AN', n_name) AS ci, CONTAINS(n_name, 'AN') AS co, "
+        "CHAR(65 + CAST(n_nationkey % 26 AS INT)) AS ch FROM wl_nat",
+        "n_nationkey * 10000 + length(lt) * 100 + length(rt) * 31 "
+        "+ ci * 7 + (CASE WHEN co THEN 1 ELSE 0 END) * 3 + ascii(ch)",
+        "SELECT n_nationkey, ltrim('xx' || n_name, 'x') AS lt, "
+        "rtrim(n_name || 'yy', 'y') AS rt, strpos(n_name, 'AN') AS ci, "
+        "contains(n_name, 'AN') AS co, "
+        "chr(65 + n_nationkey % 26) AS ch FROM nation",
+    ),
+    # item 15: aggregate window functions + FIRST_VALUE + RANK
+    "window_aggs": (
+        "SELECT n_nationkey, SUM(n_regionkey) OVER (ORDER BY n_nationkey) "
+        "AS rs, COUNT(*) OVER (PARTITION BY n_regionkey) AS c, "
+        "FIRST_VALUE(n_name) OVER (ORDER BY n_nationkey) AS fv, "
+        "RANK() OVER (ORDER BY n_regionkey) AS rk FROM wl_nat",
+        "n_nationkey * 100000 + rs * 313 + c * 37 + length(fv) * 7 + rk",
+        "SELECT n_nationkey, SUM(n_regionkey) OVER (ORDER BY n_nationkey) "
+        "AS rs, COUNT(*) OVER (PARTITION BY n_regionkey) AS c, "
+        "FIRST_VALUE(n_name) OVER (ORDER BY n_nationkey) AS fv, "
+        "RANK() OVER (ORDER BY n_regionkey) AS rk FROM nation",
+    ),
+    # item 16: VALUES subquery + TYPEOF
+    "values_typeof": (
+        "SELECT a, b, UPPER(TYPEOF(CAST(a AS BIGINT))) AS ty "
+        "FROM (VALUES (1, 'x'), (2, 'yy')) AS v(a, b)",
+        "a * 100 + length(b) * 10 + length(ty)",
+        "SELECT a, b, UPPER(TYPEOF(CAST(a AS BIGINT))) AS ty "
+        "FROM (VALUES (1, 'x'), (2, 'yy')) AS v(a, b)",
+    ),
+    # item 16: DISTINCT ON (first row per key under the query's ORDER BY)
+    "distinct_on": (
+        "SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name "
+        "FROM wl_nat ORDER BY n_regionkey, n_name DESC",
+        "n_regionkey * 1000 + length(n_name) * 7 "
+        "+ ascii(substr(n_name, 1, 1))",
+        "SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name "
+        "FROM nation ORDER BY n_regionkey, n_name DESC",
+    ),
+    # item 16: SELECT * EXCLUDE
+    "exclude_star": (
+        "SELECT * EXCLUDE (n_name) FROM wl_nat WHERE n_nationkey < 10",
+        "n_nationkey * 31 + n_regionkey",
+        "SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 10",
+    ),
+    # items 10 + 16: GLOB, ~ / !~ (Postgres partial-match semantics),
+    # NOT REGEXP, REGEXP_LIKE, REGEXP_EXTRACT_ALL
+    "glob_regex_ops": (
+        "SELECT n_name, (n_name GLOB 'A*A') AS g, (n_name ~ 'NI') AS t1, "
+        "(n_name !~ '^A') AS t2, REGEXP_LIKE(n_name, 'IA$') AS rl, "
+        "ARRAY_JOIN(REGEXP_EXTRACT_ALL(n_name, '[AEIOU]', 0), '') AS vs "
+        "FROM wl_nat WHERE n_name NOT REGEXP '^ZZZ'",
+        "length(n_name) * 100000 + (CASE WHEN g THEN 1 ELSE 0 END) * 10000 "
+        "+ (CASE WHEN t1 THEN 1 ELSE 0 END) * 1000 "
+        "+ (CASE WHEN t2 THEN 1 ELSE 0 END) * 100 "
+        "+ (CASE WHEN rl THEN 1 ELSE 0 END) * 10 + length(vs)",
+        "SELECT n_name, regexp_matches(n_name, '^A.*A$') AS g, "
+        "regexp_matches(n_name, 'NI') AS t1, "
+        "NOT regexp_matches(n_name, '^A') AS t2, "
+        "regexp_matches(n_name, 'IA$') AS rl, "
+        "array_to_string(regexp_extract_all(n_name, '[AEIOU]', 0), '') "
+        "AS vs FROM nation WHERE NOT regexp_matches(n_name, '^ZZZ')",
+    ),
+    # item 12: STRUCT_PACK (:= named args) + STRUCT_EXTRACT
+    "struct_fns": (
+        "SELECT n_nationkey, STRUCT_EXTRACT(STRUCT_PACK(a := n_nationkey "
+        "* 2, b := n_name), 'a') AS sa, STRUCT_EXTRACT(STRUCT_PACK("
+        "a := n_nationkey, b := n_name), 'b') AS sb FROM wl_nat",
+        "n_nationkey * 1000 + sa * 31 + length(sb)",
+        "SELECT n_nationkey, struct_extract(struct_pack(a := n_nationkey "
+        "* 2, b := n_name), 'a') AS sa, struct_extract(struct_pack("
+        "a := n_nationkey, b := n_name), 'b') AS sb FROM nation",
+    ),
+    # runtime table: Postgres regexp_replace(..., 'g') / 'gi' flags
+    "regexp_replace_flags": (
+        "SELECT n_name, REGEXP_REPLACE(n_name, '[AEIOU]', '_', 'g') AS s1, "
+        "REGEXP_REPLACE(n_name, 'a', '#', 'gi') AS s2 FROM wl_nat",
+        "length(n_name) * 10000 + length(s1) * 100 + length(s2) "
+        "+ ascii(substr(s1, 1, 1)) * 3 + ascii(substr(s2, 1, 1)) * 7",
+        "SELECT n_name, regexp_replace(n_name, '[AEIOU]', '_', 'g') AS s1, "
+        "regexp_replace(n_name, 'a', '#', 'gi') AS s2 FROM nation",
+    ),
+    # item 9: ILIKE (native both sides)
+    "ilike_part": (
+        "SELECT p_partkey, p_name FROM wl_prt WHERE p_name ILIKE "
+        "'%GrEeN%'",
+        "p_partkey * 7 + length(p_name)",
+        "SELECT p_partkey, p_name FROM part WHERE p_name ILIKE '%GrEeN%'",
+    ),
+}
+
+
+@query(
+    "wishlist_digest",
+    oracle="\nUNION ALL\n".join(
+        _inline_oracle(tag, osql, ck)
+        for tag, (_, ck, osql) in _WISHLIST_BRANCHES.items()
+    ),
+)
+def wishlist_digest(spark, sf):
+    """The reference's production syntax wish-list (syntax.md:22-41 —
+    ranked by real user failure counts) through engine.execute_sql: JSON
+    arrows, DISTINCT ON, EXCLUDE, TYPEOF, GLOB, ~, STRFTIME, STRUCT_PACK,
+    JSON_GROUP_*, CHARINDEX, LTRIM(str,chars), regexp_replace flags, plus
+    the natively-supported items (POSITION-IN, ||, subscripts, TIMESTAMP
+    literals, ILIKE, ANY_VALUE/MIN_BY/LISTAGG, VALUES, window aggregates)
+    verified as-typed. 15 branches, each checksummed in full vs DuckDB."""
+    from squirreling_spark.engine import execute_sql
+
+    t(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).createOrReplaceTempView("wl_nat")
+    t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    ).createOrReplaceTempView("wl_ord")
+    t(spark, sf, "events").select("event_id", "props") \
+        .createOrReplaceTempView("wl_ev")
+    t(spark, sf, "part").select("p_partkey", "p_name") \
+        .createOrReplaceTempView("wl_prt")
+    branches = []
+    for tag, (sql, ck, _) in _WISHLIST_BRANCHES.items():
+        res = execute_sql(spark, sql)
+        branches.append(_digest_branch(res.df, tag, ck))
+    return _union_all(branches)

@@ -563,3 +563,39 @@ def test_dynamic_typing_array_length_beyond_depth_is_null(spark):
         )
     )
     assert rows == [{"l2": None, "l1": 3}]
+
+
+def test_correlated_unnest_count_decorrelates(spark):
+    # reference execute.subquery.test.js:567 — a correlated UNNEST below a
+    # scalar subquery's FROM is two correlation levels deep (Spark reaches
+    # one); COUNT(*) over an unconditioned cross product factorizes to
+    # |rest| * size(arr) and hoists out (sqldialect.
+    # _rewrite_correlated_unnest_count)
+    outers = [{"id": 1, "arr": [10, 20]}, {"id": 2, "arr": [30]},
+              {"id": 3, "arr": []}]
+    t = [{"k": 1}, {"k": 2}]
+    rows = _rows(
+        execute_sql(
+            spark,
+            "SELECT o.id, (SELECT COUNT(*) FROM t JOIN UNNEST(o.arr) "
+            "AS u(x) ON TRUE) AS n FROM outers AS o ORDER BY o.id",
+            tables={"outers": outers, "t": t},
+        )
+    )
+    assert rows == [{"id": 1, "n": 4}, {"id": 2, "n": 2}, {"id": 3, "n": 0}]
+
+
+def test_correlated_unnest_count_guards(spark):
+    # a LOCAL unnest (qualifier resolves inside the subquery) must not be
+    # hoisted — the factorization only applies to correlated refs
+    outers = [{"id": 1, "arr": [10, 20]}, {"id": 2, "arr": [30]}]
+    t = [{"k": 1}, {"k": 2}]
+    rows = _rows(
+        execute_sql(
+            spark,
+            "SELECT (SELECT COUNT(*) FROM outers o2 JOIN UNNEST(o2.arr) "
+            "AS u(x) ON TRUE) AS n FROM t",
+            tables={"outers": outers, "t": t},
+        )
+    )
+    assert rows == [{"n": 3}, {"n": 3}]

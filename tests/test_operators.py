@@ -290,3 +290,23 @@ def test_cosine_block_join_slack_keeps_boundary_pairs(spark):
     }
     assert (1, 2) in rows and abs(rows[(1, 2)] - 0.45) < 1e-12
     assert all(k == (1, 2) for k in rows)
+
+
+def test_cosine_block_join_null_and_ragged_vectors(spark):
+    """NULL / wrong-dimension vectors are filtered before blocking (the
+    r6 ADVICE case: they used to raise inside _pack/np.array) — valid
+    rows still pair up."""
+    from squirreling_spark.pipeline.similarity import cosine_block_join
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, None),
+            (4, [1.0, 0.0, 0.0]),  # ragged
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = cosine_block_join(df, threshold=0.45, block=2).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in rows}
+    assert ids == {(1, 2)}

@@ -38,7 +38,7 @@ FLOORS = {
     "execute.regex.test.js": (37, 27),
     "execute.spatial.test.js": (14, 2),
     "execute.strings.test.js": (148, 130),
-    "execute.subquery.test.js": (57, 51),
+    "execute.subquery.test.js": (58, 52),  # r7: correlated-UNNEST fixed
     "execute.test.js": (54, 45),
     "execute.trig.test.js": (35, 18),
     "execute.union.test.js": (21, 13),
@@ -51,15 +51,17 @@ FLOORS = {
 
 @pytest.fixture(scope="module")
 def conf_spark(spark):
-    # the reference implements JS arithmetic (div-by-zero → NULL); flip
-    # the two confs for this module and restore after
-    old_ansi = spark.conf.get("spark.sql.ansi.enabled", "true")
-    old_size = spark.conf.get("spark.sql.legacy.sizeOfNull", "false")
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
-    yield spark
-    spark.conf.set("spark.sql.ansi.enabled", old_ansi)
-    spark.conf.set("spark.sql.legacy.sizeOfNull", old_size)
+    # Isolated session: shares the JVM/SparkContext but gets its own temp
+    # views, function registry, and confs. The dialect's best-effort
+    # dtype resolution (_ref_dtype) scans ALL temp views for bare column
+    # names, so any earlier test module that leaks a view with a
+    # same-named column would silently change subscript/size rewrites —
+    # newSession() makes that impossible regardless of suite order.
+    s = spark.newSession()
+    # the reference implements JS arithmetic (div-by-zero → NULL)
+    s.conf.set("spark.sql.ansi.enabled", "false")
+    s.conf.set("spark.sql.legacy.sizeOfNull", "false")
+    yield s
 
 
 @pytest.fixture(scope="module")

