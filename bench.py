@@ -106,6 +106,11 @@ HEADLINE = [
     "decontaminate_neardup",
     "domain_reweight",
     "dsir_sample",
+    # round 7: production wish-list SQL digest, duplicated-span removal,
+    # GPT-style sequence packing
+    "wishlist_digest",
+    "remove_dup_substrings",
+    "pack_sequences",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -371,7 +371,8 @@ def _rewrite_exclude(q: str) -> str:
 
 def _toplevel_kw(q: str, pattern: re.Pattern, start: int = 0) -> int:
     """Start index of the first paren-depth-0, outside-string match of
-    ``pattern`` at/after ``start``; -1 when absent."""
+    ``pattern`` at/after ``start``; -1 when absent. Scanning stops at an
+    unbalanced ``)`` (the end of an enclosing subquery)."""
     mask = _string_mask(q)
     depth = 0
     i = start
@@ -384,12 +385,32 @@ def _toplevel_kw(q: str, pattern: re.Pattern, start: int = 0) -> int:
             depth += 1
         elif c == ")":
             depth -= 1
+            if depth < 0:
+                return -1
         elif depth == 0:
             m = pattern.match(q, i)
             if m:
                 return i
         i += 1
     return -1
+
+
+def _stmt_end(q: str, start: int) -> int:
+    """Index where the statement containing ``start`` ends: the first
+    unbalanced ``)`` at/after start (enclosing-subquery close), else
+    len(q)."""
+    mask = _string_mask(q)
+    depth = 0
+    for i in range(start, len(q)):
+        if mask[i]:
+            continue
+        if q[i] == "(":
+            depth += 1
+        elif q[i] == ")":
+            depth -= 1
+            if depth < 0:
+                return i
+    return len(q)
 
 
 _DON_RE = re.compile(r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.I)
@@ -417,15 +438,18 @@ def _rewrite_distinct_on(q: str) -> str:
         if not keys or from_idx == -1:
             return q
         sel = q[key_end:from_idx].strip()
+        # bound everything at the enclosing subquery's close paren (a
+        # DISTINCT ON inside `(SELECT ...) x` must not swallow the tail)
+        send = _stmt_end(q, key_end)
         order_idx = _toplevel_kw(q, _ORDER_KW, from_idx)
         limit_idx = _toplevel_kw(q, _LIMIT_KW, from_idx)
-        body_end = min(x for x in (order_idx, limit_idx, len(q)) if x != -1)
+        body_end = min(x for x in (order_idx, limit_idx, send) if x != -1)
         frombody = q[from_idx:body_end].rstrip()
         order_clause = ""
         if order_idx != -1:
-            oend = limit_idx if limit_idx != -1 else len(q)
+            oend = limit_idx if limit_idx != -1 else send
             order_clause = q[order_idx:oend].strip()
-        limit_clause = q[limit_idx:].strip() if limit_idx != -1 else ""
+        limit_clause = q[limit_idx:send].strip() if limit_idx != -1 else ""
         win_order = (
             re.sub(r"^ORDER\s+BY\s+", "", order_clause, flags=re.I)
             or keys
@@ -440,6 +464,7 @@ def _rewrite_distinct_on(q: str) -> str:
             + f"SELECT {sel} FROM (SELECT *, ROW_NUMBER() OVER "
             f"(PARTITION BY {keys} ORDER BY {win_order}) AS __sq_don "
             f"{frombody}) WHERE __sq_don = 1{tail}"
+            + q[send:]
         )
 
 

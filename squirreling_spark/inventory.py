@@ -93,7 +93,13 @@ GRADE_ORDER: list[str] = [
     # boilerplate REMOVAL transform (remove_dup_substrings — clean_text
     # value-checked against a full DuckDB replay).
     "remove_dup_substrings",
-    "regex_funcs",
+    # round-7 window swap: regex_funcs out — the regex surface is
+    # enforced by the 100%-green regex conformance file (38 cases) plus
+    # wishlist_digest's glob_regex_ops + regexp_replace_flags branches;
+    # standalone stays registered after the window. Freed slot hosts
+    # GPT-style training-sequence packing (two-level cumsum placement
+    # map, integer-exact vs the oracle's one-window cumsum).
+    "pack_sequences",
     "math_funcs",
     "date_funcs",
     "conditional_case",

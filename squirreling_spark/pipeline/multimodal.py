@@ -360,12 +360,29 @@ def _lsb_windows(data: bytes) -> "np.ndarray":
 def _gif_lzw_decode(data: bytes, mcs: int, npix: int) -> "np.ndarray":
     """GIF-variant LZW (GIF89a spec appendix F): variable code width
     starting at mcs+1 (max 12 bits), LSB-first bit packing, CLEAR resets
-    the table, END terminates. Decode is inherently sequential (each code
-    extends the table); each code read is O(1) via the `_lsb_windows`
-    array (the former ``big_int >> bitpos`` idiom re-shifted the whole
-    stream per code — quadratic in stream size); the string table keeps
-    CPython-fast tuple entries (measured faster than prefix-link arrays
-    for the typical <=4096-entry table)."""
+    the table, END terminates.
+
+    Two-phase decode (the round-7 vectorization of the former fused
+    per-code tuple loop):
+
+    1. CODE PARSING is numpy-batched: inside a clear-delimited run the
+       code-width schedule is DETERMINISTIC (the table grows by exactly
+       one entry per data code, so width_k = bit_length(table size after
+       code k-1), clamped to [mcs+1, 12]) — positions come from one
+       cumsum and all codes in the batch gather from the `_lsb_windows`
+       array in one vector op. The batch truncates at the first
+       CLEAR/END (their positions aren't known in advance; everything
+       after recomputes from the control code's bit position).
+    2. EXPANSION exploits the LZW invariant that every table entry's
+       bytes are a contiguous span of the OUTPUT already produced
+       (entry = previously-emitted string + one byte that immediately
+       follows it), so the string table is two int arrays
+       (start, length) into the output bytearray and each emission is a
+       single C-speed slice copy instead of building Python tuples
+       (which allocated O(len) per code).
+
+    Decode stays inherently sequential across control codes; the
+    per-code Python that remains is a few int ops + one slice copy."""
     if not data:
         return np.zeros(0, np.uint8)
     if not 2 <= mcs <= 11:
@@ -374,47 +391,89 @@ def _gif_lzw_decode(data: bytes, mcs: int, npix: int) -> "np.ndarray":
         # unbounded allocation driven by one untrusted header byte
         raise ValueError(f"bad LZW min code size {mcs}")
     clear, end = 1 << mcs, (1 << mcs) + 1
-    win = _lsb_windows(data).tolist()  # python ints: fast scalar indexing
+    win = _lsb_windows(data)
     total_bits = len(data) * 8
+    t0 = clear + 2
+    starts = [0] * 4097  # output span per table entry (plain ints:
+    lens = [0] * 4097    # numpy scalar indexing costs ~3x in this loop)
+    out = bytearray()
     bitpos = 0
-    table: list[tuple] = []
-    code_size = mcs + 1
-    prev: tuple | None = None
-    out: list[int] = []
+    table_n = t0
+    prev_start = prev_len = 0  # prev_len == 0 ⇔ no prev (run start)
 
-    def reset():
-        nonlocal table, code_size, prev
-        table = [(i,) for i in range(clear)] + [(), ()]  # clear/end stubs
-        code_size = mcs + 1
-        prev = None
-
-    reset()
-    while len(out) < npix:
-        if bitpos + code_size > total_bits:
+    while len(out) < npix and bitpos + mcs + 1 <= total_bits:
+        # --- phase 1: vectorized parse of one batch -----------------------
+        batch = min(npix - len(out) + 1, 1 << 16)
+        k = np.arange(batch, dtype=np.int64)
+        after = table_n + (k if prev_len else np.maximum(k - 1, 0))
+        widths = np.clip(
+            np.floor(np.log2(np.minimum(after, 4096))).astype(np.int64) + 1,
+            mcs + 1,
+            12,
+        )
+        ends = bitpos + np.cumsum(widths)
+        valid = int(np.searchsorted(ends, total_bits, side="right"))
+        if valid == 0:
             break  # truncated stream: return what decoded
-        code = (win[bitpos >> 3] >> (bitpos & 7)) & ((1 << code_size) - 1)
-        bitpos += code_size
-        if code == clear:
-            reset()
-            continue
-        if code == end:
+        pos = (ends - widths)[:valid].astype(np.uint64)
+        w = widths[:valid].astype(np.uint64)
+        codes = (
+            (win[(pos >> np.uint64(3)).astype(np.int64)] >> (pos & np.uint64(7)))
+            & ((np.uint64(1) << w) - np.uint64(1))
+        ).astype(np.int64)
+        ctrl = np.nonzero((codes == clear) | (codes == end))[0]
+        run = int(ctrl[0]) if ctrl.size else valid
+        # --- phase 2: expand the run's data codes -------------------------
+        err = -1
+        for code in codes[:run].tolist():
+            if prev_len == 0:
+                if code >= clear:
+                    err = code
+                    break
+                out.append(code)
+                prev_start, prev_len = len(out) - 1, 1
+                continue
+            if code < table_n:
+                cur_start = len(out)
+                if code < clear:
+                    out.append(code)
+                    cur_len = 1
+                else:
+                    s, cur_len = starts[code], lens[code]
+                    out += out[s : s + cur_len]
+                if table_n < 4096:
+                    starts[table_n] = prev_start
+                    lens[table_n] = prev_len + 1
+                    table_n += 1
+            elif code == table_n and table_n < 4096:
+                # entry = prev + prev[0]; its last source byte is written
+                # by this very emission, so copy prev then its first byte
+                cur_start = len(out)
+                out += out[prev_start : prev_start + prev_len]
+                out.append(out[prev_start])
+                cur_len = prev_len + 1
+                starts[table_n] = prev_start
+                lens[table_n] = cur_len
+                table_n += 1
+            else:
+                err = code
+                break
+            prev_start, prev_len = cur_start, cur_len
+            if len(out) >= npix:
+                break
+        if err >= 0:
+            raise ValueError(f"bad LZW code {err}")
+        if len(out) >= npix:
             break
-        if prev is None:
-            entry = table[code]
-        elif code < len(table):
-            entry = table[code]
-            if len(table) < 4096:  # table freezes at 12 bits (spec)
-                table.append(prev + (entry[0],))
-        elif code == len(table) and len(table) < 4096:
-            entry = prev + (prev[0],)
-            table.append(entry)
+        if run < valid:  # hit CLEAR or END
+            bitpos = int(ends[run])
+            if codes[run] == end:
+                break
+            table_n = t0
+            prev_len = 0
         else:
-            raise ValueError(f"bad LZW code {code}")
-        if len(table) == (1 << code_size) and code_size < 12:
-            code_size += 1
-        out.extend(entry)
-        prev = entry
-    return np.asarray(out[:npix], dtype=np.uint8)
+            bitpos = int(ends[valid - 1])
+    return np.frombuffer(bytes(out[:npix]), dtype=np.uint8).copy()
 
 
 def _deinterlace(idx: "np.ndarray", h: int) -> "np.ndarray":
@@ -1673,25 +1732,32 @@ def dhash_near_dup(
         bands, "__id", bucket_cap or DEFAULT_BUCKET_CAP,
         band_cols=("band_idx", "band_val"),
     )
-    left = bands.select(
-        "band_idx", "band_val", "_sub",
-        F.col("__id").alias("id_a"),
-        F.col("b0").alias("a0"), F.col("b1").alias("a1"),
-        F.col("b2").alias("a2"), F.col("b3").alias("a3"),
+    # Single-subtree pair generation: a SELF-JOIN evaluates the Arrow
+    # decode subtree once per side (measured: 2 MapInPandas stages, no
+    # static exchange reuse), so instead each capped bucket aggregates to
+    # one row (≤ cap members — bounded reducer memory by construction)
+    # and the ordered pairs come from a nested-transform expression over
+    # that array. One decode, one shuffle per stage, no join.
+    members = bands.groupBy("band_idx", "band_val", "_sub").agg(
+        F.expr(
+            "array_sort(collect_list(struct(__id AS id, b0, b1, b2, b3)))"
+        ).alias("ms")
     )
-    right = bands.select(
-        "band_idx", "band_val", "_sub",
-        F.col("__id").alias("id_b"),
-        F.col("b0").alias("c0"), F.col("b1").alias("c1"),
-        F.col("b2").alias("c2"), F.col("b3").alias("c3"),
-    )
-    ham = sum(
-        F.expr(f"bit_count(a{i} ^ c{i})") for i in range(4)
+    pairs = members.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (a, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), b -> struct(a, b))))"
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.a.id").alias("id_a"),
+        F.col("p.b.id").alias("id_b"),
+        sum(
+            F.expr(f"bit_count(p.a.b{i} ^ p.b.b{i})") for i in range(4)
+        ).cast("bigint").alias("hamming"),
     )
     return (
-        left.join(right, ["band_idx", "band_val", "_sub"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", ham.cast("bigint").alias("hamming"))
-        .distinct()
+        pairs.distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -875,3 +875,136 @@ def remove_dup_substrings_q(spark, sf):
     from squirreling_spark.pipeline.dedup import remove_dup_substrings
 
     return remove_dup_substrings(t(spark, sf, "documents"), "text", "doc_id")
+
+
+@query(
+    "remove_boilerplate",
+    oracle="""
+    WITH lined AS (
+      SELECT doc_id,
+             'corpus header line v' || CAST(doc_id % 5 AS VARCHAR)
+               || chr(10) ||
+             array_to_string(
+               list_transform(
+                 generate_series(0, CAST(ceil(len(t) / 10.0) AS BIGINT) - 1),
+                 i -> array_to_string(t[i*10+1:i*10+10], ' ')
+               ), chr(10)) AS text
+      FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                            ' ') AS t
+        FROM documents
+      )
+    ),
+    lines AS (
+      SELECT doc_id, i AS p, ln[i] AS line,
+             lower(trim(ln[i])) AS norm
+      FROM (
+        SELECT doc_id, ln,
+               unnest(generate_series(1, len(ln))) AS i
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM lined)
+      )
+    ),
+    boiler AS (
+      SELECT norm FROM (
+        SELECT norm, doc_id FROM lines WHERE norm <> '' GROUP BY norm, doc_id
+      ) GROUP BY norm HAVING count(*) >= 2
+    ),
+    flagged AS (
+      SELECT l.doc_id, l.p, l.line,
+             (b.norm IS NOT NULL AND l.norm <> '') AS dropped
+      FROM lines l LEFT JOIN boiler b ON l.norm = b.norm
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+                               chr(10) ORDER BY p), '') AS clean_text
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def remove_boilerplate_q(spark, sf):
+    """C4-style boilerplate LINE removal (pipeline/corpus.py::
+    remove_boilerplate_lines). The fixture corpus has no line structure,
+    so the query synthesizes it deterministically: a planted header line
+    (5 variants, each shared by ~1/5 of the corpus — guaranteed
+    boilerplate) plus the text re-flowed as 10-token lines (any
+    cross-document duplicate chunk drops too — the algorithm decides,
+    and the oracle replays the same decision). clean_text itself is
+    value-checked."""
+    from squirreling_spark.pipeline.corpus import remove_boilerplate_lines
+    from squirreling_spark.qutil import spread
+
+    toks = F.split(
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "
+    )
+    n = F.size(toks)
+    n_lines = F.ceil(n / F.lit(10.0)).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+        ),
+        "\n",
+    )
+    lined = spread(
+        t(spark, sf, "documents").select("doc_id", "text"), by=["doc_id"]
+    ).select(
+        "doc_id",
+        F.concat(
+            F.lit("corpus header line v"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("\n"),
+            body,
+        ).alias("lined"),
+    )
+    return remove_boilerplate_lines(lined, "lined", "doc_id", min_docs=2)
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH counts AS (
+      SELECT doc_id,
+             len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                              ' ')) + 1 AS eff_len
+      FROM documents
+    ),
+    offs AS (
+      SELECT doc_id, eff_len,
+             coalesce(sum(eff_len) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+      FROM counts
+    ),
+    spans AS (
+      SELECT doc_id, eff_len, off,
+             unnest(generate_series(CAST(off // 512 AS BIGINT),
+                                    CAST((off + eff_len - 1) // 512
+                                         AS BIGINT))) AS seq_id
+      FROM offs
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           doc_id,
+           CAST(greatest(off, seq_id * 512) - off AS BIGINT) AS doc_start,
+           CAST(least(off + eff_len, (seq_id + 1) * 512)
+                - greatest(off, seq_id * 512) AS BIGINT) AS n_toks
+    FROM spans
+    """,
+)
+def pack_sequences_q(spark, sf):
+    """Training-sequence packing (pipeline/pack.py::pack_sequences):
+    concatenate the corpus in doc_id order (one EOS per document) and
+    chop into 512-token training sequences — the GPT-style
+    concat-then-chunk packing, emitted as the (seq_id, doc_id,
+    doc_start, n_toks) placement map. The engine computes global offsets
+    with a two-level cumulative sum (per-bucket sums + a bucket-count-
+    sized window + within-bucket windows) so no stage runs as a single
+    task; the oracle is the plain one-window cumsum — integer-exact, so
+    the two formulations must agree row-for-row."""
+    from squirreling_spark.pipeline.pack import pack_sequences
+
+    return pack_sequences(
+        t(spark, sf, "documents"), "text", "doc_id", seq_len=512
+    )

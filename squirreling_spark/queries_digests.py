@@ -517,6 +517,15 @@ _CLEAN_CK = {
         " + CASE WHEN changed THEN 11 ELSE 0 END"
         " + ascii(substring(fp_nfc, 1, 1))"
     ),
+    # round 7: C4-style boilerplate LINE removal — cleaned text itself
+    # keyed (length + first/last chars), so the in-window row checks the
+    # transform output, not just the counters
+    "remove_boilerplate": (
+        "doc_id * 10000 + n_lines * 100 + n_removed * 7"
+        " + length(clean_text)"
+        " + ascii(substring(clean_text, 1, 1)) * 3"
+        " + ascii(substring(clean_text, length(clean_text), 1))"
+    ),
 }
 
 

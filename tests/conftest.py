@@ -15,6 +15,32 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _drop_leaked_temp_views():
+    """Cross-module temp-view hygiene: engine.execute_sql registers its
+    ``tables=`` fixtures as session-global temp views and returns a LAZY
+    result, so callers can't drop them — after a module finishes, any
+    views left behind could collide with a later module's bare-column
+    dtype resolution (the r6 verdict's INVALID_INDEX_OF_ZERO order
+    dependence). Every module registers its own fixtures, so dropping
+    all temporary views at module teardown is safe."""
+    yield
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        return
+    try:
+        for tbl in s.catalog.listTables():
+            if tbl.isTemporary:
+                try:
+                    s.catalog.dropTempView(tbl.name)
+                except Exception:  # noqa: BLE001 — hygiene is best-effort
+                    pass
+    except Exception:  # noqa: BLE001
+        pass
+
+
 @pytest.fixture(scope="session")
 def sf001():
     return "/root/testdata/sf0.001"

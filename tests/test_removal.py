@@ -68,3 +68,64 @@ def test_remove_boilerplate_min_docs_threshold(spark):
     ]
     out = remove_boilerplate_lines(_df(spark, rows), "text", "doc_id", min_docs=4)
     assert all(r.n_removed == 0 for r in out.collect())
+
+
+def test_pack_sequences_placement(spark):
+    from squirreling_spark.pipeline.pack import pack_sequences
+
+    rows = [
+        (0, "a b c"),            # eff 4 -> seq0 [0,4)
+        (1, " ".join(["w"] * 9)),  # eff 10 -> [4,14): spans seq0+seq1
+        (2, "x y"),              # eff 3 -> [14,17)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = sorted(
+        (r.seq_id, r.doc_id, r.doc_start, r.n_toks)
+        for r in pack_sequences(df, "text", "doc_id", seq_len=8).collect()
+    )
+    assert out == [
+        (0, 0, 0, 4),   # doc0 fully in seq0
+        (0, 1, 0, 4),   # doc1 tokens 0-3 fill seq0
+        (1, 1, 4, 6),   # doc1 tokens 4-9 (incl. EOS) open seq1
+        (1, 2, 0, 2),   # doc2 tokens 0-1 continue seq1
+        (2, 2, 2, 1),   # doc2 token 2 (EOS) spills into seq2
+    ]
+
+
+def test_pack_sequences_bucketing_invariant(spark):
+    # the two-level cumsum must equal the naive global cumsum regardless
+    # of bucket size
+    from squirreling_spark.pipeline.pack import pack_sequences
+
+    rows = [(i, " ".join(["t"] * (3 + i % 11))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    base = sorted(map(tuple, pack_sequences(df, "text", "doc_id", 64, bucket_size=4096).collect()))
+    for bs in (1, 7, 50):
+        got = sorted(map(tuple, pack_sequences(df, "text", "doc_id", 64, bucket_size=bs).collect()))
+        assert got == base, bs
+    # every sequence except the last is exactly full
+    import collections
+
+    fill = collections.Counter()
+    for seq_id, _, _, n in base:
+        fill[seq_id] += n
+    last = max(fill)
+    assert all(v == 64 for s, v in fill.items() if s != last)
+
+
+def test_pack_sequences_plan_no_global_row_window(spark, sf001):
+    # the document-row window must be PARTITIONED by the bucket key; only
+    # the bucket-count-sized window (rows = corpus/bucket_size, above the
+    # aggregate) may be unpartitioned — a global row-level window would be
+    # a single task at 100 TB
+    from squirreling_spark.pipeline.pack import pack_sequences
+
+    df = spark.read.parquet(f"{sf001}/documents.parquet")
+    plan = (
+        pack_sequences(df, "text", "doc_id")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("windowspecdefinition(") == 2
+    assert "windowspecdefinition(_bkt#" in plan  # row window bucket-keyed

@@ -190,3 +190,14 @@ def test_regexp_split_to_table(spark):
         "SELECT REGEXP_SPLIT_TO_TABLE('a,b;c', '[,;]') AS part",
     )
     assert [r["part"] for r in rows] == ["a", "b", "c"]
+
+
+def test_distinct_on_in_subquery(spark):
+    # the rewrite must stop at the enclosing subquery's close paren and
+    # keep the outer query's tail intact
+    rows = run(
+        spark,
+        "SELECT x.name FROM (SELECT DISTINCT ON (substr(name, 1, 1)) name"
+        " FROM t ORDER BY substr(name, 1, 1), name) x WHERE x.name <> 'bob'",
+    )
+    assert [r["name"] for r in rows] == ["alice"]
