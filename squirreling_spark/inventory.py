@@ -101,7 +101,13 @@ GRADE_ORDER: list[str] = [
     # map, integer-exact vs the oracle's one-window cumsum).
     "pack_sequences",
     "math_funcs",
-    "date_funcs",
+    # round-7 window swap: date_funcs out — the date/time surface is
+    # enforced by the 100%-green datetime conformance file (55 cases) +
+    # interval 15/15 + wishlist_digest's datetime_wishlist branch;
+    # standalone stays after the window. Freed slot hosts PII scrubbing
+    # (typed-placeholder redaction, cleaned text value-checked — pins
+    # the Java-vs-RE2 shared regex subset).
+    "pii_scrub",
     "conditional_case",
     "median_percentile",
     "stddev_var",

@@ -855,3 +855,90 @@ def remove_boilerplate_lines(
             ).alias("clean_text"),
         )
     )
+
+
+def lm_bucket_sample(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str,
+    id_col: str,
+    rates: dict | None = None,
+    cutoff_sample_ppm: int = 1_000_000,
+) -> DataFrame:
+    """CCNet's perplexity-bucket step, completed: split the corpus into
+    head / middle / tail by LM quality score (ngram_lm_score — higher =
+    more reference-like) at the quartile cutoffs, then keep each bucket
+    at its own rate via the salted-md5 integer rule (head kept, middle
+    subsampled, tail mostly dropped — the standard curation shape).
+
+    Determinism: lm_score is one double division of exact integers
+    (bit-identical cross-engine); cutoffs are interpolated quartiles of
+    those bit-identical doubles at p = 0.25 / 0.75 (exact binary
+    fractions), det-rounded to 1e-9 before comparison so a last-ulp
+    interpolation difference between engines cannot flip a bucket; the
+    keep decision is the md5-bucket rule (stable under appends and
+    partitioning).
+
+    Scale: the exact-percentile cutoff aggregate sees
+    ``cutoff_sample_ppm`` of documents (deterministic md5 sample) — at
+    100 TB set it so the single-reducer percentile sees ~1e6 values; the
+    default passes everything (exact at test scale). Everything else is
+    row-local against the broadcast 1-row cutoff table."""
+    rates = rates or {"head": 100, "middle": 50, "tail": 10}
+    scores = ngram_lm_score(corpus, reference, text_col, id_col)
+    cut_src = scores
+    if cutoff_sample_ppm < 1_000_000:
+        samp = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("lmcut:"), F.col(id_col).cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1_000_000
+        )
+        cut_src = scores.filter(samp < cutoff_sample_ppm)
+    cuts = cut_src.agg(
+        F.percentile(F.col("lm_score"), F.lit(0.25)).alias("p25"),
+        F.percentile(F.col("lm_score"), F.lit(0.75)).alias("p75"),
+    )
+    from squirreling_spark.qutil import det_round
+
+    b = scores.crossJoin(F.broadcast(cuts)).withColumn(
+        "bucket",
+        F.when(
+            F.col("lm_score") > det_round(F.col("p75"), 9), F.lit("head")
+        )
+        .when(
+            F.col("lm_score") > det_round(F.col("p25"), 9), F.lit("middle")
+        )
+        .otherwise(F.lit("tail")),
+    )
+    rate = F.create_map(
+        *[F.lit(x) for kv in rates.items() for x in kv]
+    )[F.col("bucket")]
+    keep_bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lmb:"), F.col(id_col).cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return b.select(
+        F.col(id_col),
+        "lm_score",
+        "bucket",
+        (keep_bucket < rate).alias("kept"),
+    )

@@ -1008,3 +1008,113 @@ def pack_sequences_q(spark, sf):
     return pack_sequences(
         t(spark, sf, "documents"), "text", "doc_id", seq_len=512
     )
+
+
+@query(
+    "pii_scrub",
+    oracle="""
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex'
+                  || CAST(doc_id % 7 AS VARCHAR) || '.org or call 415-555-'
+                  || lpad(CAST(doc_id % 97 AS VARCHAR), 4, '0')
+                  || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                  || CAST(doc_id % 100 AS VARCHAR) || '.'
+                  || CAST(doc_id % 40 AS VARCHAR) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))
+             AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '(?:\\+?[0-9]{1,2}[ .\\-]?)?\\(?[0-9]{3}\\)?[ .\\-][0-9]{3}[ .\\-][0-9]{4}'))
+             AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text,
+             '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+             '(?:\\+?[0-9]{1,2}[ .\\-]?)?\\(?[0-9]{3}\\)?[ .\\-][0-9]{3}[ .\\-][0-9]{4}',
+             '<PHONE>', 'g'),
+             '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IPV4>', 'g')
+             AS clean_text
+    FROM injected
+    """,
+)
+def pii_scrub_q(spark, sf):
+    """PII redaction (pipeline/text.py::scrub_pii) — the release scrub
+    every published pretraining corpus runs (emails / phone numbers /
+    IPv4 masked to typed placeholders, plus per-doc match counts for
+    PII-density filtering). The fixture corpus is PII-free, so each doc
+    gets one planted email, phone, and IP (deterministic, replayed by
+    the oracle); the scrubbed text itself is value-checked, which pins
+    the Java-vs-RE2 regex subset the patterns are written in."""
+    from squirreling_spark.pipeline.text import scrub_pii
+
+    injected = t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".org or call 415-555-"),
+            F.lpad((F.col("doc_id") % 97).cast("string"), 4, "0"),
+            F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit("."), (F.col("doc_id") % 100).cast("string"),
+            F.lit("."), (F.col("doc_id") % 40).cast("string"),
+        ).alias("text"),
+    )
+    out = scrub_pii(injected, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_email"),
+        F.col("n_phone"),
+        F.col("n_ipv4"),
+        "clean_text",
+    )
+
+
+# lm_bucket_sample replays ngram_lm_score's full oracle as its scoring CTE
+_LM_SCORE_ORACLE = inventory.ORACLES["ngram_lm_score"]
+
+
+@query(
+    "lm_bucket_sample",
+    oracle=f"""
+    WITH scored AS ({_LM_SCORE_ORACLE}),
+    cuts AS (
+      SELECT quantile_cont(lm_score, 0.25) AS p25,
+             quantile_cont(lm_score, 0.75) AS p75
+      FROM scored
+    ),
+    bucketed AS (
+      SELECT s.doc_id, s.lm_score,
+             CASE WHEN s.lm_score > floor(c.p75 * 1000000000 + 0.5)
+                                    / 1000000000 THEN 'head'
+                  WHEN s.lm_score > floor(c.p25 * 1000000000 + 0.5)
+                                    / 1000000000 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM scored s, cuts c
+    )
+    SELECT doc_id, lm_score, bucket,
+           (CAST('0x' || substring(md5('lmb:' ||
+              CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100)
+             < (CASE bucket WHEN 'head' THEN 100 WHEN 'middle' THEN 50
+                            ELSE 10 END) AS kept
+    FROM bucketed
+    """,
+)
+def lm_bucket_sample_q(spark, sf):
+    """CCNet perplexity-bucket sampling (pipeline/corpus.py::
+    lm_bucket_sample): quality scores from the pooled bigram LM
+    (reference slice = every 5th doc, as in ngram_lm_score), quartile
+    cutoffs det-rounded to 1e-9, head/middle/tail buckets kept at
+    100/50/10%. The oracle replays the scoring CTE, DuckDB's
+    quantile_cont at the exact binary fractions 0.25/0.75, the rounded
+    comparisons, and the salted-md5 keep rule."""
+    from squirreling_spark.pipeline.corpus import lm_bucket_sample
+
+    docs = t(spark, sf, "documents")
+    ref = docs.filter(F.col("doc_id") % 5 == 0)
+    return lm_bucket_sample(docs, ref, "text", "doc_id")

@@ -129,3 +129,51 @@ def test_pack_sequences_plan_no_global_row_window(spark, sf001):
     )
     assert plan.count("windowspecdefinition(") == 2
     assert "windowspecdefinition(_bkt#" in plan  # row window bucket-keyed
+
+
+def test_scrub_pii_patterns(spark):
+    from squirreling_spark.pipeline.text import scrub_pii
+
+    rows = [
+        (0, "mail me at jo.doe+x@sub.example.co.uk today"),
+        (1, "call +1 (415) 555-0134 or 415.555.0199 now"),
+        (2, "server at 10.0.255.7 and 192.168.1.1 up"),
+        (3, "clean text with no personal data at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in scrub_pii(df, "text", "doc_id").collect()}
+    assert out[0].n_email == 1 and "<EMAIL>" in out[0].clean_text
+    assert "jo.doe" not in out[0].clean_text
+    assert out[1].n_phone == 2 and out[1].clean_text.count("<PHONE>") == 2
+    assert out[2].n_ipv4 == 2 and out[2].clean_text.count("<IPV4>") == 2
+    assert out[3].clean_text == rows[3][1]
+    assert (out[3].n_email, out[3].n_phone, out[3].n_ipv4) == (0, 0, 0)
+
+
+def test_lm_bucket_sample_shape(spark):
+    from squirreling_spark.pipeline.corpus import lm_bucket_sample
+
+    rows = [
+        (i, ("the of and to in is " * 6 + f"extra w{i} " * (i % 5)) if i % 3 == 0
+         else ("zq xv kj wp mn bb " * 6 + f"junk j{i} " * (i % 5)) if i % 3 == 1
+         else ("the of zq xv and kj " * 6 + f"mid m{i} " * (i % 5)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ref = df.filter(df.doc_id % 3 == 0)  # reference-like = stopword runs
+    out = lm_bucket_sample(df, ref, "text", "doc_id").collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    # reference-like docs score highest -> head; gibberish -> tail
+    head_ids = {r.doc_id for r in by_bucket["head"]}
+    assert head_ids and all(i % 3 == 0 for i in head_ids)
+    tail_ids = {r.doc_id for r in by_bucket["tail"]}
+    assert all(i % 3 == 1 for i in tail_ids)
+    # keep rates bind per bucket: head all kept is not guaranteed by the
+    # md5 rule per-row, but rates order must hold in aggregate
+    frac = {
+        b: sum(r.kept for r in rs) / len(rs) for b, rs in by_bucket.items()
+    }
+    assert frac["head"] >= frac["middle"] >= frac["tail"]
