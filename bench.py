@@ -107,10 +107,12 @@ HEADLINE = [
     "domain_reweight",
     "dsir_sample",
     # round 7: production wish-list SQL digest, duplicated-span removal,
-    # GPT-style sequence packing
+    # GPT-style sequence packing, PII scrub, perplexity-bucket sampling
     "wishlist_digest",
     "remove_dup_substrings",
     "pack_sequences",
+    "pii_scrub",
+    "lm_bucket_sample",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

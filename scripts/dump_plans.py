@@ -68,6 +68,12 @@ SHOW = [
     ("image_pixel_decode", "4-codec decode: synthesized payloads hashed across the cluster BEFORE the Arrow decode stage (no per-codec straggler)"),
     ("domain_reweight", "DoReMi rounds: row-local sample filter + |domains|-row combining groupBy per round, weights broadcast back"),
     ("dsir_sample", "DSIR: one bigram explode, four token-keyed count joins, one rollup, row-local integer keep decision"),
+    # round 7
+    ("remove_dup_substrings", "span removal: window hashes shuffle (8-byte keys), shared set = two-level agg, coverage explode AFTER the semi-join, tail all keyed on doc_id"),
+    ("pack_sequences", "sequence packing: bucket-sum groupBy, ONE bucket-count-sized unpartitioned window, within-bucket windows + broadcast offsets — no single-task row stage"),
+    ("pii_scrub", "PII scrub: one codegen regexp projection over the scan — no Python, no exchange from the operator"),
+    ("image_dhash_neardup", "dhash near-dup: Arrow decode ONCE, window sub-split for the bucket cap, per-bucket collect_list + in-expression pair generation — no self-join"),
+    ("lm_bucket_sample", "perplexity buckets: LM score joins, 1-row quartile agg broadcast back, row-local bucket + md5 keep decision"),
 ]
 
 
