@@ -1190,6 +1190,37 @@ def _rewrite_dynamic_typing(q: str, spark=None) -> str:
         q, re.compile(r"\bLENGTH\s*\(", re.I), _length_dispatch
     )
 
+    # Auto-stringify (syntax.md runtime table row 2: "SUBSTR/LOWER(...)
+    # does not support object/array arguments. Use CAST" — 13 production
+    # failures where DuckDB coerces and the reference asks for a CAST):
+    # a struct/array/map first argument to a string function stringifies
+    # to its JSON text. Spark's and DuckDB's to_json are both minified,
+    # so the widened behavior stays cross-engine gradeable. LENGTH stays
+    # out: the reference pins its string-or-array semantics explicitly.
+    def _stringify_first(args):
+        if not args or re.match(
+            r"\s*(BOTH|LEADING|TRAILING)\b", args[0], re.I
+        ):
+            return None
+        dt = _ref_dtype(spark, args[0].strip())
+        if isinstance(dt, (T.StructType, T.MapType)) or (
+            isinstance(dt, T.ArrayType)
+        ):
+            return "__SQ_STRINGIFY__"  # marker; name re-attached below
+        return None
+
+    for sfname in ("LOWER", "UPPER", "SUBSTR", "SUBSTRING", "TRIM"):
+        def _build(args, f=sfname.lower()):
+            if _stringify_first(args) is None:
+                return None
+            rest = ", ".join(a.strip() for a in args[1:])
+            tail = f", {rest}" if rest else ""
+            return f"{f}(to_json({args[0].strip()}){tail})"
+
+        q = _rewrite_wrap_call(
+            q, re.compile(rf"\b{sfname}\s*\(", re.I), _build
+        )
+
     # CAST dialect: JS Number(Date) is epoch MILLISECONDS (evaluate.js:
     # 707-726 casts primitives-and-Dates; Number coercion of a Date is
     # getTime()), and CAST(object AS STRING) is JSON.stringify

@@ -1210,6 +1210,18 @@ _WISHLIST_BRANCHES = {
         "p_partkey * 7 + length(p_name)",
         "SELECT p_partkey, p_name FROM part WHERE p_name ILIKE '%GrEeN%'",
     ),
+    # runtime table row 2: string functions auto-stringify struct/array
+    # args to JSON text (the reference errors with "Use CAST"; DuckDB
+    # coerces — our engine widens to the JSON-text convention)
+    "auto_stringify": (
+        "SELECT n_nationkey, LOWER(obj) AS lo, SUBSTR(obj, 2, 7) AS sub "
+        "FROM wl_obj",
+        "n_nationkey * 1000 + length(lo) * 7 + length(sub) "
+        "+ ascii(substr(sub, 1, 1))",
+        "SELECT n_nationkey, lower(to_json(struct_pack(name := n_name, "
+        "rk := n_regionkey))) AS lo, substr(to_json(struct_pack("
+        "name := n_name, rk := n_regionkey)), 2, 7) AS sub FROM nation",
+    ),
 }
 
 
@@ -1240,6 +1252,12 @@ def wishlist_digest(spark, sf):
         .createOrReplaceTempView("wl_ev")
     t(spark, sf, "part").select("p_partkey", "p_name") \
         .createOrReplaceTempView("wl_prt")
+    t(spark, sf, "nation").select(
+        "n_nationkey",
+        F.struct(
+            F.col("n_name").alias("name"), F.col("n_regionkey").alias("rk")
+        ).alias("obj"),
+    ).createOrReplaceTempView("wl_obj")
     branches = []
     for tag, (sql, ck, _) in _WISHLIST_BRANCHES.items():
         res = execute_sql(spark, sql)

@@ -201,3 +201,22 @@ def test_distinct_on_in_subquery(spark):
         " FROM t ORDER BY substr(name, 1, 1), name) x WHERE x.name <> 'bob'",
     )
     assert [r["name"] for r in rows] == ["alice"]
+
+
+def test_auto_stringify_struct_args(spark):
+    # syntax.md runtime table row 2: string functions over struct/array
+    # columns stringify to JSON text instead of erroring (the reference
+    # asks for an explicit CAST; DuckDB coerces)
+    data = [{"id": 0, "obj": {"a": 1, "b": "x"}, "arr": [1, 2], "s": "Hi"}]
+    rows = list(
+        execute_sql(
+            spark,
+            "SELECT LOWER(obj) AS lo, SUBSTR(obj, 1, 8) AS sub, "
+            "UPPER(arr) AS ua, LOWER(s) AS ls FROM t",
+            tables={"t": data},
+        ).collect()
+    )
+    assert rows == [
+        {"lo": '{"a":1,"b":"x"}', "sub": '{"a":1,"', "ua": "[1,2]",
+         "ls": "hi"}
+    ]
