@@ -9,6 +9,13 @@ token span of which document lands in which training sequence. Writers
 join this back to the token arrays to materialize shards; keeping the map
 relational makes the op testable and engine-exact.
 
+Sibling operator: ``pipeline/text.pack_sequences`` (graded as
+``docs_pack``) is the OTHER standard packing shape — greedy token-budget
+bin packing of intact chunks (chunks never split; bins may under-fill).
+This module is the zero-waste concat-and-chop variant (documents may
+split across sequence boundaries; every sequence except the last is
+exactly full). Real pipelines use both, which is why both ship.
+
 Scale design — the naive global running total is a single-task window
 (ORDER BY over the whole corpus with no partition key), which dies at
 100 TB. Instead the prefix offsets compute in two levels:

@@ -243,11 +243,18 @@ def hash_split(
 
 
 # PII patterns restricted to the RE2 ∩ Java-regex common dialect so the
-# same pattern strings run in Spark and the DuckDB oracle.
+# same pattern strings run in Spark and the DuckDB oracle. Round 7:
+# phone accepts the real-world separator forms ((415) 555-0134,
+# 415.555.0199, +1 prefixes) — the country prefix is optional AS A
+# GROUP, so a bare number can't feed its area-code digits to the
+# prefix — and IPv4 joined the scrub set (C4/RefinedWeb/Dolma all
+# strip or mask it).
 PII_PATTERNS = {
     "email": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
-    "phone": "[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}",
+    "phone": "(?:\\+?[0-9]{1,2}[ .\\-]?)?\\(?[0-9]{3}\\)?[ .\\-][0-9]{3}"
+             "[ .\\-][0-9]{4}",
     "url": "https?://[^ ]+",
+    "ipv4": "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b",
 }
 
 
@@ -359,48 +366,4 @@ def nfc_normalize_docs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.length("__nfc").cast("bigint").alias("n_chars_nfc"),
         (F.col(text_col) != F.col("__nfc")).alias("changed"),
         F.md5(F.col("__nfc")).alias("fp_nfc"),
-    )
-
-
-# PII patterns shared by scrubber and counters: conservative,
-# high-precision shapes (emails, North-American phone forms, IPv4).
-# Written in the regex subset Java (Spark) and RE2 (DuckDB) interpret
-# identically — character classes, bounded repetition, alternation; no
-# backreferences or lookaround.
-PII_PATTERNS = {
-    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
-    # country prefix is optional AS A GROUP — a bare 415.555.0199 must
-    # not feed its area-code digits to the prefix
-    "phone": r"(?:\+?[0-9]{1,2}[ .\-]?)?\(?[0-9]{3}\)?[ .\-][0-9]{3}[ .\-][0-9]{4}",
-    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
-}
-
-
-def scrub_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """PII redaction — the pre-training scrub every published corpus
-    pipeline runs (C4/RefinedWeb/Dolma all strip or mask emails, phone
-    numbers, IPs before release): each matched span is replaced by a
-    typed placeholder token, and per-document match counts are emitted
-    so downstream filters can drop PII-dense pages entirely.
-
-    Order matters: emails scrub FIRST (an address can contain digits
-    that would otherwise partially match the phone shape), then phones,
-    then IPv4. Entirely JVM-side regexp_replace / regexp-count — one
-    scan, no Python, no shuffle; counts come from the same row-local
-    pass."""
-    out = F.col(text_col)
-    counts = []
-    for kind, pat in PII_PATTERNS.items():
-        # F.lit(pattern), not F.expr / SQL text: a SQL string literal
-        # would interpret \b as backspace
-        counts.append(
-            F.size(
-                F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
-            )
-            .cast("bigint")
-            .alias(f"n_{kind}")
-        )
-        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
-    return df.select(
-        F.col(id_col).alias("doc_id"), *counts, out.alias("clean_text")
     )

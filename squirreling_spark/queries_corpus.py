@@ -1018,38 +1018,57 @@ def pack_sequences_q(spark, sf):
              text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex'
                   || CAST(doc_id % 7 AS VARCHAR) || '.org or call 415-555-'
                   || lpad(CAST(doc_id % 97 AS VARCHAR), 4, '0')
-                  || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
-                  || CAST(doc_id % 100 AS VARCHAR) || '.'
-                  || CAST(doc_id % 40 AS VARCHAR) AS text
+                  || ' via https://h' || CAST(doc_id % 5 AS VARCHAR)
+                  || '.net/x from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST(doc_id % 100 AS VARCHAR) || '.'
+                  || CAST(doc_id % 40 AS VARCHAR) AS t0
       FROM documents
+    ),
+    e AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t0,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+               AS n_email,
+             regexp_replace(t0,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+               '<EMAIL>', 'g') AS t1
+      FROM injected
+    ),
+    p AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t1,
+               '(?:\\+?[0-9]{1,2}[ .\\-]?)?\\(?[0-9]{3}\\)?[ .\\-][0-9]{3}[ .\\-][0-9]{4}'))
+               AS n_phone,
+             regexp_replace(t1,
+               '(?:\\+?[0-9]{1,2}[ .\\-]?)?\\(?[0-9]{3}\\)?[ .\\-][0-9]{3}[ .\\-][0-9]{4}',
+               '<PHONE>', 'g') AS t2
+      FROM e
+    ),
+    u AS (
+      SELECT doc_id, n_email, n_phone,
+             len(regexp_extract_all(t2, 'https?://[^ ]+')) AS n_url,
+             regexp_replace(t2, 'https?://[^ ]+', '<URL>', 'g') AS t3
+      FROM p
     )
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text,
-             '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))
-             AS BIGINT) AS n_email,
-           CAST(len(regexp_extract_all(text,
-             '(?:\\+?[0-9]{1,2}[ .\\-]?)?\\(?[0-9]{3}\\)?[ .\\-][0-9]{3}[ .\\-][0-9]{4}'))
-             AS BIGINT) AS n_phone,
-           CAST(len(regexp_extract_all(text,
-             '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4,
-           regexp_replace(regexp_replace(regexp_replace(text,
-             '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
-             '<EMAIL>', 'g'),
-             '(?:\\+?[0-9]{1,2}[ .\\-]?)?\\(?[0-9]{3}\\)?[ .\\-][0-9]{3}[ .\\-][0-9]{4}',
-             '<PHONE>', 'g'),
-             '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IPV4>', 'g')
-             AS clean_text
-    FROM injected
+           regexp_replace(t3, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b',
+             '<IPV4>', 'g') AS scrubbed,
+           CAST(n_email AS BIGINT) AS n_email,
+           CAST(n_phone AS BIGINT) AS n_phone,
+           CAST(n_url AS BIGINT) AS n_url,
+           CAST(len(regexp_extract_all(t3,
+             '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT)
+             AS n_ipv4
+    FROM u
     """,
 )
 def pii_scrub_q(spark, sf):
-    """PII redaction (pipeline/text.py::scrub_pii) — the release scrub
-    every published pretraining corpus runs (emails / phone numbers /
-    IPv4 masked to typed placeholders, plus per-doc match counts for
-    PII-density filtering). The fixture corpus is PII-free, so each doc
-    gets one planted email, phone, and IP (deterministic, replayed by
-    the oracle); the scrubbed text itself is value-checked, which pins
-    the Java-vs-RE2 regex subset the patterns are written in."""
+    """PII redaction over every scrub category (pipeline/text.py::
+    scrub_pii — the SAME operator text_scrub grades, here exercised on
+    all four pattern kinds at once with real-world phone separator
+    forms). Each doc gets one planted email, phone, URL, and IPv4
+    (deterministic, replayed by the oracle); the scrubbed text itself is
+    value-checked, pinning the Java-vs-RE2 shared regex subset."""
     from squirreling_spark.pipeline.text import scrub_pii
 
     injected = t(spark, sf, "documents").select(
@@ -1060,19 +1079,13 @@ def pii_scrub_q(spark, sf):
             F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
             F.lit(".org or call 415-555-"),
             F.lpad((F.col("doc_id") % 97).cast("string"), 4, "0"),
-            F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(" via https://h"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".net/x from 10."), (F.col("doc_id") % 256).cast("string"),
             F.lit("."), (F.col("doc_id") % 100).cast("string"),
             F.lit("."), (F.col("doc_id") % 40).cast("string"),
         ).alias("text"),
     )
-    out = scrub_pii(injected, "text", "doc_id")
-    return out.select(
-        "doc_id",
-        F.col("n_email"),
-        F.col("n_phone"),
-        F.col("n_ipv4"),
-        "clean_text",
-    )
+    return scrub_pii(injected, "text", "doc_id")
 
 
 # lm_bucket_sample replays ngram_lm_score's full oracle as its scoring CTE

@@ -287,27 +287,37 @@ def docs_split_q(spark, sf):
     ),
     p AS (
       SELECT doc_id, n_email,
-             len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}'))
+             len(regexp_extract_all(t1,
+               '(?:\\+?[0-9]{1,2}[ .\\-]?)?\\(?[0-9]{3}\\)?[ .\\-][0-9]{3}[ .\\-][0-9]{4}'))
                AS n_phone,
-             regexp_replace(t1, '[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}',
+             regexp_replace(t1,
+               '(?:\\+?[0-9]{1,2}[ .\\-]?)?\\(?[0-9]{3}\\)?[ .\\-][0-9]{3}[ .\\-][0-9]{4}',
                '<PHONE>', 'g') AS t2
       FROM e
+    ),
+    u AS (
+      SELECT doc_id, n_email, n_phone,
+             len(regexp_extract_all(t2, 'https?://[^ ]+')) AS n_url,
+             regexp_replace(t2, 'https?://[^ ]+', '<URL>', 'g') AS t3
+      FROM p
     )
     SELECT doc_id,
-           regexp_replace(t2, 'https?://[^ ]+', '<URL>', 'g') AS scrubbed,
+           regexp_replace(t3, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b',
+             '<IPV4>', 'g') AS scrubbed,
            CAST(n_email AS BIGINT) AS n_email,
            CAST(n_phone AS BIGINT) AS n_phone,
-           CAST(len(regexp_extract_all(t2, 'https?://[^ ]+')) AS BIGINT)
-             AS n_url
-    FROM p
+           CAST(n_url AS BIGINT) AS n_url,
+           CAST(len(regexp_extract_all(t3,
+             '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4
+    FROM u
     """,
 )
 def text_scrub_q(spark, sf):
     """PII scrubbing (pipeline/text.py scrub_pii): redact emails, phone
-    numbers, and URLs with typed placeholders + per-category counts.
-    Synthetic PII is appended deterministically so the scrubber provably
-    fires (the test corpus has none naturally); patterns restricted to
-    the RE2 ∩ Java-regex common dialect."""
+    numbers, URLs, and IPv4 addresses with typed placeholders +
+    per-category counts. Synthetic PII is appended deterministically so
+    the scrubber provably fires (the test corpus has none naturally);
+    patterns restricted to the RE2 ∩ Java-regex common dialect."""
     from squirreling_spark.pipeline.text import scrub_pii
 
     docs = t(spark, sf, "documents")

@@ -142,12 +142,13 @@ def test_scrub_pii_patterns(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     out = {r.doc_id: r for r in scrub_pii(df, "text", "doc_id").collect()}
-    assert out[0].n_email == 1 and "<EMAIL>" in out[0].clean_text
-    assert "jo.doe" not in out[0].clean_text
-    assert out[1].n_phone == 2 and out[1].clean_text.count("<PHONE>") == 2
-    assert out[2].n_ipv4 == 2 and out[2].clean_text.count("<IPV4>") == 2
-    assert out[3].clean_text == rows[3][1]
-    assert (out[3].n_email, out[3].n_phone, out[3].n_ipv4) == (0, 0, 0)
+    assert out[0].n_email == 1 and "<EMAIL>" in out[0].scrubbed
+    assert "jo.doe" not in out[0].scrubbed
+    assert out[1].n_phone == 2 and out[1].scrubbed.count("<PHONE>") == 2
+    assert out[2].n_ipv4 == 2 and out[2].scrubbed.count("<IPV4>") == 2
+    assert out[3].scrubbed == rows[3][1]
+    assert (out[3].n_email, out[3].n_phone, out[3].n_url, out[3].n_ipv4) \
+        == (0, 0, 0, 0)
 
 
 def test_lm_bucket_sample_shape(spark):
