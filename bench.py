@@ -188,10 +188,15 @@ def main() -> None:
         out["incomplete"] = True
         out["partial_total"] = total
 
-    # Full artifact → committed file (the driver's stdout capture keeps
-    # only the last 2000 chars — BENCH_r06.json lost its head that way).
-    # stdout gets a size-bounded summary line, printed LAST.
-    artifact = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r7.json")
+    # Full artifact → a file (the driver's stdout capture keeps only the
+    # last 2000 chars — BENCH_r06.json lost its head that way). stdout
+    # gets a size-bounded summary line, printed LAST. The DEFAULT path is
+    # UNTRACKED (gitignored) so driver/judge re-runs never dirty committed
+    # evidence (r7 verdict Wrong #2); idle-run artifacts are committed by
+    # setting SPARK_GRAFT_BENCH_OUT=BENCH_LOCAL_r<N>.json explicitly.
+    artifact = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_LATEST.json"
+    )
     artifact_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), artifact)
     try:
         with open(artifact_path, "w") as fh:

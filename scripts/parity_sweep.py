@@ -2,8 +2,12 @@
 progress and a resume file — the once-per-round sf0.1 run (r3 judge task
 5) that catches scale-dependent semantics the sf0.01 gate can't.
 
-Usage: python scripts/parity_sweep.py [sf_dir] [state_file]
+Usage: python scripts/parity_sweep.py [sf_dir] [state_file] [shard]
 Re-running skips queries already recorded green in state_file.
+
+``shard`` is an optional ``i/n`` spec (e.g. ``0/3``): the sorted query
+list is strided ``names[i::n]`` so n processes can sweep in parallel,
+each with its own state file; merge the state files for the ledger.
 """
 
 from __future__ import annotations
@@ -32,6 +36,9 @@ def main() -> int:
     spark = get_spark("parity-sweep")
 
     names = sorted(inventory.ORACLES)
+    if len(sys.argv) > 3:
+        idx, num = (int(p) for p in sys.argv[3].split("/"))
+        names = names[idx::num]
     failures = []
     t0 = time.perf_counter()
     for name in names:

@@ -212,9 +212,15 @@ def _operand_left(q: str, i: int) -> tuple[int, int]:
                 continue  # chained groups: a(..)[..]
             break
         if c == "'":
+            # scan back to the OPENING quote, treating '' as an escaped
+            # quote (skip both chars) so the span covers the whole literal
+            # — e.g. 'it''s' must not split at the '' pair (r8 advice).
             k = start - 2
             while k >= 0:
-                if q[k] == "'" and (k == 0 or q[k - 1] != "'"):
+                if q[k] == "'":
+                    if k > 0 and q[k - 1] == "'":
+                        k -= 2  # escaped '' pair inside the literal
+                        continue
                     return k, end
                 k -= 1
             return -1, end
@@ -253,8 +259,15 @@ def _rewrite_json_arrows(q: str) -> str:
         rhs = rm.group(1)
         if rhs.isdigit():
             lead = q[:start].rstrip()
-            if re.match(r"[A-Za-z_][\w.$]*$", q[start:end]) and lead.endswith(("(", ",")):
-                pos = m.end()  # plausible lambda param — don't touch
+            operand = q[start:end]
+            is_param = re.match(r"[A-Za-z_][\w.$]*$", operand)
+            # (x, i) -> body: a parenthesized identifier list directly
+            # after '(' or ',' is a multi-param lambda head (r8 advice)
+            is_param_list = re.match(
+                r"\(\s*[A-Za-z_]\w*(\s*,\s*[A-Za-z_]\w*)+\s*\)$", operand
+            )
+            if (is_param or is_param_list) and lead.endswith(("(", ",")):
+                pos = m.end()  # plausible lambda param(s) — don't touch
                 continue
             path = f"$[{rhs}]"
         else:
@@ -318,7 +331,8 @@ def _rewrite_glob(q: str) -> str:
     return _sub_outside_strings(q, _GLOB_RE, repl)
 
 
-_TILDE_RE = re.compile(r"!~|~")
+_TILDE_RE = re.compile(r"!~\*|~\*|!~|~")
+_TILDE_CI_RHS_RE = re.compile(r"\s*('(?:[^']|'')*')")
 
 # words that can directly precede a unary ~ (SELECT ~5, WHERE ~x = -6, …)
 _TILDE_UNARY_LEAD = {
@@ -331,9 +345,11 @@ _TILDE_UNARY_LEAD = {
 def _rewrite_tilde_ops(q: str) -> str:
     """Postgres regex-match operators (syntax.md item 16): binary ``~`` →
     RLIKE, ``!~`` → NOT RLIKE (partial-match Postgres semantics — Spark's
-    RLIKE — not DuckDB's full-match ``~``). Unary ``~`` (bitwise NOT)
-    is left for Spark: binary context requires a value token on the
-    left."""
+    RLIKE — not DuckDB's full-match ``~``). Case-insensitive ``~*`` /
+    ``!~*`` fold a ``(?i)`` prefix into a literal RHS pattern; a
+    non-literal RHS is left untouched (clean Spark parse error rather
+    than a mangled ``RLIKE *``). Unary ``~`` (bitwise NOT) is left for
+    Spark: binary context requires a value token on the left."""
     mask = _string_mask(q)
     hits = []
     for m in _TILDE_RE.finditer(q):
@@ -347,8 +363,16 @@ def _rewrite_tilde_ops(q: str) -> str:
             continue
         hits.append(m)
     for m in reversed(hits):
-        op = " NOT RLIKE " if m.group(0) == "!~" else " RLIKE "
-        q = q[: m.start()] + op + q[m.end():]
+        tok = m.group(0)
+        op = " NOT RLIKE " if tok.startswith("!") else " RLIKE "
+        if tok.endswith("*"):
+            rm = _TILDE_CI_RHS_RE.match(q, m.end())
+            if rm is None:
+                continue  # non-literal RHS: leave the ~* untouched
+            pat = "(?i)" + rm.group(1)[1:-1]
+            q = q[: m.start()] + op + "'" + pat + "'" + q[rm.end():]
+        else:
+            q = q[: m.start()] + op + q[m.end():]
     return q
 
 

@@ -17,6 +17,8 @@ Scale design:
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -30,12 +32,30 @@ from squirreling_spark.qutil import spread
 # unchanged; the cap exists for the 100 TB tail.
 DEFAULT_BUCKET_CAP = 2000
 
+# Sentinel default for cap parameters: resolves to DEFAULT_BUCKET_CAP at
+# CALL time (so tests/operators that tune the module default see it),
+# while an explicit ``None`` DISABLES the cap — the exact-recall mode
+# (r8 advice: the cap silently drops cross-chunk candidates in degenerate
+# buckets; callers must be able to opt out and to observe the loss).
+USE_DEFAULT_CAP: object = object()
+
+
+def _resolve_cap(cap) -> int | None:
+    return DEFAULT_BUCKET_CAP if cap is USE_DEFAULT_CAP else cap
+
+
+# Observed-metric names must be unique within one query plan; suffix each
+# observe() with a driver-side sequence number so the same operator can be
+# instantiated twice in one plan (e.g. a self-union) without a name clash.
+_OBS_SEQ = itertools.count()
+
 
 def cap_hot_buckets(
     banded: DataFrame,
     id_col: str,
-    cap: int = DEFAULT_BUCKET_CAP,
+    cap: int | None = USE_DEFAULT_CAP,
     band_cols: tuple[str, str] = ("band_idx", "band_key"),
+    observe_name: str | None = None,
 ) -> DataFrame:
     """Hot-bucket guard: adds a ``_sub`` column splitting buckets larger
     than ``cap`` into contiguous rank chunks; candidate joins that also
@@ -45,13 +65,37 @@ def cap_hot_buckets(
     cross-chunk pairs are the documented recall trade at degenerate keys.
     Plan cost: one window exchange on the band key (the join was about to
     shuffle on it anyway); both join sides share the subtree, so the
-    exchange is computed once and reused."""
-    w = Window.partitionBy(*[F.col(c) for c in band_cols]).orderBy(
-        F.col(id_col)
-    )
-    return banded.withColumn(
-        "_sub", ((F.row_number().over(w) - F.lit(1)) / F.lit(cap)).cast("int")
-    )
+    exchange is computed once and reused.
+
+    ``cap=None`` disables the guard (``_sub`` becomes a constant 0, so
+    downstream ``l._sub == r._sub`` keys still resolve) — the exact-recall
+    mode for callers who accept quadratic degenerate buckets.
+
+    ``observe_name`` makes the recall trade OBSERVABLE at zero plan cost:
+    attaches ``df.observe(name, …)`` metrics — ``capped_rows`` (members in
+    overflow chunks, i.e. excluded from the first chunk's pairings) and
+    ``max_sub`` (deepest chunk index) — readable from a QueryExecution
+    listener or ``Observation`` after any action on the result."""
+    cap = _resolve_cap(cap)
+    if cap is None:
+        out = banded.withColumn("_sub", F.lit(0).cast("int"))
+    else:
+        w = Window.partitionBy(*[F.col(c) for c in band_cols]).orderBy(
+            F.col(id_col)
+        )
+        out = banded.withColumn(
+            "_sub",
+            ((F.row_number().over(w) - F.lit(1)) / F.lit(cap)).cast("int"),
+        )
+    if observe_name is not None:
+        out = out.observe(
+            observe_name,
+            F.sum(F.when(F.col("_sub") > 0, 1).otherwise(0)).alias(
+                "capped_rows"
+            ),
+            F.max(F.col("_sub")).alias("max_sub"),
+        )
+    return out
 
 # Normalization shared by fingerprints: collapse whitespace, lowercase.
 _NORM = "lower(trim(regexp_replace({col}, '\\\\s+', ' ')))"
@@ -264,12 +308,14 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
-    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    bucket_cap: int | None = USE_DEFAULT_CAP,
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (id_a < id_b) that share ≥1 LSH
     band bucket. The join is bucket-local: shuffle on (band_idx, band_key),
     never an all-pairs product, and buckets above ``bucket_cap`` members
-    sub-split (cap_hot_buckets) so one degenerate key stays bounded."""
+    sub-split (cap_hot_buckets) so one degenerate key stays bounded;
+    ``bucket_cap=None`` disables the cap (full recall, quadratic
+    degenerate buckets)."""
     b = cap_hot_buckets(
         minhash_lsh_bands(df, text_col, id_col, num_hashes, bands, shingle_k),
         id_col,
@@ -299,6 +345,7 @@ def hyperplane_lsh_candidates(
     planes: int = 16,
     bands: int = 4,
     dim: int = 64,
+    bucket_cap: int | None = USE_DEFAULT_CAP,
 ) -> DataFrame:
     """Random-hyperplane LSH candidate pairs for embedding near-dup — the
     100 TB path that replaces the all-pairs cosine self-join.
@@ -345,6 +392,7 @@ def hyperplane_lsh_candidates(
             F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key")
         ),
         id_col,
+        bucket_cap,
     )
     left, right = banded.alias("l"), banded.alias("r")
     return (
@@ -842,6 +890,7 @@ def decontaminate_neardup(
     bands: int = 8,
     shingle_k: int = 3,
     threshold: float = 0.35,
+    bench_bucket_cap: int | None = USE_DEFAULT_CAP,
 ) -> DataFrame:
     """NEAR-DUP benchmark decontamination — the cross-corpus complement of
     ``contamination_check`` (exact n-gram overlap): a benchmark item that
@@ -867,19 +916,31 @@ def decontaminate_neardup(
     )
     # Bipartite hot-bucket guard: per-bucket candidate output is
     # |corpus_bucket| × |bench_bucket|, so bounding the (small,
-    # broadcast) benchmark side to DEFAULT_BUCKET_CAP members per band
+    # broadcast) benchmark side to ``bench_bucket_cap`` members per band
     # key keeps output linear in the corpus even when a degenerate key
     # (boilerplate extracts hashing identically) floods one bucket.
     # Members beyond the cap are near-identical to a kept one by
-    # construction — the kept representatives carry the recall.
-    bw = Window.partitionBy("band_idx", "band_key").orderBy(
-        F.col(bench_id_col)
-    )
-    bb = (
-        bb.withColumn("__rk", F.row_number().over(bw))
-        .filter(F.col("__rk") <= DEFAULT_BUCKET_CAP)
-        .drop("__rk")
-    )
+    # construction — the kept representatives carry the recall; a
+    # contamination hit matching ONLY a capped-out member can slip
+    # through, so ``bench_bucket_cap=None`` disables the cap for
+    # exact-recall decontamination runs, and the observe() metric below
+    # makes capped volume visible on every action.
+    bench_bucket_cap = _resolve_cap(bench_bucket_cap)
+    if bench_bucket_cap is not None:
+        bw = Window.partitionBy("band_idx", "band_key").orderBy(
+            F.col(bench_id_col)
+        )
+        bb = (
+            bb.withColumn("__rk", F.row_number().over(bw))
+            .observe(
+                f"decontaminate_bench_cap_{next(_OBS_SEQ)}",
+                F.sum(
+                    F.when(F.col("__rk") > bench_bucket_cap, 1).otherwise(0)
+                ).alias("capped_rows"),
+            )
+            .filter(F.col("__rk") <= bench_bucket_cap)
+            .drop("__rk")
+        )
     cand = (
         cb.alias("c")
         .join(

@@ -1701,47 +1701,113 @@ def image_dhash_bands(
     return df.mapInPandas(gen, schema=_DHASH_SCHEMA)
 
 
+def dhash_exact_groups(
+    hashes: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """Exact-duplicate collapse on the full 64-bit dHash: one row per
+    DISTINCT hash — (rep_id, b0..b3, n_members) where rep_id is the
+    minimum member id. The membership map (which image belongs to which
+    group) is the trivial equi-join of ``hashes`` back on (b0..b3); only
+    the collapsed table feeds the near-dup join, so duplicate-heavy
+    corpora (the 100 TB reality: the same image re-encoded millions of
+    times) cost ONE group row, not a quadratic pair list. Undecodable
+    images (NULL bands) are excluded — they have no hash to group on."""
+    return (
+        hashes.filter(
+            F.col("b0").isNotNull()
+            & F.col("b1").isNotNull()
+            & F.col("b2").isNotNull()
+            & F.col("b3").isNotNull()
+        )
+        .groupBy("b0", "b1", "b2", "b3")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
+    )
+
+
 def dhash_near_dup(
     hashes: DataFrame,
     id_col: str = "media_id",
     max_hamming: int = 16,
-    bucket_cap: int | None = None,
+    bucket_cap=None,
+    collapse: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs (id_a, id_b, hamming) from banded dHashes:
-    candidates = pairs agreeing on AT LEAST one 16-bit band (bucket-local
-    equi-join on (band_idx, band_value)), verified by total Hamming
-    distance over all four bands ≤ ``max_hamming``. Same shape as the
-    MinHash-LSH text path: the quadratic step is confined to
-    hash-identical buckets — and those buckets ARE the degenerate risk
-    (every uniform/flat image bands to [0,0,0,0]), so buckets above
-    ``bucket_cap`` members sub-split into contiguous rank chunks
-    (pipeline/dedup.cap_hot_buckets): O(n·cap) candidates per bucket
-    instead of O(n²)."""
+    """Near-duplicate detection over banded dHashes.
+
+    Default (``collapse=True``) — the scale path: exact-dedup the 64-bit
+    hash FIRST (``dhash_exact_groups``), band-join only the DISTINCT
+    hashes, and emit GROUP-level edges ``(id_a, id_b, hamming, n_a,
+    n_b)`` where id_a/id_b are group representative ids (id_a < id_b) and
+    n_a/n_b the exact-duplicate group sizes. Output is bounded by the
+    number of distinct hashes — sub-linear on duplicate-heavy corpora,
+    where the legacy pair list is quadratic BY CONSTRUCTION (the r7 30×
+    salted probe measured 790k → 296M pairs because replicas collapse
+    onto few distinct hashes). Identical images never appear as edges
+    (hamming 0 is collapsed into n_members); expanding a group edge to
+    member pairs is the equi-join of the membership map on both sides —
+    done lazily by the consumer, never materialized here.
+
+    ``collapse=False`` — the legacy pair-level contract: all pairs
+    agreeing on ≥1 16-bit band (including hash-identical pairs, hamming
+    0), verified at total Hamming ≤ ``max_hamming``. Quadratic inside
+    hash-identical buckets; keep for small/diverse corpora or when the
+    full pair list is the product.
+
+    In both modes candidates come from a bucket-local equi-join on
+    (band_idx, band_value) — never an all-pairs product — and buckets
+    above ``bucket_cap`` members sub-split into contiguous rank chunks
+    (pipeline/dedup.cap_hot_buckets): O(n·cap) candidates per bucket.
+    ``bucket_cap`` defaults to ``dedup.DEFAULT_BUCKET_CAP`` (resolved at
+    call time); pass ``0`` to disable the cap entirely (exact recall,
+    quadratic degenerate buckets — r8 advice: the cap must be
+    disableable)."""
     from squirreling_spark.pipeline.dedup import (
-        DEFAULT_BUCKET_CAP,
+        USE_DEFAULT_CAP,
         cap_hot_buckets,
     )
 
-    bands = hashes.select(
-        F.col(id_col).alias("__id"), "b0", "b1", "b2", "b3",
+    if collapse:
+        side = dhash_exact_groups(hashes, id_col).select(
+            F.col("rep_id").alias("__id"), "n_members",
+            "b0", "b1", "b2", "b3",
+        )
+        member_struct = (
+            "array_sort(collect_list(struct(__id AS id, n_members AS n,"
+            " b0, b1, b2, b3)))"
+        )
+    else:
+        side = hashes.select(
+            F.col(id_col).alias("__id"), "b0", "b1", "b2", "b3"
+        )
+        member_struct = (
+            "array_sort(collect_list(struct(__id AS id, b0, b1, b2, b3)))"
+        )
+    bands = side.select(
+        "*",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
             "band_idx", "band_val"
         ),
     ).filter(F.col("band_val").isNotNull())
+    if bucket_cap is None:
+        cap = USE_DEFAULT_CAP  # module default, resolved at call time
+    elif bucket_cap == 0:
+        cap = None  # explicit disable
+    else:
+        cap = bucket_cap
     bands = cap_hot_buckets(
-        bands, "__id", bucket_cap or DEFAULT_BUCKET_CAP,
-        band_cols=("band_idx", "band_val"),
+        bands, "__id", cap, band_cols=("band_idx", "band_val")
     )
-    # Single-subtree pair generation: a SELF-JOIN evaluates the Arrow
-    # decode subtree once per side (measured: 2 MapInPandas stages, no
-    # static exchange reuse), so instead each capped bucket aggregates to
-    # one row (≤ cap members — bounded reducer memory by construction)
-    # and the ordered pairs come from a nested-transform expression over
-    # that array. One decode, one shuffle per stage, no join.
+    # Single-subtree pair generation: a SELF-JOIN evaluates the upstream
+    # subtree (Arrow decode / the collapse aggregate) once per side
+    # (measured: 2 MapInPandas stages, no static exchange reuse), so
+    # instead each capped bucket aggregates to one row (≤ cap members —
+    # bounded reducer memory by construction) and the ordered pairs come
+    # from a nested-transform expression over that array. One decode,
+    # one shuffle per stage, no join.
     members = bands.groupBy("band_idx", "band_val", "_sub").agg(
-        F.expr(
-            "array_sort(collect_list(struct(__id AS id, b0, b1, b2, b3)))"
-        ).alias("ms")
+        F.expr(member_struct).alias("ms")
     )
     pairs = members.select(
         F.explode(
@@ -1750,14 +1816,22 @@ def dhash_near_dup(
                 "transform(slice(ms, i + 2, size(ms)), b -> struct(a, b))))"
             )
         ).alias("p")
-    ).select(
-        F.col("p.a.id").alias("id_a"),
-        F.col("p.b.id").alias("id_b"),
-        sum(
-            F.expr(f"bit_count(p.a.b{i} ^ p.b.b{i})") for i in range(4)
-        ).cast("bigint").alias("hamming"),
     )
-    return (
-        pairs.distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    hamming = sum(
+        F.expr(f"bit_count(p.a.b{i} ^ p.b.b{i})") for i in range(4)
+    ).cast("bigint")
+    if collapse:
+        out = pairs.select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            hamming.alias("hamming"),
+            F.col("p.a.n").alias("n_a"),
+            F.col("p.b.n").alias("n_b"),
+        )
+    else:
+        out = pairs.select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+    return out.distinct().filter(F.col("hamming") <= max_hamming)

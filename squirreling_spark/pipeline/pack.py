@@ -59,15 +59,19 @@ def pack_sequences(
     the span begins (the EOS is position n_tokens); ``n_toks`` is the
     span width; sequence s covers global token positions
     [s·seq_len, (s+1)·seq_len)."""
+    # _bkt uses integer division (``div``), not double division — exact for
+    # the full bigint range. Ids that don't cast to BIGINT land in a single
+    # NULL bucket ordered first (null-safe join below) rather than being
+    # silently dropped; the contract is integer-like ids for even buckets.
     counts = spread(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
         by=["doc_id"],
     ).select(
         "doc_id",
         (F.size(tokens(text_col)) + 1).cast("bigint").alias("eff_len"),
-        (F.col(id_col).cast("bigint") / bucket_size)
-        .cast("bigint")
-        .alias("_bkt"),
+        F.expr(f"CAST(doc_id AS BIGINT) div {int(bucket_size)}").alias(
+            "_bkt"
+        ),
     )
     bkt_sums = counts.groupBy("_bkt").agg(
         F.sum("eff_len").cast("bigint").alias("_bsum")
@@ -86,7 +90,11 @@ def pack_sequences(
         W.unboundedPreceding, -1
     )
     offs = (
-        counts.join(F.broadcast(bkt_off), "_bkt")
+        counts.join(
+            F.broadcast(bkt_off),
+            counts["_bkt"].eqNullSafe(bkt_off["_bkt"]),
+        )
+        .drop(bkt_off["_bkt"])
         .withColumn(
             "_off",
             (

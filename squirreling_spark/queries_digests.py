@@ -434,9 +434,11 @@ _DEDUPV_CK = {
         "id_a * 1009 + id_b * 31 + floor(sim * 1000000)",
     ) * 2,
     # round 6: perceptual-hash image near-dup (real BMP decode → dHash →
-    # 16-bit band bucket join → Hamming verify)
+    # 16-bit band bucket join → Hamming verify); round 8: re-pointed to
+    # the distinct-hash-COLLAPSED default (group edges + exact-dup group
+    # sizes n_a/n_b — the scale-safe contract)
     "image_dhash_neardup": (
-        "id_a * 1009 + id_b * 31 + hamming * 7",
+        "id_a * 1009 + id_b * 31 + hamming * 7 + n_a * 13 + n_b * 17",
     ) * 2,
 }
 

@@ -2897,9 +2897,10 @@ def zorder_layout_orders_q(spark, sf):
     )
 
 
-@query(
-    "image_dhash_neardup",
-    oracle="""
+# Shared fixture SQL for the two dHash rows: closed-form band values per
+# doc (the gradient-BMP synthesis below, replayed bit-by-bit) — CTEs p,
+# hb (per-band values), h4 (pivoted 4-band hashes).
+_DHASH_FIXTURE_SQL = """
     WITH p AS (
       SELECT doc_id,
              (doc_id // 3 * 37 + doc_id % 3) % 256 AS base,
@@ -2923,42 +2924,21 @@ def zorder_layout_orders_q(spark, sf):
              max(CASE WHEN band_idx = 2 THEN bv END) AS b2,
              max(CASE WHEN band_idx = 3 THEN bv END) AS b3
       FROM hb GROUP BY doc_id
-    ),
-    cand AS (
-      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-      FROM hb l JOIN hb r
-        ON l.band_idx = r.band_idx AND l.bv = r.bv
-       AND l.doc_id < r.doc_id
-    )
-    SELECT c.id_a, c.id_b,
-           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
-              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
-             AS BIGINT) AS hamming
-    FROM cand c
-    JOIN h4 a ON a.doc_id = c.id_a
-    JOIN h4 b ON b.doc_id = c.id_b
-    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
-        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 16
-    """,
+    )"""
+
+_DHASH_HAMMING = (
+    "bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))"
+    " + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))"
 )
-def image_dhash_neardup_q(spark, sf):
-    """Perceptual-hash image near-dup (pipeline/multimodal.py::
-    image_dhash_bands + dhash_near_dup): per document, synthesize a 9×8
+
+
+def _dhash_media(spark, sf):
+    """(media_id, payload) gradient-BMP fixture: per document a 9×8
     grayscale-GRADIENT 24-bit BMP (value = (base + ax·x + 29·y) mod 256;
-    base and the x-slope are group-keyed off doc_id so groups of three
-    docs carry brightness-shifted variants of one pattern), decode it
-    through the REAL BMP pixel decoder, dHash the raster (BT.601 integer
-    luma, 9×8 grid, gradient-sign bits), band the 64-bit hash into four
-    16-bit keys, bucket-join candidates, and keep pairs within Hamming
-    16. The oracle derives every band bit in closed form from the
-    gradient formula and replays the banding + Hamming verify — so the
-    whole decode→hash→band→verify chain is value-checked, including the
-    BMP bottom-up row order and the 4-byte row padding (w=9 forces a pad
-    byte, which the solid-color variants never exercised)."""
-    from squirreling_spark.pipeline.multimodal import (
-        dhash_near_dup,
-        image_dhash_bands,
-    )
+    base and the x-slope group-keyed off doc_id so groups of three docs
+    carry brightness-shifted variants of one pattern — and the SAME
+    (base, ax) recurs across groups, so exact 64-bit hash collisions
+    exist and the collapse path has real work to do)."""
     from squirreling_spark.qutil import spread
 
     d = spread(t(spark, sf, "documents").select("doc_id"), by=["doc_id"])
@@ -2982,12 +2962,112 @@ def image_dhash_neardup_q(spark, sf):
         y = 7 - j
         parts.extend(vhex(x, y) for x in range(9))
         parts.append(F.lit("00"))  # 27-byte row → 4-byte alignment pad
-    media = d.select(
+    return d.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.unhex(F.concat(*parts)).alias("payload"),
     )
+
+
+@query(
+    "image_dhash_neardup",
+    oracle=_DHASH_FIXTURE_SQL + """,
+    reps AS (
+      SELECT b0, b1, b2, b3,
+             CAST(min(CAST(doc_id AS VARCHAR)) AS BIGINT) AS rep,
+             CAST(count(*) AS BIGINT) AS n
+      FROM h4 GROUP BY b0, b1, b2, b3
+    ),
+    rb AS (
+      SELECT rep, i AS band_idx,
+             CASE i WHEN 0 THEN b0 WHEN 1 THEN b1
+                    WHEN 2 THEN b2 ELSE b3 END AS bv
+      FROM reps, generate_series(0, 3) g(i)
+    ),
+    cand AS (
+      SELECT DISTINCT l.rep AS id_a, r.rep AS id_b
+      FROM rb l JOIN rb r
+        ON l.band_idx = r.band_idx AND l.bv = r.bv AND l.rep < r.rep
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(""" + _DHASH_HAMMING + """ AS BIGINT) AS hamming,
+           a.n AS n_a, b.n AS n_b
+    FROM cand c
+    JOIN reps a ON a.rep = c.id_a
+    JOIN reps b ON b.rep = c.id_b
+    WHERE """ + _DHASH_HAMMING + """ <= 16
+    """,
+)
+def image_dhash_neardup_q(spark, sf):
+    """Perceptual-hash image near-dup, DISTINCT-HASH-COLLAPSED default
+    (pipeline/multimodal.py::image_dhash_bands + dhash_exact_groups +
+    dhash_near_dup): decode the gradient-BMP fixture through the REAL BMP
+    pixel decoder, dHash the raster (BT.601 integer luma, 9×8 grid,
+    gradient-sign bits), exact-dedup the 64-bit hash FIRST, band-join
+    only the DISTINCT hashes, and emit GROUP edges (id_a, id_b, hamming,
+    n_a, n_b) within Hamming 16 — output bounded by distinct-hash count,
+    sub-linear on duplicate-heavy corpora (the r7 probe's quadratic pair
+    list was the round's one `weak`; this is the scale-safe default).
+    The oracle derives every band bit in closed form from the gradient
+    formula and replays collapse + banding + Hamming verify — decode →
+    hash → collapse → band → verify all value-checked. Group reps are
+    min-by-STRING media_id on both sides (then cast for output)."""
+    from squirreling_spark.pipeline.multimodal import (
+        dhash_near_dup,
+        image_dhash_bands,
+    )
+
     pairs = dhash_near_dup(
-        image_dhash_bands(media), id_col="media_id", max_hamming=16
+        image_dhash_bands(_dhash_media(spark, sf)),
+        id_col="media_id",
+        max_hamming=16,
+    )
+    a = F.col("id_a").cast("bigint")
+    b = F.col("id_b").cast("bigint")
+    sw = a > b  # string-ordered reps → numeric order, n follows the swap
+    return pairs.select(
+        F.least(a, b).alias("id_a"),
+        F.greatest(a, b).alias("id_b"),
+        "hamming",
+        F.when(sw, F.col("n_b")).otherwise(F.col("n_a")).alias("n_a"),
+        F.when(sw, F.col("n_a")).otherwise(F.col("n_b")).alias("n_b"),
+    )
+
+
+@query(
+    "image_dhash_pairs",
+    oracle=_DHASH_FIXTURE_SQL + """,
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM hb l JOIN hb r
+        ON l.band_idx = r.band_idx AND l.bv = r.bv
+       AND l.doc_id < r.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(""" + _DHASH_HAMMING + """ AS BIGINT) AS hamming
+    FROM cand c
+    JOIN h4 a ON a.doc_id = c.id_a
+    JOIN h4 b ON b.doc_id = c.id_b
+    WHERE """ + _DHASH_HAMMING + """ <= 16
+    """,
+)
+def image_dhash_pairs_q(spark, sf):
+    """The legacy PAIR-LEVEL dHash contract (``collapse=False``) kept as
+    a value-checked variant: every member pair agreeing on ≥1 band
+    (including hash-identical pairs, hamming 0) within Hamming 16.
+    Quadratic output inside hash-identical buckets by construction — use
+    the collapsed default (``image_dhash_neardup``) at scale; this
+    variant exists for small/diverse corpora where the explicit pair
+    list is the product."""
+    from squirreling_spark.pipeline.multimodal import (
+        dhash_near_dup,
+        image_dhash_bands,
+    )
+
+    pairs = dhash_near_dup(
+        image_dhash_bands(_dhash_media(spark, sf)),
+        id_col="media_id",
+        max_hamming=16,
+        collapse=False,
     )
     a = F.col("id_a").cast("bigint")
     b = F.col("id_b").cast("bigint")

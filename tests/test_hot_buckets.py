@@ -77,8 +77,11 @@ def test_dhash_degenerate_band_bounded(spark):
         [(i, 0, 0, 0, 0) for i in range(n)],
         "media_id bigint, b0 int, b1 int, b2 int, b3 int",
     )
-    pairs = dhash_near_dup(hashes, bucket_cap=cap).count()
+    pairs = dhash_near_dup(hashes, bucket_cap=cap, collapse=False).count()
     assert 0 < pairs <= (n // cap) * cap * (cap - 1) // 2
+    # the collapsed DEFAULT removes the degenerate bucket entirely: all 30
+    # identical hashes fold into one group, so there are no edges at all
+    assert dhash_near_dup(hashes, bucket_cap=cap).count() == 0
 
 
 def test_decontaminate_bench_bucket_capped(spark, monkeypatch):

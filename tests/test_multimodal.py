@@ -1767,3 +1767,45 @@ def test_dhash_near_dup_buckets_and_verifies(spark):
     assert not any("c" in p for p in pairs)
     # d is a CANDIDATE via band 0 but fails the hamming verify
     assert not any("d" in p for p in pairs)
+
+
+def test_dhash_near_dup_collapse_default(spark):
+    # r8: the DEFAULT path exact-dedups the 64-bit hash first — identical
+    # images cost one group row (n_members), never a pair; near-dup edges
+    # connect group REPRESENTATIVES and carry both group sizes
+    from squirreling_spark.pipeline.multimodal import (
+        dhash_exact_groups,
+        dhash_near_dup,
+    )
+
+    hashes = spark.createDataFrame(
+        [
+            ("a", 1, 2, 3, 4),
+            ("b", 1, 2, 3, 4),      # exact dup of a
+            ("e", 1, 2, 3, 4),      # exact dup of a
+            ("c", 1, 2, 3, 5),      # near-dup of the {a,b,e} group
+            ("x", 900, 800, 700, 600),  # unrelated
+            ("u", None, None, None, None),  # undecodable
+        ],
+        "media_id string, b0 long, b1 long, b2 long, b3 long",
+    )
+    groups = {
+        (r.b0, r.b1, r.b2, r.b3): (r.rep_id, r.n_members)
+        for r in dhash_exact_groups(hashes).collect()
+    }
+    assert groups[(1, 2, 3, 4)] == ("a", 3)
+    assert groups[(1, 2, 3, 5)] == ("c", 1)
+    assert (None, None, None, None) not in groups
+
+    edges = dhash_near_dup(hashes, max_hamming=16).collect()
+    assert [(r.id_a, r.id_b, r.hamming, r.n_a, r.n_b) for r in edges] == [
+        ("a", "c", 1, 3, 1)
+    ]
+    # legacy contract still enumerates member pairs (incl. hamming 0)
+    legacy = {
+        (r.id_a, r.id_b)
+        for r in dhash_near_dup(
+            hashes, max_hamming=16, collapse=False
+        ).collect()
+    }
+    assert ("a", "b") in legacy and ("a", "c") in legacy

@@ -92,6 +92,34 @@ def test_pack_sequences_placement(spark):
     ]
 
 
+def test_pack_sequences_custom_id_col(spark):
+    # regression (r8 advice): id_col != 'doc_id' hit an unresolved-column
+    # error because the bucket expression used the pre-rename name
+    from squirreling_spark.pipeline.pack import pack_sequences
+
+    rows = [(10, "a b c"), (11, "d e")]
+    df = spark.createDataFrame(rows, "docno bigint, text string")
+    out = sorted(
+        (r.seq_id, r.doc_id, r.doc_start, r.n_toks)
+        for r in pack_sequences(df, "text", "docno", seq_len=8).collect()
+    )
+    assert out == [(0, 10, 0, 4), (0, 11, 0, 3)]
+
+
+def test_pack_sequences_noncastable_ids_kept(spark):
+    # ids that don't cast to BIGINT fall into one leading NULL bucket
+    # (ordered first) instead of being silently dropped via a NULL join key
+    from squirreling_spark.pipeline.pack import pack_sequences
+
+    rows = [("doc-a", "a b c"), ("doc-b", "d e")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = sorted(
+        (r.seq_id, r.doc_id, r.doc_start, r.n_toks)
+        for r in pack_sequences(df, "text", "doc_id", seq_len=8).collect()
+    )
+    assert out == [(0, "doc-a", 0, 4), (0, "doc-b", 0, 3)]
+
+
 def test_pack_sequences_bucketing_invariant(spark):
     # the two-level cumsum must equal the naive global cumsum regardless
     # of bucket size

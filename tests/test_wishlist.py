@@ -52,6 +52,27 @@ def test_arrow_lambda_guard():
     assert _rewrite_json_arrows(q2) == q2
 
 
+def test_arrow_multiparam_lambda_guard():
+    # (x, i) -> 1: a parenthesized identifier list after '(' or ',' is a
+    # multi-param lambda head, not an arrow operand (r8 advice)
+    q = "SELECT transform(a, (x, i) -> 1) FROM t"
+    assert _rewrite_json_arrows(q) == q
+    q2 = "SELECT aggregate(a, 0, (acc, v) -> 2, acc -> 3) FROM t"
+    assert _rewrite_json_arrows(q2) == q2
+    # but a genuine parenthesized VALUE still rewrites
+    assert _rewrite_json_arrows("SELECT (j)->>0 FROM t") == \
+        "SELECT json_value((j), '$[0]') FROM t"
+
+
+def test_arrow_doubled_quote_literal():
+    # 'it''s'->>'k': the backward scan must span the WHOLE literal
+    # (escaped '' pair), not splice inside it (r8 advice)
+    assert _rewrite_json_arrows("SELECT 'it''s'->>'k' AS v") == \
+        "SELECT json_value('it''s', '$.k') AS v"
+    assert _rewrite_json_arrows("SELECT '''s'->>'k' AS v") == \
+        "SELECT json_value('''s', '$.k') AS v"
+
+
 def test_glob_translation():
     assert _glob_to_rlike("a*e") == "^a.*e$"
     assert _glob_to_rlike("a?c") == "^a.c$"
@@ -65,6 +86,15 @@ def test_tilde_binary_only():
     # unary bitwise NOT untouched (no value token on the left)
     assert _rewrite_tilde_ops("SELECT ~5") == "SELECT ~5"
     assert _rewrite_tilde_ops("SELECT '~'") == "SELECT '~'"
+
+
+def test_tilde_case_insensitive_ops():
+    # ~* / !~* fold (?i) into a literal pattern (r8 advice — previously
+    # mangled to "RLIKE *")
+    assert _rewrite_tilde_ops("a ~* 'abc'") == "a  RLIKE '(?i)abc'"
+    assert _rewrite_tilde_ops("a !~* 'abc'") == "a  NOT RLIKE '(?i)abc'"
+    # non-literal RHS: left untouched (clean parse error, not RLIKE *)
+    assert _rewrite_tilde_ops("a ~* b") == "a ~* b"
 
 
 def test_exclude_rewrite():
@@ -118,6 +148,10 @@ def test_glob_tilde_execute(spark):
     )
     assert sorted(r["name"] for r in rows) == ["alice", "bob"]
     rows = run(spark, "SELECT name FROM t WHERE name !~ 'a'")
+    assert [r["name"] for r in rows] == ["bob"]
+    rows = run(spark, "SELECT name FROM t WHERE name ~* 'ALICE'")
+    assert [r["name"] for r in rows] == ["alice"]
+    rows = run(spark, "SELECT name FROM t WHERE name !~* '^A'")
     assert [r["name"] for r in rows] == ["bob"]
 
 
