@@ -67,14 +67,18 @@ def salted_dir(spark, factor: int) -> str:
     return dst
 
 
-def time_query(spark, name: str, sf_dir: str) -> float:
+def time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
+    """(best-of-2 seconds, output row count). The count is a separate
+    action — probes report OUTPUT growth too, because an operator can be
+    time-sub-linear yet output-quadratic (the r7 dhash finding)."""
     fn = inventory.QUERIES[name]
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
-    return best
+    n = fn(spark, sf_dir).count()
+    return best, n
 
 
 def main():
@@ -83,21 +87,24 @@ def main():
     queries = [a for a in args if not a.isdigit()] or QUERIES
     spark = get_spark("salted-probe")
     base = {q: time_query(spark, q, SRC) for q in queries}
-    hdr = f"{'query':24s} {'1x':>7s}"
+    hdr = f"{'query':24s} {'1x':>7s} {'rows':>9s}"
     for f in factors:
-        hdr += f" {str(f) + 'x':>8s} {'per-unit':>8s}"
+        hdr += f" {str(f) + 'x':>8s} {'t/unit':>7s} {'rows':>10s} {'r/unit':>7s}"
     print(hdr)
     rows = {q: [base[q]] for q in queries}
     for f in factors:
         dst = salted_dir(spark, f)
         for q in queries:
-            t = time_query(spark, q, dst)
-            rows[q].append(t)
+            rows[q].append(time_query(spark, q, dst))
     for q in queries:
-        line = f"{q:24s} {rows[q][0]:7.2f}"
+        t0, n0 = rows[q][0]
+        line = f"{q:24s} {t0:7.2f} {n0:9d}"
         for i, f in enumerate(factors):
-            t = rows[q][i + 1]
-            line += f" {t:8.2f} {t / (rows[q][0] * f):8.2f}"
+            t, n = rows[q][i + 1]
+            line += (
+                f" {t:8.2f} {t / (t0 * f):7.2f}"
+                f" {n:10d} {n / (max(n0, 1) * f):7.2f}"
+            )
         print(line)
 
 

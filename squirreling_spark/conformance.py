@@ -674,6 +674,16 @@ def _val_eq(got: Any, exp: Any) -> bool:
     if isinstance(got, str) and isinstance(exp, str):
         if got == exp:
             return True
+        # JSON-text dynamic columns render the string '10' as '"10"'
+        # (quoted); decode a JSON string literal before comparing
+        if got.startswith('"') and got.endswith('"') and len(got) >= 2:
+            import json as _json
+
+            try:
+                if _json.loads(got) == exp:
+                    return True
+            except (ValueError, TypeError):
+                pass
         # same instant, different rendering ('2025-01-22 00:00:00' vs
         # '2025-01-22' vs '...T...Z') — the reference returns datetime
         # STRINGS in the input's format, Spark in its own

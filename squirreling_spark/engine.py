@@ -117,6 +117,23 @@ def _py_kind(v) -> str:
     return type(v).__name__
 
 
+# Columns whose rows mix scalar JS types (int and string, bool and int…)
+# have no native Spark type; they register as STRING columns of JSON text
+# ('10' for number 10, '"10"' for string '10', 'false' for false) with
+# this StructField metadata marker. The dialect layer rewrites the
+# operations the reference defines on dynamic columns (aggregate
+# numeric-skip, ORDER BY numeric coercion, WHERE truthiness, CAST) —
+# see sqldialect._rewrite_dynamic_typing. Reference: the memorySource's
+# per-row dynamic JS values (src/backend/dataSource.js:29-71).
+DYNAMIC_COL_META = "sq_dynamic"
+
+_DYNAMIC_SCALAR_KINDS = {"int", "float", "str", "bool", "datetime", "date"}
+
+
+class _DynamicMarker:
+    """Sentinel returned by value_type for mixed scalar columns."""
+
+
 def _infer_memory_schema(rows: list[dict]):
     """Schema for a list-of-dicts memory table, replacing Spark's sampling
     inference: scans EVERY row (the reference's memorySource sees all rows
@@ -124,9 +141,9 @@ def _infer_memory_schema(rows: list[dict]):
     and widens int+float to double. Nested dicts (struct columns) union
     their keys across ALL rows — a key present only in a later row is
     still a struct field (the reference's JS objects are per-row dynamic).
-    Raises TypeError on genuinely mixed dynamic typing (e.g. int and
-    string in one column) — representable in the reference's JS rows but
-    not in a Spark column."""
+    Columns mixing scalar JS types (int+string, bool+int, …) become
+    JSON-text STRING columns tagged with DYNAMIC_COL_META; only
+    non-scalar mixes (list+int etc.) still raise TypeError."""
     from pyspark.sql import types as T
 
     if not rows or not all(isinstance(r, dict) for r in rows):
@@ -157,9 +174,16 @@ def _infer_memory_schema(rows: list[dict]):
             return T.DecimalType(38, 18)
         if kinds <= {"list", "tuple"}:
             elems = [x for v in vals for x in v]
-            return T.ArrayType(value_type(elems))
+            et = value_type(elems)
+            if et is _DynamicMarker:
+                raise TypeError(
+                    f"mixed dynamic ARRAY element types {sorted(kinds)}"
+                )
+            return T.ArrayType(et)
         if kinds == {"dict"}:
             return T.StructType(_infer_memory_schema(vals).fields)
+        if kinds <= _DYNAMIC_SCALAR_KINDS:
+            return _DynamicMarker  # mixed scalars → JSON-text string
         raise TypeError(f"mixed dynamic column types {sorted(kinds)}")
 
     cols: list[str] = []
@@ -171,9 +195,34 @@ def _infer_memory_schema(rows: list[dict]):
                 values[k] = []
             values[k].append(v)
 
-    return T.StructType(
-        [T.StructField(c, value_type(values[c]), True) for c in cols]
-    )
+    fields = []
+    for c in cols:
+        vt = value_type(values[c])
+        if vt is _DynamicMarker:
+            fields.append(
+                T.StructField(
+                    c, T.StringType(), True, metadata={DYNAMIC_COL_META: True}
+                )
+            )
+        else:
+            fields.append(T.StructField(c, vt, True))
+    return T.StructType(fields)
+
+
+def _dynamic_json_text(v):
+    """JSON-text encoding of a dynamic-column value: numbers/bools render
+    as JSON literals ('10', 'false'), strings quoted ('"10"' — so the
+    string '10' stays distinct from the number 10), datetimes as quoted
+    ISO strings. ``json.dumps(float)`` uses repr, so doubles round-trip
+    exactly."""
+    import datetime as _dt
+    import json as _json
+
+    if v is None:
+        return None
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return _json.dumps(v.isoformat())
+    return _json.dumps(v)
 
 
 def _coerce_row(row: dict, schema) -> tuple:
@@ -197,7 +246,14 @@ def _coerce_row(row: dict, schema) -> tuple:
             return bytes(v)
         return v
 
-    return tuple(conv(row.get(f.name), f.dataType) for f in schema.fields)
+    out = []
+    for f in schema.fields:
+        v = row.get(f.name)
+        if f.metadata and f.metadata.get(DYNAMIC_COL_META):
+            out.append(_dynamic_json_text(v))
+        else:
+            out.append(conv(v, f.dataType))
+    return tuple(out)
 
 
 def _register_tables(spark: SparkSession, tables: dict[str, Any]) -> None:

@@ -37,6 +37,7 @@ dynamically-typed JS engine meets SQL):
 from __future__ import annotations
 
 import re
+import threading
 import uuid
 
 from pyspark.sql import SparkSession
@@ -538,27 +539,87 @@ _KEYWORDS = {
 }
 
 
-def _ref_dtype(spark, ref: str):
-    """DataType of a simple column reference (``col`` or ``tbl.col``)
+# Per-rewrite-call resolution cache: every _ref_field lookup otherwise
+# costs a catalog.listTables() plus one spark.table().schema analysis PER
+# VIEW — py4j round-trips that dominated wishlist_digest's build time
+# (16 execute_sql rewrites × several refs × several views). The cache
+# lives only for the duration of ONE rewrite_reference_sql call (views
+# cannot change mid-rewrite), so it is always coherent.
+_REF_CACHE = threading.local()
+
+
+def _ref_field(spark, ref: str):
+    """StructField of a simple column reference (``col`` or ``tbl.col``)
     against the session's temp views, or None when it can't be resolved
     (expression args, unknown tables)."""
     if spark is None or not re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)?", ref):
         return None
+    cache = getattr(_REF_CACHE, "c", None)
+    if cache is not None and ref in cache:
+        return cache[ref]
+    f = _ref_field_uncached(spark, ref, cache)
+    if cache is not None:
+        cache[ref] = f
+    return f
+
+
+def _view_schemas(spark, cache):
+    """{view name: schema} for the session's temp views, snapshotted once
+    per rewrite call when a cache is active."""
+    if cache is not None and "__views__" in cache:
+        return cache["__views__"]
+    views = {}
+    for t in spark.catalog.listTables():
+        if t.isTemporary:
+            try:
+                views[t.name] = spark.table(t.name).schema
+            except Exception:  # noqa: BLE001 — unreadable view: skip
+                pass
+    if cache is not None:
+        cache["__views__"] = views
+    return views
+
+
+def _ref_field_uncached(spark, ref: str, cache=None):
     try:
         parts = ref.split(".")
         if len(parts) == 2:
             for f in spark.table(parts[0]).schema.fields:
                 if f.name == parts[1]:
-                    return f.dataType
+                    return f
             return None
-        for t in spark.catalog.listTables():
-            if t.isTemporary:
-                for f in spark.table(t.name).schema.fields:
-                    if f.name == ref:
-                        return f.dataType
+        for schema in _view_schemas(spark, cache).values():
+            for f in schema.fields:
+                if f.name == ref:
+                    return f
     except Exception:  # noqa: BLE001 — resolution is best-effort
         return None
     return None
+
+
+def _ref_dtype(spark, ref: str):
+    """DataType of a simple column reference (see ``_ref_field``)."""
+    f = _ref_field(spark, ref)
+    return None if f is None else f.dataType
+
+
+def _is_dynamic_ref(spark, ref: str) -> bool:
+    """True when ``ref`` resolves to a JSON-text DYNAMIC column (a
+    memory-table column that mixed scalar JS types — engine.py tags the
+    StructField with DYNAMIC_COL_META)."""
+    f = _ref_field(spark, ref.strip())
+    try:
+        return bool(f is not None and f.metadata.get("sq_dynamic"))
+    except Exception:  # noqa: BLE001 — metadata access is best-effort
+        return False
+
+
+def _dyn_num(ref: str) -> str:
+    """Numeric view of a dynamic column: decode the JSON text
+    (get_json_object strips string quotes, passes number/bool literals
+    through) and TRY_CAST — non-numeric members become NULL, which is
+    exactly the reference's skip-non-numeric rule."""
+    return f"TRY_CAST(get_json_object({ref}, '$') AS DOUBLE)"
 
 
 def _rewrite_json_each_from(q: str, spark=None) -> str:
@@ -1141,6 +1202,88 @@ _ARR_FAMILY_RE = re.compile(
 )
 
 
+_OB_ITEM_RE = re.compile(
+    r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)"
+    r"(\s+(?:ASC|DESC))?(\s+NULLS\s+(?:FIRST|LAST))?\s*$",
+    re.I,
+)
+_OB_STOP_KW = re.compile(r"(?i)^(LIMIT|OFFSET|UNION|EXCEPT|INTERSECT)\b")
+
+
+def _rewrite_dynamic_orderby(q: str, spark) -> str:
+    """ORDER BY on a bare DYNAMIC column → numeric coercion
+    (``TRY_CAST(get_json_object(c,'$') AS DOUBLE)``): the reference's
+    dynamic comparator is the JS ``<`` operator, which coerces the
+    string '5' to the number 5 against numeric members
+    (execute.orderby.test.js 'should sort mixed types')."""
+    mask = _string_mask(q)
+    out = q
+    for m in reversed(list(re.finditer(r"(?i)\bORDER\s+BY\s+", q))):
+        if mask[m.start()]:
+            continue
+        # span of the ORDER BY item list: to LIMIT/OFFSET/set-op at the
+        # same depth, a closing paren beneath depth 0, or end of string
+        i, depth = m.end(), 0
+        item_start, items = i, []
+        while i <= len(q):
+            ch = q[i] if i < len(q) else ")"
+            if i == len(q) or (ch == ")" and depth == 0):
+                items.append((item_start, i))
+                break
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                items.append((item_start, i))
+                item_start = i + 1
+            elif depth == 0 and not mask[i] and _OB_STOP_KW.match(q, i) \
+                    and (i == 0 or not (q[i - 1].isalnum() or q[i - 1] == "_")):
+                items.append((item_start, i))
+                break
+            i += 1
+        for s, e in reversed(items):
+            im = _OB_ITEM_RE.match(q[s:e].strip())
+            if im is None:
+                continue
+            ref = im.group(1)
+            if _is_dynamic_ref(spark, ref):
+                seg = q[s:e]
+                new_seg = seg.replace(ref, _dyn_num(ref), 1)
+                out = out[:s] + new_seg + out[e:]
+    return out
+
+
+_WHERE_BARE_RE = re.compile(
+    r"(?i)\bWHERE\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*"
+    r"(?=$|\)|;|\bGROUP\b|\bORDER\b|\bLIMIT\b|\bOFFSET\b|\bHAVING\b"
+    r"|\bUNION\b|\bEXCEPT\b|\bINTERSECT\b)"
+)
+
+
+def _rewrite_dynamic_where_truthy(q: str, spark) -> str:
+    """``WHERE dyncol`` (the whole condition is one bare DYNAMIC column)
+    → JS truthiness over the JSON text: null/false/0/'' are falsy, any
+    JSON string (even '"0"') is truthy, numbers by ≠ 0
+    (execute.test.js 'should handle falsy values in WHERE clause')."""
+    mask = _string_mask(q)
+    out = q
+    for m in reversed(list(_WHERE_BARE_RE.finditer(q))):
+        if mask[m.start()]:
+            continue
+        ref = m.group(1)
+        if not _is_dynamic_ref(spark, ref):
+            continue
+        num = _dyn_num(ref)
+        cond = (
+            f"(CASE WHEN {ref} IS NULL OR {ref} IN ('null','false','\"\"')"
+            f" THEN FALSE WHEN {ref} NOT LIKE '\"%' AND {num} IS NOT NULL"
+            f" THEN {num} <> 0.0D ELSE TRUE END)"
+        )
+        out = out[: m.start(1)] + cond + out[m.end(1):]
+    return out
+
+
 def _rewrite_dynamic_typing(q: str, spark=None) -> str:
     """Dtype-directed rewrites needing the session's view schemas."""
     from pyspark.sql import types as T
@@ -1245,6 +1388,33 @@ def _rewrite_dynamic_typing(q: str, spark=None) -> str:
             q, re.compile(rf"\b{sfname}\s*\(", re.I), _build
         )
 
+    # --- JSON-text DYNAMIC columns (engine._infer_memory_schema tags
+    # memory-table columns that mix scalar JS types; values are JSON
+    # text: '10' vs '"10"' vs 'false'). The reference's operations on
+    # dynamic values (src/expression/evaluate.js): aggregates skip
+    # non-numeric members; ORDER BY coerces numerically (JS < coercion);
+    # a bare WHERE column is JS truthiness; CAST decodes first.
+    def _dyn_agg(fname: str):
+        def build(args):
+            if len(args) != 1:
+                return None
+            ref = args[0].strip()
+            if not _is_dynamic_ref(spark, ref):
+                return None
+            return f"{fname}({_dyn_num(ref)})"
+
+        return build
+
+    for aggname in ("SUM", "AVG", "MIN", "MAX"):
+        q = _rewrite_wrap_call(
+            q,
+            re.compile(rf"\b{aggname}\s*\(", re.I),
+            _dyn_agg(aggname.lower()),
+        )
+
+    q = _rewrite_dynamic_orderby(q, spark)
+    q = _rewrite_dynamic_where_truthy(q, spark)
+
     # CAST dialect: JS Number(Date) is epoch MILLISECONDS (evaluate.js:
     # 707-726 casts primitives-and-Dates; Number coercion of a Date is
     # getTime()), and CAST(object AS STRING) is JSON.stringify
@@ -1256,6 +1426,18 @@ def _rewrite_dynamic_typing(q: str, spark=None) -> str:
         if not m:
             return None
         ref, target = m.group(1).strip(), m.group(2).upper()
+        if _is_dynamic_ref(spark, ref):
+            dec = f"get_json_object({ref}, '$')"
+            if target == "TIMESTAMP":
+                # a numeric dynamic member is epoch ms (JS new Date(ms));
+                # string members cast as timestamp text
+                return (
+                    f"CASE WHEN {ref} NOT LIKE '\"%' AND"
+                    f" {_dyn_num(ref)} IS NOT NULL"
+                    f" THEN timestamp_millis(CAST({_dyn_num(ref)} AS"
+                    f" BIGINT)) ELSE CAST({dec} AS TIMESTAMP) END"
+                )
+            return f"CAST({dec} AS {target})"
         # CAST(number AS TIMESTAMP) is new Date(ms) in the reference
         # (evaluate.js:729-737) — Spark reads integral casts as SECONDS.
         # Numeric operands: resolved numeric column, numeric literal, or
@@ -2463,6 +2645,8 @@ def _rewrite_positional_join(
     pos_order = pos_order or {}
     _with_rn(spark.table(lt), pos_order.get(lt)).createOrReplaceTempView(lv)
     _with_rn(spark.table(rt), pos_order.get(rt)).createOrReplaceTempView(rv)
+    if getattr(_REF_CACHE, "c", None) is not None:
+        _REF_CACHE.c = {}  # new views mid-rewrite: drop the stale snapshot
     frag = (
         f"FROM {lv} AS {la} FULL OUTER JOIN {rv} AS {ra} "
         f"ON {la}.{_RN} = {ra}.{_RN}"
@@ -2498,6 +2682,21 @@ def rewrite_reference_sql(
     physical row order; on a distributed engine that order is only
     well-defined given an explicit key — without a hint we zip the current
     scan order (deterministic for single-split files, the DuckDB caveat)."""
+    had_cache = getattr(_REF_CACHE, "c", None)
+    if had_cache is None:
+        _REF_CACHE.c = {}  # fresh per-call resolution cache
+    try:
+        return _rewrite_reference_sql_inner(
+            query, spark, like_mode, pos_order, ident_quotes
+        )
+    finally:
+        if had_cache is None:
+            _REF_CACHE.c = None
+
+
+def _rewrite_reference_sql_inner(
+    query, spark, like_mode, pos_order, ident_quotes
+):
     if ident_quotes == "ansi" and '"' in query:
         query = _rewrite_double_quoted_idents(query)
     query = _rewrite_from_first(query)

@@ -210,3 +210,107 @@ def test_memory_schema_unions_array_struct_keys(spark):
     )
     elem = schema["tools"].dataType.elementType
     assert [f.name for f in elem.fields] == ["name", "level"]
+
+
+# --- dynamic (mixed-type) memory columns — r8: the last 9 conformance
+# dynamic_skips. Mixed scalar JS types register as JSON-text STRING
+# columns tagged sq_dynamic; the dialect layer supplies the reference's
+# dynamic semantics (aggregate numeric-skip, ORDER BY numeric coercion,
+# bare-WHERE truthiness, CAST decode).
+
+
+def test_dynamic_column_registers_and_tags():
+    from squirreling_spark.engine import _infer_memory_schema
+
+    schema = _infer_memory_schema(
+        [{"v": 10}, {"v": "abc"}, {"v": None}, {"v": False}]
+    )
+    f = schema["v"]
+    assert f.dataType.typeName() == "string"
+    assert f.metadata.get("sq_dynamic") is True
+    # single-typed columns stay untagged
+    s2 = _infer_memory_schema([{"v": 1}, {"v": 2}])
+    assert not s2["v"].metadata
+
+
+def test_dynamic_sum_avg_skip_non_numeric(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT SUM(value) AS total, AVG(value) AS avg FROM data",
+        tables={"data": [
+            {"id": 1, "value": 10}, {"id": 2, "value": None},
+            {"id": 3, "value": "abc"}, {"id": 4, "value": 20},
+        ]},
+    ).collect()
+    assert rows[0]["total"] == 30.0 and rows[0]["avg"] == 15.0
+
+
+def test_dynamic_order_by_numeric_coercion(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT * FROM data ORDER BY value",
+        tables={"data": [
+            {"id": 1, "value": 10}, {"id": 2, "value": "5"},
+            {"id": 3, "value": 20}, {"id": 4, "value": 15},
+        ]},
+    ).collect()
+    # '5' coerces to 5 (JS < operator), so the string sorts first; raw
+    # JSON text keeps the string '5' distinct from a number
+    assert [r["value"] for r in rows] == ['"5"', "10", "15", "20"]
+
+
+def test_dynamic_where_truthiness(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT * FROM data WHERE value",
+        tables={"data": [
+            {"id": 1, "value": 0}, {"id": 2, "value": 1},
+            {"id": 3, "value": False}, {"id": 4, "value": True},
+        ]},
+    ).collect()
+    assert sorted(r["id"] for r in rows) == [2, 4]
+
+
+def test_dynamic_equals_null_matches_nothing(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT * FROM data WHERE value = NULL",
+        tables={"data": [
+            {"id": 1, "value": None}, {"id": 2, "value": 0},
+            {"id": 3, "value": False},
+        ]},
+    ).collect()
+    assert rows == []
+
+
+def test_dynamic_nullif_preserves_member_types(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT NULLIF(a, b) AS result FROM data",
+        tables={"data": [
+            {"id": 1, "a": "first", "b": "second"},
+            {"id": 2, "a": 10, "b": 20},
+        ]},
+    ).collect()
+    # JSON text: '"first"' (string) and '10' (number) stay distinct
+    assert [r["result"] for r in rows] == ['"first"', "10"]
+
+
+def test_dynamic_cast_timestamp_millis(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT CAST(v AS TIMESTAMP) AS ts FROM data",
+        tables={"data": [{"v": 1704067200000}, {"v": "2024-06-15"}]},
+    ).collect()
+    # numeric dynamic member = epoch ms (JS new Date(ms))
+    assert rows[0]["ts"].isoformat().startswith("2024-01-01T00:00:00")
+    assert rows[1]["ts"].isoformat().startswith("2024-06-15")
+
+
+def test_dynamic_array_elements_still_raise():
+    import pytest as _pytest
+
+    from squirreling_spark.engine import _infer_memory_schema
+
+    with _pytest.raises(TypeError, match="mixed dynamic ARRAY"):
+        _infer_memory_schema([{"v": [1, "a"]}])

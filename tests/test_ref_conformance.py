@@ -14,16 +14,18 @@ import pytest
 
 from squirreling_spark.conformance import extract_all, run_conformance
 
-# per-file floor: (min_ok, min_value_checked) as of round 6 (strict mode
-# wired: CONFORMANCE totals 1126/1136 ok, 879 value-verified, 0 fail).
-# ok = pass + run_only + expected_errors. Floors sit one ok / two checked
-# below current so environmental flake doesn't trip them; real
-# regressions (a rewrite breaking a family) drop counts by tens.
+# per-file floor: (min_ok, min_value_checked) as of round 8 (dynamic
+# mixed-type memory columns via the JSON-text convention: CONFORMANCE
+# totals 1136/1136 ok — ALL cases — 887 value-verified, 0 fail, 0 error,
+# 0 dynamic skips). ok = pass + run_only + expected_errors. Floors sit
+# one ok / two checked below current so environmental flake doesn't trip
+# them; real regressions (a rewrite breaking a family) drop counts by
+# tens.
 FLOORS = {
-    "execute.aggregate.test.js": (79, 66),
+    "execute.aggregate.test.js": (80, 67),   # r8: dynamic SUM/AVG skip
     "execute.arrays.test.js": (72, 66),
     "execute.between.test.js": (17, 16),
-    "execute.cast.test.js": (5, 3),
+    "execute.cast.test.js": (7, 3),          # r8: dynamic CAST decode
     "execute.cte.test.js": (27, 23),
     "execute.datetime.test.js": (54, 39),
     "execute.dot.test.js": (26, 11),
@@ -34,16 +36,16 @@ FLOORS = {
     "execute.join.test.js": (58, 45),
     "execute.json.test.js": (92, 71),
     "execute.math.test.js": (55, 41),
-    "execute.orderby.test.js": (37, 29),
+    "execute.orderby.test.js": (38, 30),     # r8: dynamic sort coercion
     "execute.regex.test.js": (37, 27),
     "execute.spatial.test.js": (14, 2),
-    "execute.strings.test.js": (148, 130),
+    "execute.strings.test.js": (150, 132),   # r8: dynamic NULLIF
     "execute.subquery.test.js": (58, 52),  # r7: correlated-UNNEST fixed
-    "execute.test.js": (54, 45),
+    "execute.test.js": (55, 46),             # r8: dynamic truthy WHERE
     "execute.trig.test.js": (35, 18),
     "execute.union.test.js": (21, 13),
     "execute.unnest.test.js": (66, 43),
-    "execute.where.test.js": (35, 26),
+    "execute.where.test.js": (37, 28),       # r8: dynamic '= NULL'
     "execute.window.test.js": (22, 13),
     "positional.test.js": (11, 9),
 }
