@@ -36,6 +36,7 @@ dynamically-typed JS engine meets SQL):
 
 from __future__ import annotations
 
+import contextlib
 import re
 import threading
 import uuid
@@ -546,6 +547,24 @@ _KEYWORDS = {
 # lives only for the duration of ONE rewrite_reference_sql call (views
 # cannot change mid-rewrite), so it is always coherent.
 _REF_CACHE = threading.local()
+
+
+@contextlib.contextmanager
+def ref_resolution_cache():
+    """Hold ONE schema-resolution snapshot across MULTIPLE execute_sql
+    calls (rewrite_reference_sql reuses an already-active cache). For
+    multi-statement digests that register their views once and then run
+    many statements against them — catalog.listTables() + per-view
+    schema analysis cost ~200 ms per uncached rewrite. Only safe while
+    the temp-view set is not mutated between the wrapped statements."""
+    had = getattr(_REF_CACHE, "c", None)
+    if had is None:
+        _REF_CACHE.c = {}
+    try:
+        yield
+    finally:
+        if had is None:
+            _REF_CACHE.c = None
 
 
 def _ref_field(spark, ref: str):

@@ -881,12 +881,20 @@ def _jpeg_prog_scan(
 
     # AC refinement (G.1.2.3): correction bits for already-nonzero
     # coefficients; newly-significant coefficients arrive as +-1<<al.
+    # Hot-path shape (r8): each block's band is pulled into a Python
+    # LIST once (`.tolist()`) and written back once — numpy SCALAR
+    # indexing inside the per-coefficient loop was the dominant cost
+    # (the same lesson as the r7 GIF-LZW rewrite; a numpy batch over
+    # whole EOB runs was tried and measured 2.3× SLOWER: real streams
+    # carry many short runs, so per-batch overhead loses).
     p1, m1 = 1 << al, -1 << al
+    width = se - ss + 1
     for _, bi in order:
-        row = co[bi]
-        k = ss
+        band = co[bi, ss:se + 1].tolist()
+        dirty = False
+        j = 0  # index into band (k - ss)
         if eobrun == 0:
-            while k <= se:
+            while j < width:
                 rs = huff(lut)
                 r, s = rs >> 4, rs & 15
                 val = 0
@@ -899,25 +907,32 @@ def _jpeg_prog_scan(
                     # r == 15: ZRL — skip 16 zero-history coefficients
                 else:
                     val = p1 if bits(1) else m1
-                while k <= se:
-                    if row[k] != 0:
-                        if bits(1) and (row[k] & p1) == 0:
-                            row[k] += p1 if row[k] >= 0 else m1
+                while j < width:
+                    v = band[j]
+                    if v != 0:
+                        if bits(1) and (v & p1) == 0:
+                            band[j] = v + (p1 if v >= 0 else m1)
+                            dirty = True
                     else:
                         if r == 0:
                             break
                         r -= 1
-                    k += 1
-                if val and k <= se:
-                    row[k] = val
-                k += 1
+                    j += 1
+                if val and j < width:
+                    band[j] = val
+                    dirty = True
+                j += 1
         if eobrun > 0:
-            while k <= se:  # correction bits through the rest of the band
-                if row[k] != 0:
-                    if bits(1) and (row[k] & p1) == 0:
-                        row[k] += p1 if row[k] >= 0 else m1
-                k += 1
+            while j < width:  # correction bits through the rest of band
+                v = band[j]
+                if v != 0:
+                    if bits(1) and (v & p1) == 0:
+                        band[j] = v + (p1 if v >= 0 else m1)
+                        dirty = True
+                j += 1
             eobrun -= 1
+        if dirty:
+            co[bi, ss:se + 1] = band
 
 
 def _jpeg_win(data: bytes):
