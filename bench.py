@@ -113,6 +113,10 @@ HEADLINE = [
     "pack_sequences",
     "pii_scrub",
     "lm_bucket_sample",
+    # round 8: distinct-content-collapsed near-dup contracts (constant
+    # output under duplicate-heavy load) + the legacy dHash pair list
+    "dedup_minhash_collapsed",
+    "image_dhash_pairs",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -241,6 +241,7 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 32,
     shingle_k: int = 3,
+    carry_col: str | None = None,
 ) -> DataFrame:
     """(id, sig array<bigint>) — MinHash signature per document.
 
@@ -255,15 +256,24 @@ def minhash_signatures(
     array expression instead would get re-inlined by CollapseProject into
     every downstream use — O(bands ×) recomputation (measured 100× slower
     at sf0.1)."""
-    exploded = spread(df.select(id_col, text_col), by=[id_col]).select(
-        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("s")
+    # carry_col (optional) rides through the aggregation as an extra
+    # group key — functionally dependent on the id, so the groups (and
+    # the shuffle) are unchanged; lets callers keep e.g. a group size
+    # without a second evaluation of the upstream subtree.
+    carry = [carry_col] if carry_col else []
+    exploded = spread(
+        df.select(id_col, text_col, *carry), by=[id_col]
+    ).select(
+        F.col(id_col), *carry,
+        F.explode(shingles(text_col, shingle_k)).alias("s"),
     )
     hashed = exploded.select(
         F.col(id_col),
+        *carry,
         F.expr("cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint)").alias("a"),
         F.expr("cast(conv(substring(md5(s), 13, 12), 16, 10) as bigint)").alias("b"),
     )
-    sig = hashed.groupBy(id_col).agg(
+    sig = hashed.groupBy(id_col, *carry).agg(
         *[
             F.min(F.col("a") + j * F.col("b")).alias(f"h{j}")
             for j in range(num_hashes)
@@ -271,6 +281,7 @@ def minhash_signatures(
     )
     return sig.select(
         F.col(id_col),
+        *carry,
         F.array(*[f"h{j}" for j in range(num_hashes)]).alias("sig"),
     )
 
@@ -282,10 +293,13 @@ def minhash_lsh_bands(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    carry_col: str | None = None,
 ) -> DataFrame:
-    """(id, band_idx, band_key) rows — one per LSH band."""
+    """(id[, carry], band_idx, band_key) rows — one per LSH band."""
     rows_per_band = num_hashes // bands
-    sig_df = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sig_df = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, carry_col
+    )
     banded = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.array_join(
@@ -297,7 +311,9 @@ def minhash_lsh_bands(
         ),
     )
     return sig_df.select(
-        F.col(id_col), F.posexplode(banded).alias("band_idx", "band_key")
+        F.col(id_col),
+        *([carry_col] if carry_col else []),
+        F.posexplode(banded).alias("band_idx", "band_key"),
     )
 
 
@@ -336,6 +352,83 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
+
+
+def minhash_lsh_group_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    bucket_cap: int | None = USE_DEFAULT_CAP,
+) -> DataFrame:
+    """Distinct-CONTENT-collapsed MinHash-LSH near-dup edges — the
+    pair-list mitigation the r8 100× salted probe named as
+    ``minhash_lsh_candidates``' binding constraint, and the text
+    counterpart of the dHash collapse default: exact-dedup on the
+    normalized fingerprint FIRST (one representative per distinct
+    normalized text), band-join only the representatives, and emit
+    GROUP edges ``(id_a, id_b, n_a, n_b)`` where id_a/id_b are
+    representative ids (min member id, id_a < id_b) and n_a/n_b the
+    exact-duplicate group sizes. On a crawl where the dominant duplicate
+    mass is byte-identical re-hosting (the Lee et al. reality), output
+    is bounded by DISTINCT content — the pair list over members is the
+    equi-join expansion of the fingerprint map, done lazily by the
+    consumer. Exact-dup pairs within a group never materialize (they
+    are ``n_members``); genuinely near-identical distinct texts still
+    pair, exactly as in the un-collapsed operator.
+
+    Plan: SINGLE-SUBTREE — one fingerprint groupBy (map-combined), one
+    banding pass with the group size carried through the signature
+    aggregation (``carry_col``: an extra functionally-dependent group
+    key, no extra shuffle), then per-bucket collect_list + a
+    nested-transform pair expression (the dHash pattern) instead of a
+    self-join — a self-join would re-evaluate the whole
+    fingerprint+signature subtree per side (measured on the dHash
+    operator: no static exchange reuse), i.e. 2 extra corpus scans at
+    100 TB. Bounded reducers: collect_list ≤ cap members per bucket."""
+    reps = (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            normalized_fingerprint(text_col).alias("__fp"),
+        )
+        .groupBy("__fp")
+        .agg(
+            F.min(id_col).alias("__rep"),
+            F.expr(f"min_by({text_col}, {id_col})").alias(text_col),
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+        )
+        .select(F.col("__rep").alias(id_col), text_col, "__n")
+    )
+    banded = cap_hot_buckets(
+        minhash_lsh_bands(
+            reps, text_col, id_col, num_hashes, bands, shingle_k,
+            carry_col="__n",
+        ),
+        id_col,
+        bucket_cap,
+    )
+    members = banded.groupBy("band_idx", "band_key", "_sub").agg(
+        F.expr(
+            f"array_sort(collect_list(struct({id_col} AS i, __n AS n)))"
+        ).alias("ms")
+    )
+    pairs = members.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (a, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), b -> struct(a, b))))"
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.a.i").alias("id_a"),
+        F.col("p.b.i").alias("id_b"),
+        F.col("p.a.n").alias("n_a"),
+        F.col("p.b.n").alias("n_b"),
+    )
+    return pairs.distinct()
 
 
 def hyperplane_lsh_candidates(

@@ -440,6 +440,11 @@ _DEDUPV_CK = {
     "image_dhash_neardup": (
         "id_a * 1009 + id_b * 31 + hamming * 7 + n_a * 13 + n_b * 17",
     ) * 2,
+    # round 8: distinct-content-collapsed MinHash (text counterpart of
+    # the dHash collapse — fingerprint groups band-joined by rep)
+    "dedup_minhash_collapsed": (
+        "id_a * 1009 + id_b * 31 + n_a * 13 + n_b * 17",
+    ) * 2,
 }
 
 

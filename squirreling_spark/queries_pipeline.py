@@ -3519,6 +3519,49 @@ def _mh_bands_cte(src: str, idc: str, pre: str) -> str:
 
 
 @query(
+    "dedup_minhash_collapsed",
+    oracle=f"""
+    WITH reps AS (
+      SELECT CAST(min(doc_id) AS BIGINT) AS rep_id,
+             arg_min(text, doc_id) AS text,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents
+      GROUP BY md5({_D_NORM})
+    ),
+    {_mh_bands_cte('reps', 'rep_id', 'r')},
+    cand AS (
+      SELECT DISTINCT a.rep_id AS id_a, b.rep_id AS id_b
+      FROM r_bands a
+      JOIN r_bands b ON a.band_idx = b.band_idx
+                    AND a.band_key = b.band_key
+                    AND a.rep_id < b.rep_id
+    )
+    SELECT c.id_a, c.id_b, x.n AS n_a, y.n AS n_b
+    FROM cand c
+    JOIN reps x ON x.rep_id = c.id_a
+    JOIN reps y ON y.rep_id = c.id_b
+    """,
+)
+def dedup_minhash_collapsed_q(spark, sf):
+    """Distinct-content-collapsed MinHash-LSH
+    (pipeline/dedup.py::minhash_lsh_group_candidates) — the text
+    counterpart of the dHash collapse default, and the mitigation the
+    r8 100× probe named for the pair-list contract: exact-dedup the
+    normalized fingerprint first, band-join one representative per
+    distinct text, emit group edges with exact-dup group sizes. The
+    oracle replays fingerprint-collapse + the established minhash CTE
+    family over the representatives."""
+    from squirreling_spark.pipeline.dedup import (
+        minhash_lsh_group_candidates,
+    )
+
+    return minhash_lsh_group_candidates(
+        t(spark, sf, "documents"), "text", "doc_id",
+        num_hashes=32, bands=8,
+    )
+
+
+@query(
     "decontaminate_neardup",
     oracle=f"""
     WITH tkall AS (

@@ -105,3 +105,29 @@ def test_decontaminate_bench_bucket_capped(spark, monkeypatch):
     assert set(rows) == {0, 1, 2, 3}  # every leaking doc flagged
     # cap bounds how many bench ids each doc can have matched
     assert all(r.n_bench_matches <= 3 for r in rows.values())
+
+
+def test_minhash_collapsed_groups(spark):
+    # r8: exact-dup members collapse to one representative; near-dup
+    # DISTINCT texts still pair, carrying exact-dup group sizes
+    from squirreling_spark.pipeline.dedup import (
+        minhash_lsh_group_candidates,
+    )
+
+    # DISTINCT words: periodic text collapses the shingle set to ~8
+    # distinct shingles and LSH recall dies deterministically (the r6
+    # short-doc gotcha); 40 unique tokens -> 38 distinct shingles
+    base = " ".join(f"word{i}" for i in range(40))
+    rows = (
+        [(i, base) for i in range(10)]          # 10 exact dups -> rep 0
+        + [(20, base + " omega")]               # near-dup of the group
+        + [(30, "entirely different words with nothing shared here")]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    edges = {
+        (r.id_a, r.id_b): (r.n_a, r.n_b)
+        for r in minhash_lsh_group_candidates(
+            df, "text", "doc_id"
+        ).collect()
+    }
+    assert edges == {(0, 20): (10, 1)}
