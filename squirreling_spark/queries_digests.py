@@ -833,6 +833,15 @@ _MIX_CK = {
         "doc_id * 7 + dl + tf1 * 3 + tf2 * 5 + tf3 * 11"
         " + CAST(floor(score * 1000000) AS BIGINT)"
     ),
+    # round 8: CCNet perplexity-bucket sampling (head/middle/tail at
+    # det-rounded quartile cutoffs + the salted-md5 keep rule; ascii of
+    # the bucket's first char distinguishes head from tail — both are
+    # 4 chars long)
+    "lm_bucket_sample": (
+        "doc_id * 7 + CAST(floor(lm_score * 1000000) AS BIGINT)"
+        " + CASE WHEN kept THEN 13 ELSE 0 END"
+        " + ascii(substring(bucket, 1, 1))"
+    ),
 }
 
 
