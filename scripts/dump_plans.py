@@ -74,6 +74,9 @@ SHOW = [
     ("pii_scrub", "PII scrub: one codegen regexp projection over the scan — no Python, no exchange from the operator"),
     ("image_dhash_neardup", "dhash near-dup: Arrow decode ONCE, window sub-split for the bucket cap, per-bucket collect_list + in-expression pair generation — no self-join"),
     ("lm_bucket_sample", "perplexity buckets: LM score joins, 1-row quartile agg broadcast back, row-local bucket + md5 keep decision"),
+    # round 8
+    ("dedup_minhash_collapsed", "collapsed MinHash: ONE scan, fingerprint groupBy, signature agg with the group size as a carried key, per-bucket collect_list pairs — ZERO joins"),
+    ("image_dhash_pairs", "legacy pair-level dHash: same single-decode subtree as the collapsed default, pair expansion inside the bucket expression"),
 ]
 
 

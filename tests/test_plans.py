@@ -410,3 +410,32 @@ def test_salted_join_key_includes_salt(spark):
     plan = plan_of("salted_join_brand", spark)
     assert "__sq_salt" in plan
     assert "Generate explode" in plan or "explode" in plan
+
+
+def test_minhash_collapsed_single_subtree(spark, sf001):
+    # r8: the collapsed MinHash operator must stay SINGLE-SUBTREE — one
+    # parquet scan, zero joins (a band self-join re-evaluates the whole
+    # fingerprint+signature subtree per side: measured zero
+    # ReusedExchange on the draft)
+    from squirreling_spark import inventory
+
+    inventory.load_all()
+    df = inventory.QUERIES["dedup_minhash_collapsed"](spark, sf001)
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert ex.count("Scan parquet") == 1
+    assert "Join" not in ex
+
+
+def test_dhash_collapsed_constant_output_groups(spark):
+    # the collapsed default's output is bounded by DISTINCT hashes: a
+    # duplicate-heavy input adds members, never edges
+    from squirreling_spark.pipeline.multimodal import dhash_near_dup
+
+    hashes = spark.createDataFrame(
+        [(str(i), 1, 2, 3, 4) for i in range(50)]
+        + [(str(100 + i), 1, 2, 3, 5) for i in range(50)],
+        "media_id string, b0 long, b1 long, b2 long, b3 long",
+    )
+    rows = dhash_near_dup(hashes, max_hamming=16).collect()
+    assert len(rows) == 1  # one edge between the two distinct hashes
+    assert rows[0].n_a == 50 and rows[0].n_b == 50
