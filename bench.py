@@ -117,6 +117,7 @@ HEADLINE = [
     # output under duplicate-heavy load) + the legacy dHash pair list
     "dedup_minhash_collapsed",
     "image_dhash_pairs",
+    "gopher_quality_filter",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -367,3 +367,97 @@ def nfc_normalize_docs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         (F.col(text_col) != F.col("__nfc")).alias("changed"),
         F.md5(F.col("__nfc")).alias("fp_nfc"),
     )
+
+
+# The Gopher quality-filter stop list (Rae et al. 2021, appendix A1.1:
+# "contains at least two of the following English words").
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wlen: int = 3,
+    max_mean_wlen: int = 10,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher document-quality rule set (Rae et al. 2021, A1.1) — the
+    canonical pretraining-corpus filter stack: word-count bounds, mean
+    word length in [3, 10], symbol-to-word ratio ≤ 0.1 ('#' chars plus
+    '...'/'…' ellipses), ≤ 90% of lines starting with a bullet, ≤ 30%
+    ending with an ellipsis, ≥ 80% of words containing an alphabetic
+    character, and ≥ 2 distinct Gopher stop words present.
+
+    INTEGER-EXACT by construction: every ratio rule is evaluated by
+    cross-multiplication over integer counts (10·symbols ≤ words,
+    10·bullet_lines ≤ 9·lines, 10·ellipsis_lines ≤ 3·lines,
+    10·alpha_words ≥ 8·words, 3·words ≤ Σwordlen ≤ 10·words) — no
+    float division, so Spark and any oracle agree bit-for-bit, and the
+    decision is partition-layout independent. All signals are row-local
+    codegen expressions over one scan: zero shuffle, zero Python — at
+    100 TB this fuses into the ingest projection.
+
+    Output: (id, n_words, sum_wlen, n_symbols, n_lines, n_bullet_lines,
+    n_ellipsis_lines, n_alpha_words, n_stopwords, keep)."""
+    toks = tokens(text_col)
+    txt = F.col(text_col)
+    n_words = F.size(toks).cast("bigint")
+    sum_wlen = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+    )
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#")))
+    n_dots = (
+        (F.length(txt) - F.length(F.replace(txt, F.lit("...")))) / 3
+    ).cast("bigint")
+    n_uni = F.length(txt) - F.length(F.replace(txt, F.lit("…")))
+    n_symbols = (n_hash + n_dots + n_uni).cast("bigint")
+    lines = F.split(txt, "\n")
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin("•", "-", "*"),
+        )
+    ).cast("bigint")
+    n_ell = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...")
+            | F.rtrim(l).endswith("…"),
+        )
+    ).cast("bigint")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    ).cast("bigint")
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (sum_wlen >= min_mean_wlen * n_words)
+        & (sum_wlen <= max_mean_wlen * n_words)
+        & (n_symbols * 10 <= n_words)
+        & (n_bullet * 10 <= n_lines * 9)
+        & (n_ell * 10 <= n_lines * 3)
+        & (n_alpha * 10 >= n_words * 8)
+        & (n_stop >= min_stopwords)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        sum_wlen.alias("sum_wlen"),
+        n_symbols.alias("n_symbols"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ell.alias("n_ellipsis_lines"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stopwords"),
+        keep.alias("keep"),
+    )

@@ -1131,3 +1131,63 @@ def lm_bucket_sample_q(spark, sf):
     docs = t(spark, sf, "documents")
     ref = docs.filter(F.col("doc_id") % 5 == 0)
     return lm_bucket_sample(docs, ref, "text", "doc_id")
+
+
+@query(
+    "gopher_quality_filter",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             string_split(text, chr(10)) AS lines,
+             text
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, t -> length(t)))
+               AS BIGINT) AS sum_wlen,
+             CAST(length(text) - length(replace(text, '#', ''))
+                + (length(text) - length(replace(text, '...', ''))) // 3
+                + length(text) - length(replace(text, '…', ''))
+               AS BIGINT) AS n_symbols,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(list_sum(list_transform(lines, l ->
+               CASE WHEN left(ltrim(l), 1) IN ('•', '-', '*')
+               THEN 1 ELSE 0 END)) AS BIGINT) AS n_bullet_lines,
+             CAST(list_sum(list_transform(lines, l ->
+               CASE WHEN rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'
+               THEN 1 ELSE 0 END)) AS BIGINT) AS n_ellipsis_lines,
+             CAST(len(list_filter(toks,
+               t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT)
+               AS n_alpha_words,
+             CAST(len(list_intersect(list_transform(toks, t -> lower(t)),
+               ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+               AS BIGINT) AS n_stopwords
+      FROM s
+    )
+    SELECT doc_id, n_words, sum_wlen, n_symbols, n_lines, n_bullet_lines,
+           n_ellipsis_lines, n_alpha_words, n_stopwords,
+           (n_words >= 50 AND n_words <= 100000
+            AND sum_wlen >= 3 * n_words AND sum_wlen <= 10 * n_words
+            AND n_symbols * 10 <= n_words
+            AND n_bullet_lines * 10 <= n_lines * 9
+            AND n_ellipsis_lines * 10 <= n_lines * 3
+            AND n_alpha_words * 10 >= n_words * 8
+            AND n_stopwords >= 2) AS keep
+    FROM c
+    """,
+)
+def gopher_quality_filter_q(spark, sf):
+    """The Gopher document-quality rule set (Rae et al. 2021 A1.1 —
+    pipeline/text.gopher_quality): word-count bounds, mean-word-length
+    band, symbol/bullet/ellipsis ratios, alphabetic-word fraction, and
+    the 2-stop-word rule, every ratio evaluated by integer
+    cross-multiplication so both engines agree bit-for-bit. One scan,
+    zero shuffle, zero Python — the canonical pretraining cleaning
+    stage next to text_quality's heuristic score. The fixture's 10–99
+    word documents split genuinely on the 50-word floor."""
+    from squirreling_spark.pipeline.text import gopher_quality
+
+    return gopher_quality(t(spark, sf, "documents"), "text", "doc_id")

@@ -533,3 +533,42 @@ def test_dsir_upweights_target_like_docs(spark):
     for r in out.values():
         assert r["keep"] == (r["bucket"] < r["rate_ppm"])
         assert r["rate_ppm"] <= 1_000_000
+
+
+def test_gopher_quality_rules(spark):
+    # planted docs exercising each Gopher rule (fixture docs have no
+    # newlines, so the line rules are pinned here)
+    from squirreling_spark.pipeline.text import gopher_quality
+
+    good = ("the quick brown fox jumps with energy and that "
+            "style to be of note " * 5)
+    docs = [
+        (1, good),                                  # passes everything
+        (2, "# # # # # symbols " + "word " * 60),   # symbol ratio + stops
+        (3, "- one\n- two\n- three"),               # 100% bullet lines
+        (4, "a...\nb…\nc…\nplain\nmore\nthe end"),  # 50% ellipsis lines
+        (5, "short doc"),                           # word-count floor
+        (6, "12345 67890 " * 40),                   # no alphabetic words
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = {
+        r.doc_id: r
+        for r in gopher_quality(df, "text", "doc_id", min_words=20).collect()
+    }
+    assert rows[1].keep and rows[1].n_stopwords >= 2
+    assert not rows[2].keep and rows[2].n_symbols == 5
+    assert rows[3].n_bullet_lines == 3 and rows[3].n_lines == 3
+    assert rows[4].n_ellipsis_lines == 3
+    assert not rows[5].keep
+    assert not rows[6].keep and rows[6].n_alpha_words == 0
+    # keep must be a pure function of the counts (integer cross-mult)
+    r4 = rows[4]
+    assert r4.keep == (
+        20 <= r4.n_words <= 100000
+        and 3 * r4.n_words <= r4.sum_wlen <= 10 * r4.n_words
+        and r4.n_symbols * 10 <= r4.n_words
+        and r4.n_bullet_lines * 10 <= r4.n_lines * 9
+        and r4.n_ellipsis_lines * 10 <= r4.n_lines * 3
+        and r4.n_alpha_words * 10 >= r4.n_words * 8
+        and r4.n_stopwords >= 2
+    )
