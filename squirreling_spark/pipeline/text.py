@@ -461,3 +461,67 @@ def gopher_quality(
         n_stop.alias("n_stopwords"),
         keep.alias("keep"),
     )
+
+
+def c4_quality_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4 heuristic cleaning rule set (Raffel et al. 2020, §2.2) — the
+    line-and-page filter the original C4 pipeline ran over Common Crawl,
+    complementing ``gopher_quality`` (Gopher judges a document; C4
+    REWRITES it line-by-line, then judges the remainder):
+
+    - keep only lines that end in a terminal punctuation mark
+      (``.`` ``!`` ``?`` ``"``) after right-trim;
+    - drop lines with fewer than ``min_words_per_line`` words;
+    - drop lines containing the word "javascript" (case-insensitive
+      substring, as in the original heuristic);
+    - drop the whole page if it contains "lorem ipsum"
+      (case-insensitive) or a ``{`` character (code leakage);
+    - drop the page if the CLEANED text has fewer than
+      ``min_sentences`` sentence-final marks (``.`` ``!`` ``?``).
+
+    Every signal is a row-local codegen expression over one scan —
+    zero shuffle, zero Python, exact integer/boolean decisions, so any
+    SQL oracle agrees bit-for-bit and the pass fuses into the ingest
+    projection at 100 TB. Sentence counting is the integer
+    length-difference fold (no regex), identical in Spark and DuckDB.
+
+    Output: (id, n_lines, n_kept_lines, n_sentences, has_lorem,
+    has_brace, keep, clean_text)."""
+    txt = F.col(text_col)
+    lines = F.split(txt, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: (
+            F.rtrim(l).endswith(".")
+            | F.rtrim(l).endswith("!")
+            | F.rtrim(l).endswith("?")
+            | F.rtrim(l).endswith('"')
+        )
+        & (F.size(F.split(F.trim(l), " ")) >= min_words_per_line)
+        & ~F.lower(l).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sent = (
+        (F.length(clean) - F.length(F.replace(clean, F.lit("."))))
+        + (F.length(clean) - F.length(F.replace(clean, F.lit("!"))))
+        + (F.length(clean) - F.length(F.replace(clean, F.lit("?"))))
+    ).cast("bigint")
+    has_lorem = F.lower(txt).contains("lorem ipsum")
+    has_brace = txt.contains("{")
+    keep = ~has_lorem & ~has_brace & (n_sent >= min_sentences)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        keep.alias("keep"),
+        clean.alias("clean_text"),
+    )

@@ -1191,3 +1191,129 @@ def gopher_quality_filter_q(spark, sf):
     from squirreling_spark.pipeline.text import gopher_quality
 
     return gopher_quality(t(spark, sf, "documents"), "text", "doc_id")
+
+
+@query(
+    "c4_quality_filter",
+    oracle="""
+    WITH lined AS (
+      SELECT doc_id,
+             'short line' || chr(10) ||
+             array_to_string(
+               list_transform(
+                 generate_series(0, CAST(ceil(len(t) / 10.0) AS BIGINT) - 1),
+                 i -> array_to_string(t[i*10+1:i*10+10], ' ') ||
+                      CASE (doc_id + i) % 3 WHEN 0 THEN '.'
+                           WHEN 1 THEN '!' ELSE '' END),
+               chr(10))
+             || CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+                  'please enable javascript to view this page.'
+                ELSE '' END
+             || CASE WHEN doc_id % 41 = 0 THEN chr(10) ||
+                  'lorem ipsum dolor sit amet consectetur.' ELSE '' END
+             || CASE WHEN doc_id % 43 = 0 THEN chr(10) ||
+                  'var config = { mode: full };' ELSE '' END
+             AS text
+      FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                            ' ') AS t
+        FROM documents
+      )
+    ),
+    lines AS (
+      SELECT doc_id, i AS p, ln[i] AS l
+      FROM (
+        SELECT doc_id, ln, unnest(generate_series(1, len(ln))) AS i
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM lined)
+      )
+    ),
+    marked AS (
+      SELECT doc_id, p, l,
+             ((rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!'
+               OR rtrim(l) LIKE '%?' OR rtrim(l) LIKE '%"')
+              AND len(string_split(trim(l), ' ')) >= 5
+              AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM lines
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept_lines,
+             coalesce(string_agg(CASE WHEN kept THEN l END,
+                                 chr(10) ORDER BY p), '') AS clean_text
+      FROM marked GROUP BY doc_id
+    ),
+    agg2 AS (
+      SELECT doc_id, n_lines, n_kept_lines, clean_text,
+             CAST((length(clean_text)
+                   - length(replace(clean_text, '.', '')))
+                + (length(clean_text)
+                   - length(replace(clean_text, '!', '')))
+                + (length(clean_text)
+                   - length(replace(clean_text, '?', '')))
+               AS BIGINT) AS n_sentences
+      FROM agg
+    )
+    SELECT a.doc_id, a.n_lines, a.n_kept_lines, a.n_sentences,
+           contains(lower(l.text), 'lorem ipsum') AS has_lorem,
+           contains(l.text, '{') AS has_brace,
+           (NOT contains(lower(l.text), 'lorem ipsum')
+            AND NOT contains(l.text, '{')
+            AND a.n_sentences >= 3) AS keep,
+           a.clean_text
+    FROM lined l JOIN agg2 a USING (doc_id)
+    """,
+)
+def c4_quality_filter_q(spark, sf):
+    """The C4 heuristic cleaning rule set (Raffel et al. 2020 §2.2 —
+    pipeline/text.c4_quality_filter): keep only lines ending in terminal
+    punctuation with ≥5 words and no 'javascript'; drop pages containing
+    'lorem ipsum' or '{' or with <3 sentence-final marks after cleaning.
+    The fixture corpus has no line structure, so the query synthesizes it
+    deterministically: a 2-word unpunctuated header (always dropped), the
+    text re-flowed as 10-token lines with '.'/'!'/no punctuation cycling
+    on (doc_id + line) % 3 (punctuation AND short-remainder rules both
+    genuinely split), a javascript line every 13th doc, 'lorem ipsum'
+    every 41st, a '{' code line every 43rd. clean_text itself is
+    value-checked; the page verdict is pure boolean/integer logic —
+    bit-identical cross-engine."""
+    from squirreling_spark.pipeline.text import c4_quality_filter
+
+    toks = F.split(
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "
+    )
+    nb = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    did = F.col("doc_id")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nb - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+                F.when((did + i) % 3 == 0, F.lit("."))
+                .when((did + i) % 3 == 1, F.lit("!"))
+                .otherwise(F.lit("")),
+            ),
+        ),
+        "\n",
+    )
+    lined = t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("short line\n"),
+            body,
+            F.when(
+                did % 13 == 0,
+                F.lit("\nplease enable javascript to view this page."),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 41 == 0,
+                F.lit("\nlorem ipsum dolor sit amet consectetur."),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 43 == 0, F.lit("\nvar config = { mode: full };")
+            ).otherwise(F.lit("")),
+        ).alias("lined"),
+    )
+    return c4_quality_filter(lined, "lined", "doc_id")

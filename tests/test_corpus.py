@@ -572,3 +572,36 @@ def test_gopher_quality_rules(spark):
         and r4.n_alpha_words * 10 >= r4.n_words * 8
         and r4.n_stopwords >= 2
     )
+
+
+def test_c4_quality_rules(spark):
+    # planted docs exercising each C4 rule (Raffel et al. 2020 §2.2)
+    from squirreling_spark.pipeline.text import c4_quality_filter
+
+    s = "this line has enough words to pass the filter."
+    docs = [
+        # 3 good sentences + a short line + unpunctuated + javascript
+        (1, f"{s}\nmore words ride along in this second line!\n"
+            f"and a third full sentence closes the page?\ntoo short.\n"
+            f"no terminal punctuation here at all\n"
+            f"please enable javascript to view this page."),
+        (2, f"{s}\n{s}\n{s}\nlorem ipsum dolor sit amet."),   # page drop
+        (3, f"{s}\n{s}\n{s}\nvar x = {{ a: 1 }};"),           # brace drop
+        (4, f"{s}\nonly two sentences in this whole page!"),  # <3 sentences
+        (5, f'he said "stop right there and wait"\n{s}\n{s}\n{s}'),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = {
+        r.doc_id: r for r in c4_quality_filter(df, "text", "doc_id").collect()
+    }
+    r1 = rows[1]
+    assert r1.keep and r1.n_lines == 6 and r1.n_kept_lines == 3
+    assert r1.n_sentences == 3
+    assert "javascript" not in r1.clean_text
+    assert "too short." not in r1.clean_text
+    assert not rows[2].keep and rows[2].has_lorem
+    assert not rows[3].keep and rows[3].has_brace
+    assert not rows[4].keep and rows[4].n_sentences == 2
+    # a quoted line (terminal ") is kept but adds no sentence mark
+    r5 = rows[5]
+    assert r5.n_kept_lines == 4 and r5.n_sentences == 3 and r5.keep
