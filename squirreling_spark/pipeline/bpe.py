@@ -83,6 +83,20 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+def _collapsed_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """Collapse the corpus ONCE to its persisted, state-size-partitioned
+    distinct-word vocabulary (see ``_train`` for the sizing rationale)."""
+    base = spread(_vocab(df, text_col), by=["repr"]).persist()
+    n_words = base.count()
+    parts = max(1, min(32, n_words // 50_000 + 1))
+    if parts < 32:
+        wide = base
+        base = wide.coalesce(parts).persist()
+        base.count()
+        wide.unpersist()
+    return base
+
+
 def _train(df: DataFrame, text_col: str, merges: int):
     """Shared training loop: returns (rules, final_vocab, base_to_unpersist).
 
@@ -96,14 +110,7 @@ def _train(df: DataFrame, text_col: str, merges: int):
     coalesced so the 8 per-round stages schedule O(1) tasks instead of
     32 each (at bench scale the vocab is tens of rows; a 100 TB corpus
     with ~1e8 distinct words keeps the full width)."""
-    base = spread(_vocab(df, text_col), by=["repr"]).persist()
-    n_words = base.count()
-    parts = max(1, min(32, n_words // 50_000 + 1))
-    if parts < 32:
-        wide = base
-        base = wide.coalesce(parts).persist()
-        base.count()
-        wide.unpersist()
+    base = _collapsed_vocab(df, text_col)
     vocab = base
     rules = []
     for rank in range(1, merges + 1):
@@ -369,3 +376,183 @@ def bpe_encode_oracle_sql(
     FROM dw JOIN wm{merges} USING (word)
     GROUP BY {id_col}""")
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# WordPiece training (Schuster & Nakajima 2012; the BERT tokenizer) — the
+# likelihood-scored sibling of BPE: each round merges the pair maximizing
+# count(pair) / (count(left) · count(right)) instead of the raw count.
+# ---------------------------------------------------------------------------
+
+WP_SCALE = 1_000_000_000  # score quantized to 1e-9 resolution
+
+
+def _token_counts(vocab: DataFrame) -> DataFrame:
+    """Weighted occurrence count of every token in the current vocab
+    (``<a><b><a>`` with freq 3 contributes a:6, b:3)."""
+    toks = F.split(
+        F.expr("substring(repr, 2, length(repr) - 2)"), "><"
+    )
+    return (
+        vocab.filter(F.length("repr") > 0)
+        .select("freq", F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.sum("freq").cast("bigint").alias("tok_count"))
+    )
+
+
+def wordpiece_train(
+    df: DataFrame, text_col: str, merges: int = 8
+) -> DataFrame:
+    """Learn the top-``merges`` WordPiece merge rules: per round, merge
+    the adjacent pair with the highest likelihood gain
+    ``count(pair) / (count(left) · count(right))`` — rare-but-collocated
+    units win over merely-frequent ones (BPE's argmax).
+
+    EXACT cross-engine ordering: the rational score is quantized to the
+    integer ``score_key = (count·WP_SCALE) div (count_l·count_r)``
+    (≤ WP_SCALE always, since each token count ≥ the pair count), with
+    products taken in decimal(38,0) — overflow-proof at any corpus
+    scale — and ties broken (lhs, rhs) lexicographic. Both engines
+    compute the identical key, so the argmax (and therefore the whole
+    iterative training trajectory) is bit-reproducible; quantization IS
+    the operator contract, not a tolerance.
+
+    Same distributed shape as ``bpe_train``: the corpus collapses once
+    to the persisted vocab; each round is one pair-count aggregation +
+    one token-count aggregation (both map-side combined, joined
+    broadcast on vocab-sized state) + a ONE-row driver argmax + one
+    codegen'd replace. The ``##`` continuation-marker convention is
+    presentation-level (affects rendering, not which merges are
+    learned) and omitted.
+
+    Returns (merge_rank, lhs, rhs, merged, pair_count, score_key)."""
+    spark = df.sparkSession
+    base = _collapsed_vocab(df, text_col)
+    vocab = base
+    rules = []
+    try:
+        for rank in range(1, merges + 1):
+            pc = _pair_counts(vocab)
+            tc = _token_counts(vocab)
+            lc = tc.select(
+                F.col("tok").alias("lhs"),
+                F.col("tok_count").alias("lc"),
+            )
+            rc = tc.select(
+                F.col("tok").alias("rhs"),
+                F.col("tok_count").alias("rc"),
+            )
+            best = (
+                pc.join(F.broadcast(lc), "lhs")
+                .join(F.broadcast(rc), "rhs")
+                .select(
+                    "lhs",
+                    "rhs",
+                    "pair_count",
+                    F.expr(
+                        f"CAST((CAST(pair_count AS DECIMAL(38,0))"
+                        f" * {WP_SCALE}) div"
+                        f" (CAST(lc AS DECIMAL(38,0))"
+                        f" * CAST(rc AS DECIMAL(38,0))) AS BIGINT)"
+                    ).alias("score_key"),
+                )
+                .orderBy(F.desc("score_key"), "lhs", "rhs")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            b = best[0]
+            l, r = b["lhs"], b["rhs"]
+            rules.append(
+                (rank, l, r, l + r, b["pair_count"], b["score_key"])
+            )
+            vocab = vocab.select(
+                F.replace(
+                    F.col("repr"),
+                    F.lit(f"<{l}><{r}>"),
+                    F.lit(f"<{l}{r}>"),
+                ).alias("repr"),
+                "freq",
+            )
+        return spark.createDataFrame(
+            rules,
+            "merge_rank int, lhs string, rhs string, merged string,"
+            " pair_count bigint, score_key bigint",
+        )
+    finally:
+        base.unpersist()
+
+
+def wordpiece_oracle_sql(
+    merges: int = 8, table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB SQL replaying the exact WordPiece loop, every round
+    unrolled: pair counts, token counts, the quantized-likelihood argmax
+    (HUGEINT products mirror Spark's decimal(38,0)), wrapped replace.
+
+    The per-round vocab CTEs are MATERIALIZED: each v{{k}} is referenced
+    three times (pair counts, token counts, next vocab), so DuckDB's
+    default CTE inlining would expand v{{merges}} into 3^merges scans of
+    the corpus — materialization keeps it linear."""
+    parts = [
+        f"""v0 AS MATERIALIZED (
+      SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS repr,
+             CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_extract_all({text_col}, '[a-z]+')) AS word
+            FROM {table})
+      GROUP BY 1
+    )"""
+    ]
+    rows = []
+    for k in range(1, merges + 1):
+        prev = f"v{k - 1}"
+        parts.append(f"""p{k} AS (
+      SELECT t[i] AS l, t[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS c
+      FROM (
+        SELECT string_split(substr(repr, 2, length(repr) - 2), '><') AS t,
+               freq,
+               unnest(generate_series(
+                 1, len(string_split(substr(repr, 2, length(repr) - 2),
+                                     '><')) - 1)) AS i
+        FROM {prev} WHERE length(repr) > 0
+      )
+      GROUP BY 1, 2
+    )""")
+        parts.append(f"""t{k} AS (
+      SELECT tok, CAST(sum(freq) AS BIGINT) AS c
+      FROM (
+        SELECT unnest(string_split(substr(repr, 2, length(repr) - 2),
+                                   '><')) AS tok, freq
+        FROM {prev} WHERE length(repr) > 0
+      )
+      GROUP BY 1
+    )""")
+        parts.append(f"""b{k} AS (
+      SELECT p.l, p.r, p.c,
+             CAST((CAST(p.c AS HUGEINT) * {WP_SCALE})
+                  // (CAST(tl.c AS HUGEINT) * CAST(tr.c AS HUGEINT))
+               AS BIGINT) AS key
+      FROM p{k} p
+      JOIN t{k} tl ON tl.tok = p.l
+      JOIN t{k} tr ON tr.tok = p.r
+      ORDER BY key DESC, p.l, p.r LIMIT 1
+    )""")
+        parts.append(f"""v{k} AS MATERIALIZED (
+      SELECT replace(repr, '<' || b.l || '><' || b.r || '>',
+                     '<' || b.l || b.r || '>') AS repr, freq
+      FROM {prev} CROSS JOIN b{k} AS b
+    )""")
+        rows.append(
+            f"SELECT {k} AS merge_rank, l AS lhs, r AS rhs,"
+            f" l || r AS merged, c AS pair_count, key AS score_key"
+            f" FROM b{k}"
+        )
+    body = "\n    UNION ALL ".join(rows)
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs,"
+        f" merged, pair_count, score_key FROM ({body}) ORDER BY merge_rank"
+    )

@@ -3659,3 +3659,23 @@ def web_host_stats_q(spark, sf):
         F.col("n_canonical").cast("bigint").alias("n_canonical"),
         F.col("n_kept").cast("bigint").alias("n_kept"),
     )
+
+
+from squirreling_spark.pipeline.bpe import (  # noqa: E402
+    wordpiece_oracle_sql as _wp_oracle,
+    wordpiece_train as _wp_train,
+)
+
+
+@query("wordpiece_train_merges", oracle=_wp_oracle(8))
+def wordpiece_train_merges_q(spark, sf):
+    """Top-8 WordPiece merge rules (Schuster & Nakajima 2012 — the BERT
+    tokenizer family, pipeline/bpe.py::wordpiece_train): per round the
+    merged pair maximizes the likelihood gain count(pair) /
+    (count(left)·count(right)), quantized to an exact integer score_key
+    so the argmax — and the whole iterative trajectory, later rounds
+    merging into earlier merged tokens — is bit-reproducible
+    cross-engine. Same distributed shape as bpe_train_merges: one corpus
+    collapse, then per-round vocab-sized aggregations with broadcast
+    token-count joins and a ONE-row driver argmax."""
+    return _wp_train(t(spark, sf, "documents"), "text", merges=8)

@@ -92,3 +92,42 @@ def test_encode_docs_counts_and_order_preserving_fp(spark):
     }
     assert rows2[1]["fp_tokens"] != rows[1]["fp_tokens"]
     assert rows2[2]["fp_tokens"] == rows[2]["fp_tokens"]
+
+
+def test_wordpiece_argmax_differs_from_bpe(spark):
+    """The likelihood score must pick rare-but-collocated over merely
+    frequent: 'ab' is the most FREQUENT pair but a and b are common
+    solo, while q/z occur ONLY together (perfect collocation)."""
+    from squirreling_spark.pipeline.bpe import (
+        WP_SCALE,
+        bpe_train,
+        wordpiece_train,
+    )
+
+    text = " ".join(["ab"] * 10 + ["ax"] * 20 + ["by"] * 20 + ["qz"] * 2)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    bpe = bpe_train(df, "text", merges=1).collect()[0]
+    wp = wordpiece_train(df, "text", merges=1).collect()[0]
+    assert (bpe["lhs"], bpe["rhs"]) == ("a", "x")  # count 20, tie->lex
+    assert (wp["lhs"], wp["rhs"]) == ("q", "z")    # 2/(2*2) beats all
+    # score_key is the exact quantized rational
+    assert wp["score_key"] == 2 * WP_SCALE // (2 * 2)
+    assert wp["pair_count"] == 2
+
+
+def test_wordpiece_merges_build_on_merged_tokens(spark):
+    """Round 2 must see round 1's merged token as a single unit."""
+    from squirreling_spark.pipeline.bpe import wordpiece_train
+
+    # only word: "qzx" repeated — round 1 merges the best pair, round 2
+    # must merge the RESULT with the remaining char.
+    df = spark.createDataFrame(
+        [(1, "qzx qzx qzx")], "doc_id bigint, text string"
+    )
+    rules = wordpiece_train(df, "text", merges=2).collect()
+    assert len(rules) == 2
+    assert rules[0]["merged"] in ("qz", "zx")
+    assert rules[1]["merged"] == "qzx"
+    # round 3 has nothing left to merge -> early stop
+    rules3 = wordpiece_train(df, "text", merges=3).collect()
+    assert len(rules3) == 2
