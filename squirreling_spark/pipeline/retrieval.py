@@ -158,3 +158,63 @@ def bm25_oracle_sql(
            {score_terms} AS score
     FROM d, s
     ORDER BY score DESC, {id_col} LIMIT {topk}"""
+
+
+RRF_SCALE = 1_000_000_000_000  # 1/(k+rank) quantized to 1e-12 resolution
+
+
+def rrf_fuse(
+    systems: dict[str, DataFrame],
+    id_col: str,
+    k: int = 60,
+    topk: int = 50,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    several retrieval systems' top-k lists — the standard way to combine
+    a sparse (BM25) and a dense (embedding) retriever without score
+    calibration: ``rrf(d) = Σ_systems 1/(k + rank_s(d))``.
+
+    EXACT cross-engine arithmetic: each contribution is the integer
+    ``RRF_SCALE div (k + rank)`` (binary floats like 1/61 don't exist;
+    the quantized integer does, identically, in any engine), so the
+    fused ordering is bit-reproducible and quantization IS the operator
+    contract. Documents missing from a system's list contribute 0.
+
+    Each input DataFrame must have columns ``(id_col, rank)`` (1-based).
+    Distributed shape: the inputs are top-k lists — BOUNDED at
+    |systems|·k rows by construction — so the union + one groupBy and
+    the final global ranking window are all constant-size regardless of
+    corpus scale; the expensive work happened inside the per-system
+    retrievers. Returns (id, rank_<system>..., n_systems, rrf_score,
+    fused_rank) for the fused top-``topk``."""
+    from pyspark.sql import Window
+
+    names = sorted(systems)
+    tagged = None
+    for name in names:
+        part = systems[name].select(
+            F.col(id_col),
+            F.lit(name).alias("__sys"),
+            F.col("rank").cast("bigint").alias("__r"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    contrib = tagged.withColumn(
+        "__c",
+        F.expr(f"CAST({RRF_SCALE} div (CAST({k} AS BIGINT) + __r)"
+               f" AS BIGINT)"),
+    )
+    agg = contrib.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("__sys") == n, F.col("__r"))).alias(
+                f"rank_{n}"
+            )
+            for n in names
+        ],
+        F.count(F.lit(1)).cast("bigint").alias("n_systems"),
+        F.sum("__c").cast("bigint").alias("rrf_score"),
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.col(id_col))
+    return (
+        agg.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("fused_rank") <= topk)
+    )

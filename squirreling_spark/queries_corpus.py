@@ -1317,3 +1317,90 @@ def c4_quality_filter_q(spark, sf):
         ).alias("lined"),
     )
     return c4_quality_filter(lined, "lined", "doc_id")
+
+
+from squirreling_spark.pipeline.retrieval import (  # noqa: E402
+    bm25_oracle_sql as _bm25_oracle_sql,
+)
+
+_RRF_COS = """
+    round(list_sum(list_transform(generate_series(1, 64),
+                                  i -> q.emb[i] * a.emb[i]))
+          / sqrt(list_sum(list_transform(q.emb, x -> x * x))
+               * list_sum(list_transform(a.emb, x -> x * x))), 6)
+"""
+
+
+@query(
+    "rrf_fusion",
+    oracle=f"""
+    WITH bm AS ({_bm25_oracle_sql(["query", "merge", "customer"],
+                                  topk=100)}),
+    bmr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM bm
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT emb FROM e WHERE vec_id = 0),
+    s AS (
+      SELECT a.vec_id, {_RRF_COS} AS sim
+      FROM e a, q WHERE a.vec_id != 0
+    ),
+    dr AS (
+      SELECT vec_id AS doc_id, r FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY sim DESC, vec_id) AS r
+        FROM s
+      ) WHERE r <= 100
+    ),
+    u AS (
+      SELECT doc_id, 'bm25' AS sys, r FROM bmr
+      UNION ALL
+      SELECT doc_id, 'cos' AS sys, r FROM dr
+    ),
+    f AS (
+      SELECT doc_id,
+             max(CASE WHEN sys = 'bm25' THEN r END) AS rank_bm25,
+             max(CASE WHEN sys = 'cos' THEN r END) AS rank_cos,
+             CAST(count(*) AS BIGINT) AS n_systems,
+             CAST(sum(1000000000000 // (60 + r)) AS BIGINT) AS rrf_score
+      FROM u GROUP BY doc_id
+    )
+    SELECT doc_id, rank_bm25, rank_cos, n_systems, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+             AS BIGINT) AS fused_rank
+    FROM f QUALIFY fused_rank <= 50
+    """,
+)
+def rrf_fusion_q(spark, sf):
+    """Reciprocal-rank fusion (pipeline/retrieval.py::rrf_fuse) of a
+    sparse and a dense retriever — the calibration-free hybrid-search
+    combiner: BM25 top-100 for {query, merge, customer} fused with
+    exact-cosine top-100 around the vec_id-0 embedding, contribution
+    RRF_SCALE div (60 + rank) as an exact integer. Both input rank
+    lists are themselves bit-reproducible (rational-idf BM25 doubles;
+    cosine rounded to 1e-6), so the fused ordering — and the oracle's
+    replay of it — is exact. All fusion stages run on top-k-bounded
+    state; the corpus-scale work stays inside the two retrievers."""
+    from pyspark.sql import Window
+
+    from squirreling_spark.pipeline.retrieval import bm25_rank, rrf_fuse
+    from squirreling_spark.pipeline.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    docs = t(spark, sf, "documents")
+    bm = bm25_rank(
+        docs, "text", "doc_id", ["query", "merge", "customer"], topk=100
+    )
+    wb = Window.orderBy(F.desc("score"), F.col("doc_id"))
+    lex = bm.select("doc_id", F.row_number().over(wb).alias("rank"))
+    e = t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    dense = cosine_topk_bruteforce(q, e, k=100).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse({"bm25": lex, "cos": dense}, "doc_id", k=60, topk=50)

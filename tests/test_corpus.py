@@ -605,3 +605,28 @@ def test_c4_quality_rules(spark):
     # a quoted line (terminal ") is kept but adds no sentence mark
     r5 = rows[5]
     assert r5.n_kept_lines == 4 and r5.n_sentences == 3 and r5.keep
+
+
+def test_rrf_fuse_exact_contributions(spark):
+    from squirreling_spark.pipeline.retrieval import RRF_SCALE, rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "id bigint, rank int"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (10, 2), (40, 3)], "id bigint, rank int"
+    )
+    rows = {
+        r.id: r
+        for r in rrf_fuse({"a": a, "b": b}, "id", k=60, topk=10).collect()
+    }
+    c = lambda r: RRF_SCALE // (60 + r)
+    # doc 10: rank 1 in a, 2 in b; doc 20: 2 and 1 -> exact tie
+    assert rows[10].rrf_score == c(1) + c(2) == rows[20].rrf_score
+    assert rows[10].n_systems == 2 and rows[40].n_systems == 1
+    assert rows[30].rrf_score == c(3)  # missing from b contributes 0
+    # tie broken by id: 10 before 20; singles ranked after the pair
+    assert rows[10].fused_rank == 1 and rows[20].fused_rank == 2
+    assert rows[30].fused_rank == 3 and rows[40].fused_rank == 4
+    assert rows[10].rank_a == 1 and rows[10].rank_b == 2
+    assert rows[30].rank_b is None
