@@ -525,3 +525,101 @@ def c4_quality_filter(
         keep.alias("keep"),
         clean.alias("clean_text"),
     )
+
+def html_main_content(
+    df: DataFrame, html_col: str, id_col: str
+) -> DataFrame:
+    """Main-content extraction from raw HTML — the first transform every
+    web-crawl pipeline (CCNet / C4 / trafilatura-class extractors) runs
+    before any quality or dedup pass:
+
+    - drop ``<script>``/``<style>`` blocks wholesale (their contents
+      must never leak into the visible text);
+    - drop LINK-DENSE lines (navigation/footer boilerplate): a line
+      whose anchor text is at least half of its visible text,
+      evaluated by integer cross-multiplication (2·anchor_len ≥
+      vis_len) — the classic link-density heuristic;
+    - strip remaining tags, decode the core entities (``&lt; &gt;
+      &quot; &#39;`` then ``&amp;`` LAST, so ``&amp;lt;`` decodes to
+      the literal ``&lt;``), normalize whitespace, drop blank lines.
+
+    Every step is a JVM-side regex / higher-order-function expression
+    in the regex subset Java and RE2 interpret identically (non-greedy
+    spans, ``(?is)`` flags, ``[^>]`` classes — the same shared-subset
+    contract as ``scrub_pii``): one scan, zero shuffle, zero Python.
+    Anchor inner text is matched as ``[^<]*`` (tag-free), so nested
+    markup inside an anchor undercounts its density — acceptable for
+    the boilerplate-nav shape this targets.
+
+    Output: (id, n_lines, n_link_dropped, n_script_blocks,
+    n_style_blocks, clean_text)."""
+    raw = F.col(html_col)
+
+    def _count(pat):
+        return F.size(
+            F.regexp_extract_all(raw, F.lit(pat), F.lit(0))
+        ).cast("bigint")
+
+    deblocked = F.regexp_replace(
+        F.regexp_replace(raw, r"(?is)<script[^>]*>.*?</script>", ""),
+        r"(?is)<style[^>]*>.*?</style>",
+        "",
+    )
+
+    def _vis(l):
+        txt = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(l, "<[^>]+>", " "), r"\s+", " "
+            )
+        )
+        for ent, ch in (
+            ("&lt;", "<"),
+            ("&gt;", ">"),
+            ("&quot;", '"'),
+            ("&#39;", "'"),
+            ("&amp;", "&"),
+        ):
+            txt = F.replace(txt, F.lit(ent), F.lit(ch))
+        return txt
+
+    def _alen(l):
+        return F.aggregate(
+            F.regexp_extract_all(
+                l, F.lit("(?i)<a[^>]*>([^<]*)</a>"), F.lit(1)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, s: acc + F.length(s),
+        )
+
+    per_line = F.transform(
+        F.split(deblocked, "\n"),
+        lambda l: F.struct(
+            _vis(l).alias("vis"), _alen(l).alias("alen")
+        ),
+    )
+    base = df.select(
+        F.col(id_col),
+        _count("(?i)<script").alias("n_script_blocks"),
+        _count("(?i)<style").alias("n_style_blocks"),
+        per_line.alias("__v"),
+    )
+    is_link = (
+        lambda s: (F.length(s["vis"]) > 0)
+        & (s["alen"] > 0)
+        & (s["alen"] * 2 >= F.length(s["vis"]))
+    )
+    kept = F.filter(
+        F.col("__v"), lambda s: (F.length(s["vis"]) > 0) & ~is_link(s)
+    )
+    return base.select(
+        id_col,
+        F.size("__v").cast("bigint").alias("n_lines"),
+        F.size(F.filter(F.col("__v"), is_link))
+        .cast("bigint")
+        .alias("n_link_dropped"),
+        "n_script_blocks",
+        "n_style_blocks",
+        F.array_join(F.transform(kept, lambda s: s["vis"]), "\n").alias(
+            "clean_text"
+        ),
+    )

@@ -1404,3 +1404,126 @@ def rrf_fusion_q(spark, sf):
         F.col("vec_id").alias("doc_id"), "rank"
     )
     return rrf_fuse({"bm25": lex, "cos": dense}, "doc_id", k=60, topk=50)
+
+
+@query(
+    "html_extract",
+    oracle="""
+    WITH hs AS (
+      SELECT doc_id,
+             '<html>' || chr(10) ||
+             '<head><style>p { color: red }</style>' ||
+             '<script>var tracker = 1;</script></head>' || chr(10) ||
+             '<body>' || chr(10) ||
+             '<nav><a href="/">home</a> ' ||
+             '<a href="/about">about us page</a></nav>' || chr(10) ||
+             array_to_string(
+               list_transform(
+                 generate_series(0, CAST(ceil(len(t) / 10.0) AS BIGINT) - 1),
+                 i -> '<p>' || array_to_string(t[i*10+1:i*10+10], ' ')
+                      || ' &amp; more</p>'),
+               chr(10)) ||
+             chr(10) || '<footer><a href="/contact">contact</a></footer>'
+             || chr(10) || '</body>' || chr(10) || '</html>' AS html
+      FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                            ' ') AS t
+        FROM documents
+      )
+    ),
+    db AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(html, '(?i)<script'))
+               AS BIGINT) AS n_script_blocks,
+             CAST(len(regexp_extract_all(html, '(?i)<style'))
+               AS BIGINT) AS n_style_blocks,
+             regexp_replace(
+               regexp_replace(html, '(?is)<script[^>]*>.*?</script>',
+                              '', 'g'),
+               '(?is)<style[^>]*>.*?</style>', '', 'g') AS deb
+      FROM hs
+    ),
+    lines AS (
+      SELECT doc_id, i AS p, ln[i] AS l
+      FROM (
+        SELECT doc_id, ln, unnest(generate_series(1, len(ln))) AS i
+        FROM (SELECT doc_id, string_split(deb, chr(10)) AS ln FROM db)
+      )
+    ),
+    vised AS (
+      SELECT doc_id, p,
+             replace(replace(replace(replace(replace(
+               trim(regexp_replace(
+                 regexp_replace(l, '<[^>]+>', ' ', 'g'),
+                 '\\s+', ' ', 'g')),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', chr(39)), '&amp;', '&') AS vis,
+             CAST(coalesce(list_sum(list_transform(
+               regexp_extract_all(l, '(?i)<a[^>]*>([^<]*)</a>', 1),
+               x -> length(x))), 0) AS BIGINT) AS alen
+      FROM lines
+    ),
+    m AS (
+      SELECT doc_id, p, vis,
+             (length(vis) > 0 AND alen > 0
+              AND alen * 2 >= length(vis)) AS is_link
+      FROM vised
+    )
+    SELECT m.doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN is_link THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_link_dropped,
+           db.n_script_blocks, db.n_style_blocks,
+           coalesce(string_agg(
+             CASE WHEN length(vis) > 0 AND NOT is_link THEN vis END,
+             chr(10) ORDER BY p), '') AS clean_text
+    FROM m JOIN db USING (doc_id)
+    GROUP BY m.doc_id, db.n_script_blocks, db.n_style_blocks
+    """,
+)
+def html_extract_q(spark, sf):
+    """HTML main-content extraction (pipeline/text.py::
+    html_main_content): script/style block removal, link-density line
+    drop (2·anchor_len ≥ vis_len, integer cross-mult), tag strip,
+    entity decode, blank-line removal. The fixture corpus is plain
+    text, so the query wraps each document in a deterministic page —
+    head with style+script blocks, a nav and a footer of pure links
+    (link-dense: dropped), the text re-flowed as <p> paragraphs with a
+    planted &amp; entity — and the oracle replays wrapping AND
+    extraction, value-checking clean_text itself (pins the shared
+    Java/RE2 regex subset on tags, non-greedy blocks and (?i) flags)."""
+    from squirreling_spark.pipeline.text import html_main_content
+
+    toks = F.split(
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "
+    )
+    nb = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    paras = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nb - 1),
+            lambda i: F.concat(
+                F.lit("<p>"),
+                F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+                F.lit(" &amp; more</p>"),
+            ),
+        ),
+        "\n",
+    )
+    pages = t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                "<html>\n<head><style>p { color: red }</style>"
+                "<script>var tracker = 1;</script></head>\n<body>\n"
+                '<nav><a href="/">home</a> '
+                '<a href="/about">about us page</a></nav>\n'
+            ),
+            paras,
+            F.lit(
+                '\n<footer><a href="/contact">contact</a></footer>'
+                "\n</body>\n</html>"
+            ),
+        ).alias("html"),
+    )
+    return html_main_content(pages, "html", "doc_id")

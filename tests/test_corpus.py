@@ -630,3 +630,37 @@ def test_rrf_fuse_exact_contributions(spark):
     assert rows[30].fused_rank == 3 and rows[40].fused_rank == 4
     assert rows[10].rank_a == 1 and rows[10].rank_b == 2
     assert rows[30].rank_b is None
+
+
+def test_html_main_content_rules(spark):
+    from squirreling_spark.pipeline.text import html_main_content
+
+    html = (
+        "<html>\n<head><style>p { color: red }</style>"
+        "<script>var tracker = 1;</script></head>\n"
+        '<body>\n<nav><a href="/">home</a> '
+        '<a href="/about">about us page</a></nav>\n'
+        "<p>real content words here &amp; more</p>\n"
+        "<p>second paragraph of visible text &#39;quoted&#39;</p>\n"
+        "<p>double-encoded &amp;lt; stays as entity text</p>\n"
+        '<footer><a href="/contact">contact</a></footer>\n'
+        "</body>\n</html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id bigint, html string")
+    r = html_main_content(df, "html", "doc_id").collect()[0]
+    assert r.n_script_blocks == 1 and r.n_style_blocks == 1
+    assert r.n_link_dropped == 2  # nav + footer
+    assert "tracker" not in r.clean_text  # script never leaks
+    assert "color" not in r.clean_text    # style never leaks
+    lines = r.clean_text.split("\n")
+    assert lines[0] == "real content words here & more"
+    assert lines[1] == "second paragraph of visible text 'quoted'"
+    # &amp; decodes LAST: &amp;lt; -> literal &lt;, never <
+    assert lines[2] == "double-encoded &lt; stays as entity text"
+    # multi-line script block is removed wholesale
+    df2 = spark.createDataFrame(
+        [(2, "<script>\nline1\nline2\n</script>\n<p>kept text stays.</p>")],
+        "doc_id bigint, html string",
+    )
+    r2 = html_main_content(df2, "html", "doc_id").collect()[0]
+    assert r2.clean_text == "kept text stays."
