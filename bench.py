@@ -118,6 +118,13 @@ HEADLINE = [
     "dedup_minhash_collapsed",
     "image_dhash_pairs",
     "gopher_quality_filter",
+    # round 8, second half: C4 line/page rules, WordPiece training
+    # (8 likelihood-argmax rounds), RRF hybrid-retrieval fusion, HTML
+    # main-content extraction
+    "c4_quality_filter",
+    "wordpiece_train_merges",
+    "rrf_fusion",
+    "html_extract",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

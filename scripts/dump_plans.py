@@ -77,6 +77,11 @@ SHOW = [
     # round 8
     ("dedup_minhash_collapsed", "collapsed MinHash: ONE scan, fingerprint groupBy, signature agg with the group size as a carried key, per-bucket collect_list pairs — ZERO joins"),
     ("image_dhash_pairs", "legacy pair-level dHash: same single-decode subtree as the collapsed default, pair expansion inside the bucket expression"),
+    # round 8, second half
+    ("c4_quality_filter", "C4 rules: one codegen HOF projection over the scan — line filter, sentence count, page verdict all row-local, no exchange from the operator"),
+    ("wordpiece_train_merges", "WordPiece round shape: pair + token counts over the persisted vocab, broadcast count joins, ONE-row quantized-likelihood argmax"),
+    ("rrf_fusion", "RRF: corpus work inside the two retrievers; fusion = union of top-k lists, one bounded groupBy, constant-size ranking window"),
+    ("html_extract", "HTML extraction: block-removal regex + per-line HOF structs in one codegen projection — no Python, no exchange from the operator"),
 ]
 
 

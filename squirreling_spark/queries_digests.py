@@ -533,6 +533,27 @@ _CLEAN_CK = {
         " + ascii(substring(clean_text, 1, 1)) * 3"
         " + ascii(substring(clean_text, length(clean_text), 1))"
     ),
+    # round 8: the C4 line-and-page rule set — cleaned text keyed
+    # (length + boundary chars) so the transform output is in-window
+    "c4_quality_filter": (
+        "doc_id * 10000 + n_lines * 100 + n_kept_lines * 7"
+        " + n_sentences * 3"
+        " + CASE WHEN has_lorem THEN 11 ELSE 0 END"
+        " + CASE WHEN has_brace THEN 13 ELSE 0 END"
+        " + CASE WHEN keep THEN 17 ELSE 0 END"
+        " + length(clean_text)"
+        " + ascii(substring(clean_text, 1, 1)) * 3"
+        " + ascii(substring(clean_text, length(clean_text), 1))"
+    ),
+    # round 8: HTML main-content extraction — visible text keyed the
+    # same way (pins block removal + link-density + entity decode)
+    "html_extract": (
+        "doc_id * 10000 + n_lines * 100 + n_link_dropped * 7"
+        " + n_script_blocks * 11 + n_style_blocks * 13"
+        " + length(clean_text)"
+        " + ascii(substring(clean_text, 1, 1)) * 3"
+        " + ascii(substring(clean_text, length(clean_text), 1))"
+    ),
 }
 
 
@@ -545,8 +566,10 @@ _CLEAN_CK = {
 def corpus_clean_digest(spark, sf):
     """Corpus cleaning: CCNet-style segment dedup (keeper = min struct
     aggregate, no windows), Gopher-style repetition fractions, benchmark
-    3-gram contamination scan, and MinHash-pair connected-components
-    clustering (pipeline/corpus.py, pipeline/dedup.py) — each full result
+    3-gram contamination scan, MinHash-pair connected-components
+    clustering, C4 boilerplate-line removal, the C4 line-and-page rule
+    set, and HTML main-content extraction (pipeline/corpus.py,
+    pipeline/dedup.py, pipeline/text.py) — each full result
     checksummed."""
     return _union_all(
         [

@@ -439,3 +439,25 @@ def test_dhash_collapsed_constant_output_groups(spark):
     rows = dhash_near_dup(hashes, max_hamming=16).collect()
     assert len(rows) == 1  # one edge between the two distinct hashes
     assert rows[0].n_a == 50 and rows[0].n_b == 50
+
+
+def test_c4_and_html_row_local_no_exchange(spark):
+    # r8: the C4 rule set and the HTML extractor are one codegen HOF
+    # projection over the scan — zero Python, and no Exchange from the
+    # operator itself (the only allowed Exchange is qutil.spread's
+    # fixture repartition in the query wrapper)
+    for name in ["c4_quality_filter", "html_extract"]:
+        plan = plan_of(name, spark)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan, f"{name} left the JVM"
+        assert "Exchange hashpartitioning" not in plan, plan[:600]
+        assert "SortMergeJoin" not in plan and "Join" not in plan
+
+
+def test_rrf_fusion_bounded_after_retrievers(spark):
+    # fusion runs on top-k-bounded state: exactly one groupBy over the
+    # unioned rank lists, and the corpus never joins the fusion side
+    plan = plan_of("rrf_fusion", spark)
+    assert "Union" in plan
+    # the final ranking window exists but ranks <= |systems|*k rows
+    assert "row_number" in plan
