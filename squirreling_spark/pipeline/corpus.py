@@ -942,3 +942,82 @@ def lm_bucket_sample(
         "bucket",
         (keep_bucket < rate).alias("kept"),
     )
+
+
+def epoch_schedule(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    cap_epochs_ppm: int = 1_000_000,
+) -> DataFrame:
+    """Token-budget EPOCH SCHEDULING across sources — the data-recipe
+    table every pretraining run starts from (the per-source
+    epochs/sampling-proportion tables of the LLaMA / Gopher / Pile
+    papers): given per-source token counts, a total token budget (here
+    one corpus epoch, Σ tokens), and sqrt-upweighting of small sources
+    (the temperature-mixing weight), compute each source's allocated
+    tokens and implied epochs, capped at ``cap_epochs_ppm`` (default
+    exactly 1.0 epoch — the no-repetition rule; upweighted small
+    sources genuinely hit it, their surplus reported via ``capped``).
+
+    INTEGER-EXACT end to end: weights are floor(sqrt(tokens)·1e6)
+    (IEEE sqrt is correctly rounded — same contract as
+    temperature_mix), every normalization/allocation is an integer
+    div in decimal(38,0)/HUGEINT — overflow-proof at 100 TB token
+    counts — so both engines agree bit-for-bit.
+
+    Distributed shape: one map-combined per-source aggregate (|sources|
+    rows), one 1-row total broadcast back; everything downstream is
+    arithmetic on the tiny schedule table.
+
+    Output: (source, n_docs, tokens, w_ppm, alloc_tokens, epochs_ppm,
+    capped, final_tokens)."""
+    from squirreling_spark.pipeline.text import tokens as _toks
+
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(_toks(text_col))).cast("bigint").alias("tokens"),
+    )
+    per = per.withColumn(
+        "w_raw",
+        F.floor(F.sqrt(F.col("tokens").cast("double")) * 1_000_000).cast(
+            "bigint"
+        ),
+    )
+    tot = per.agg(
+        F.sum("tokens").cast("bigint").alias("__T"),
+        F.sum("w_raw").cast("bigint").alias("__W"),
+    )
+    d38 = lambda c: f"CAST({c} AS DECIMAL(38,0))"
+    j = per.crossJoin(F.broadcast(tot))
+    j = j.withColumn(
+        "w_ppm",
+        F.expr(
+            f"CAST({d38('w_raw')} * 1000000 div {d38('__W')} AS BIGINT)"
+        ),
+    ).withColumn(
+        "alloc_tokens",
+        F.expr(
+            f"CAST({d38('__T')} * {d38('w_ppm')} div 1000000 AS BIGINT)"
+        ),
+    )
+    raw_epochs = (
+        f"{d38('alloc_tokens')} * 1000000 div {d38('tokens')}"
+    )
+    return j.select(
+        source_col,
+        "n_docs",
+        "tokens",
+        "w_ppm",
+        "alloc_tokens",
+        F.expr(
+            f"CAST(least({raw_epochs},"
+            f" CAST({cap_epochs_ppm} AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("epochs_ppm"),
+        F.expr(f"({raw_epochs}) > {cap_epochs_ppm}").alias("capped"),
+        F.expr(
+            f"CAST(least({d38('alloc_tokens')},"
+            f" {d38('tokens')} * {cap_epochs_ppm} div 1000000)"
+            f" AS BIGINT)"
+        ).alias("final_tokens"),
+    )

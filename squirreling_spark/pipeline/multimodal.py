@@ -1850,3 +1850,94 @@ def dhash_near_dup(
             hamming.alias("hamming"),
         )
     return out.distinct().filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Audio FEATURE EXTRACTION: dominant-frequency analysis over decoded PCM —
+# the audio member of the decode / feature-extract / resize / frame-sample
+# quartet (images have dHash; this is the spectral fingerprint).
+# ---------------------------------------------------------------------------
+
+_SPECTRAL_COLS = [
+    "media_id",
+    "n_samples",
+    "sample_rate",
+    "peak_bin",
+    "harmonic_bin",
+    "peak_hz",
+]
+SPECTRAL_SCHEMA = (
+    "media_id string, n_samples bigint, sample_rate bigint,"
+    " peak_bin bigint, harmonic_bin bigint, peak_hz double"
+)
+_NULL_SPECTRAL = {
+    "n_samples": None,
+    "sample_rate": None,
+    "peak_bin": None,
+    "harmonic_bin": None,
+    "peak_hz": None,
+}
+
+
+def _spectral_peak(payload: bytes) -> dict:
+    """Dominant DFT bin of a mono 16-bit PCM WAV: RIFF walk (same
+    contract as ``_decode_wav_pcm``), float64 rFFT, argmax magnitude
+    over bins 1..N/2 (DC excluded) plus the strongest remaining bin
+    (for a square wave: the 3rd harmonic). The bin indices are integer
+    argmaxes over well-separated magnitudes — deterministic — and
+    ``peak_hz = bin·rate/N`` is exact double arithmetic, so synthetic
+    fixtures grade in closed form."""
+    if (
+        payload is None
+        or len(payload) < 44
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return dict(_NULL_SPECTRAL)
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        csz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            fmt = payload[pos + 8 : pos + 8 + csz]
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + csz]
+        pos += 8 + csz + (csz % 2)
+    if fmt is None or data is None:
+        return dict(_NULL_SPECTRAL)
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits != 16 or channels != 1 or rate < 1:
+        return dict(_NULL_SPECTRAL)
+    samples = np.frombuffer(
+        data[: len(data) - len(data) % 2], dtype="<i2"
+    ).astype(np.float64)
+    n = len(samples)
+    if n < 4:
+        return dict(_NULL_SPECTRAL)
+    mags = np.abs(np.fft.rfft(samples))
+    mags[0] = -1.0  # exclude DC from both argmaxes
+    peak = int(np.argmax(mags))
+    mags[peak] = -1.0
+    harmonic = int(np.argmax(mags))
+    return {
+        "n_samples": n,
+        "sample_rate": rate,
+        "peak_bin": peak,
+        "harmonic_bin": harmonic,
+        "peak_hz": float(peak * rate) / n,
+    }
+
+
+def audio_spectral(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched spectral-peak extraction (see ``_spectral_peak``)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pd.DataFrame([_spectral_peak(b) for b in pdf[payload_col]])
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out[_SPECTRAL_COLS]
+
+    return df.mapInPandas(batches, schema=SPECTRAL_SCHEMA)

@@ -528,3 +528,57 @@ def ivfpq_rerank_topk(
         .select(q_id, c_id, sim.alias("sim"))
     )
     return _topk_per_query(rer, k, q_id, c_id)
+
+
+def int8_quantize(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    levels: int = 127,
+) -> DataFrame:
+    """Symmetric per-vector INT8 scalar quantization — the storage tier
+    below PQ (4× smaller than float32 with near-exact recall; what
+    vector stores call SQ8): ``scale = max|x| / levels``, ``code_i =
+    floor(x_i/scale + 0.5)`` clamped to ±levels.
+
+    Determinism: ``scale`` is one IEEE division of exact inputs;
+    ``floor(x/scale + 0.5)`` is exact half-toward-+∞ rounding (both
+    engines' ``floor`` is exact, unlike their ROUND(double) tie
+    behavior); the reconstruction error folds left-associative like
+    every repo cosine, then quantizes via det_round — so every output
+    is bit-identical cross-engine. All-row-local: one scan, zero
+    shuffle, zero Python; at 100 TB this runs at ingest bandwidth and
+    the codes write 4× less than the raw vectors.
+
+    Output: (id, n_dims, scale, n_clipped, fp_codes — md5 of the
+    '/'-joined codes, the list-free code contract — l2_err rounded to
+    1e-9)."""
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = amax / F.lit(float(levels))
+    raw_code = lambda x: F.floor(x / scale + F.lit(0.5))
+    code = lambda x: F.greatest(
+        F.lit(-levels).cast("bigint"),
+        F.least(F.lit(levels).cast("bigint"), raw_code(x)),
+    )
+    codes = F.transform(v, code)
+    n_clipped = F.size(
+        F.filter(v, lambda x: F.abs(raw_code(x)) > levels)
+    ).cast("bigint")
+    l2_err = F.aggregate(
+        F.zip_with(
+            v, codes, lambda x, c: (x - c * scale) * (x - c * scale)
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, e: acc + e,
+    )
+    from squirreling_spark.qutil import det_round
+
+    return df.select(
+        F.col(id_col),
+        F.size(v).cast("bigint").alias("n_dims"),
+        scale.alias("scale"),
+        n_clipped.alias("n_clipped"),
+        F.md5(F.array_join(codes, "/")).alias("fp_codes"),
+        det_round(l2_err, 9).alias("l2_err"),
+    )

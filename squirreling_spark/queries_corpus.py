@@ -1527,3 +1527,59 @@ def html_extract_q(spark, sf):
         ).alias("html"),
     )
     return html_main_content(pages, "html", "doc_id")
+
+
+@query(
+    "mix_epoch_schedule",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(trim(regexp_replace(text, '\\s+',
+               ' ', 'g')), ' '))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS w_raw
+      FROM per
+    ),
+    tot AS (
+      SELECT CAST(sum(tokens) AS HUGEINT) AS T,
+             CAST(sum(w_raw) AS HUGEINT) AS W
+      FROM w
+    ),
+    sched AS (
+      SELECT source, n_docs, tokens,
+             CAST(CAST(w_raw AS HUGEINT) * 1000000 // W AS BIGINT)
+               AS w_ppm
+      FROM w, tot
+    ),
+    alloc AS (
+      SELECT s.*, CAST(t.T * CAST(s.w_ppm AS HUGEINT) // 1000000
+               AS BIGINT) AS alloc_tokens
+      FROM sched s, tot t
+    )
+    SELECT source, n_docs, tokens, w_ppm, alloc_tokens,
+           CAST(least(CAST(alloc_tokens AS HUGEINT) * 1000000
+                        // CAST(tokens AS HUGEINT),
+                      CAST(1000000 AS HUGEINT)) AS BIGINT) AS epochs_ppm,
+           (CAST(alloc_tokens AS HUGEINT) * 1000000
+              // CAST(tokens AS HUGEINT)) > 1000000 AS capped,
+           CAST(least(CAST(alloc_tokens AS HUGEINT),
+                      CAST(tokens AS HUGEINT) * 1000000 // 1000000)
+             AS BIGINT) AS final_tokens
+    FROM alloc
+    """,
+)
+def mix_epoch_schedule_q(spark, sf):
+    """Token-budget epoch scheduling (pipeline/corpus.py::
+    epoch_schedule): the per-source data-recipe table — sqrt-upweighted
+    allocation of a one-epoch token budget with the 1.0-epoch
+    no-repetition cap; small sources are upweighted until they cap,
+    surplus visible via `capped`. Pure integer arithmetic in
+    decimal(38,0)/HUGEINT after one map-combined per-source aggregate
+    and a 1-row broadcast total."""
+    from squirreling_spark.pipeline.corpus import epoch_schedule
+
+    return epoch_schedule(t(spark, sf, "documents"), "text", "source")

@@ -973,6 +973,51 @@ def events_tumbling_window_q(spark, sf):
     )
 
 
+@query(
+    "events_sliding_window",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(date_trunc('hour', ts)
+               + CASE WHEN EXTRACT(minute FROM ts) >= 30
+                      THEN INTERVAL 30 MINUTE
+                      ELSE INTERVAL 0 MINUTE END
+               - k * INTERVAL 30 MINUTE AS TIMESTAMP) AS window_start,
+             event_type, value
+      FROM events, unnest([0, 1]) AS u(k)
+    )
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           {o_dsum('value')} AS total_value
+    FROM x GROUP BY 1, 2
+    """,
+)
+def events_sliding_window_q(spark, sf):
+    """SLIDING 1-hour window with a 30-minute hop over the events stream
+    (Spark's native window(ts, size, slide) — identical semantics under
+    readStream): every event lands in exactly TWO overlapping windows.
+    The oracle derives both containing window starts arithmetically
+    (the 30-min floor of ts and that minus 30 min), so the overlap
+    semantics themselves are value-checked. Completes the event-time
+    window family next to tumbling (events_tumbling_window) and session
+    (events_sessionize / events_session_stream) windows."""
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # K-means clustering (pipeline/cluster.py): the semantic-curation / IVF
 # training primitive. The oracle replays BOTH Lloyd rounds exactly —
@@ -3679,3 +3724,119 @@ def wordpiece_train_merges_q(spark, sf):
     collapse, then per-round vocab-sized aggregations with broadcast
     token-count joins and a ONE-row driver argmax."""
     return _wp_train(t(spark, sf, "documents"), "text", merges=8)
+
+
+@query(
+    "embedding_int8_quant",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, v,
+             CAST(len(v) AS BIGINT) AS n_dims,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e
+    ),
+    c AS (
+      SELECT vec_id, v, n_dims, scale,
+             list_transform(v, x -> greatest(CAST(-127 AS BIGINT),
+               least(CAST(127 AS BIGINT),
+                     CAST(floor(x / scale + 0.5) AS BIGINT)))) AS codes,
+             CAST(len(list_filter(v,
+               x -> abs(floor(x / scale + 0.5)) > 127)) AS BIGINT)
+               AS n_clipped
+      FROM q
+    )
+    SELECT vec_id, n_dims, scale, n_clipped,
+           md5(array_to_string(codes, '/')) AS fp_codes,
+           floor(list_sum(list_transform(
+             generate_series(1, CAST(n_dims AS INT)),
+             i -> (v[i] - codes[i] * scale) * (v[i] - codes[i] * scale)))
+             * 1000000000 + 0.5) / 1000000000 AS l2_err
+    FROM c
+    """,
+)
+def embedding_int8_quant_q(spark, sf):
+    """Symmetric per-vector INT8 scalar quantization
+    (pipeline/pq.py::int8_quantize — the SQ8 storage tier below PQ):
+    scale = max|x|/127, codes = floor(x/scale + 0.5) clamped, plus the
+    left-fold reconstruction error. floor(+0.5) half-rounding and the
+    single-division scale keep every output bit-identical cross-engine;
+    the md5 code fingerprint value-checks all 64 codes per vector. One
+    row-local scan — ingest-bandwidth at any corpus size."""
+    from squirreling_spark.pipeline.pq import int8_quantize
+
+    return int8_quantize(t(spark, sf, "embeddings"), "embedding", "vec_id")
+
+
+@query(
+    "audio_spectral_peak",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(256 AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8
+                ELSE 16 END AS BIGINT) AS peak_bin,
+           CAST(3 * (CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8
+                     ELSE 16 END) AS BIGINT) AS harmonic_bin,
+           CAST((CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8
+                 ELSE 16 END) * 8000 AS DOUBLE) / 256 AS peak_hz
+    FROM documents
+    """,
+)
+def audio_spectral_peak_q(spark, sf):
+    """Audio FEATURE EXTRACTION under the correctness gate
+    (pipeline/multimodal.py::audio_spectral): a 256-sample mono square
+    wave at DFT bin k ∈ {4,8,16} (chosen by doc_id, amplitude varies
+    too) is synthesized as real WAV bytes JVM-side, then numpy-rFFT'd
+    in Arrow batches. A k-periodic square wave has ALL its energy at
+    odd harmonics with the fundamental dominant, so the oracle states
+    peak_bin = k, harmonic_bin = 3k, and peak_hz = k·8000/256 (exact
+    double) in closed form — any window/sign/order bug in the FFT path
+    flips the row. The audio member of the decode / feature-extract
+    quartet (images carry dHash)."""
+    from squirreling_spark.pipeline.multimodal import audio_spectral
+
+    d = qspread(t(spark, sf, "documents").select("doc_id"))
+    amp = (F.lit(100) + F.col("doc_id") % 1000).cast("bigint")
+    m3 = F.col("doc_id") % 3
+    k = F.when(m3 == 0, 4).when(m3 == 1, 8).otherwise(16)
+    p_half = F.when(m3 == 0, 32).when(m3 == 1, 16).otherwise(8)
+    data_sz = F.lit(512).cast("bigint")  # 256 samples * 2 bytes
+
+    def le_hex(col, nbytes):
+        return F.concat(
+            *[
+                F.lpad(
+                    F.hex((col / (256 ** i)).cast("bigint") % 256), 2, "0"
+                )
+                for i in range(nbytes)
+            ]
+        )
+
+    period_hex = F.concat(
+        F.repeat(le_hex(amp, 2), p_half),
+        F.repeat(le_hex(F.lit(65536) - amp, 2), p_half),
+    )
+    hexstr = F.concat(
+        F.lit("52494646"),                    # 'RIFF'
+        le_hex(data_sz + 36, 4),
+        F.lit("57415645"),                    # 'WAVE'
+        F.lit("666D7420"),                    # 'fmt '
+        le_hex(F.lit(16), 4),
+        le_hex(F.lit(1), 2),                  # PCM
+        le_hex(F.lit(1), 2),                  # mono
+        le_hex(F.lit(8000), 4),
+        le_hex(F.lit(16000), 4),              # byte rate
+        le_hex(F.lit(2), 2),                  # block align
+        le_hex(F.lit(16), 2),                 # bits
+        F.lit("64617461"),                    # 'data'
+        le_hex(data_sz, 4),
+        F.repeat(period_hex, k),
+    )
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.unhex(hexstr).alias("payload"),
+    )
+    return audio_spectral(media)

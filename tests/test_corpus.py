@@ -664,3 +664,26 @@ def test_html_main_content_rules(spark):
     )
     r2 = html_main_content(df2, "html", "doc_id").collect()[0]
     assert r2.clean_text == "kept text stays."
+
+
+def test_epoch_schedule_caps_upweighted_small_source(spark):
+    from squirreling_spark.pipeline.corpus import epoch_schedule
+
+    # big source: 9 docs x 100 tokens; small: 1 doc x 100 tokens.
+    docs = [(i, "w " * 99 + "w", "big") for i in range(9)]
+    docs.append((9, "w " * 99 + "w", "small"))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, source string")
+    rows = {
+        r.source: r
+        for r in epoch_schedule(df, "text", "source").collect()
+    }
+    big, small = rows["big"], rows["small"]
+    assert big.tokens == 900 and small.tokens == 100
+    # sqrt weights: 30 vs 10 -> w_ppm 750000 / 250000
+    assert big.w_ppm == 750_000 and small.w_ppm == 250_000
+    # small gets 250k ppm of 1000 tokens = 250 tokens = 2.5 epochs -> cap
+    assert small.capped and small.epochs_ppm == 1_000_000
+    assert small.final_tokens == 100
+    # big: 750 tokens over 900 = 5/6 epoch, uncapped
+    assert not big.capped and big.epochs_ppm == 833_333
+    assert big.final_tokens == 750

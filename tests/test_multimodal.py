@@ -1809,3 +1809,37 @@ def test_dhash_near_dup_collapse_default(spark):
         ).collect()
     }
     assert ("a", "b") in legacy and ("a", "c") in legacy
+
+
+def test_audio_spectral_square_wave_and_nulls(spark):
+    import struct
+
+    from squirreling_spark.pipeline.multimodal import audio_spectral
+
+    def wav(samples, channels=1, rate=8000):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                    rate * 2 * channels, 2 * channels, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    # 64-sample square wave, 8 periods -> bin 8 fundamental, bin 24 next
+    sq = ([500] * 4 + [-500] * 4) * 8
+    rows = {
+        r.media_id: r
+        for r in audio_spectral(
+            spark.createDataFrame(
+                [("sq", wav(sq)), ("bad", b"notawav"),
+                 ("stereo", wav([1, 2] * 8, channels=2))],
+                "media_id string, payload binary",
+            )
+        ).collect()
+    }
+    r = rows["sq"]
+    assert r.n_samples == 64 and r.sample_rate == 8000
+    assert r.peak_bin == 8 and r.harmonic_bin == 24
+    assert r.peak_hz == 8 * 8000 / 64
+    assert rows["bad"].peak_bin is None       # undecodable -> NULLs
+    assert rows["stereo"].peak_bin is None    # mono-only contract

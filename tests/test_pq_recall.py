@@ -129,3 +129,30 @@ def test_ivfpq_codes_carry_cell_and_stay_small(spark):
     )
     mx = codes.agg(F.max("code"), F.max("sub")).collect()[0]
     assert mx[1] == 3  # m=4 subspaces
+
+
+def test_int8_quantize_exact_codes(spark):
+    from squirreling_spark.pipeline.pq import int8_quantize
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.5, 0.5, -0.5, -0.5])],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {
+        r.vec_id: r
+        for r in int8_quantize(df, "embedding", "vec_id").collect()
+    }
+    import hashlib
+
+    # vec 1: amax=1.0, scale=1/127; codes floor(x*127+0.5) = 127,-63,32,0
+    # (floor(-63.5)=-64? -0.5*127=-63.5, +0.5 -> -63.0, floor = -63)
+    r1 = rows[1]
+    assert r1.scale == 1.0 / 127
+    expect = "/".join(str(c) for c in [127, -63, 32, 0])
+    assert r1.fp_codes == hashlib.md5(expect.encode()).hexdigest()
+    assert r1.n_clipped == 0 and r1.n_dims == 4
+    # vec 2: all |x| equal -> every code exactly ±127, zero error
+    r2 = rows[2]
+    expect2 = "/".join(str(c) for c in [127, 127, -127, -127])
+    assert r2.fp_codes == hashlib.md5(expect2.encode()).hexdigest()
+    assert r2.l2_err == 0.0
