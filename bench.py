@@ -125,6 +125,10 @@ HEADLINE = [
     "wordpiece_train_merges",
     "rrf_fusion",
     "html_extract",
+    "events_sliding_window",
+    "embedding_int8_quant",
+    "mix_epoch_schedule",
+    "audio_spectral_peak",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -339,6 +339,12 @@ _EVENTS_CK = {
     "sessions_overlap": (
         "user_a * 31 + seq_a * 7 + user_b * 13 + seq_b + overlap_us % 1000000"
     ),
+    # round 8: sliding 1h/30min windows (every event in exactly two)
+    "events_sliding_window": (
+        "n_events + CAST(floor(total_value) AS BIGINT)"
+        " + CAST(date_part('hour', window_start) AS BIGINT) * 3"
+        " + CAST(date_part('minute', window_start) AS BIGINT)"
+    ),
 }
 
 
@@ -350,10 +356,11 @@ _EVENTS_CK = {
 )
 def events_digest(spark, sf):
     """Gap-based sessionization (30-min inactivity, per-user running session
-    counter) + hourly tumbling rollup with decimal-exact value sums + binned
+    counter) + hourly tumbling rollup with decimal-exact value sums +
+    sliding 1h/30min windows (every event in exactly two) + binned
     point-in-interval range join (operators/range_join.py) — each variant's
     full result checksummed (streaming/windows.py holds the Structured
-    Streaming forms of the first two; these are the batch twins)."""
+    Streaming forms; these are the batch twins)."""
     return _union_all(
         [
             _digest_branch(inventory.QUERIES[tag](spark, sf), tag, ck)
@@ -406,6 +413,13 @@ _KNN_CK = {
     "knn_pq_adc": (_SIM_CK, _SIM_CK),
     # IVF-PQ: coarse inverted lists + PQ-coded residuals (round 4)
     "knn_ivfpq": (_SIM_CK, _SIM_CK),
+    # round 8: symmetric int8 scalar quantization (SQ8 tier below PQ)
+    "embedding_int8_quant": (
+        "vec_id * 7 + n_dims + n_clipped * 13"
+        " + ascii(substring(fp_codes, 1, 1)) * 3"
+        " + CAST(floor(scale * 1000000000) AS BIGINT)"
+        " + CAST(floor(l2_err * 1000000000) AS BIGINT)",
+    ) * 2,
 }
 
 
@@ -479,10 +493,11 @@ def knn_digest(spark, sf):
     """ANN + clustering, all four paths: exact cosine top-5 (two-stage
     top-k, no skewed window), IVF cells + nprobe=2 (min_by cell
     assignment, no cross-product window), the LSH-banded kNN self-join
-    (every vector's neighbors without an O(n^2) product), and two Lloyd
+    (every vector's neighbors without an O(n^2) product), two Lloyd
     k-means rounds (broadcast-centroid max_by assignment, decimal-exact
-    means) — full result of each checksummed
-    (pipeline/similarity.py, pipeline/cluster.py)."""
+    means), and int8 scalar quantization (the SQ8 storage tier) — full
+    result of each checksummed
+    (pipeline/similarity.py, pipeline/cluster.py, pipeline/pq.py)."""
     return _union_all(
         [
             _digest_branch(inventory.QUERIES[tag](spark, sf), tag, sck)
@@ -686,6 +701,13 @@ _ANALYTICS_CK = {
         " + n_samples * 3 + CAST(floor(duration_ms * 1000) AS BIGINT)"
         " + peak * 13 + CAST(floor(rms * 1000) AS BIGINT)"
     ),
+    # round 8: spectral-peak feature extraction (numpy rFFT over the
+    # decoded PCM; square-wave fixture grades peak + 3rd harmonic bins)
+    "audio_spectral_peak": (
+        "CAST(media_id AS BIGINT) * 7 + n_samples + sample_rate"
+        " + peak_bin * 13 + harmonic_bin * 3"
+        " + CAST(floor(peak_hz * 1000) AS BIGINT)"
+    ),
     # WAV/RIFF chunk-walk header parse (audio twin of binary_header_parse)
     "audio_header_parse": (
         "CAST(media_id AS BIGINT) * 3 + n_channels * 5 + sample_rate"
@@ -865,6 +887,12 @@ _MIX_CK = {
         " + CASE WHEN kept THEN 13 ELSE 0 END"
         " + ascii(substring(bucket, 1, 1))"
     ),
+    # round 8: token-budget epoch scheduling (integer-exact recipe table)
+    "mix_epoch_schedule": (
+        "length(source) * 31 + n_docs * 7 + tokens + w_ppm * 3"
+        " + alloc_tokens + epochs_ppm"
+        " + CASE WHEN capped THEN 13 ELSE 0 END + final_tokens"
+    ),
 }
 
 
@@ -879,8 +907,9 @@ def corpus_mix_digest(spark, sf):
     stratified sampling (salted md5 membership, row-local), top-3 TF-IDF
     terms per document (rational idf — no libm ln), bigram-LM and
     boilerplate scoring, the hashed-linear quality gate, count-min-sketch
-    heavy hitters, and the shuffle-shard export layout — each full result
-    checksummed (pipeline/corpus.py, classify.py, sketch.py, export.py)."""
+    heavy hitters, the shuffle-shard export layout, and token-budget
+    epoch scheduling — each full result checksummed (pipeline/corpus.py,
+    classify.py, sketch.py, export.py)."""
     return _union_all(
         [
             _digest_branch(inventory.QUERIES[tag](spark, sf), tag, ck)
