@@ -129,6 +129,7 @@ HEADLINE = [
     "embedding_int8_quant",
     "mix_epoch_schedule",
     "audio_spectral_peak",
+    "markdown_sections",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

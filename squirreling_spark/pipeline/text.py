@@ -623,3 +623,82 @@ def html_main_content(
             "clean_text"
         ),
     )
+
+
+def markdown_sections(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """STRUCTURE-AWARE document sectioning: split markdown-ish text at
+    ATX headings (``#`` … ``######`` + space) into (preamble, section*)
+    rows — the chunk-by-structure pass RAG and long-context pipelines
+    run instead of fixed-token windows (``chunk_documents``), keeping
+    semantic units intact.
+
+    Row-local: heading positions, section boundaries, per-section
+    word/line counts and the body fingerprint are all higher-order
+    functions over one split — zero shuffle, zero Python — followed by
+    a single posexplode. Section rows: (id, sec_idx, level — 0 for the
+    preamble, heading — '' for the preamble, n_lines, n_words,
+    fp_text = md5 of the newline-joined body)."""
+    txt = F.col(text_col)
+    out = df.select(F.col(id_col), F.split(txt, "\n").alias("__ln"))
+    hpos = (
+        "filter(sequence(1, size(__ln)),"
+        " i -> element_at(__ln, i) RLIKE '^#{1,6} ')"
+    )
+    starts = (
+        f"CASE WHEN size({hpos}) > 0 AND element_at({hpos}, 1) = 1"
+        f" THEN {hpos} ELSE concat(array(1), {hpos}) END"
+    )
+    out = out.select(id_col, "__ln", F.expr(starts).alias("__st"))
+    secs = F.expr(
+        """
+        transform(sequence(1, size(__st)), j -> named_struct(
+          'sec_idx', CAST(j - 1 AS BIGINT),
+          'level', CAST(length(regexp_extract(
+                     element_at(__ln, element_at(__st, j)),
+                     '^(#{1,6}) ', 1)) AS BIGINT),
+          'heading', trim(regexp_replace(
+                     element_at(__ln, element_at(__st, j)),
+                     '^#{1,6} ', '')),
+          'is_head', element_at(__ln, element_at(__st, j))
+                       RLIKE '^#{1,6} ',
+          'body', slice(__ln,
+                    element_at(__st, j)
+                      + CASE WHEN element_at(__ln, element_at(__st, j))
+                             RLIKE '^#{1,6} ' THEN 1 ELSE 0 END,
+                    (CASE WHEN j < size(__st)
+                          THEN element_at(__st, j + 1) - 1
+                          ELSE size(__ln) END)
+                    - (element_at(__st, j)
+                       + CASE WHEN element_at(__ln, element_at(__st, j))
+                              RLIKE '^#{1,6} ' THEN 1 ELSE 0 END) + 1)
+        ))
+        """
+    )
+    sec = out.select(
+        id_col, F.explode(secs).alias("s")
+    )
+    body = F.col("s.body")
+    body_txt = F.array_join(body, "\n")
+    return sec.select(
+        id_col,
+        F.col("s.sec_idx").alias("sec_idx"),
+        F.when(F.col("s.is_head"), F.col("s.level"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("level"),
+        F.when(F.col("s.is_head"), F.col("s.heading"))
+        .otherwise(F.lit(""))
+        .alias("heading"),
+        F.size(body).cast("bigint").alias("n_lines"),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.regexp_replace(body_txt, r"\s+", " ")), " "),
+                lambda w: F.length(w) > 0,
+            )
+        )
+        .cast("bigint")
+        .alias("n_words"),
+        F.md5(body_txt).alias("fp_text"),
+    )

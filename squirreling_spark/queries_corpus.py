@@ -1583,3 +1583,108 @@ def mix_epoch_schedule_q(spark, sf):
     from squirreling_spark.pipeline.corpus import epoch_schedule
 
     return epoch_schedule(t(spark, sf, "documents"), "text", "source")
+
+
+@query(
+    "markdown_sections",
+    oracle="""
+    WITH lined AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(
+                 generate_series(0, CAST(ceil(len(t) / 10.0) AS BIGINT) - 1),
+                 k -> CASE WHEN k % 3 = 0 AND k > 0 THEN
+                        repeat('#', CAST(1 + (doc_id + k // 3) % 3 AS INT))
+                        || ' section ' || CAST(k // 3 AS VARCHAR)
+                        || chr(10)
+                        || array_to_string(t[k*10+1:k*10+10], ' ')
+                      ELSE array_to_string(t[k*10+1:k*10+10], ' ') END),
+               chr(10)) AS text
+      FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                            ' ') AS t
+        FROM documents
+      )
+    ),
+    l AS (SELECT doc_id, string_split(text, chr(10)) AS ln FROM lined),
+    st AS (
+      SELECT doc_id, ln,
+             CASE WHEN len(hp) > 0 AND hp[1] = 1 THEN hp
+                  ELSE list_prepend(1, hp) END AS st
+      FROM (
+        SELECT doc_id, ln,
+               list_filter(generate_series(1, len(ln)),
+                           i -> regexp_matches(ln[i], '^#{1,6} ')) AS hp
+        FROM l
+      )
+    ),
+    sec AS (
+      SELECT doc_id, j - 1 AS sec_idx,
+             ln[st[j]] AS head_line,
+             regexp_matches(ln[st[j]], '^#{1,6} ') AS is_head,
+             ln[(st[j] + CASE WHEN regexp_matches(ln[st[j]], '^#{1,6} ')
+                         THEN 1 ELSE 0 END)
+                :(CASE WHEN j < len(st) THEN st[j+1] - 1
+                       ELSE len(ln) END)] AS body
+      FROM st, unnest(generate_series(1, len(st))) AS u(j)
+    )
+    SELECT doc_id, CAST(sec_idx AS BIGINT) AS sec_idx,
+           CAST(CASE WHEN is_head THEN
+                  length(regexp_extract(head_line, '^(#{1,6}) ', 1))
+                ELSE 0 END AS BIGINT) AS level,
+           CASE WHEN is_head THEN
+                  trim(regexp_replace(head_line, '^#{1,6} ', ''))
+                ELSE '' END AS heading,
+           CAST(len(body) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(
+             string_split(trim(regexp_replace(
+               array_to_string(body, chr(10)), '\\s+', ' ', 'g')), ' '),
+             w -> length(w) > 0)) AS BIGINT) AS n_words,
+           md5(array_to_string(body, chr(10))) AS fp_text
+    FROM sec
+    """,
+)
+def markdown_sections_q(spark, sf):
+    """Structure-aware document sectioning (pipeline/text.py::
+    markdown_sections): split at ATX headings into preamble + sections,
+    each with level, heading text, line/word counts and a body
+    fingerprint — the chunk-by-structure pass next to the fixed-window
+    chunker (doc_chunking). The fixture corpus has no markdown, so the
+    query synthesizes it deterministically: 10-token lines with a
+    level-cycling '# section k' heading before every 3rd line (the
+    first 3 lines stay heading-less — a genuine preamble). The oracle
+    replays synthesis AND sectioning; fp_text value-checks every
+    section body."""
+    from squirreling_spark.pipeline.text import markdown_sections
+
+    toks = F.split(
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "
+    )
+    nb = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    did = F.col("doc_id")
+    lined = t(spark, sf, "documents").select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), nb - 1),
+                lambda k: F.when(
+                    (k % 3 == 0) & (k > 0),
+                    F.concat(
+                        F.repeat(
+                            F.lit("#"),
+                            (1 + (did + F.floor(k / 3)) % 3).cast("int"),
+                        ),
+                        F.lit(" section "),
+                        F.floor(k / 3).cast("bigint").cast("string"),
+                        F.lit("\n"),
+                        F.array_join(F.slice(toks, k * 10 + 1, 10), " "),
+                    ),
+                ).otherwise(
+                    F.array_join(F.slice(toks, k * 10 + 1, 10), " ")
+                ),
+            ),
+            "\n",
+        ).alias("md"),
+    )
+    return markdown_sections(lined, "md", "doc_id")

@@ -687,3 +687,32 @@ def test_epoch_schedule_caps_upweighted_small_source(spark):
     # big: 750 tokens over 900 = 5/6 epoch, uncapped
     assert not big.capped and big.epochs_ppm == 833_333
     assert big.final_tokens == 750
+
+
+def test_markdown_sections_structure(spark):
+    from squirreling_spark.pipeline.text import markdown_sections
+
+    md = (
+        "intro line one\nintro line two\n# First Section\nbody a\nbody b\n"
+        "## Sub Section\nbody c\n### Deep\n# Empty Head"
+    )
+    df = spark.createDataFrame(
+        [(1, md), (2, "no headings at all\njust text")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        (r.doc_id, r.sec_idx): r
+        for r in markdown_sections(df, "text", "doc_id").collect()
+    }
+    pre = rows[(1, 0)]  # preamble: level 0, no heading, 2 lines
+    assert pre.level == 0 and pre.heading == "" and pre.n_lines == 2
+    s1 = rows[(1, 1)]
+    assert s1.level == 1 and s1.heading == "First Section"
+    assert s1.n_lines == 2 and s1.n_words == 4
+    assert rows[(1, 2)].level == 2 and rows[(1, 2)].heading == "Sub Section"
+    deep = rows[(1, 3)]  # heading with empty body
+    assert deep.level == 3 and deep.n_lines == 0 and deep.n_words == 0
+    assert rows[(1, 4)].heading == "Empty Head"
+    # headingless doc = one preamble section
+    assert len([k for k in rows if k[0] == 2]) == 1
+    assert rows[(2, 0)].level == 0 and rows[(2, 0)].n_words == 6
