@@ -130,6 +130,8 @@ HEADLINE = [
     "mix_epoch_schedule",
     "audio_spectral_peak",
     "markdown_sections",
+    "events_sliding_stream",
+    "lsh_recall_curve",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -1075,3 +1075,95 @@ def decontaminate_neardup(
         top.getField("j").alias("max_jaccard"),
         (-top.getField("nb")).cast("bigint").alias("top_bench_id"),
     )
+
+
+def lsh_recall_curve(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sample_mod: int = 5,
+    id_offset: int = 1_000_000,
+    levels: tuple[int, ...] = (0, 3, 8, 16),
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MEASURED LSH recall curve — "measure, don't guess" for the
+    banding parameters every near-dup pass depends on: plant one
+    controlled variant per sampled document (the last ``m`` tokens
+    replaced by per-document salt tokens, ``m`` cycling through
+    ``levels`` — m=0 is an exact duplicate, larger m walks down the
+    Jaccard axis across the (1/bands)^(1/rows) s-curve threshold), run
+    the production ``minhash_lsh_candidates`` over base+variants, and
+    report per-level recall of the planted pairs.
+
+    Output: (level, m_replaced, n_planted, n_caught, recall_ppm) —
+    pure integer counts, so the oracle (which replays planting AND the
+    md5 minhash/banding chain) matches bit-for-bit. The harness scales
+    like the LSH pass itself: planting is row-local, truth pairs are
+    sample-sized, the verdict join keys on the planted pair ids."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+    )
+    base = df.filter(F.col(id_col) % sample_mod == 0).select(
+        F.col(id_col).alias("__id"), toks.alias("__t")
+    )
+    lvl_idx = (F.col("__id") / sample_mod).cast("bigint") % len(levels)
+    m_expr = F.lit(None).cast("int")
+    for i, m in enumerate(levels):
+        m_expr = F.when(lvl_idx == i, F.lit(m)).otherwise(m_expr)
+    lv = base.select(
+        "__id",
+        "__t",
+        lvl_idx.alias("level"),
+        m_expr.alias("m"),
+    )
+    keep_n = F.greatest(F.size("__t") - F.col("m"), F.lit(3))
+    # sequence(1, 0) in Spark is DESCENDING [1, 0], not empty — guard the
+    # m=0 (exact-duplicate) level explicitly.
+    salts = F.when(
+        F.col("m") > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.col("m")),
+            lambda i: F.concat(
+                F.lit("zz"), F.col("__id").cast("string"), F.lit("x"),
+                i.cast("string"),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    variants = lv.select(
+        (F.col("__id") + id_offset).alias(id_col),
+        F.array_join(
+            F.concat(F.slice("__t", F.lit(1), keep_n), salts), " "
+        ).alias(text_col),
+    )
+    originals = lv.select(
+        F.col("__id").alias(id_col),
+        F.array_join("__t", " ").alias(text_col),
+    )
+    cands = minhash_lsh_candidates(
+        originals.unionByName(variants),
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    truth = lv.select(
+        F.col("__id").alias("id_a"),
+        (F.col("__id") + id_offset).alias("id_b"),
+        "level",
+        "m",
+    )
+    marked = truth.join(
+        cands.withColumn("__hit", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    return marked.groupBy("level").agg(
+        F.max("m").cast("bigint").alias("m_replaced"),
+        F.count(F.lit(1)).cast("bigint").alias("n_planted"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_caught"),
+        F.expr(
+            "CAST(sum(coalesce(__hit, 0)) * 1000000"
+            " div count(1) AS BIGINT)"
+        ).alias("recall_ppm"),
+    )

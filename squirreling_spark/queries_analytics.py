@@ -321,6 +321,76 @@ def events_tumbling_stream(spark, sf):
 
 
 @query(
+    "events_sliding_stream",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(date_trunc('hour', ts)
+               + CASE WHEN EXTRACT(minute FROM ts) >= 30
+                      THEN INTERVAL 30 MINUTE
+                      ELSE INTERVAL 0 MINUTE END
+               - k * INTERVAL 30 MINUTE AS TIMESTAMP) AS window_start,
+             event_type, value
+      FROM events, unnest([0, 1]) AS u(k)
+    )
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           {o_dsum('value')} AS total_value
+    FROM x GROUP BY 1, 2
+    """,
+)
+def events_sliding_stream(spark, sf):
+    """The SLIDING-window aggregation (1h size / 30min hop — every event
+    in two overlapping windows) executed through a REAL Structured
+    Streaming cycle: readStream → watermark → window(ts, size, slide)
+    agg → memory sink. Overlapping-window state is the part tumbling
+    windows don't exercise (each event updates TWO state rows); the
+    oracle is the batch sliding SQL — stream/batch equivalence for the
+    overlap semantics."""
+    ev = t(spark, sf, "events")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"sq_stream_{os.path.basename(sf.rstrip('/'))}"
+    )
+    ev.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(ev.schema).parquet(stage)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    digest = hashlib.md5(("slide" + sf).encode("utf-8")).hexdigest()[:8]
+    sink = f"sq_stream_sink_{digest}"
+    with pinned_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            exc = q.exception()
+            q.stop()
+            raise RuntimeError(
+                f"streaming query did not finish within 300s"
+                f" (exception: {exc})"
+            )
+    return spark.table(sink)
+
+
+@query(
     "events_session_stream",
     oracle="""
     WITH o AS (

@@ -3840,3 +3840,89 @@ def audio_spectral_peak_q(spark, sf):
         F.unhex(hexstr).alias("payload"),
     )
     return audio_spectral(media)
+
+
+@query(
+    "lsh_recall_curve",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS bid,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    lv AS (
+      SELECT bid, t, CAST((bid // 5) % 4 AS BIGINT) AS level,
+             CASE (bid // 5) % 4 WHEN 0 THEN 0 WHEN 1 THEN 3
+                  WHEN 2 THEN 8 ELSE 16 END AS m
+      FROM base
+    ),
+    u AS (
+      SELECT bid AS doc_id, array_to_string(t, ' ') AS text FROM lv
+      UNION ALL
+      SELECT bid + 1000000,
+             array_to_string(list_concat(
+               t[1:greatest(len(t) - m, 3)],
+               list_transform(generate_series(1, m),
+                 i -> 'zz' || CAST(bid AS VARCHAR) || 'x'
+                      || CAST(i AS VARCHAR))), ' ')
+      FROM lv
+    ),
+    sh AS (
+      SELECT doc_id, {_D_SHINGLES} AS shingles FROM u
+    ),
+    ab AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> {{
+               'a': list_sum(list_transform(generate_series(1, 12),
+                      i -> (instr('0123456789abcdef', md5(s)[i]) - 1)::BIGINT
+                           << (4 * (12 - i))))::BIGINT,
+               'b': list_sum(list_transform(generate_series(1, 12),
+                      i -> (instr('0123456789abcdef', md5(s)[i + 12]) - 1)::BIGINT
+                           << (4 * (12 - i))))::BIGINT
+             }}) AS hs
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 31),
+               j -> list_min(list_transform(hs, x -> x.a + j * x.b))) AS sig
+      FROM ab
+    ),
+    bands AS (
+      SELECT doc_id, u.b AS band_idx,
+             array_to_string(sig[u.b * 4 + 1 : u.b * 4 + 4], '|') AS band_key
+      FROM sig, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) u
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+    )
+    SELECT lv.level,
+           CAST(max(lv.m) AS BIGINT) AS m_replaced,
+           CAST(count(*) AS BIGINT) AS n_planted,
+           CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_caught,
+           CAST(CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+             AS recall_ppm
+    FROM lv LEFT JOIN cands c
+      ON c.id_a = lv.bid AND c.id_b = lv.bid + 1000000
+    GROUP BY lv.level
+    """,
+)
+def lsh_recall_curve_q(spark, sf):
+    """Measured LSH recall curve (pipeline/dedup.py::lsh_recall_curve):
+    plant one controlled variant per 5th document — last m ∈ {0,3,8,16}
+    tokens replaced by per-doc salts, walking down the Jaccard axis
+    across the 8×4 banding s-curve threshold (~0.59) — run the
+    production minhash_lsh_candidates over base+variants, and report
+    per-level planted-pair recall as integer counts. The oracle replays
+    planting AND the full md5 minhash/banding chain, so the measured
+    curve itself is value-checked cross-engine — parameter evidence for
+    every near-dup pass in the inventory."""
+    from squirreling_spark.pipeline.dedup import lsh_recall_curve
+
+    return lsh_recall_curve(t(spark, sf, "documents"), "text", "doc_id")

@@ -310,3 +310,28 @@ def test_cosine_block_join_null_and_ragged_vectors(spark):
     rows = cosine_block_join(df, threshold=0.45, block=2).collect()
     ids = {(r["id_a"], r["id_b"]) for r in rows}
     assert ids == {(1, 2)}
+
+
+def test_lsh_recall_curve_monotone(spark):
+    from squirreling_spark.pipeline.dedup import lsh_recall_curve
+
+    # 40 sampled docs (ids 0,5,..,195), 30 distinct-ish tokens each
+    docs = [
+        (i, " ".join(f"w{i}t{j}" for j in range(30)))
+        for i in range(0, 200)
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = {
+        r.level: r for r in lsh_recall_curve(df, "text", "doc_id").collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}
+    assert [rows[l].m_replaced for l in range(4)] == [0, 3, 8, 16]
+    # m=0 plants exact duplicates: recall MUST be 100%
+    assert rows[0].recall_ppm == 1_000_000
+    assert rows[0].n_caught == rows[0].n_planted == 10
+    # recall never increases as more tokens are replaced
+    rec = [rows[l].recall_ppm for l in range(4)]
+    assert all(a >= b for a, b in zip(rec, rec[1:]))
+    # integer contract
+    for r in rows.values():
+        assert r.recall_ppm == r.n_caught * 1_000_000 // r.n_planted
