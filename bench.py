@@ -132,6 +132,7 @@ HEADLINE = [
     "markdown_sections",
     "events_sliding_stream",
     "lsh_recall_curve",
+    "sample_per_group",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

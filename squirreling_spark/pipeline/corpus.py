@@ -1021,3 +1021,47 @@ def epoch_schedule(
             f" AS BIGINT)"
         ).alias("final_tokens"),
     )
+
+
+def sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int = 10,
+    salt: str = "gs",
+) -> DataFrame:
+    """Deterministic k-per-group sampling — the balanced-subset
+    primitive (fixed-size eval slices per source/language, class-
+    balanced fine-tuning sets): rank rows inside each group by a salted
+    md5 of the id (a reproducible pseudo-random order, append-stable:
+    adding documents never reorders existing ranks' keys) and keep the
+    first ``k``.
+
+    Skew-safe two-stage ranking (the ``_topk_per_query`` pattern): a
+    single ``Window.partitionBy(group)`` would funnel each group's full
+    row volume through one task; instead rank locally per (physical
+    partition, group), prune to k, then rank the ≤ partitions·k
+    survivors — both window inputs stay bounded at any group size.
+
+    Output: (id, group, rank) for the kept rows."""
+    from pyspark.sql import Window
+
+    key = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    local = df.select(F.col(id_col), F.col(group_col), key.alias("__k"))
+    local = local.withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__pid", group_col).orderBy(
+        "__k", id_col
+    )
+    pruned = (
+        local.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr", "__pid")
+    )
+    w = Window.partitionBy(group_col).orderBy("__k", id_col)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, group_col, "rank")
+    )

@@ -1688,3 +1688,32 @@ def markdown_sections_q(spark, sf):
         ).alias("md"),
     )
     return markdown_sections(lined, "md", "doc_id")
+
+
+@query(
+    "sample_per_group",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('gs:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rank
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
+def sample_per_group_q(spark, sf):
+    """Deterministic k-per-group sampling (pipeline/corpus.py::
+    sample_per_group): 10 docs per source ranked by salted md5 —
+    the balanced-subset primitive next to rate-based stratified
+    sampling (sample_stratified). Skew-safe: two-stage ranking keeps
+    every window input bounded regardless of group size; the oracle's
+    single global window states the same contract."""
+    from squirreling_spark.pipeline.corpus import sample_per_group
+
+    return sample_per_group(
+        t(spark, sf, "documents"), "doc_id", "source", k=10
+    )

@@ -716,3 +716,38 @@ def test_markdown_sections_structure(spark):
     # headingless doc = one preamble section
     assert len([k for k in rows if k[0] == 2]) == 1
     assert rows[(2, 0)].level == 0 and rows[(2, 0)].n_words == 6
+
+
+def test_sample_per_group_balanced_and_append_stable(spark):
+    from squirreling_spark.pipeline.corpus import sample_per_group
+
+    docs = [(i, f"s{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(docs, "doc_id bigint, source string")
+    out = sample_per_group(df, "doc_id", "source", k=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert all(len(v) == 5 for v in by_src.values())
+    # append-stability: adding NEW docs never evicts differently than
+    # the md5 order dictates — ranks of surviving originals only shift
+    # if a new doc's key sorts ahead of them
+    df2 = spark.createDataFrame(
+        docs + [(1000 + i, f"s{i % 3}") for i in range(6)],
+        "doc_id bigint, source string",
+    )
+    out2 = {
+        (r.source, r.doc_id)
+        for r in sample_per_group(df2, "doc_id", "source", k=5).collect()
+    }
+    kept_before = {(r.source, r.doc_id) for r in out}
+    # every original row that still ranks <= 5 keeps its membership;
+    # overlap must be large (6 new docs can displace at most 6 slots)
+    assert len(kept_before & out2) >= 15 - 6
+    # partition-layout invariance
+    out3 = {
+        (r.source, r.doc_id)
+        for r in sample_per_group(
+            df.repartition(7), "doc_id", "source", k=5
+        ).collect()
+    }
+    assert out3 == kept_before
