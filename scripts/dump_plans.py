@@ -82,6 +82,13 @@ SHOW = [
     ("wordpiece_train_merges", "WordPiece round shape: pair + token counts over the persisted vocab, broadcast count joins, ONE-row quantized-likelihood argmax"),
     ("rrf_fusion", "RRF: corpus work inside the two retrievers; fusion = union of top-k lists, one bounded groupBy, constant-size ranking window"),
     ("html_extract", "HTML extraction: block-removal regex + per-line HOF structs in one codegen projection — no Python, no exchange from the operator"),
+    # round 8, third batch
+    ("embedding_int8_quant", "int8 quantization: codes materialized ONCE in a staged projection; fingerprint/clip/error reuse the column — row-local, no exchange"),
+    ("mix_epoch_schedule", "epoch schedule: one map-combined per-source agg, 1-row broadcast total, decimal(38,0) integer arithmetic downstream"),
+    ("events_sliding_window", "sliding windows: native window(ts, 1h, 30m) expansion + partial/final agg — two state rows per event, no custom explode"),
+    ("markdown_sections", "markdown sectioning: heading positions + boundaries + per-section stats as HOFs over one split, then a single posexplode"),
+    ("lsh_recall_curve", "LSH recall harness: row-local planting, production band join over base+variants, sample-sized truth join"),
+    ("sample_per_group", "k-per-group sampling: local (__pid, group) rank prune before the per-group combine — both windows bounded"),
 ]
 
 
