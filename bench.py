@@ -133,6 +133,7 @@ HEADLINE = [
     "events_sliding_stream",
     "lsh_recall_curve",
     "sample_per_group",
+    "source_drift_tv",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -1065,3 +1065,100 @@ def sample_per_group(
         .filter(F.col("rank") <= k)
         .select(id_col, group_col, "rank")
     )
+
+
+def source_drift_tv(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+) -> DataFrame:
+    """Per-source token-distribution DRIFT vs the global corpus — the
+    mixture-monitoring signal (is one crawl slice drifting away from
+    the blend?): total-variation distance between each source's unigram
+    distribution and the whole corpus's, in ppm.
+
+    INTEGER-EXACT: both distributions quantize to ppm integers
+    (``p_i = c_i·1e6 div C_s``, ``q_i = total_i·1e6 div T``); the
+    off-source mass Σ_{i∉s} q_i — which would otherwise need a
+    vocab×sources cross product — factors EXACTLY as ``Q_all − Σ_{i∈s}
+    q_i`` where ``Q_all = Σ_i q_i`` is one global vocab aggregate. So
+    tv_ppm = (Σ_{i∈s} |p_i−q_i| + Q_all − Σ_{i∈s} q_i) div 2, all in
+    bigint — bit-identical cross-engine, quantization IS the contract.
+
+    Distributed shape: one explode → map-combined (source, token)
+    counts; token totals = one vocab-sized aggregate joined back on
+    token; per-source totals and (T, Q_all) broadcast as tiny
+    aggregates. Nothing larger than the vocabulary ever shuffles.
+
+    Output: (source, n_tokens, vocab_in_source, tv_ppm, top_token —
+    the source's most over/under-represented token by |p−q|, ties
+    token-ascending — top_gap_ppm)."""
+    from pyspark.sql import Window
+
+    from squirreling_spark.pipeline.text import tokens as _toks
+
+    st = (
+        df.select(F.col(source_col), F.explode(_toks(text_col)).alias("tok"))
+        .groupBy(source_col, "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = st.groupBy("tok").agg(F.sum("c").cast("bigint").alias("total"))
+    per_src = st.groupBy(source_col).agg(
+        F.sum("c").cast("bigint").alias("src_total")
+    )
+    g = tot.agg(
+        F.sum("total").cast("bigint").alias("T"),
+    )
+    # q_i needs T first; Q_all = sum of the quantized q_i over the vocab
+    tot_q = tot.crossJoin(F.broadcast(g)).select(
+        "tok",
+        "total",
+        F.expr("CAST(total * 1000000 div T AS BIGINT)").alias("q"),
+    )
+    qa = tot_q.agg(F.sum("q").cast("bigint").alias("Q_all"))
+    j = (
+        st.join(tot_q.select("tok", "q"), "tok")
+        .join(F.broadcast(per_src), source_col)
+        .select(
+            source_col,
+            "tok",
+            "q",
+            F.expr("CAST(c * 1000000 div src_total AS BIGINT)").alias("p"),
+        )
+    )
+    gaps = j.select(
+        source_col,
+        "tok",
+        "q",
+        F.abs(F.col("p") - F.col("q")).alias("gap"),
+    )
+    agg = gaps.groupBy(source_col).agg(
+        F.sum("gap").cast("bigint").alias("__sum_gap"),
+        F.sum("q").cast("bigint").alias("__q_in"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_in_source"),
+    )
+    w = Window.partitionBy(source_col).orderBy(F.desc("gap"), "tok")
+    top = (
+        gaps.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            source_col,
+            F.col("tok").alias("top_token"),
+            F.col("gap").alias("top_gap_ppm"),
+        )
+    )
+    return (
+        agg.join(F.broadcast(per_src), source_col)
+        .crossJoin(F.broadcast(qa))
+        .join(top, source_col)
+        .select(
+            source_col,
+            F.col("src_total").alias("n_tokens"),
+            "vocab_in_source",
+            F.expr(
+                "CAST((__sum_gap + Q_all - __q_in) div 2 AS BIGINT)"
+            ).alias("tv_ppm"),
+            "top_token",
+            "top_gap_ppm",
+        )
+    )

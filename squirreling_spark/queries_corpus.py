@@ -1717,3 +1717,66 @@ def sample_per_group_q(spark, sf):
     return sample_per_group(
         t(spark, sf, "documents"), "doc_id", "source", k=10
     )
+
+
+@query(
+    "source_drift_tv",
+    oracle="""
+    WITH st AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT source,
+               unnest(string_split(trim(regexp_replace(text, '\\s+', ' ',
+                 'g')), ' ')) AS tok
+        FROM documents
+      ) GROUP BY source, tok
+    ),
+    tot AS (SELECT tok, CAST(sum(c) AS BIGINT) AS total FROM st GROUP BY tok),
+    g AS (SELECT CAST(sum(total) AS BIGINT) AS T FROM tot),
+    tot_q AS (
+      SELECT tok, CAST(total * 1000000 // T AS BIGINT) AS q FROM tot, g
+    ),
+    qa AS (SELECT CAST(sum(q) AS BIGINT) AS Q_all FROM tot_q),
+    per_src AS (SELECT source, CAST(sum(c) AS BIGINT) AS C FROM st
+                GROUP BY source),
+    j AS (
+      SELECT st.source, st.tok, tq.q,
+             CAST(st.c * 1000000 // ps.C AS BIGINT) AS p
+      FROM st JOIN tot_q tq USING (tok) JOIN per_src ps USING (source)
+    ),
+    gaps AS (SELECT source, tok, q, abs(p - q) AS gap FROM j),
+    agg AS (
+      SELECT source,
+             CAST(sum(gap) AS BIGINT) AS sum_gap,
+             CAST(sum(q) AS BIGINT) AS q_in,
+             CAST(count(*) AS BIGINT) AS vocab_in_source
+      FROM gaps GROUP BY source
+    ),
+    top AS (
+      SELECT source, tok AS top_token, gap AS top_gap_ppm
+      FROM (
+        SELECT source, tok, gap,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY gap DESC, tok) AS r
+        FROM gaps
+      ) WHERE r = 1
+    )
+    SELECT a.source, ps.C AS n_tokens, a.vocab_in_source,
+           CAST((a.sum_gap + qa.Q_all - a.q_in) // 2 AS BIGINT) AS tv_ppm,
+           t.top_token, t.top_gap_ppm
+    FROM agg a
+    JOIN per_src ps USING (source)
+    CROSS JOIN qa
+    JOIN top t USING (source)
+    """,
+)
+def source_drift_tv_q(spark, sf):
+    """Per-source token-distribution drift vs the global corpus
+    (pipeline/corpus.py::source_drift_tv): ppm-quantized total-variation
+    distance, with the off-source mass factored exactly as Q_all − Σq_in
+    so nothing larger than the vocabulary shuffles. The
+    mixture-monitoring signal next to domain_reweight / temperature_mix;
+    integer arithmetic end to end, bit-identical cross-engine."""
+    from squirreling_spark.pipeline.corpus import source_drift_tv
+
+    return source_drift_tv(t(spark, sf, "documents"), "text", "source")

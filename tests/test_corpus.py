@@ -751,3 +751,28 @@ def test_sample_per_group_balanced_and_append_stable(spark):
         ).collect()
     }
     assert out3 == kept_before
+
+
+def test_source_drift_tv_detects_divergent_source(spark):
+    from squirreling_spark.pipeline.corpus import source_drift_tv
+
+    # two sources sharing one token distribution, one wildly different
+    docs = (
+        [(i, "alpha beta gamma delta", "a") for i in range(10)]
+        + [(10 + i, "alpha beta gamma delta", "b") for i in range(10)]
+        + [(20 + i, "zzz zzz zzz zzz", "weird") for i in range(5)]
+    )
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, source string")
+    rows = {
+        r.source: r
+        for r in source_drift_tv(df, "text", "source").collect()
+    }
+    # the divergent source is far more drifted than the matched pair
+    assert rows["weird"].tv_ppm > rows["a"].tv_ppm
+    assert rows["weird"].tv_ppm > rows["b"].tv_ppm
+    assert rows["a"].tv_ppm == rows["b"].tv_ppm  # identical dists
+    assert rows["weird"].top_token == "zzz"
+    assert rows["weird"].vocab_in_source == 1
+    assert rows["a"].n_tokens == 40
+    # TV is bounded by 1.0 (1e6 ppm, up to quantization slack)
+    assert all(0 <= r.tv_ppm <= 1_000_001 for r in rows.values())
