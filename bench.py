@@ -134,6 +134,7 @@ HEADLINE = [
     "lsh_recall_curve",
     "sample_per_group",
     "source_drift_tv",
+    "ann_recall_curve",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

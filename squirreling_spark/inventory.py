@@ -100,7 +100,14 @@ GRADE_ORDER: list[str] = [
     # GPT-style training-sequence packing (two-level cumsum placement
     # map, integer-exact vs the oracle's one-window cumsum).
     "pack_sequences",
-    "math_funcs",
+    # round-8 window swap: math_funcs out — the math scalar surface is
+    # enforced by the 100%-green math conformance file plus trig 100%
+    # and wishlist_digest's arithmetic branches; standalone stays
+    # registered after the window (parity gate + sf0.1 sweep). Freed
+    # slot hosts WordPiece tokenizer training (8 quantized-likelihood
+    # argmax rounds, the full iterative trajectory value-checked —
+    # the BERT-family trainer next to bpe_train_merges).
+    "wordpiece_train_merges",
     # round-7 window swap: date_funcs out — the date/time surface is
     # enforced by the 100%-green datetime conformance file (55 cases) +
     # interval 15/15 + wishlist_digest's datetime_wishlist branch;

@@ -3926,3 +3926,115 @@ def lsh_recall_curve_q(spark, sf):
     from squirreling_spark.pipeline.dedup import lsh_recall_curve
 
     return lsh_recall_curve(t(spark, sf, "documents"), "text", "doc_id")
+
+
+def _ann_recall_branch(np_: int) -> str:
+    return f"""
+      SELECT CAST({np_} AS BIGINT) AS nprobe,
+             CAST(25 AS BIGINT) AS n_queries,
+             CAST(count(*) AS BIGINT) AS n_hits,
+             CAST(count(*) * 1000000 // 125 AS BIGINT) AS recall_ppm
+      FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, vec_id) AS rank
+        FROM (
+          SELECT p.q_id, a.vec_id, {_D_COS_QA} AS sim
+          FROM probes p
+          JOIN ass ON ass.cell = p.cell
+          JOIN e a ON a.vec_id = ass.vec_id
+          JOIN q ON q.q_id = p.q_id
+          WHERE a.vec_id != p.q_id AND p.rn <= {np_}
+        )
+      ) iv JOIN bf USING (q_id, vec_id)
+      WHERE iv.rank <= 5"""
+
+
+@query(
+    "ann_recall_curve",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id AS cent_id, emb AS cent FROM e WHERE vec_id % 50 = 0
+    ),
+    ass AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_D_COS_EC} DESC, c.cent_id) AS rn
+        FROM e, c) x WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS q_id, emb FROM e WHERE vec_id < 25
+    ),
+    probes AS (
+      SELECT q_id, cell, rn FROM (
+        SELECT q.q_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {_D_COS_QC} DESC,
+                                           c.cent_id) AS rn
+        FROM q, c) x WHERE rn <= 4
+    ),
+    bf AS (
+      SELECT q_id, vec_id FROM (
+        SELECT s.q_id, s.vec_id,
+               row_number() OVER (PARTITION BY s.q_id
+                                  ORDER BY s.sim DESC, s.vec_id) AS rank
+        FROM (
+          SELECT q.q_id, a.vec_id, {_D_COS_QA} AS sim
+          FROM e a, q WHERE a.vec_id != q.q_id
+        ) s
+      ) WHERE rank <= 5
+    )
+    {_ann_recall_branch(1)}
+    UNION ALL
+    {_ann_recall_branch(2)}
+    UNION ALL
+    {_ann_recall_branch(4)}
+    """,
+)
+def ann_recall_curve_q(spark, sf):
+    """Measured ANN recall curve — the IVF twin of lsh_recall_curve:
+    recall@5 of the production `ivf_topk` against exact brute-force for
+    25 queries at nprobe ∈ {1, 2, 4} (the accuracy/cost dial every IVF
+    deployment tunes). Both rankings are deterministic (cosine rounded
+    to 1e-6, id tie-breaks), so the measured curve itself is
+    value-checked cross-engine; recall must be monotone in nprobe by
+    construction (probed cells are supersets). Integer counts only."""
+    from squirreling_spark.pipeline.similarity import (
+        assign_cells,
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    e = t(spark, sf, "embeddings")
+    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_vec"),
+    )
+    corpus_cells = assign_cells(e, centroids)
+    queries = e.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    bf = cosine_topk_bruteforce(queries, e, k=5).select("q_id", "vec_id")
+    out = None
+    for np_ in (1, 2, 4):
+        iv = ivf_topk(
+            queries, corpus_cells, centroids, k=5, nprobe=np_
+        ).select("q_id", "vec_id")
+        row = (
+            iv.join(bf, ["q_id", "vec_id"])
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+            .select(
+                F.lit(np_).cast("bigint").alias("nprobe"),
+                F.lit(25).cast("bigint").alias("n_queries"),
+                "n_hits",
+                F.expr(
+                    "CAST(n_hits * 1000000 div 125 AS BIGINT)"
+                ).alias("recall_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -55,3 +55,19 @@ def test_lsh_self_join_finds_true_neighbors(spark):
     assert len(qs) >= 5  # LSH must at least produce candidates for most
     recall = _recall(exact, lsh, qs)
     assert recall >= 0.3, f"LSH kNN recall collapsed: {recall:.2f}"
+
+
+def test_ann_recall_curve_monotone_in_nprobe(spark, sf001):
+    from squirreling_spark import inventory
+
+    inventory.load_all()
+    rows = {
+        r.nprobe: r
+        for r in inventory.QUERIES["ann_recall_curve"](spark, sf001).collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    # probed cells are supersets -> recall is monotone non-decreasing
+    assert rows[1].n_hits <= rows[2].n_hits <= rows[4].n_hits
+    for r in rows.values():
+        assert r.recall_ppm == r.n_hits * 1_000_000 // 125
+        assert 0 <= r.n_hits <= 125
