@@ -135,6 +135,7 @@ HEADLINE = [
     "sample_per_group",
     "source_drift_tv",
     "ann_recall_curve",
+    "robots_filter",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -1780,3 +1780,148 @@ def source_drift_tv_q(spark, sf):
     from squirreling_spark.pipeline.corpus import source_drift_tv
 
     return source_drift_tv(t(spark, sf, "documents"), "text", "source")
+
+
+_ROBOTS_PATH = """CASE doc_id % 5
+      WHEN 0 THEN '/public/img/pic' WHEN 1 THEN '/public/page'
+      WHEN 2 THEN '/tmp/cache' WHEN 3 THEN '/docs/readme'
+      ELSE '/' END"""
+
+_ROBOTS_TXT = """CASE h % 3
+      WHEN 0 THEN 'User-agent: googlebot' || chr(10) ||
+        'Disallow: /private' || chr(10) || chr(10) ||
+        'User-agent: *' || chr(10) || 'Allow: /public/img' || chr(10) ||
+        'Disallow: /public' || chr(10) || 'Disallow: /tmp' || chr(10) ||
+        '# note' || chr(10) || 'User-agent: other' || chr(10) ||
+        'Disallow: /'
+      WHEN 1 THEN 'User-agent: googlebot' || chr(10) || 'Disallow: /'
+      ELSE 'User-agent: bingbot' || chr(10) || 'User-agent: *' ||
+        chr(10) || 'Disallow: /docs' || chr(10) || 'Allow: /docs/readme'
+      END"""
+
+
+@query(
+    "robots_filter",
+    oracle=f"""
+    WITH hosts AS (SELECT DISTINCT doc_id % 7 AS h FROM documents),
+    rob AS (
+      SELECT 'site' || CAST(h AS VARCHAR) || '.com' AS host,
+             {_ROBOTS_TXT} AS robots_txt
+      FROM hosts
+    ),
+    lines AS (
+      SELECT host, i AS p, ln[i] AS raw
+      FROM (
+        SELECT host, ln, unnest(generate_series(1, len(ln))) AS i
+        FROM (SELECT host, string_split(robots_txt, chr(10)) AS ln
+              FROM rob)
+      )
+    ),
+    m AS (
+      SELECT host, p,
+             lower(trim(string_split(raw, '#')[1])) AS l,
+             trim(regexp_extract(string_split(raw, '#')[1],
+                                 '^[^:]*:(.*)$', 1)) AS val
+      FROM lines
+    ),
+    g0 AS (
+      SELECT *, starts_with(l, 'user-agent:') AS is_ua FROM m
+    ),
+    g1 AS (
+      SELECT *, is_ua AND NOT coalesce(
+               lag(is_ua) OVER (PARTITION BY host ORDER BY p), false)
+             AS new_group
+      FROM g0
+    ),
+    g2 AS (
+      SELECT *, sum(CASE WHEN new_group THEN 1 ELSE 0 END)
+               OVER (PARTITION BY host ORDER BY p
+                     ROWS UNBOUNDED PRECEDING) AS grp
+      FROM g1
+    ),
+    ap AS (
+      SELECT host, grp,
+             max(CASE WHEN is_ua AND lower(val) = '*' THEN 1 ELSE 0 END)
+               = 1 AS applies
+      FROM g2 GROUP BY host, grp
+    ),
+    rl AS (
+      SELECT g2.host,
+             {{'prefix': val, 'allow': starts_with(l, 'allow:'),
+               'plen': CAST(length(val) AS INT)}} AS r
+      FROM g2 JOIN ap USING (host, grp)
+      WHERE ap.applies
+        AND (starts_with(l, 'allow:') OR starts_with(l, 'disallow:'))
+        AND val != ''
+    ),
+    ra AS (SELECT host, list(r) AS rules FROM rl GROUP BY host),
+    u AS (
+      SELECT doc_id,
+             'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+               || {_ROBOTS_PATH} AS url,
+             'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+             {_ROBOTS_PATH} AS path
+      FROM documents
+    ),
+    jn AS (
+      SELECT u.*, coalesce(ra.rules,
+               CAST([] AS STRUCT(prefix VARCHAR, allow BOOLEAN,
+                                 plen INTEGER)[])) AS rules
+      FROM u LEFT JOIN ra USING (host)
+    ),
+    v AS (
+      SELECT doc_id, url, host, path,
+             CAST(len(rules) AS BIGINT) AS n_rules,
+             list_sort(list_transform(
+               list_filter(rules, r -> starts_with(path, r.prefix)),
+               r -> {{'o1': -r.plen,
+                      'o2': CASE WHEN r.allow THEN 0 ELSE 1 END,
+                      'prefix': r.prefix, 'allow': r.allow}})) AS ord
+      FROM jn
+    )
+    SELECT doc_id, url, host, path, n_rules,
+           coalesce(ord[1].prefix, '') AS matched_prefix,
+           (len(ord) = 0 OR ord[1].allow) AS allowed
+    FROM v
+    """,
+)
+def robots_filter_q(spark, sf):
+    """Robots-exclusion politeness gate (pipeline/web.py::robots_rules +
+    robots_filter): REP/Google semantics — the ``*`` user-agent group
+    (consecutive UA lines share a group), comment stripping, longest
+    matching prefix wins, Allow wins length ties, no rule / no ``*``
+    group defaults to allowed. The fixture synthesizes 7 hosts with 3
+    robots variants (multi-group with overrides, no-``*``-group,
+    consecutive-UA) and 5 path shapes that exercise every verdict; the
+    oracle replays parsing (lag/running-sum group windows) AND the
+    longest-match evaluation, so the policy engine itself is
+    value-checked cross-engine."""
+    from squirreling_spark.pipeline.web import robots_filter
+
+    did = F.col("doc_id")
+    h = F.concat(F.lit("site"), (did % 7).cast("string"), F.lit(".com"))
+    path = (
+        F.when(did % 5 == 0, "/public/img/pic")
+        .when(did % 5 == 1, "/public/page")
+        .when(did % 5 == 2, "/tmp/cache")
+        .when(did % 5 == 3, "/docs/readme")
+        .otherwise("/")
+    )
+    urls = t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://"), h, path).alias("url"),
+    )
+    hosts = (
+        t(spark, sf, "documents")
+        .select((did % 7).alias("h"))
+        .distinct()
+    )
+    robots = hosts.select(
+        F.concat(
+            F.lit("site"), F.col("h").cast("string"), F.lit(".com")
+        ).alias("host"),
+        F.expr(_ROBOTS_TXT.replace("chr(10)", "'\\n'")).alias(
+            "robots_txt"
+        ),
+    )
+    return robots_filter(urls, robots, "url", "doc_id")

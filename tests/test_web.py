@@ -85,3 +85,57 @@ def test_plan_single_shuffle(spark):
     )
     assert plan.count("Exchange") <= 2  # keeper agg + its broadcast/join
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_robots_filter_rep_semantics(spark):
+    from squirreling_spark.pipeline.web import robots_filter
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com",
+             "User-agent: googlebot\nDisallow: /private\n\n"
+             "User-agent: *\nAllow: /public/img\nDisallow: /public\n"
+             "Disallow: /tmp\n# note\nUser-agent: other\nDisallow: /"),
+            ("b.com", "User-agent: googlebot\nDisallow: /"),
+            ("c.com",
+             "User-agent: bingbot\nUser-agent: *\nDisallow: /docs\n"
+             "Allow: /docs/readme"),
+            ("d.com", "User-agent: *\nAllow: /x\nDisallow: /x"),
+        ],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.com/public/img/pic"),
+            (2, "https://a.com/public/page"),
+            (3, "https://a.com/tmp/cache"),
+            (4, "https://a.com/ok"),
+            (5, "https://b.com/anything"),
+            (6, "https://c.com/docs/readme"),
+            (7, "https://c.com/docs/secret"),
+            (8, "https://d.com/x/tie"),
+            (9, "https://nofile.com/y"),
+            (10, "https://a.com/private"),
+        ],
+        "doc_id bigint, url string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in robots_filter(urls, robots, "url", "doc_id").collect()
+    }
+    # longest match: Allow /public/img beats Disallow /public
+    assert rows[1].allowed and rows[1].matched_prefix == "/public/img"
+    assert not rows[2].allowed and rows[2].matched_prefix == "/public"
+    assert not rows[3].allowed
+    assert rows[4].allowed and rows[4].matched_prefix == ""
+    # no '*' group -> default allow, zero rules
+    assert rows[5].allowed and rows[5].n_rules == 0
+    # consecutive UA lines form one group; Allow override via length
+    assert rows[6].allowed and rows[6].matched_prefix == "/docs/readme"
+    assert not rows[7].allowed
+    # exact length tie -> Allow wins
+    assert rows[8].allowed and rows[8].matched_prefix == "/x"
+    # host without a robots file -> allowed
+    assert rows[9].allowed and rows[9].n_rules == 0
+    # googlebot-group rules never apply to '*' evaluation
+    assert rows[10].allowed
