@@ -89,6 +89,9 @@ SHOW = [
     ("markdown_sections", "markdown sectioning: heading positions + boundaries + per-section stats as HOFs over one split, then a single posexplode"),
     ("lsh_recall_curve", "LSH recall harness: row-local planting, production band join over base+variants, sample-sized truth join"),
     ("sample_per_group", "k-per-group sampling: local (__pid, group) rank prune before the per-group combine — both windows bounded"),
+    ("source_drift_tv", "TV drift: vocab-sized token aggregates, broadcast totals, off-source mass factored — nothing above vocab size shuffles"),
+    ("ann_recall_curve", "IVF recall harness: shared brute-force baseline, per-nprobe probe joins, bounded verdict aggregates"),
+    ("robots_filter", "robots gate: per-host group windows on the tiny robots side, broadcast rule arrays, row-local longest-match verdict"),
 ]
 
 
