@@ -136,6 +136,7 @@ HEADLINE = [
     "source_drift_tv",
     "ann_recall_curve",
     "robots_filter",
+    "source_orc_roundtrip",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

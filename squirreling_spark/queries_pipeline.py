@@ -4038,3 +4038,49 @@ def ann_recall_curve_q(spark, sf):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {o_dsum('o_totalprice')} AS total_price,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           CAST(min(o_orderdate) AS VARCHAR) AS first_date
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def source_orc_roundtrip_q(spark, sf):
+    """ORC source/sink fidelity — the third columnar/warehouse format
+    next to parquet and CSV/JSONL (SURVEY §1.4 mandates multi-format
+    serving): orders written as ORC (timestamp serialized explicitly,
+    same TIMESTAMP_NTZ caution as the CSV row) and read back, then
+    aggregated decimal-exactly per status. Equality with the
+    parquet-based oracle proves the encode/decode round-trip is
+    lossless through a completely different columnar writer/reader
+    stack (ORC stripes + RLE vs parquet pages)."""
+    path = _roundtrip_dir(spark, "orc", sf)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    orders = t(spark, sf, "orders")
+    (
+        orders.withColumn("o_orderdate", F.date_format("o_orderdate", fmt))
+        .write.mode("overwrite")
+        .orc(path)
+    )
+    back = spark.read.orc(path).withColumn(
+        "o_orderdate", F.to_timestamp("o_orderdate", fmt)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+            F.date_format(
+                F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("first_date"),
+        )
+    )

@@ -139,3 +139,47 @@ def test_robots_filter_rep_semantics(spark):
     assert rows[9].allowed and rows[9].n_rules == 0
     # googlebot-group rules never apply to '*' evaluation
     assert rows[10].allowed
+
+
+def test_robots_fuzz_vs_python_reference(spark):
+    """Seeded-random rule sets / paths, every verdict compared against
+    an independent longest-match reference implementation."""
+    import random
+
+    from squirreling_spark.pipeline.web import robots_filter
+
+    rng = random.Random(82)
+    prefixes = ["/", "/a", "/a/b", "/ab", "/b", "/a/b/c", "/abc", "/b/x"]
+    paths = ["/a/b/c", "/ab", "/abc/d", "/b/x", "/c", "/", "/a/bz"]
+    robots_rows, url_rows, expected = [], [], {}
+
+    def ref(path, rules):
+        m = [(len(p), allow, p) for allow, p in rules if path.startswith(p)]
+        if not m:
+            return True, ""
+        m.sort(key=lambda t: (-t[0], not t[1], t[2]))
+        return m[0][1], m[0][2]
+
+    uid = 0
+    for h in range(30):
+        host = f"h{h}.com"
+        rules = [
+            (rng.random() < 0.5, rng.choice(prefixes))
+            for _ in range(rng.randint(0, 6))
+        ]
+        body = "User-agent: *\n" + "\n".join(
+            ("Allow: " if a else "Disallow: ") + p for a, p in rules
+        )
+        robots_rows.append((host, body))
+        for path in rng.sample(paths, 3):
+            uid += 1
+            url_rows.append((uid, f"https://{host}{path}"))
+            expected[uid] = ref(path, rules)
+    robots = spark.createDataFrame(robots_rows, "host string, robots_txt string")
+    urls = spark.createDataFrame(url_rows, "doc_id bigint, url string")
+    out = robots_filter(urls, robots, "url", "doc_id").collect()
+    assert len(out) == len(expected)
+    for r in out:
+        want_allowed, want_prefix = expected[r.doc_id]
+        assert r.allowed == want_allowed, (r.url, r.asDict())
+        assert r.matched_prefix == want_prefix, (r.url, r.asDict())
