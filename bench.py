@@ -137,6 +137,7 @@ HEADLINE = [
     "ann_recall_curve",
     "robots_filter",
     "source_orc_roundtrip",
+    "events_resample_locf",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -4084,3 +4084,56 @@ def source_orc_roundtrip_q(spark, sf):
             ).alias("first_date"),
         )
     )
+
+
+@query(
+    "events_resample_locf",
+    oracle=f"""
+    WITH span AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+               AS TIMESTAMP) AS hour
+      FROM span
+    ),
+    obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n_events,
+             {o_dsum('value')} AS total_value,
+             max(CASE WHEN rn = 1 THEN value END) AS last_val
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id, date_trunc('hour', ts)
+          ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.hour,
+           coalesce(o.n_events, 0) AS n_events,
+           coalesce(o.total_value, 0.0) AS total_value,
+           last_value(o.last_val IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour
+             ROWS UNBOUNDED PRECEDING) AS locf_value,
+           o.n_events IS NULL AS filled
+    FROM grid g
+    LEFT JOIN obs o ON o.user_id = g.user_id AND o.hour = g.hour
+    """,
+)
+def events_resample_locf_q(spark, sf):
+    """Time-series resampling with gap fill + LOCF
+    (operators/resample.py::resample_locf): each user's irregular event
+    stream lands on a dense hourly grid — observed hours carry exact
+    counts/decimal sums and the last observation (deterministic
+    (ts, event_id) tie-break), missing hours fill with zeros and the
+    carried-forward value. The oracle replays grid generation, the
+    last-observation window, and the IGNORE NULLS running fill. One
+    key shuffle; window inputs bounded by each key's grid span."""
+    from squirreling_spark.operators.resample import resample_locf
+
+    return resample_locf(
+        t(spark, sf, "events"), "user_id", "ts", "value", "event_id"
+    )

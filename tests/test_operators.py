@@ -335,3 +335,29 @@ def test_lsh_recall_curve_monotone(spark):
     # integer contract
     for r in rows.values():
         assert r.recall_ppm == r.n_caught * 1_000_000 // r.n_planted
+
+
+def test_resample_locf_fills_gaps(spark):
+    from squirreling_spark.operators.resample import resample_locf
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:15:00", 7, 5.0),
+            (2, "2024-01-01 10:45:00", 7, 9.0),   # same hour, later ts
+            (3, "2024-01-01 13:20:00", 7, 2.0),   # 2-hour gap before
+            (4, "2024-01-01 11:00:00", 8, 1.0),   # other user
+        ],
+        "event_id bigint, ts string, user_id bigint, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = {
+        (r.user_id, str(r.hour)): r
+        for r in resample_locf(ev, "user_id", "ts", "value", "event_id").collect()
+    }
+    u7 = [rows[(7, f"2024-01-01 {h}:00:00")] for h in ("10", "11", "12", "13")]
+    assert [r.n_events for r in u7] == [2, 0, 0, 1]
+    assert u7[0].total_value == 14.0 and u7[0].locf_value == 9.0  # LAST obs
+    assert not u7[0].filled and u7[1].filled and u7[2].filled
+    assert u7[1].locf_value == 9.0 and u7[2].locf_value == 9.0    # carried
+    assert u7[3].locf_value == 2.0 and u7[3].total_value == 2.0
+    # user 8: single-hour grid, no fills
+    assert len([k for k in rows if k[0] == 8]) == 1
