@@ -138,6 +138,7 @@ HEADLINE = [
     "robots_filter",
     "source_orc_roundtrip",
     "events_resample_locf",
+    "events_winsorize",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -4137,3 +4137,42 @@ def events_resample_locf_q(spark, sf):
     return resample_locf(
         t(spark, sf, "events"), "user_id", "ts", "value", "event_id"
     )
+
+
+@query(
+    "events_winsorize",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT event_type,
+             floor(quantile_cont(value, 0.01) * 1000000000 + 0.5)
+               / 1000000000 AS lo,
+             floor(quantile_cont(value, 0.99) * 1000000000 + 0.5)
+               / 1000000000 AS hi
+      FROM events GROUP BY event_type
+    ),
+    c AS (
+      SELECT e.event_type, e.value, cuts.lo, cuts.hi,
+             greatest(cuts.lo, least(cuts.hi, e.value)) AS capped
+      FROM events e JOIN cuts USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped_lo,
+           CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped_hi,
+           min(lo) AS lo, min(hi) AS hi,
+           {o_dsum('capped')} AS total_capped
+    FROM c GROUP BY event_type
+    """,
+)
+def events_winsorize_q(spark, sf):
+    """Per-event-type percentile winsorization
+    (operators/resample.py::winsorize): values clamp to the type's
+    det-rounded [p01, p99] band; capped counts and the decimal-exact
+    clamped sum are the contract. Exercises exact interpolated
+    percentiles cross-engine (Spark percentile ≡ DuckDB quantile_cont,
+    the lm_bucket_sample contract) on a second column/shape."""
+    from squirreling_spark.operators.resample import winsorize
+
+    return winsorize(t(spark, sf, "events"), "event_type", "value")

@@ -361,3 +361,20 @@ def test_resample_locf_fills_gaps(spark):
     assert u7[3].locf_value == 2.0 and u7[3].total_value == 2.0
     # user 8: single-hour grid, no fills
     assert len([k for k in rows if k[0] == 8]) == 1
+
+
+def test_winsorize_caps_tails(spark):
+    from squirreling_spark.operators.resample import winsorize
+
+    vals = list(range(1, 100)) + [10_000]  # one huge outlier
+    df = spark.createDataFrame(
+        [(i, "t", float(v)) for i, v in enumerate(vals)],
+        "event_id bigint, event_type string, value double",
+    )
+    r = winsorize(df, "event_type", "value").collect()[0]
+    assert r.n == 100
+    assert r.n_capped_hi >= 1      # the outlier is capped
+    assert r.hi < 10_000           # p99 is far below the outlier
+    assert r.n_capped_lo <= 1
+    # the capped sum can't contain the raw outlier's mass
+    assert r.total_capped < sum(vals) - 9_000
