@@ -139,6 +139,7 @@ HEADLINE = [
     "source_orc_roundtrip",
     "events_resample_locf",
     "events_winsorize",
+    "events_funnel",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

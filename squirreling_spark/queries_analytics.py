@@ -626,3 +626,78 @@ def events_stream_join(spark, sf):
                 f"stream-stream join did not finish within 300s (exc: {exc})"
             )
     return spark.table(sink)
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id,
+             min(struct_pack(u := epoch_us(ts),
+                             e := CAST(event_id AS BIGINT))) AS k
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id,
+             min(struct_pack(u := epoch_us(e.ts),
+                             e := CAST(e.event_id AS BIGINT))) AS k
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click'
+        AND struct_pack(u := epoch_us(e.ts),
+                        e := CAST(e.event_id AS BIGINT)) > s1.k
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id,
+             min(struct_pack(u := epoch_us(e.ts),
+                             e := CAST(e.event_id AS BIGINT))) AS k
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'signup'
+        AND struct_pack(u := epoch_us(e.ts),
+                        e := CAST(e.event_id AS BIGINT)) > s2.k
+      GROUP BY e.user_id
+    ),
+    s4 AS (
+      SELECT e.user_id,
+             min(struct_pack(u := epoch_us(e.ts),
+                             e := CAST(e.event_id AS BIGINT))) AS k
+      FROM events e JOIN s3 USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND struct_pack(u := epoch_us(e.ts),
+                        e := CAST(e.event_id AS BIGINT)) > s3.k
+      GROUP BY e.user_id
+    ),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id,
+           s1.k.u AS s1_us, s1.k.e AS s1_eid,
+           s2.k.u AS s2_us, s2.k.e AS s2_eid,
+           s3.k.u AS s3_us, s3.k.e AS s3_eid,
+           s4.k.u AS s4_us, s4.k.e AS s4_eid,
+           CAST((CASE WHEN s1.k IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN s2.k IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN s3.k IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN s4.k IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS reached
+    FROM u
+    LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+    """,
+)
+def events_funnel_q(spark, sf):
+    """Ordered-funnel analysis (operators/funnel.py::funnel_steps):
+    view → click → signup → purchase, each step the FIRST event of its
+    type strictly after the previous step's (ts, event_id) tuple —
+    deterministic under simultaneous timestamps. The oracle replays all
+    four chained min-struct aggregations, so the strict-order semantics
+    (not just the counts) are value-checked. Per-step tables shrink
+    monotonically; no per-user event history is ever collected."""
+    from squirreling_spark.operators.funnel import funnel_steps
+
+    return funnel_steps(
+        t(spark, sf, "events"),
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        ["view", "click", "signup", "purchase"],
+    )

@@ -378,3 +378,35 @@ def test_winsorize_caps_tails(spark):
     assert r.n_capped_lo <= 1
     # the capped sum can't contain the raw outlier's mass
     assert r.total_capped < sum(vals) - 9_000
+
+
+def test_funnel_strict_order(spark):
+    from squirreling_spark.operators.funnel import funnel_steps
+
+    rows = [
+        # user 1 completes in order
+        (1, "A", "2024-01-01 10:00:00", 1),
+        (2, "B", "2024-01-01 11:00:00", 1),
+        (3, "C", "2024-01-01 12:00:00", 1),
+        # user 2 has B BEFORE A -> that B cannot count; no later B
+        (4, "B", "2024-01-01 09:00:00", 2),
+        (5, "A", "2024-01-01 10:00:00", 2),
+        # user 3: simultaneous A and B, B's event_id larger -> counts
+        (6, "A", "2024-01-01 10:00:00", 3),
+        (7, "B", "2024-01-01 10:00:00", 3),
+        # user 4: no step-1 event at all
+        (8, "C", "2024-01-01 10:00:00", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, ts string, user_id bigint"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r.user_id: r
+        for r in funnel_steps(
+            df, "user_id", "event_type", "ts", "event_id", ["A", "B", "C"]
+        ).collect()
+    }
+    assert out[1].reached == 3 and out[1].s3_eid == 3
+    assert out[2].reached == 1 and out[2].s2_us is None  # early B ignored
+    assert out[3].reached == 2 and out[3].s2_eid == 7    # same-ts tiebreak
+    assert out[4].reached == 0 and out[4].s1_us is None
