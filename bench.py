@@ -140,6 +140,7 @@ HEADLINE = [
     "events_resample_locf",
     "events_winsorize",
     "events_funnel",
+    "events_cohort_retention",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -701,3 +701,45 @@ def events_funnel_q(spark, sf):
         "event_id",
         ["view", "click", "signup", "purchase"],
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id,
+             min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ),
+    j AS (
+      SELECT f.cohort_week,
+             CAST((epoch_us(a.week) - epoch_us(f.cohort_week))
+                  // 604800000000 AS BIGINT) AS week_offset,
+             a.user_id
+      FROM active a JOIN first f USING (user_id)
+    ),
+    sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+      FROM first GROUP BY cohort_week
+    )
+    SELECT CAST(j.cohort_week AS TIMESTAMP) AS cohort_week, j.week_offset,
+           CAST(count(*) AS BIGINT) AS n_active, s.n_cohort,
+           CAST(count(*) * 1000000 // s.n_cohort AS BIGINT)
+             AS retention_ppm
+    FROM j JOIN sizes s USING (cohort_week)
+    GROUP BY j.cohort_week, j.week_offset, s.n_cohort
+    """,
+)
+def events_cohort_retention_q(spark, sf):
+    """Weekly cohort retention (operators/funnel.py::cohort_retention):
+    users cohorted by ISO week of first event, activity counted per
+    (cohort, week-offset) with the offset as an exact microsecond
+    division — the product-analytics matrix next to events_funnel.
+    Everything shrinks toward |cohorts × offsets|; integer ppm
+    retention is bit-identical cross-engine."""
+    from squirreling_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(t(spark, sf, "events"), "user_id", "ts")

@@ -410,3 +410,30 @@ def test_funnel_strict_order(spark):
     assert out[2].reached == 1 and out[2].s2_us is None  # early B ignored
     assert out[3].reached == 2 and out[3].s2_eid == 7    # same-ts tiebreak
     assert out[4].reached == 0 and out[4].s1_us is None
+
+
+def test_cohort_retention_matrix(spark):
+    from squirreling_spark.operators.funnel import cohort_retention
+
+    rows = [
+        # two users first seen week of 2024-01-01 (Mon); one returns wk+1
+        (1, "2024-01-02 10:00:00"), (1, "2024-01-09 10:00:00"),
+        (2, "2024-01-03 10:00:00"),
+        # one user first seen the next week
+        (3, "2024-01-10 10:00:00"), (3, "2024-01-10 11:00:00"),
+    ]
+    df = spark.createDataFrame(
+        [(u, ts) for u, ts in rows], "user_id bigint, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (str(r.cohort_week), r.week_offset): r
+        for r in cohort_retention(df, "user_id", "ts").collect()
+    }
+    w1, w2 = "2024-01-01 00:00:00", "2024-01-08 00:00:00"
+    assert out[(w1, 0)].n_active == 2 and out[(w1, 0)].n_cohort == 2
+    assert out[(w1, 0)].retention_ppm == 1_000_000
+    assert out[(w1, 1)].n_active == 1
+    assert out[(w1, 1)].retention_ppm == 500_000
+    # same-week repeat events count the user once
+    assert out[(w2, 0)].n_active == 1 and out[(w2, 0)].n_cohort == 1
+    assert (w2, 1) not in out
