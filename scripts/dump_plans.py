@@ -92,6 +92,10 @@ SHOW = [
     ("source_drift_tv", "TV drift: vocab-sized token aggregates, broadcast totals, off-source mass factored — nothing above vocab size shuffles"),
     ("ann_recall_curve", "IVF recall harness: shared brute-force baseline, per-nprobe probe joins, bounded verdict aggregates"),
     ("robots_filter", "robots gate: per-host group windows on the tiny robots side, broadcast rule arrays, row-local longest-match verdict"),
+    ("events_resample_locf", "resampling: per-key sequence explode grid, map-combined hour aggregates, LEFT fill + one LOCF running window per key"),
+    ("events_winsorize", "winsorization: one percentile aggregate per key broadcast back over a row-local clamp pass"),
+    ("events_funnel", "funnel: four chained min-struct aggregates over shrinking step tables — no per-user history collection"),
+    ("events_cohort_retention", "cohorts: first-event + distinct-week aggregates, one join back, matrix-sized output"),
 ]
 
 
