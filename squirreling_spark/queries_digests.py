@@ -345,6 +345,33 @@ _EVENTS_CK = {
         " + CAST(date_part('hour', window_start) AS BIGINT) * 3"
         " + CAST(date_part('minute', window_start) AS BIGINT)"
     ),
+    # round 8, closing batch: the event-analytics family
+    "events_resample_locf": (
+        "user_id * 13 + CAST(date_part('day', hour) AS BIGINT) * 5"
+        " + CAST(date_part('hour', hour) AS BIGINT) * 3"
+        " + n_events * 7 + CAST(floor(total_value) AS BIGINT)"
+        " + CAST(floor(locf_value * 1000) AS BIGINT)"
+        " + CASE WHEN filled THEN 11 ELSE 0 END"
+    ),
+    "events_winsorize": (
+        "length(event_type) * 7 + n + n_capped_lo * 13"
+        " + n_capped_hi * 17"
+        " + CAST(floor(lo * 1000000) AS BIGINT)"
+        " + CAST(floor(hi * 1000) AS BIGINT)"
+        " + CAST(floor(total_capped) AS BIGINT)"
+    ),
+    "events_funnel": (
+        "user_id * 31 + coalesce(s1_us % 1000000, 1)"
+        " + coalesce(s2_us % 1000000, 3) * 7"
+        " + coalesce(s3_us % 1000000, 5) * 11"
+        " + coalesce(s4_us % 1000000, 7) * 13 + reached * 17"
+        " + coalesce(s1_eid, 0) + coalesce(s4_eid, 0) * 3"
+    ),
+    "events_cohort_retention": (
+        "CAST(date_part('day', cohort_week) AS BIGINT) * 7"
+        " + week_offset * 13 + n_active * 3 + n_cohort * 5"
+        " + retention_ppm"
+    ),
 }
 
 
@@ -358,9 +385,12 @@ def events_digest(spark, sf):
     """Gap-based sessionization (30-min inactivity, per-user running session
     counter) + hourly tumbling rollup with decimal-exact value sums +
     sliding 1h/30min windows (every event in exactly two) + binned
-    point-in-interval range join (operators/range_join.py) — each variant's
-    full result checksummed (streaming/windows.py holds the Structured
-    Streaming forms; these are the batch twins)."""
+    point-in-interval range join (operators/range_join.py) + the
+    event-analytics family (LOCF resampling, percentile winsorization,
+    ordered funnels, weekly cohort retention — operators/resample.py,
+    operators/funnel.py) — each variant's full result checksummed
+    (streaming/windows.py holds the Structured Streaming forms; these
+    are the batch twins)."""
     return _union_all(
         [
             _digest_branch(inventory.QUERIES[tag](spark, sf), tag, ck)
