@@ -450,6 +450,10 @@ _KNN_CK = {
         " + CAST(floor(scale * 1000000000) AS BIGINT)"
         " + CAST(floor(l2_err * 1000000000) AS BIGINT)",
     ) * 2,
+    # round 8, closing batch: the measured IVF recall curve
+    "ann_recall_curve": (
+        "nprobe * 7 + n_queries + n_hits * 13 + recall_ppm",
+    ) * 2,
 }
 
 
@@ -599,6 +603,16 @@ _CLEAN_CK = {
         " + ascii(substring(clean_text, 1, 1)) * 3"
         " + ascii(substring(clean_text, length(clean_text), 1))"
     ),
+    # round 8, closing batch: structure-aware sectioning + robots gate
+    "markdown_sections": (
+        "doc_id * 100 + sec_idx * 7 + level * 13 + length(heading) * 3"
+        " + n_lines * 5 + n_words + ascii(substring(fp_text, 1, 1))"
+    ),
+    "robots_filter": (
+        "doc_id * 7 + length(host) * 3 + length(path) * 5"
+        " + n_rules * 11 + length(matched_prefix) * 13"
+        " + CASE WHEN allowed THEN 17 ELSE 0 END"
+    ),
 }
 
 
@@ -730,6 +744,17 @@ _ANALYTICS_CK = {
         "CAST(media_id AS BIGINT) * 7 + n_channels + sample_rate"
         " + n_samples * 3 + CAST(floor(duration_ms * 1000) AS BIGINT)"
         " + peak * 13 + CAST(floor(rms * 1000) AS BIGINT)"
+    ),
+    # round 8, closing batch: the measured LSH recall curve + the ORC
+    # format roundtrip
+    "lsh_recall_curve": (
+        "level * 7 + m_replaced * 3 + n_planted + n_caught * 13"
+        " + recall_ppm"
+    ),
+    "source_orc_roundtrip": (
+        "length(o_orderstatus) * 7 + n_orders"
+        " + CAST(floor(total_price) AS BIGINT) + min_key * 3 + max_key"
+        " + length(first_date)"
     ),
     # round 8: spectral-peak feature extraction (numpy rFFT over the
     # decoded PCM; square-wave fixture grades peak + 3rd harmonic bins)
@@ -922,6 +947,20 @@ _MIX_CK = {
         "length(source) * 31 + n_docs * 7 + tokens + w_ppm * 3"
         " + alloc_tokens + epochs_ppm"
         " + CASE WHEN capped THEN 13 ELSE 0 END + final_tokens"
+    ),
+    # round 8, closing batch: hybrid-retrieval fusion, TV drift,
+    # k-per-group sampling
+    "rrf_fusion": (
+        "doc_id * 7 + coalesce(rank_bm25, 0) * 3"
+        " + coalesce(rank_cos, 0) * 5 + n_systems * 11"
+        " + rrf_score % 1000000 + fused_rank * 13"
+    ),
+    "source_drift_tv": (
+        "length(source) * 7 + n_tokens + vocab_in_source * 3 + tv_ppm"
+        " + length(top_token) * 13 + top_gap_ppm"
+    ),
+    "sample_per_group": (
+        "doc_id * 7 + length(source) * 3 + rank * 13"
     ),
 }
 
