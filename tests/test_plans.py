@@ -461,3 +461,25 @@ def test_rrf_fusion_bounded_after_retrievers(spark):
     assert "Union" in plan
     # the final ranking window exists but ranks <= |systems|*k rows
     assert "row_number" in plan
+
+
+def test_funnel_no_windows_no_history(spark):
+    # the funnel is chained min-struct aggregates — never a per-user
+    # sorted history (Window/collect_list would buffer unbounded
+    # per-user state at scale)
+    plan = plan_of("events_funnel", spark)
+    assert "Window" not in plan
+    assert "collect_list" not in plan
+
+
+def test_resample_windows_are_key_partitioned(spark):
+    # both windows (last-observation pick, LOCF fill) must partition by
+    # the key — a global window would funnel the grid through one task
+    from squirreling_spark import inventory
+
+    inventory.load_all()
+    df = inventory.QUERIES["events_resample_locf"](spark, SF)
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    for line in ex.splitlines():
+        if "Window " in line:
+            assert "user_id" in line, line
