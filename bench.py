@@ -141,6 +141,7 @@ HEADLINE = [
     "events_winsorize",
     "events_funnel",
     "events_cohort_retention",
+    "events_anomaly_mad",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

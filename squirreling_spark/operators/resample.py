@@ -136,3 +136,56 @@ def winsorize(
             dsum("__c", "total_capped"),
         )
     )
+
+
+def mad_anomalies(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    ord_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Robust per-key anomaly detection — median / median-absolute-
+    deviation flagging (the metrics-monitoring standard: unlike
+    z-scores, the outliers themselves can't inflate the threshold that
+    should catch them): a value is anomalous iff ``|v − median| >
+    k·MAD``.
+
+    Exactness: both medians use the pinned exact-percentile contract
+    (Spark percentile ≡ DuckDB quantile_cont, det-rounded to 1e-9);
+    ``k`` is an integer so the threshold is one exact multiply —
+    every flag decision is bit-identical cross-engine. Two
+    percentile aggregates per key (second over the first's broadcast
+    residuals), then one row-local flag pass; the flagged-id sum
+    value-checks WHICH rows were flagged, not just how many.
+
+    Output: (key, n, med, mad, n_anomalies, anom_ord_sum)."""
+    from squirreling_spark.qutil import det_round
+
+    med = df.groupBy(key_col).agg(
+        det_round(F.percentile(F.col(val_col), F.lit(0.5)), 9).alias(
+            "med"
+        )
+    )
+    j = df.join(F.broadcast(med), key_col).withColumn(
+        "__dev", F.abs(F.col(val_col) - F.col("med"))
+    )
+    mad = j.groupBy(key_col).agg(
+        det_round(F.percentile(F.col("__dev"), F.lit(0.5)), 9).alias(
+            "mad"
+        )
+    )
+    flagged = j.join(F.broadcast(mad), key_col).withColumn(
+        "__anom", F.col("__dev") > F.lit(float(k)) * F.col("mad")
+    )
+    return flagged.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("med").alias("med"),
+        F.min("mad").alias("mad"),
+        F.sum(F.col("__anom").cast("int")).cast("bigint").alias(
+            "n_anomalies"
+        ),
+        F.sum(F.when(F.col("__anom"), F.col(ord_col)).otherwise(0))
+        .cast("bigint")
+        .alias("anom_ord_sum"),
+    )

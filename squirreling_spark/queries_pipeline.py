@@ -4176,3 +4176,50 @@ def events_winsorize_q(spark, sf):
     from squirreling_spark.operators.resample import winsorize
 
     return winsorize(t(spark, sf, "events"), "event_type", "value")
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             floor(quantile_cont(value, 0.5) * 1000000000 + 0.5)
+               / 1000000000 AS med
+      FROM events GROUP BY event_type
+    ),
+    d AS (
+      SELECT e.event_type, e.event_id, e.value, med.med,
+             abs(e.value - med.med) AS dev
+      FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type,
+             floor(quantile_cont(dev, 0.5) * 1000000000 + 0.5)
+               / 1000000000 AS mad
+      FROM d GROUP BY event_type
+    ),
+    f AS (
+      SELECT d.*, mad.mad, d.dev > 5.0 * mad.mad AS anom
+      FROM d JOIN mad USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           min(med) AS med, min(mad) AS mad,
+           CAST(sum(CASE WHEN anom THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies,
+           CAST(sum(CASE WHEN anom THEN event_id ELSE 0 END) AS BIGINT)
+             AS anom_ord_sum
+    FROM f GROUP BY event_type
+    """,
+)
+def events_anomaly_mad_q(spark, sf):
+    """Robust anomaly detection (operators/resample.py::mad_anomalies):
+    per-event-type median/MAD flagging at k=5 — outlier-immune unlike
+    z-scores, every flag decision bit-identical cross-engine through
+    the det-rounded exact-percentile contract; the flagged-id sum
+    value-checks the exact anomaly SET."""
+    from squirreling_spark.operators.resample import mad_anomalies
+
+    return mad_anomalies(
+        t(spark, sf, "events"), "event_type", "value", "event_id"
+    )

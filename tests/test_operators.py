@@ -437,3 +437,25 @@ def test_cohort_retention_matrix(spark):
     # same-week repeat events count the user once
     assert out[(w2, 0)].n_active == 1 and out[(w2, 0)].n_cohort == 1
     assert (w2, 1) not in out
+
+
+def test_mad_anomalies_robust_to_outliers(spark):
+    from squirreling_spark.operators.resample import mad_anomalies
+
+    # 99 well-behaved values around 50 plus one wild outlier; a z-score
+    # with the outlier included would inflate sigma — MAD must not
+    vals = [(i, "t", 50.0 + (i % 11) - 5) for i in range(99)]
+    vals.append((99, "t", 5000.0))
+    df = spark.createDataFrame(
+        vals, "event_id bigint, event_type string, value double"
+    )
+    r = mad_anomalies(df, "event_type", "value", "event_id").collect()[0]
+    assert r.n == 100 and r.med == 50.0
+    assert r.n_anomalies == 1 and r.anom_ord_sum == 99  # exactly the outlier
+    # a spread-free key flags nothing (mad 0 -> only dev>0... all equal)
+    df2 = spark.createDataFrame(
+        [(i, "u", 7.0) for i in range(10)],
+        "event_id bigint, event_type string, value double",
+    )
+    r2 = mad_anomalies(df2, "event_type", "value", "event_id").collect()[0]
+    assert r2.n_anomalies == 0 and r2.mad == 0.0
