@@ -142,6 +142,15 @@ HEADLINE = [
     "events_funnel",
     "events_cohort_retention",
     "events_anomaly_mad",
+    # round 8, batch 4: SymSpell fuzzy entity join, SCD-2 history build,
+    # MATCH_RECOGNIZE-lite session patterns, linear attribution,
+    # lexical-diversity profile, systematic PPS weighted sampling
+    "fuzzy_name_matches",
+    "scd2_intervals",
+    "event_pattern_match",
+    "attribution_linear",
+    "text_lexical_diversity",
+    "sample_weighted_systematic",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

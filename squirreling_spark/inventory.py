@@ -48,6 +48,7 @@ def load_all() -> None:
         queries_analytics2,
         queries_tpch2,
         queries_corpus,
+        queries_entity,
         queries_digests,
     )
 

@@ -12,7 +12,7 @@ per-user history). AQE turns the later, tiny steps into broadcasts.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -56,6 +56,79 @@ def funnel_steps(
         c = F.col(f"s{i}_us").isNotNull().cast("int")
         reached = c if reached is None else reached + c
     return out.withColumn("reached", reached.cast("bigint"))
+
+
+def session_pattern_match(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    ord_col: str,
+    pattern: str,
+    gap_us: int = 1800 * 1_000_000,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: regex pattern detection over per-session
+    event-type sequences. Each session's events (inactivity-gap
+    sessionization on ``gap_us``) are rendered — in (ts, ord) order — as
+    a string of event-type initials, and ``pattern`` (a regex over those
+    initials, e.g. ``v c+ p`` as ``'vc+p'``) is matched against it.
+
+    Output: (user, session_seq, n_events, seq, matched, has_match) —
+    ``matched`` is the first matching substring (NULL when none), the
+    analytics answer to "which sessions contain this behavioral motif".
+
+    Scale shape: the only shuffles are the per-user window (sessionize)
+    and a groupBy (user, session). A session's event list is bounded by
+    the inactivity gap — the collected sequence string is small by
+    construction (this is the one place collecting is correct: the regex
+    needs the ordered sequence, and sessions are bounded). The regex
+    runs JVM-side per session row.
+    """
+    w = W.partitionBy(user_col).orderBy(ts_col, ord_col)
+    us = F.unix_micros(F.col(ts_col))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    sess = df.withColumn(
+        "session_seq",
+        F.sum(is_new)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint"),
+    ).select(
+        F.col(user_col),
+        F.col(type_col),
+        us.alias("_us"),
+        F.col(ord_col).cast("bigint").alias("_ord"),
+        "session_seq",
+    )
+    # sort_array on (us, ord, initial) structs -> deterministic sequence
+    seq = F.concat_ws(
+        "",
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("_us").alias("u"),
+                        F.col("_ord").alias("o"),
+                        F.substring(F.col(type_col), 1, 1).alias("c"),
+                    )
+                )
+            ),
+            lambda s: s["c"],
+        ),
+    )
+    grouped = sess.groupBy(user_col, "session_seq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        seq.alias("seq"),
+    )
+    extracted = F.regexp_extract(F.col("seq"), pattern, 0)
+    return grouped.select(
+        user_col,
+        "session_seq",
+        "n_events",
+        "seq",
+        F.when(F.col("seq").rlike(pattern), extracted).alias("matched"),
+        F.col("seq").rlike(pattern).cast("bigint").alias("has_match"),
+    )
 
 
 def cohort_retention(

@@ -43,13 +43,16 @@ def range_join(
     hi: str,
     bin_width: float,
     how: str = "inner",
+    by: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Join every ``left`` row to the ``right`` intervals containing it:
     ``right.lo <= left.point <= right.hi`` — planned as a binned hash
     equi-join, never a nested loop. ``point``/``lo``/``hi`` are numeric
     (cast timestamps to epoch seconds first); ``bin_width`` is in the same
     unit. ``how`` is ``inner`` or ``left`` (unmatched left rows keep NULL
-    right columns)."""
+    right columns). ``by`` adds extra equality keys as (left_col,
+    right_col) pairs — e.g. a user/entity id — making the shuffle key
+    (entity, bin): hot time bins then spread across entities for free."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
     overlap = set(left.columns) & set(right.columns)
@@ -67,6 +70,8 @@ def range_join(
         & (F.col(point) >= F.col(lo))
         & (F.col(point) <= F.col(hi))
     )
+    for lc, rc in by or []:
+        cond = cond & (F.col(lc) == F.col(rc))
     return l_binned.join(r_binned, cond, how).drop(_LBIN, _RBIN)
 
 

@@ -104,3 +104,90 @@ def pagerank(
         F.col("deg").alias("degree"),
         F.col("pr").cast("bigint").alias("pr_scaled"),
     )
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """One-row graph summary: (n_nodes, n_edges, n_wedges, n_triangles,
+    clustering_ppm) over an undirected simple graph given as (src, dst)
+    pairs (any orientation, duplicates tolerated — canonicalized here).
+
+    Triangle counting uses the degree-ordered node-iterator algorithm
+    (the MapReduce-era standard, cf. Suri & Vassilvitskii "Counting
+    Triangles and the Curse of the Last Reducer", WWW'11): orient every
+    edge from the lower-(degree, id) endpoint to the higher one, build
+    wedges by self-joining the oriented list on its source, and close
+    each wedge against the oriented edge set. Ordering by degree bounds
+    every node's out-degree by O(sqrt(m)), so the wedge stage — the only
+    super-linear stage — is O(m^1.5) total, evenly spread: a hub of
+    degree d contributes d wedges, not d², because its edges point INTO
+    it. Both joins are hash equi-joins on node/edge keys.
+
+    n_wedges counts unordered paths a-b-c (sum over nodes of C(deg,2));
+    clustering_ppm = 1e6 * 3*triangles / wedges (integer division) — the
+    global clustering coefficient in ppm, exact in both engines.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    # orient low-(deg, id) -> high-(deg, id)
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("dega") < F.col("degb"))
+                | ((F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+    )
+    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges_dir = w1.join(w2, "u").where(F.col("x") < F.col("y"))
+    closed = wedges_dir.join(
+        oriented.select(
+            F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+        ),
+        ["x", "y"],
+    )
+    tri = closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    summary = (
+        und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        .crossJoin(
+            deg.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+                F.sum(
+                    F.expr("deg * (deg - 1) div 2")
+                ).cast("bigint").alias("n_wedges"),
+            )
+        )
+        .crossJoin(tri)
+    )
+    return summary.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "CAST(CASE WHEN n_wedges > 0 THEN"
+            " (1000000 * 3 * n_triangles) div n_wedges END AS BIGINT)"
+        ).alias("clustering_ppm"),
+    )

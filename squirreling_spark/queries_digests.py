@@ -136,6 +136,10 @@ _JOIN_CK = {
     "join_residual": "s_suppkey + c_custkey",
     "join_theta": "ra * 100 + rb",
     "join_using": "nationkey",
+    # round 8, batch 4: SymSpell deletion-neighborhood fuzzy join
+    # (operators/fuzzy_join.py) — edit-distance<=1 entity matching as a
+    # hash equi-join on deletion variants, no quadratic stage
+    "fuzzy_name_matches": "key_a * 31 + key_b * 7 + lev",
 }
 
 
@@ -371,6 +375,23 @@ _EVENTS_CK = {
         "CAST(date_part('day', cohort_week) AS BIGINT) * 7"
         " + week_offset * 13 + n_active * 3 + n_cohort * 5"
         " + retention_ppm"
+    ),
+    # round 8, batch 4: SCD-2 history build, MATCH_RECOGNIZE-lite session
+    # patterns, linear multi-touch attribution (operators/scd.py,
+    # operators/funnel.py::session_pattern_match, range_join by-keys)
+    "scd2_intervals": (
+        "user_id * 13 + run_id * 7 + length(status) * 3"
+        " + valid_from_us % 1000000 + coalesce(valid_to_us % 1000000, 17)"
+        " + is_current * 11 + n_events * 5"
+    ),
+    "event_pattern_match": (
+        "user_id * 31 + session_seq * 7 + n_events * 3"
+        " + length(seq) * 5 + ascii(substring(seq, 1, 1)) * 17"
+        " + has_match * 1000003 + coalesce(length(matched), 13)"
+    ),
+    "attribution_linear": (
+        "click_id * 7 + n_purchases * 3"
+        " + CAST(floor(credit * 1000000) AS BIGINT)"
     ),
 }
 
@@ -961,6 +982,16 @@ _MIX_CK = {
     ),
     "sample_per_group": (
         "doc_id * 7 + length(source) * 3 + rank * 13"
+    ),
+    # round 8, batch 4: lexical-diversity profile (integer ppm/ppb fixed
+    # point) + systematic PPS weighted sampling (two-level cumsum —
+    # pipeline/sample.py)
+    "text_lexical_diversity": (
+        "doc_id * 7 + n_tokens + n_types * 3 + n_hapax * 5"
+        " + ttr_ppm + coalesce(simpson_ppb, 13) * 11"
+    ),
+    "sample_weighted_systematic": (
+        "id * 3 + weight + cum_weight + picks * 7"
     ),
 }
 

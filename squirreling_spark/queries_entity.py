@@ -1,0 +1,476 @@
+"""Entity-resolution + warehouse-history + behavioral-pattern queries
+(round-8 batch 4): fuzzy edit-distance blocking join, SCD-2 interval
+build, MATCH_RECOGNIZE-lite session patterns, linear multi-touch
+attribution, lexical-diversity profiling, systematic weighted sampling.
+
+Each query is Spark-first (operators/, pipeline/) with a DuckDB oracle
+that replays the SEMANTICS through an independent algorithm (brute-force
+blocks, plain window cumsums, IEJoin-able inequality joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from squirreling_spark.inventory import query
+from squirreling_spark.operators.fuzzy_join import fuzzy_self_join_ed1
+from squirreling_spark.operators.funnel import session_pattern_match
+from squirreling_spark.operators.range_join import range_join
+from squirreling_spark.operators.scd import status_intervals
+from squirreling_spark.pipeline.sample import systematic_weighted_sample
+from squirreling_spark.qutil import t
+
+
+@query(
+    "fuzzy_name_matches",
+    # Oracle: brute force INSIDE provably-complete blocks. All c_name
+    # values share one fixed-width layout ('Customer#' + 9 digits), so a
+    # lev<=1 pair is a single substitution and must agree on one of two
+    # complementary spans: positions 10-15 equal (covers a substitution
+    # at 16-18 or in the constant prefix) OR positions 16-18 equal
+    # (covers 10-15 / prefix). The union of the two block joins therefore
+    # contains every true pair; exact levenshtein filters. This keeps the
+    # oracle O(sum block^2) instead of O(n^2) so the sf0.1 sweep stays
+    # tractable — and it is an INDEPENDENT algorithm from the Spark
+    # side's deletion-neighborhood join.
+    oracle="""
+    WITH cand AS (
+      SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+             a.c_name AS na, b.c_name AS nb
+      FROM customer a JOIN customer b
+        ON substring(a.c_name, 10, 6) = substring(b.c_name, 10, 6)
+       AND a.c_custkey < b.c_custkey
+      UNION
+      SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name
+      FROM customer a JOIN customer b
+        ON substring(a.c_name, 16, 3) = substring(b.c_name, 16, 3)
+       AND a.c_custkey < b.c_custkey
+    )
+    SELECT key_a, key_b, CAST(levenshtein(na, nb) AS BIGINT) AS lev
+    FROM cand WHERE levenshtein(na, nb) <= 1
+    """,
+)
+def fuzzy_name_matches_q(spark, sf):
+    """Fuzzy entity matching: every customer-name pair within Levenshtein
+    distance 1, found by the SymSpell deletion-neighborhood equi-join
+    (operators/fuzzy_join.py) — hash join on deletion variants + exact
+    verify on candidates only, no quadratic stage at any scale."""
+    return fuzzy_self_join_ed1(
+        t(spark, sf, "customer"), "c_custkey", "c_name"
+    )
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), r AS (
+      SELECT user_id, event_type, us,
+             sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM o
+    ), runs AS (
+      SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+             min(event_type) AS status,
+             CAST(min(us) AS BIGINT) AS valid_from_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM r GROUP BY user_id, run_id
+    )
+    SELECT user_id, run_id, status, valid_from_us,
+           CAST(lead(valid_from_us) OVER (PARTITION BY user_id
+                ORDER BY run_id) AS BIGINT) AS valid_to_us,
+           CAST(CASE WHEN lead(valid_from_us) OVER (PARTITION BY user_id
+                ORDER BY run_id) IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_current,
+           n_events
+    FROM runs
+    """,
+)
+def scd2_intervals_q(spark, sf):
+    """SCD Type-2 history build (operators/scd.py): per-user status
+    (event_type) change log → half-open validity intervals with a
+    current-row flag — the warehouse dimension-history operator, one
+    user-keyed shuffle end-to-end."""
+    return status_intervals(
+        t(spark, sf, "events"), "user_id", "event_type", "ts", "event_id"
+    )
+
+
+_PATTERN = "vc+p"  # view, then clicks, then purchase — contiguous motif
+
+
+@query(
+    "event_pattern_match",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+      FROM events
+    ), s AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM o
+    ), g AS (
+      SELECT user_id, session_seq,
+             CAST(count(*) AS BIGINT) AS n_events,
+             string_agg(substring(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM s GROUP BY user_id, session_seq
+    )
+    SELECT user_id, session_seq, n_events, seq,
+           CASE WHEN regexp_matches(seq, '{_PATTERN}')
+                THEN regexp_extract(seq, '{_PATTERN}', 0) END AS matched,
+           CAST(CASE WHEN regexp_matches(seq, '{_PATTERN}')
+                THEN 1 ELSE 0 END AS BIGINT) AS has_match
+    FROM g
+    """,
+)
+def event_pattern_match_q(spark, sf):
+    """MATCH_RECOGNIZE-lite (operators/funnel.py::session_pattern_match):
+    regex behavioral-motif detection (view -> clicks -> purchase,
+    contiguous) over per-session event-type sequences. Sessions are
+    bounded by the inactivity gap, so the collected sequence string is
+    small by construction; the regex subset used is Java/RE2-shared."""
+    return session_pattern_match(
+        t(spark, sf, "events"), "user_id", "event_type", "ts", "event_id",
+        _PATTERN,
+    )
+
+
+_ATTR_US = 3600 * 1_000_000  # 1h lookback
+
+
+@query(
+    "attribution_linear",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, epoch_us(ts) AS pus, value
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id AS cid, user_id, epoch_us(ts) AS cus
+      FROM events WHERE event_type = 'click'
+    ), pairs AS (
+      SELECT p.pid, p.value, c.cid
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.cus >= p.pus - {_ATTR_US} AND c.cus < p.pus
+    ), w AS (
+      SELECT pid, value, cid,
+             count(*) OVER (PARTITION BY pid) AS n_touch
+      FROM pairs
+    )
+    SELECT cid AS click_id, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(value / n_touch AS DECIMAL(27,6))) AS DOUBLE)
+             AS credit
+    FROM w GROUP BY cid
+    """,
+)
+def attribution_linear_q(spark, sf):
+    """Linear multi-touch attribution: each purchase's value splits
+    equally across the user's clicks in the prior hour; per-click credit
+    totals. The click-purchase pairing is the binned range join
+    (operators/range_join.py) keyed on (user, time-bin) — a hash
+    equi-join, never per-user nested loops; credit division is a
+    deterministic IEEE double op, summed exactly via decimal."""
+    ev = t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puser"),
+        F.col("value"),
+        (F.unix_micros("ts") - F.lit(_ATTR_US)).alias("lo"),
+        (F.unix_micros("ts") - F.lit(1)).alias("hi"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cuser"),
+        F.unix_micros("ts").alias("cus"),
+    )
+    pairs = range_join(
+        clicks, purchases, "cus", "lo", "hi",
+        bin_width=float(_ATTR_US), by=[("cuser", "puser")],
+    )
+    n_touch = F.count(F.lit(1)).over(W.partitionBy("pid"))
+    credited = pairs.withColumn(
+        "credit_part",
+        (F.col("value") / n_touch).cast("decimal(27,6)"),
+    )
+    return credited.groupBy("click_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("credit_part").cast("double").alias("credit"),
+    )
+
+
+@query(
+    "text_lexical_diversity",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, tk
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(1000000 * count(*) // sum(c) AS BIGINT) AS ttr_ppm,
+           CAST(CASE WHEN sum(c) >= 2 THEN
+                1000000000 * sum(c * (c - 1)) // (sum(c) * (sum(c) - 1))
+                END AS BIGINT) AS simpson_ppb
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def text_lexical_diversity_q(spark, sf):
+    """Lexical-diversity profile per document: token/type/hapax counts,
+    type-token ratio, and Simpson repeat concentration — all integer
+    arithmetic (ppm/ppb fixed point via integer division), bit-identical
+    across engines and partition layouts. Two map-combined shuffles
+    ((doc, token) then doc); no Python, no doubles."""
+    docs = t(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tk")
+    )
+    cnt = tok.groupBy("doc_id", "tk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.expr(
+            "CAST(1000000 * count(1) div sum(c) AS BIGINT)"
+        ).alias("ttr_ppm"),
+        F.expr(
+            "CAST(CASE WHEN sum(c) >= 2 THEN"
+            " (1000000000 * sum(c * (c - 1)))"
+            " div (sum(c) * (sum(c) - 1)) END AS BIGINT)"
+        ).alias("simpson_ppb"),
+    )
+
+
+_SAMPLE_STEP = 997  # prime, ~1 pick per 997 chars of corpus
+
+
+@query(
+    "sample_weighted_systematic",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight,
+             CAST(sum(n_chars) OVER (ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight
+      FROM documents
+    )
+    SELECT id, weight, cum_weight,
+           CAST(cum_weight // {_SAMPLE_STEP}
+                - (cum_weight - weight) // {_SAMPLE_STEP} AS BIGINT)
+             AS picks
+    FROM c
+    WHERE cum_weight // {_SAMPLE_STEP}
+          > (cum_weight - weight) // {_SAMPLE_STEP}
+    """,
+)
+def sample_weighted_systematic_q(spark, sf):
+    """Systematic PPS sampling of documents by character weight
+    (pipeline/sample.py): deterministic, integer-exact, zero-variance
+    weighted selection — the dataset-mixing sampler. The oracle replays
+    it with a single plain window cumsum; the distributed two-level
+    cumsum must agree row-for-row."""
+    return systematic_weighted_sample(
+        t(spark, sf, "documents"), "doc_id", "n_chars", _SAMPLE_STEP
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: graph triangles, per-key OLS trend, token co-occurrence mining
+# ---------------------------------------------------------------------------
+
+_TS_BASE = 1704067200  # 2024-01-01 UTC, seconds — fixed x origin for OLS
+
+
+@query(
+    "part_triangle_stats",
+    # Oracle closes triangles with an ID-ordered 3-way self-join — an
+    # independent algorithm from the Spark side's degree-ordered
+    # node-iterator (Suri & Vassilvitskii). Same exact counts.
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT node, count(*) AS c FROM (
+        SELECT x AS node FROM e UNION ALL SELECT y FROM e
+      ) GROUP BY node
+    ), tri AS (
+      SELECT count(*) AS t
+      FROM e e1
+      JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+      JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) FROM deg)
+             AS n_wedges,
+           (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
+           (SELECT CAST(CASE WHEN sum(c * (c - 1) // 2) > 0 THEN
+                 (1000000 * 3 * (SELECT t FROM tri))
+                 // sum(c * (c - 1) // 2) END AS BIGINT) FROM deg)
+             AS clustering_ppm
+    """,
+)
+def part_triangle_stats_q(spark, sf):
+    """Distributed triangle counting (pipeline/graph.py::triangle_stats)
+    over the part co-order graph (parts appearing in the same order).
+    Degree-ordered orientation bounds every wedge-stage out-degree by
+    O(sqrt(m)) — the last-reducer-proof MapReduce algorithm — vs the
+    oracle's id-ordered 3-way join."""
+    from squirreling_spark.pipeline.graph import triangle_stats
+
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+    )
+    return triangle_stats(edges)
+
+
+@query(
+    "events_trend_ols",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000000 - {_TS_BASE} AS x,
+             value AS y
+      FROM events
+    ), a AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             sum(CAST(y AS DECIMAL(27,6))) AS sy_d,
+             sum(CAST(y AS DECIMAL(27,6)) * x) AS sxy_d
+      FROM s GROUP BY event_type
+    )
+    SELECT event_type, n, sx, sxx,
+           CAST(sy_d AS DOUBLE) AS sy,
+           CAST(sxy_d AS DOUBLE) AS sxy,
+           CAST(n * sxy_d - sx * sy_d AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy_d AS DOUBLE)
+            - (CAST(n * sxy_d - sx * sy_d AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE))
+              * CAST(sx AS DOUBLE)) / n AS intercept
+    FROM a
+    """,
+)
+def events_trend_ols_q(spark, sf):
+    """Per-key OLS trend (metric drift detection): slope/intercept of
+    value-vs-time per event_type from EXACT sufficient statistics —
+    bigint Σx/Σx², decimal Σy/Σxy (order-independent), one double
+    division at the very end (identical IEEE rationals → identical
+    doubles in both engines). One map-combined aggregate, no window,
+    no second pass."""
+    ev = t(spark, sf, "events")
+    sel = ev.select(
+        "event_type",
+        (F.expr("unix_micros(ts) div 1000000") - F.lit(_TS_BASE)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    agg = sel.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(27,6)")).alias("sy_d"),
+        F.sum(
+            F.col("y").cast("decimal(27,6)") * F.col("x")
+        ).alias("sxy_d"),
+    )
+    num = (
+        F.col("n").cast("decimal(10,0)") * F.col("sxy_d").cast("decimal(20,6)")
+        - F.col("sx").cast("decimal(14,0)") * F.col("sy_d").cast("decimal(16,6)")
+    ).cast("double")
+    den = (
+        F.col("n").cast("decimal(10,0)") * F.col("sxx").cast("decimal(20,0)")
+        - F.col("sx").cast("decimal(14,0)") * F.col("sx").cast("decimal(14,0)")
+    ).cast("double")
+    slope = num / den
+    return agg.select(
+        "event_type",
+        "n",
+        "sx",
+        "sxx",
+        F.col("sy_d").cast("double").alias("sy"),
+        F.col("sxy_d").cast("double").alias("sxy"),
+        slope.alias("slope"),
+        (
+            (F.col("sy_d").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n")
+        ).alias("intercept"),
+    )
+
+
+@query(
+    "token_cooccurrence",
+    oracle="""
+    WITH dt AS (
+      SELECT doc_id,
+             unnest(list_filter(list_distinct(string_split(text, ' ')),
+                                x -> length(x) >= 4)) AS tk
+      FROM documents
+    ), p AS (
+      SELECT a.tk AS t1, b.tk AS t2, CAST(count(*) AS BIGINT) AS n_docs
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tk < b.tk
+      GROUP BY 1, 2
+    )
+    SELECT t1, t2, n_docs FROM p
+    ORDER BY n_docs DESC, t1, t2 LIMIT 50
+    """,
+)
+def token_cooccurrence_q(spark, sf):
+    """Frequent-itemset mining, pairwise: top-50 content-token pairs
+    (length >= 4) by document co-occurrence — the market-basket /
+    feature-co-occurrence staple. Per-document distinct-token explode,
+    within-doc pair join (bounded by document size), map-combined pair
+    count, TakeOrderedAndProject top-k with a total (count, t1, t2)
+    order."""
+    docs = t(spark, sf, "documents")
+    dt = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.array_distinct(F.split(F.col("text"), " ")),
+                lambda x: F.length(x) >= 4,
+            )
+        ).alias("tk"),
+    )
+    a = dt.alias("a")
+    b = dt.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("a.tk") < F.col("b.tk"))
+        .groupBy(F.col("a.tk").alias("t1"), F.col("b.tk").alias("t2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return pairs.orderBy(
+        F.col("n_docs").desc(), "t1", "t2"
+    ).limit(50)

@@ -1,0 +1,169 @@
+"""Unit tests for the round-8 batch-4 operators: SymSpell fuzzy join,
+SCD-2 interval build, session pattern matching, systematic weighted
+sampling, and the by-keyed range join."""
+
+from pyspark.sql import functions as F
+
+from squirreling_spark.operators.fuzzy_join import (
+    deletion_variants,
+    fuzzy_self_join_ed1,
+)
+from squirreling_spark.operators.funnel import session_pattern_match
+from squirreling_spark.operators.range_join import range_join
+from squirreling_spark.operators.scd import status_intervals
+from squirreling_spark.pipeline.sample import systematic_weighted_sample
+
+
+# ---------------------------------------------------------------- fuzzy join
+
+def test_deletion_variants_members(spark):
+    got = (
+        spark.range(1)
+        .select(deletion_variants(F.lit("abc")).alias("v"))
+        .head()[0]
+    )
+    assert set(got) == {"abc", "bc", "ac", "ab"}
+
+
+def test_fuzzy_ed1_all_edit_kinds(spark):
+    # substitution (abc~abd), deletion/insertion (abc~ab, abc~abcd),
+    # identical strings on distinct keys (ed 0), and a far pair (xyz)
+    df = spark.createDataFrame(
+        [
+            (1, "abc"),
+            (2, "abd"),   # substitution of c
+            (3, "ab"),    # deletion
+            (4, "abcd"),  # insertion
+            (5, "abc"),   # exact duplicate of 1
+            (6, "xyz"),   # unrelated
+        ],
+        ["k", "s"],
+    )
+    pairs = {
+        (r["key_a"], r["key_b"]): r["lev"]
+        for r in fuzzy_self_join_ed1(df, "k", "s").collect()
+    }
+    assert pairs[(1, 2)] == 1
+    assert pairs[(1, 3)] == 1
+    assert pairs[(1, 4)] == 1
+    assert pairs[(1, 5)] == 0
+    assert pairs[(2, 5)] == 1
+    assert all(k != 6 and v != 6 for k, v in pairs)
+    # ed-2 pairs (ab ~ abcd) must NOT appear
+    assert (3, 4) not in pairs
+
+
+def test_fuzzy_ed1_no_quadratic_plan(spark):
+    df = spark.createDataFrame([(1, "aa"), (2, "ab")], ["k", "s"])
+    plan = fuzzy_self_join_ed1(df, "k", "s")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------- scd2
+
+def test_scd2_runs_and_intervals(spark):
+    rows = [
+        (1, "a", 100, 10),
+        (1, "a", 200, 11),  # same run
+        (1, "b", 300, 12),  # change
+        (1, "a", 400, 13),  # back to a: NEW run (SCD2, not distinct-agg)
+        (2, "x", 100, 20),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "status_v", "us_raw", "eid"]
+    ).select(
+        "user_id",
+        F.col("status_v"),
+        F.timestamp_micros(F.col("us_raw")).alias("ts"),
+        "eid",
+    )
+    out = {
+        (r["user_id"], r["run_id"]): r
+        for r in status_intervals(df, "user_id", "status_v", "ts", "eid").collect()
+    }
+    assert len(out) == 4
+    r1 = out[(1, 1)]
+    assert (r1["status"], r1["valid_from_us"], r1["valid_to_us"],
+            r1["n_events"], r1["is_current"]) == ("a", 100, 300, 2, 0)
+    r2 = out[(1, 2)]
+    assert (r2["status"], r2["valid_from_us"], r2["valid_to_us"]) == ("b", 300, 400)
+    r3 = out[(1, 3)]
+    assert (r3["status"], r3["valid_to_us"], r3["is_current"]) == ("a", None, 1)
+    assert out[(2, 1)]["is_current"] == 1
+
+
+# ------------------------------------------------------------- pattern match
+
+def test_session_pattern_match_gap_and_motif(spark):
+    m = 1_000_000
+    rows = [
+        # session 1: v c c p -> match "vccp"
+        (1, "view", 0 * m, 1),
+        (1, "click", 60 * m, 2),
+        (1, "click", 120 * m, 3),
+        (1, "purchase", 180 * m, 4),
+        # > 30 min gap -> session 2: v p (no c) -> no match
+        (1, "view", 4000 * m * 60, 5),
+        (1, "purchase", 4001 * m * 60, 6),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "etype", "us_raw", "eid"]
+    ).select(
+        "user_id", "etype",
+        F.timestamp_micros(F.col("us_raw")).alias("ts"), "eid",
+    )
+    out = {
+        r["session_seq"]: r
+        for r in session_pattern_match(
+            df, "user_id", "etype", "ts", "eid", "vc+p"
+        ).collect()
+    }
+    assert out[1]["seq"] == "vccp"
+    assert out[1]["matched"] == "vccp"
+    assert out[1]["has_match"] == 1
+    assert out[2]["seq"] == "vp"
+    assert out[2]["matched"] is None
+    assert out[2]["has_match"] == 0
+
+
+# --------------------------------------------------------- systematic sample
+
+def test_systematic_sample_exact_pick_count(spark):
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 50) for i in range(200)], ["doc_id", "w"]
+    )
+    total = df.agg(F.sum("w")).head()[0]
+    step = 97
+    out = systematic_weighted_sample(df, "doc_id", "w", step).collect()
+    # zero-variance invariant: total picks == floor(total/step) exactly
+    assert sum(r["picks"] for r in out) == total // step
+    # every selected row's segment really contains a multiple of step
+    for r in out:
+        lo, hi = r["cum_weight"] - r["weight"], r["cum_weight"]
+        assert hi // step > lo // step
+
+
+def test_systematic_sample_heavy_row_multi_pick(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, 1000), (3, 5)], ["doc_id", "w"]
+    )
+    out = {r["id"]: r["picks"] for r in
+           systematic_weighted_sample(df, "doc_id", "w", 100).collect()}
+    assert out[2] == 10  # 1000-weight row picked exactly 10x at step 100
+
+
+# ------------------------------------------------------------ range_join by=
+
+def test_range_join_by_keys_scopes_entity(spark):
+    pts = spark.createDataFrame(
+        [(1, 50, "p1"), (2, 50, "p2")], ["u_l", "pt", "tag"]
+    )
+    iv = spark.createDataFrame(
+        [(1, 0, 100, "i1"), (2, 200, 300, "i2")], ["u_r", "lo", "hi", "ivl"]
+    )
+    out = range_join(
+        pts, iv, "pt", "lo", "hi", bin_width=100.0, by=[("u_l", "u_r")]
+    ).collect()
+    # without by-keys both points fall in i1's bins; with them only user 1
+    assert len(out) == 1 and out[0]["tag"] == "p1" and out[0]["ivl"] == "i1"
