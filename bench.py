@@ -151,6 +151,11 @@ HEADLINE = [
     "attribution_linear",
     "text_lexical_diversity",
     "sample_weighted_systematic",
+    # round 8, batch 5: degree-ordered triangle counting, exact-stat OLS
+    # trend, pairwise frequent-itemset mining
+    "part_triangle_stats",
+    "events_trend_ols",
+    "token_cooccurrence",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -136,6 +136,15 @@ def triangle_stats(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
+    # The canonical edge list feeds degree, orientation, wedge AND
+    # closure subtrees — without lineage truncation the (possibly
+    # expensive) edge-construction subtree is copied ~18x into the final
+    # plan: Catalyst analysis alone took ~27s on the graded digest, and
+    # execution recomputed the self-join per reference. Checkpointing
+    # materializes edges ONCE and makes every reference a leaf — the
+    # standard iterative-graph move (same policy as pagerank's persist;
+    # on a real cluster use checkpoint() to reliable storage).
+    und = und.localCheckpoint(eager=False)
     deg = (
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b").alias("node")))
@@ -159,6 +168,8 @@ def triangle_stats(
         )
         .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
     )
+    # referenced by both wedge sides and the closure probe — truncate too
+    oriented = oriented.localCheckpoint(eager=False)
     w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
     wedges_dir = w1.join(w2, "u").where(F.col("x") < F.col("y"))

@@ -393,6 +393,16 @@ _EVENTS_CK = {
         "click_id * 7 + n_purchases * 3"
         " + CAST(floor(credit * 1000000) AS BIGINT)"
     ),
+    # round 8, batch 5: per-key OLS trend from exact sufficient stats
+    # (slope/intercept are identical IEEE rationals in both engines, so
+    # the floor folds are safe)
+    "events_trend_ols": (
+        "length(event_type) * 7 + n * 3 + sx % 1000003 + sxx % 1000033"
+        " + CAST(floor(sy) AS BIGINT)"
+        " + CAST(floor(sxy) AS BIGINT) % 1000003"
+        " + CAST(floor(slope * 1000000000) AS BIGINT)"
+        " + CAST(floor(intercept * 1000) AS BIGINT)"
+    ),
 }
 
 
@@ -796,6 +806,13 @@ _ANALYTICS_CK = {
         "doc_id * 7 + chunk_idx * 13 + n_tok + seq_idx * 31"
         " + length(split) + seq_tokens * 3 + length(chunk_text)"
     ),
+    # round 8, batch 5: degree-ordered triangle counting over the part
+    # co-order graph (pipeline/graph.py::triangle_stats) — one summary
+    # row, every counter folded in
+    "part_triangle_stats": (
+        "n_nodes * 3 + n_edges * 7 + n_wedges % 1000003"
+        " + n_triangles * 11 + clustering_ppm"
+    ),
 }
 
 
@@ -992,6 +1009,13 @@ _MIX_CK = {
     ),
     "sample_weighted_systematic": (
         "id * 3 + weight + cum_weight + picks * 7"
+    ),
+    # round 8, batch 5: pairwise frequent-itemset mining (top-50 pair
+    # list; token text folded by length+first-char, full values gated by
+    # the standalone row)
+    "token_cooccurrence": (
+        "n_docs * 31 + length(t1) * 7 + ascii(t1) * 3"
+        " + length(t2) * 5 + ascii(t2)"
     ),
 }
 

@@ -306,8 +306,11 @@ _TS_BASE = 1704067200  # 2024-01-01 UTC, seconds — fixed x origin for OLS
     # Oracle closes triangles with an ID-ordered 3-way self-join — an
     # independent algorithm from the Spark side's degree-ordered
     # node-iterator (Suri & Vassilvitskii). Same exact counts.
+    # Linear CTE chain ending in a cross join of three 1-row aggregates
+    # (scalar subqueries in the projection made DuckDB re-inline the edge
+    # CTE per reference — 40s instead of <1s inside the digest union).
     oracle="""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -315,21 +318,23 @@ _TS_BASE = 1704067200  # 2024-01-01 UTC, seconds — fixed x origin for OLS
       SELECT node, count(*) AS c FROM (
         SELECT x AS node FROM e UNION ALL SELECT y FROM e
       ) GROUP BY node
+    ), agg_deg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg
+    ), agg_e AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e
     ), tri AS (
-      SELECT count(*) AS t
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
       FROM e e1
       JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
       JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
     )
-    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
-           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
-           (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) FROM deg)
-             AS n_wedges,
-           (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
-           (SELECT CAST(CASE WHEN sum(c * (c - 1) // 2) > 0 THEN
-                 (1000000 * 3 * (SELECT t FROM tri))
-                 // sum(c * (c - 1) // 2) END AS BIGINT) FROM deg)
-             AS clustering_ppm
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CAST(CASE WHEN n_wedges > 0 THEN
+                (1000000 * 3 * n_triangles) // n_wedges
+                END AS BIGINT) AS clustering_ppm
+    FROM agg_deg, agg_e, tri
     """,
 )
 def part_triangle_stats_q(spark, sf):
@@ -356,76 +361,92 @@ def part_triangle_stats_q(spark, sf):
 
 @query(
     "events_trend_ols",
+    # Every sufficient statistic is an exact integer: x in whole seconds
+    # from a fixed origin, y quantized to micro-units with the repo's
+    # det-round (floor(y*1e6 + 0.5) — identical in both engines). Sums
+    # run in HUGEINT (DuckDB) / decimal(38) (Spark) so no width ever
+    # overflows (the first draft's BIGINT n*Σx² overflowed at sf0.1);
+    # slope/intercept are the SAME IEEE double op sequence on identical
+    # exact integers, so the doubles are bit-identical.
     oracle=f"""
     WITH s AS (
       SELECT event_type,
              epoch_us(ts) // 1000000 - {_TS_BASE} AS x,
-             value AS y
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS yu
       FROM events
     ), a AS (
       SELECT event_type,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             sum(CAST(y AS DECIMAL(27,6))) AS sy_d,
-             sum(CAST(y AS DECIMAL(27,6)) * x) AS sxy_d
+             count(*) AS n_h,
+             sum(x) AS sx_h,
+             sum(x * x) AS sxx_h,
+             sum(yu) AS syu_h,
+             sum(yu * x) AS sxyu_h
       FROM s GROUP BY event_type
     )
-    SELECT event_type, n, sx, sxx,
-           CAST(sy_d AS DOUBLE) AS sy,
-           CAST(sxy_d AS DOUBLE) AS sxy,
-           CAST(n * sxy_d - sx * sy_d AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
-           (CAST(sy_d AS DOUBLE)
-            - (CAST(n * sxy_d - sx * sy_d AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE))
-              * CAST(sx AS DOUBLE)) / n AS intercept
+    SELECT event_type,
+           CAST(n_h AS BIGINT) AS n,
+           CAST(sx_h AS BIGINT) AS sx,
+           CAST(sxx_h AS BIGINT) AS sxx,
+           CAST(syu_h AS DOUBLE) / 1000000.0 AS sy,
+           CAST(sxyu_h AS DOUBLE) / 1000000.0 AS sxy,
+           CAST(n_h * sxyu_h - sx_h * syu_h AS DOUBLE)
+             / CAST(n_h * sxx_h - sx_h * sx_h AS DOUBLE)
+             / 1000000.0 AS slope,
+           (CAST(syu_h AS DOUBLE) / 1000000.0
+            - (CAST(n_h * sxyu_h - sx_h * syu_h AS DOUBLE)
+               / CAST(n_h * sxx_h - sx_h * sx_h AS DOUBLE)
+               / 1000000.0)
+              * CAST(sx_h AS DOUBLE)) / n_h AS intercept
     FROM a
     """,
 )
 def events_trend_ols_q(spark, sf):
     """Per-key OLS trend (metric drift detection): slope/intercept of
-    value-vs-time per event_type from EXACT sufficient statistics —
-    bigint Σx/Σx², decimal Σy/Σxy (order-independent), one double
-    division at the very end (identical IEEE rationals → identical
-    doubles in both engines). One map-combined aggregate, no window,
-    no second pass."""
+    value-vs-time per event_type from EXACT integer sufficient
+    statistics — x in seconds from a fixed origin, y det-rounded to
+    micro-units, Σ's in decimal(38) (order-independent, no overflow at
+    any probed scale), one identical double-division sequence at the
+    very end. One map-combined aggregate, no window, no second pass."""
     ev = t(spark, sf, "events")
     sel = ev.select(
         "event_type",
         (F.expr("unix_micros(ts) div 1000000") - F.lit(_TS_BASE)).alias("x"),
-        F.col("value").alias("y"),
+        F.expr(
+            "CAST(floor(value * 1000000d + 0.5d) AS BIGINT)"
+        ).alias("yu"),
     )
     agg = sel.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("y").cast("decimal(27,6)")).alias("sy_d"),
         F.sum(
-            F.col("y").cast("decimal(27,6)") * F.col("x")
-        ).alias("sxy_d"),
+            (F.col("x") * F.col("x")).cast("decimal(20,0)")
+        ).alias("sxx_d"),
+        F.sum(F.col("yu").cast("decimal(20,0)")).alias("syu_d"),
+        F.sum(
+            (F.col("yu") * F.col("x")).cast("decimal(25,0)")
+        ).alias("sxyu_d"),
     )
     num = (
-        F.col("n").cast("decimal(10,0)") * F.col("sxy_d").cast("decimal(20,6)")
-        - F.col("sx").cast("decimal(14,0)") * F.col("sy_d").cast("decimal(16,6)")
+        F.col("n").cast("decimal(10,0)") * F.col("sxyu_d")
+        - F.col("sx").cast("decimal(14,0)") * F.col("syu_d")
     ).cast("double")
     den = (
-        F.col("n").cast("decimal(10,0)") * F.col("sxx").cast("decimal(20,0)")
+        F.col("n").cast("decimal(10,0)") * F.col("sxx_d")
         - F.col("sx").cast("decimal(14,0)") * F.col("sx").cast("decimal(14,0)")
     ).cast("double")
-    slope = num / den
+    slope = num / den / F.lit(1000000.0)
+    sy = F.col("syu_d").cast("double") / F.lit(1000000.0)
     return agg.select(
         "event_type",
         "n",
         "sx",
-        "sxx",
-        F.col("sy_d").cast("double").alias("sy"),
-        F.col("sxy_d").cast("double").alias("sxy"),
+        F.col("sxx_d").cast("bigint").alias("sxx"),
+        sy.alias("sy"),
+        (F.col("sxyu_d").cast("double") / F.lit(1000000.0)).alias("sxy"),
         slope.alias("slope"),
-        (
-            (F.col("sy_d").cast("double") - slope * F.col("sx").cast("double"))
-            / F.col("n")
-        ).alias("intercept"),
+        ((sy - slope * F.col("sx").cast("double")) / F.col("n")).alias(
+            "intercept"
+        ),
     )
 
 

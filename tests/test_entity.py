@@ -167,3 +167,98 @@ def test_range_join_by_keys_scopes_entity(spark):
     ).collect()
     # without by-keys both points fall in i1's bins; with them only user 1
     assert len(out) == 1 and out[0]["tag"] == "p1" and out[0]["ivl"] == "i1"
+
+
+# ------------------------------------------------------------ triangle count
+
+def test_triangle_stats_k4_plus_path(spark):
+    from squirreling_spark.pipeline.graph import triangle_stats
+
+    # K4 on {1,2,3,4} (4 triangles) plus pendant path 4-5-6 (0 triangles);
+    # duplicate + reversed edges must canonicalize away
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (6, 5), (2, 1)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    r = triangle_stats(df).head()
+    assert r["n_nodes"] == 6
+    assert r["n_edges"] == 8
+    # degrees: 1,2,3 -> 3; 4 -> 4; 5 -> 2; 6 -> 1 => wedges 3*3+6+1+0 = 16
+    assert r["n_wedges"] == 16
+    assert r["n_triangles"] == 4
+    assert r["clustering_ppm"] == (1_000_000 * 3 * 4) // 16
+
+
+def test_triangle_stats_triangle_free(spark):
+    from squirreling_spark.pipeline.graph import triangle_stats
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"])
+    r = triangle_stats(df).head()
+    assert r["n_triangles"] == 0 and r["clustering_ppm"] == 0
+
+
+# ---------------------------------------------------------------- OLS trend
+
+def test_trend_ols_exact_line(spark, sf001):
+    """On y = 3x + 7 the exact-sufficient-stat slope must be exactly 3."""
+    from squirreling_spark import inventory
+
+    inventory.load_all()
+    # build a tiny exact case directly against the operator's math: the
+    # registered query is oracle-checked; here pin closed-form recovery
+    rows = [(float(3 * x + 7), x) for x in range(100)]
+    df = spark.createDataFrame(rows, ["y", "x"])
+    from pyspark.sql import functions as F
+
+    agg = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(27,6)")).alias("sy"),
+        F.sum(F.col("y").cast("decimal(27,6)") * F.col("x")).alias("sxy"),
+    ).head()
+    num = agg["n"] * agg["sxy"] - agg["sx"] * agg["sy"]
+    den = agg["n"] * agg["sxx"] - agg["sx"] * agg["sx"]
+    assert float(num) / float(den) == 3.0
+
+
+# ----------------------------------------------------------- plan shapes
+
+def test_triangle_plan_no_cartesian_no_bnlj_on_edges(spark):
+    """The wedge build and closure must be hash/sort-merge equi-joins.
+    (The three 1-row summary aggregates ARE combined with a broadcast
+    nested loop — that's 3 rows, fine; assert no CartesianProduct and
+    that the checkpointed edge list feeds scans, not recomputation.)"""
+    from squirreling_spark.pipeline.graph import triangle_stats
+
+    df = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(200)], ["id_a", "id_b"]
+    )
+    plan = triangle_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_systematic_sample_no_global_data_window(spark):
+    """The only unpartitioned window must run over the BUCKET table
+    (rows = corpus/bucket_size), never the data table: every window over
+    base rows is partitioned by _bkt."""
+    from squirreling_spark.pipeline.sample import systematic_weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(5000)], ["doc_id", "w"]
+    )
+    out = systematic_weighted_sample(df, "doc_id", "w", 97, bucket_size=256)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    # every Window node either partitions by _bkt (data-level) or is the
+    # bucket-table cumsum (input = the grouped per-bucket sums)
+    wins = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert wins, "expected window nodes in plan"
+    # toString shape: Window [exprs], [partitionExprs], [orderExprs] —
+    # a partitioned window has two "], [" separators, an unpartitioned
+    # one (no partition list) has one
+    unpartitioned = [w for w in wins if w.count("], [") == 1]
+    partitioned = [w for w in wins if w.count("], [") == 2]
+    assert len(unpartitioned) == 1
+    assert "_bsum" in unpartitioned[0]
+    assert all("[_bkt#" in w for w in partitioned)
