@@ -156,6 +156,11 @@ HEADLINE = [
     "part_triangle_stats",
     "events_trend_ols",
     "token_cooccurrence",
+    # round 8, batch 6: Markov journey matrix, RFM segmentation,
+    # per-dimension embedding standardization stats
+    "events_transition_matrix",
+    "rfm_segmentation",
+    "embedding_dim_stats",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -403,6 +403,18 @@ _EVENTS_CK = {
         " + CAST(floor(slope * 1000000000) AS BIGINT)"
         " + CAST(floor(intercept * 1000) AS BIGINT)"
     ),
+    # round 8, batch 6: Markov journey matrix + RFM segmentation
+    # (operators/behavior.py) — counts, exact ppm probabilities, and
+    # quartile bucket codes all folded per row
+    "events_transition_matrix": (
+        "length(from_state) * 31 + length(to_state) * 7"
+        " + ascii(from_state) * 3 + ascii(to_state) * 5"
+        " + n * 11 + p_ppm"
+    ),
+    "rfm_segmentation": (
+        "user_id * 7 + r_s % 1000003 + f * 3"
+        " + CAST(floor(m * 1000) AS BIGINT) % 1000033 + rfm_code * 13"
+    ),
 }
 
 
@@ -484,6 +496,13 @@ _KNN_CK = {
     # round 8, closing batch: the measured IVF recall curve
     "ann_recall_curve": (
         "nprobe * 7 + n_queries + n_hits * 13 + recall_ppm",
+    ) * 2,
+    # round 8, batch 6: per-dimension standardization stats
+    # (pipeline/feature.py — µ-unit exact Σx/Σx², fixed IEEE mean/std)
+    "embedding_dim_stats": (
+        "dim * 31 + n * 3 + sxq % 1000003 + sxxq % 1000033"
+        " + CAST(floor(mean * 1000000000) AS BIGINT)"
+        " + CAST(floor(std * 1000000000) AS BIGINT) * 7",
     ) * 2,
 }
 

@@ -495,3 +495,143 @@ def token_cooccurrence_q(spark, sf):
     return pairs.orderBy(
         F.col("n_docs").desc(), "t1", "t2"
     ).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Batch 6: behavioral analytics (transition matrix, RFM), feature stats
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH o AS (
+      SELECT event_type AS to_state,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_state
+      FROM events
+    ), c AS (
+      SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+      FROM o WHERE from_state IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, n,
+           CAST((1000000 * n) // sum(n)
+                OVER (PARTITION BY from_state) AS BIGINT) AS p_ppm
+    FROM c
+    """,
+)
+def events_transition_matrix_q(spark, sf):
+    """First-order Markov journey matrix
+    (operators/behavior.py::transition_matrix): which event type follows
+    which, per user-ordered history — counts + exact ppm row
+    probabilities (the Sankey/flow-analysis input). One user-partitioned
+    lag window + one map-combined count."""
+    from squirreling_spark.operators.behavior import transition_matrix
+
+    return transition_matrix(
+        t(spark, sf, "events"), "user_id", "event_type", "ts", "event_id"
+    )
+
+
+@query(
+    "rfm_segmentation",
+    oracle=f"""
+    WITH pk AS (
+      SELECT user_id,
+             CAST(max(epoch_us(ts) // 1000000 - {_TS_BASE}) AS BIGINT)
+               AS r_s,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS m
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), cuts AS (
+      SELECT
+        floor(quantile_cont(CAST(r_s AS DOUBLE), 0.25)*1000000000+0.5)
+          /1000000000 AS r0,
+        floor(quantile_cont(CAST(r_s AS DOUBLE), 0.5)*1000000000+0.5)
+          /1000000000 AS r1,
+        floor(quantile_cont(CAST(r_s AS DOUBLE), 0.75)*1000000000+0.5)
+          /1000000000 AS r2,
+        floor(quantile_cont(CAST(f AS DOUBLE), 0.25)*1000000000+0.5)
+          /1000000000 AS f0,
+        floor(quantile_cont(CAST(f AS DOUBLE), 0.5)*1000000000+0.5)
+          /1000000000 AS f1,
+        floor(quantile_cont(CAST(f AS DOUBLE), 0.75)*1000000000+0.5)
+          /1000000000 AS f2,
+        floor(quantile_cont(m, 0.25)*1000000000+0.5)/1000000000 AS m0,
+        floor(quantile_cont(m, 0.5)*1000000000+0.5)/1000000000 AS m1,
+        floor(quantile_cont(m, 0.75)*1000000000+0.5)/1000000000 AS m2
+      FROM pk
+    ), seg AS (
+      SELECT user_id, r_s, f, m,
+        CAST(1 + (CASE WHEN CAST(r_s AS DOUBLE) > r0 THEN 1 ELSE 0 END)
+               + (CASE WHEN CAST(r_s AS DOUBLE) > r1 THEN 1 ELSE 0 END)
+               + (CASE WHEN CAST(r_s AS DOUBLE) > r2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS r_seg,
+        CAST(1 + (CASE WHEN CAST(f AS DOUBLE) > f0 THEN 1 ELSE 0 END)
+               + (CASE WHEN CAST(f AS DOUBLE) > f1 THEN 1 ELSE 0 END)
+               + (CASE WHEN CAST(f AS DOUBLE) > f2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS f_seg,
+        CAST(1 + (CASE WHEN m > m0 THEN 1 ELSE 0 END)
+               + (CASE WHEN m > m1 THEN 1 ELSE 0 END)
+               + (CASE WHEN m > m2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS m_seg
+      FROM pk, cuts
+    )
+    SELECT user_id, r_s, f, m, r_seg, f_seg, m_seg,
+           CAST(r_seg * 100 + f_seg * 10 + m_seg AS BIGINT) AS rfm_code
+    FROM seg
+    """,
+)
+def rfm_segmentation_q(spark, sf):
+    """RFM segmentation (operators/behavior.py::rfm_segments): per-user
+    Recency/Frequency/Monetary over purchases, quartile-bucketed by
+    exact det-rounded cutoffs broadcast back over a row-local pass — no
+    global ntile sort (a single-task window at 100 TB); recency is in
+    seconds from a fixed origin so the quantile interpolation stays in
+    exactly-representable double range."""
+    from squirreling_spark.operators.behavior import rfm_segments
+
+    ev = t(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    ev = ev.withColumn(
+        "__rs", F.expr("unix_micros(ts) div 1000000") - F.lit(_TS_BASE)
+    )
+    return rfm_segments(ev, "user_id", "__rs", "value").withColumnRenamed(
+        "recency", "r_s"
+    )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH e AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS xq
+      FROM embeddings
+    ), a AS (
+      SELECT dim, count(*) AS n_h, sum(xq) AS sxq_h,
+             sum(xq * xq) AS sxxq_h
+      FROM e GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(n_h AS BIGINT) AS n,
+           CAST(sxq_h AS BIGINT) AS sxq,
+           CAST(sxxq_h AS BIGINT) AS sxxq,
+           CAST(sxq_h AS DOUBLE) / n_h / 1000000.0 AS mean,
+           sqrt(CAST(n_h * sxxq_h - sxq_h * sxq_h AS DOUBLE)
+                / (CAST(n_h AS DOUBLE) * CAST(n_h AS DOUBLE))
+                / 1e12) AS std
+    FROM a
+    """,
+)
+def embedding_dim_stats_q(spark, sf):
+    """Per-dimension feature standardization stats
+    (pipeline/feature.py): µ-unit-quantized exact Σx/Σx² per embedding
+    dimension, mean/std by one fixed IEEE sequence (std is a single
+    correctly-rounded sqrt) — the whitening/z-score/dead-dim
+    diagnostic. posexplode into ONE map-combined aggregate."""
+    from squirreling_spark.pipeline.feature import embedding_dim_stats
+
+    return embedding_dim_stats(
+        t(spark, sf, "embeddings"), "embedding", "vec_id"
+    )

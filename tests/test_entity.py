@@ -262,3 +262,55 @@ def test_systematic_sample_no_global_data_window(spark):
     assert len(unpartitioned) == 1
     assert "_bsum" in unpartitioned[0]
     assert all("[_bkt#" in w for w in partitioned)
+
+
+# ------------------------------------------------------- behavior operators
+
+def test_transition_matrix_counts_and_ppm(spark):
+    from squirreling_spark.operators.behavior import transition_matrix
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a", 100, 1), (1, "b", 200, 2), (1, "a", 300, 3),
+        (1, "b", 400, 4),
+        (2, "a", 100, 5), (2, "c", 200, 6),
+    ]
+    df = spark.createDataFrame(
+        rows, ["u", "s", "us_raw", "eid"]
+    ).select("u", "s", F.timestamp_micros(F.col("us_raw")).alias("ts"), "eid")
+    out = {(r["from_state"], r["to_state"]): r for r in
+           transition_matrix(df, "u", "s", "ts", "eid").collect()}
+    # from 'a': b,b,c => a->b n=2 (666666 ppm), a->c n=1 (333333 ppm)
+    assert out[("a", "b")]["n"] == 2
+    assert out[("a", "b")]["p_ppm"] == 666666
+    assert out[("a", "c")]["p_ppm"] == 333333
+    assert out[("b", "a")]["n"] == 1 and out[("b", "a")]["p_ppm"] == 1000000
+
+
+def test_rfm_segments_buckets(spark):
+    from squirreling_spark.operators.behavior import rfm_segments
+
+    rows = []
+    for u in range(1, 9):
+        for k in range(u):  # user u has u purchases
+            rows.append((u, u * 10 + k, float(u * 100)))
+    df = spark.createDataFrame(rows, ["u", "rec", "v"])
+    out = {r["u"]: r for r in rfm_segments(df, "u", "rec", "v").collect()}
+    assert out[1]["f"] == 1 and out[8]["f"] == 8
+    assert out[8]["r_seg"] == 4 and out[8]["f_seg"] == 4 and out[8]["m_seg"] == 4
+    assert out[1]["r_seg"] == 1 and out[1]["rfm_code"] == 111
+    assert out[8]["rfm_code"] == 444
+
+
+def test_embedding_dim_stats_known_values(spark):
+    from squirreling_spark.pipeline.feature import embedding_dim_stats
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [3.0, 0.0])], ["vec_id", "embedding"]
+    )
+    out = {r["dim"]: r for r in
+           embedding_dim_stats(df, "embedding", "vec_id").collect()}
+    assert out[0]["n"] == 2 and out[0]["sxq"] == 4_000_000
+    assert out[0]["mean"] == 2.0
+    assert out[0]["std"] == 1.0  # population std of {1,3}
+    assert out[1]["mean"] == 0.0 and out[1]["std"] == 0.0
