@@ -161,6 +161,8 @@ HEADLINE = [
     "events_transition_matrix",
     "rfm_segmentation",
     "embedding_dim_stats",
+    # round 8, batch 7: fact-to-SCD2 bitemporal dimensional lookup
+    "fact_scd2_lookup",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

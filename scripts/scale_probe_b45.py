@@ -48,6 +48,8 @@ FAMILIES = {
         "event_pattern_match",
         "attribution_linear",
         "events_trend_ols",
+        "events_transition_matrix",
+        "rfm_segmentation",
     ],
     "documents": [
         "text_lexical_diversity",
@@ -133,6 +135,13 @@ def main():
         dst = build(spark, f)
         for q in names:
             rows[q].append(time_query(spark, q, dst))
+            tt, n = rows[q][-1]
+            t0, n0 = base[q]
+            print(
+                f"  [{f}x] {q}: {tt:.2f}s t/unit={tt / (t0 * f):.2f}"
+                f" rows={n} r/unit={n / (max(n0, 1) * f):.2f}",
+                flush=True,
+            )
     for q in names:
         t0, n0 = rows[q][0]
         line = f"{q:28s} {t0:7.2f} {n0:9d}"

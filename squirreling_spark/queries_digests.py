@@ -862,6 +862,12 @@ def analytics_digest(spark, sf):
 # ---------------------------------------------------------------------------
 
 _TPCH_CK = {
+    # round 8, batch 7: fact-to-SCD2 dimensional lookup (bitemporal
+    # point-in-interval join through the by-keyed binned range join)
+    "fact_scd2_lookup": (
+        "l_orderkey * 7 + l_linenumber * 3 + cust"
+        " + ship_us % 1000003 + length(status) * 13 + run_id * 11"
+    ),
     "q3_shipping_priority": (
         "l_orderkey + CAST(floor(revenue) AS BIGINT)"
         " + length(o_orderpriority) * 7"

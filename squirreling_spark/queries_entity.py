@@ -635,3 +635,109 @@ def embedding_dim_stats_q(spark, sf):
     return embedding_dim_stats(
         t(spark, sf, "embeddings"), "embedding", "vec_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 7: fact-to-SCD2 dimensional lookup (bitemporal point-in-interval)
+# ---------------------------------------------------------------------------
+
+# Open (current) intervals extend to a fixed horizon just past the data's
+# time range; a bounded cap keeps the bin explode finite (open-ended
+# intervals would otherwise explode unbounded bin sequences).
+_SCD_CAP_US = 1009843200 * 1_000_000  # 2002-01-01 UTC
+_SCD_BIN_US = 90 * 86400 * 1_000_000  # 90-day bins
+
+
+@query(
+    "fact_scd2_lookup",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey, o_orderstatus, epoch_us(o_orderdate) AS us,
+             o_orderkey,
+             lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey)
+               AS prev_s
+      FROM orders
+    ), r AS (
+      SELECT o_custkey, o_orderstatus, us,
+             sum(CASE WHEN prev_s IS NULL OR prev_s <> o_orderstatus
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY o_custkey ORDER BY us, o_orderkey
+                     ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM o
+    ), runs AS (
+      SELECT o_custkey, CAST(run_id AS BIGINT) AS run_id,
+             min(o_orderstatus) AS status,
+             CAST(min(us) AS BIGINT) AS lo
+      FROM r GROUP BY o_custkey, run_id
+    ), iv AS (
+      SELECT o_custkey, run_id, status, lo,
+             coalesce(lead(lo) OVER (PARTITION BY o_custkey
+                                     ORDER BY run_id),
+                      {_SCD_CAP_US}) - 1 AS hi
+      FROM runs
+    ), f AS (
+      SELECT l.l_orderkey, l.l_linenumber, ord.o_custkey AS cust,
+             epoch_us(l.l_shipdate) AS ship_us
+      FROM lineitem l JOIN orders ord ON l.l_orderkey = ord.o_orderkey
+    )
+    SELECT f.l_orderkey, CAST(f.l_linenumber AS BIGINT) AS l_linenumber,
+           f.cust, f.ship_us, iv.status,
+           iv.run_id
+    FROM f JOIN iv
+      ON f.cust = iv.o_custkey
+     AND f.ship_us >= iv.lo AND f.ship_us <= iv.hi
+    """,
+)
+def fact_scd2_lookup_q(spark, sf):
+    """Fact-to-SCD2 dimensional lookup — the canonical warehouse
+    bitemporal query: each lineitem (fact, timestamped by ship date)
+    joined to the validity interval of its customer's order-status
+    history (dimension built by operators/scd.py::status_intervals).
+    The point-in-interval pairing runs through the binned range join
+    keyed on (customer, 90-day bin) — a hash equi-join; open (current)
+    intervals are capped at a fixed horizon so the bin explode stays
+    bounded. The DuckDB oracle replays it with a raw inequality join
+    (IEJoin) — an independent join algorithm."""
+    from squirreling_spark.operators.scd import status_intervals
+
+    # parquet TIMESTAMP_NTZ -> TIMESTAMP (session is UTC, value-preserving)
+    orders = t(spark, sf, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    )
+    dim = status_intervals(
+        orders, "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    ).select(
+        F.col("o_custkey").alias("ivkey"),
+        "run_id",
+        "status",
+        F.col("valid_from_us").alias("lo"),
+        (
+            F.coalesce(F.col("valid_to_us"), F.lit(_SCD_CAP_US)) - 1
+        ).alias("hi"),
+    )
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias(
+            "ship_us"
+        ),
+    )
+    facts = li.join(
+        orders.select(
+            F.col("o_orderkey"), F.col("o_custkey").alias("cust")
+        ),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_linenumber", "cust", "ship_us")
+    j = range_join(
+        facts, dim, "ship_us", "lo", "hi",
+        bin_width=float(_SCD_BIN_US), by=[("cust", "ivkey")],
+    )
+    return j.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        "cust",
+        "ship_us",
+        "status",
+        "run_id",
+    )

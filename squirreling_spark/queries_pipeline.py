@@ -480,7 +480,7 @@ def docs_length_histogram_q(spark, sf):
                      AS BIGINT) % 100 AS b
             FROM chunks) c
     ),
-    ordered AS (
+    ordered AS MATERIALIZED (
       SELECT *, row_number() OVER (PARTITION BY split
                                    ORDER BY doc_id, chunk_idx) AS rn
       FROM withtok
