@@ -96,6 +96,19 @@ SHOW = [
     ("events_winsorize", "winsorization: one percentile aggregate per key broadcast back over a row-local clamp pass"),
     ("events_funnel", "funnel: four chained min-struct aggregates over shrinking step tables — no per-user history collection"),
     ("events_cohort_retention", "cohorts: first-event + distinct-week aggregates, one join back, matrix-sized output"),
+    # round 8, batches 4-7
+    ("fuzzy_name_matches", "SymSpell fuzzy join: deletion-variant explode, hash equi-join on the variant, distinct pairs, codegen levenshtein verify — no Cartesian/BNLJ anywhere"),
+    ("scd2_intervals", "SCD2 build: change-detect + run-number windows fused on ONE user-keyed shuffle, run groupBy, run-level lead on the same partitioning"),
+    ("event_pattern_match", "session patterns: sessionize window, bounded per-session struct collect + sort, row-local regex verdicts"),
+    ("attribution_linear", "linear attribution: (user, time-bin)-keyed hash join, per-purchase count window, decimal-exact credit rollup"),
+    ("sample_weighted_systematic", "systematic PPS: bucket-sum groupBy, ONE bucket-table window, within-bucket cumsums + broadcast offsets — no single-task data window"),
+    ("part_triangle_stats", "triangles: checkpointed edge leaf, degree-ordered orientation, wedge equi-join + (x,y) closure probe — hash joins only"),
+    ("events_trend_ols", "OLS trend: ONE map-combined aggregate; slope/intercept row-local from the 5-row summary"),
+    ("token_cooccurrence", "co-occurrence: within-doc pair join (bounded by doc size), map-combined pair count, TakeOrderedAndProject top-50"),
+    ("events_transition_matrix", "transition matrix: one lag window, map-combined pair count, |states|^2-row normalizer window"),
+    ("rfm_segmentation", "RFM: 1-row quantile aggregate broadcast back, row-local bucket comparisons — no global ntile sort"),
+    ("embedding_dim_stats", "dim stats: posexplode + ONE map-combined groupBy(dim) — exchange carries O(partitions x dims)"),
+    ("fact_scd2_lookup", "SCD2 lookup: interval build on the customer shuffle, (customer, 90d-bin) equi-join + residual BETWEEN, bounded open-interval cap"),
 ]
 
 
