@@ -163,6 +163,10 @@ HEADLINE = [
     "embedding_dim_stats",
     # round 8, batch 7: fact-to-SCD2 bitemporal dimensional lookup
     "fact_scd2_lookup",
+    # round 8, batch 8: stream-static dimension enrichment (real
+    # micro-batch cycle), top-k session path analysis
+    "events_stream_enrich",
+    "session_path_topk",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

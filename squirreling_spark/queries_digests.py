@@ -396,6 +396,11 @@ _EVENTS_CK = {
     # round 8, batch 5: per-key OLS trend from exact sufficient stats
     # (slope/intercept are identical IEEE rationals in both engines, so
     # the floor folds are safe)
+    # round 8, batch 8: top-k session paths (bounded-session sequences)
+    "session_path_topk": (
+        "length(path) * 7 + ascii(path) * 3 + n_sessions * 13"
+        " + n_users * 5"
+    ),
     "events_trend_ols": (
         "length(event_type) * 7 + n * 3 + sx % 1000003 + sxx % 1000033"
         " + CAST(floor(sy) AS BIGINT)"

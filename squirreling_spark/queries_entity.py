@@ -741,3 +741,114 @@ def fact_scd2_lookup_q(spark, sf):
         "status",
         "run_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 8: streaming dimension enrichment + session path analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_stream_enrich",
+    oracle="""
+    SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS window_start,
+           c.c_mktsegment,
+           count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(27,6))) AS DOUBLE)
+             AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def events_stream_enrich_q(spark, sf):
+    """Stream-static dimension enrichment
+    (streaming/windows.py::enriched_tumbling) through a REAL Structured
+    Streaming cycle: events readStream -> broadcast join to the static
+    customer dimension (market segment) -> watermarked tumbling rollup
+    -> availableNow memory sink. The canonical 'enrich the click stream
+    with the account dimension' pipeline; dimension state is zero (the
+    static side broadcasts into each micro-batch). Oracle = the plain
+    batch join+group SQL — stream/batch equivalence."""
+    import hashlib
+    import os as _os
+    import tempfile
+
+    from squirreling_spark.qutil import pinned_shuffle
+    from squirreling_spark.streaming.windows import enriched_tumbling
+
+    ev = t(spark, sf, "events")
+    cust = t(spark, sf, "customer")
+    stage = _os.path.join(
+        tempfile.gettempdir(),
+        f"sq_enrich_{_os.path.basename(sf.rstrip('/'))}",
+    )
+    ev.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(ev.schema).parquet(stage)
+    agg = enriched_tumbling(
+        stream, cust, ("user_id", "c_custkey"), "c_mktsegment"
+    )
+    digest = hashlib.md5(("enrich" + sf).encode("utf-8")).hexdigest()[:8]
+    sink = f"sq_enrich_sink_{digest}"
+    with pinned_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            exc = q.exception()
+            q.stop()
+            raise RuntimeError(
+                f"streaming enrich query did not finish (exception: {exc})"
+            )
+    return spark.table(sink)
+
+
+@query(
+    "session_path_topk",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+      FROM events
+    ), s AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM o
+    ), g AS (
+      SELECT user_id, session_seq,
+             string_agg(substring(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM s GROUP BY user_id, session_seq
+    )
+    SELECT seq AS path, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM g GROUP BY seq
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def session_path_topk_q(spark, sf):
+    """Path analysis: the top-20 most common session event-type
+    sequences (the product-analytics 'what do users actually do'
+    report) — built on the same bounded-session sequence strings as
+    event_pattern_match, one map-combined path count, top-k under a
+    total (count, path) order."""
+    seqs = session_pattern_match(
+        t(spark, sf, "events"), "user_id", "event_type", "ts", "event_id",
+        _PATTERN,
+    ).select("user_id", F.col("seq").alias("path"))
+    return (
+        seqs.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )

@@ -162,3 +162,42 @@ def stream_interval_join(
         "r_event_id",
         "r_value",
     )
+
+
+def enriched_tumbling(
+    events: DataFrame,
+    dim: DataFrame,
+    on: tuple[str, str],
+    enrich_col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static dimension enrichment + tumbling rollup: the standard
+    "join the click stream to the user/account dimension, aggregate by
+    segment" pipeline. The dimension side is a STATIC (batch) table —
+    Spark broadcasts it into every micro-batch with no state, the
+    canonical stream-static join (state stays O(windows × segments),
+    never O(events) or O(dim)). Identical semantics on a batch frame."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    lk, rk = on
+    joined = src.join(
+        F.broadcast(dim.select(F.col(rk), F.col(enrich_col))),
+        src[lk] == dim[rk],
+    )
+    return (
+        joined.groupBy(F.window("ts", window).alias("w"), enrich_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(enrich_col),
+            "n_events",
+            "total_value",
+        )
+    )
