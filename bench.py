@@ -167,6 +167,11 @@ HEADLINE = [
     # micro-batch cycle), top-k session path analysis
     "events_stream_enrich",
     "session_path_topk",
+    # round 8, batch 9: inverted-index postings export, exact Pearson
+    # correlation matrix, Pareto/ABC segmentation (two-level cumsum)
+    "build_postings",
+    "lineitem_corr_matrix",
+    "customer_pareto_abc",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

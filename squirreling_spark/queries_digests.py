@@ -837,6 +837,15 @@ _ANALYTICS_CK = {
         "n_nodes * 3 + n_edges * 7 + n_wedges % 1000003"
         " + n_triangles * 11 + clustering_ppm"
     ),
+    # round 8, batch 9: exact Pearson correlation matrix (fixed IEEE
+    # final sequence -> floor fold is safe; 3rd char of the column name
+    # discriminates the pair)
+    "lineitem_corr_matrix": (
+        "length(col_x) * 7 + length(col_y) * 3 + n"
+        " + ascii(substring(col_x, 3, 1)) * 13"
+        " + ascii(substring(col_y, 3, 1)) * 17"
+        " + CAST(floor(corr * 1000000000) AS BIGINT)"
+    ),
 }
 
 
@@ -872,6 +881,12 @@ _TPCH_CK = {
     "fact_scd2_lookup": (
         "l_orderkey * 7 + l_linenumber * 3 + cust"
         " + ship_us % 1000003 + length(status) * 13 + run_id * 11"
+    ),
+    # round 8, batch 9: Pareto/ABC revenue segmentation (two-level
+    # ordered cumsum, operators/abc.py)
+    "customer_pareto_abc": (
+        "key * 3 + value % 1000003 + cum % 1000033 + cum_ppm"
+        " + ascii(abc_class) * 7"
     ),
     "q3_shipping_priority": (
         "l_orderkey + CAST(floor(revenue) AS BIGINT)"
@@ -1039,6 +1054,11 @@ _MIX_CK = {
     ),
     "sample_weighted_systematic": (
         "id * 3 + weight + cum_weight + picks * 7"
+    ),
+    # round 8, batch 9: inverted-index postings export
+    "build_postings": (
+        "doc_id * 7 + tf * 3 + first_pos * 5 + df * 13"
+        " + length(term) * 31 + ascii(term)"
     ),
     # round 8, batch 5: pairwise frequent-itemset mining (top-50 pair
     # list; token text folded by length+first-char, full values gated by

@@ -852,3 +852,222 @@ def session_path_topk_q(spark, sf):
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 9: postings index, exact correlation matrix, Pareto/ABC analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "build_postings",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), td AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+             CAST(min(pos) AS BIGINT) AS first_pos
+      FROM tok GROUP BY term, doc_id
+    ), d AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM td GROUP BY term
+    )
+    SELECT td.term, td.doc_id, td.tf, td.first_pos, d.df
+    FROM td JOIN d USING (term) WHERE d.df >= 2
+    """,
+)
+def build_postings_q(spark, sf):
+    """Inverted-index construction (the retrieval-infrastructure export
+    next to bm25_rank): per (term, doc) posting rows — term frequency,
+    first position, document frequency — for terms appearing in >= 2
+    documents. posexplode into a map-combined (term, doc) aggregate,
+    term-level df aggregate, one equi-join back; postings stay
+    relational rows (shardable by term at any scale), never a
+    collected list."""
+    docs = t(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term"),
+    )
+    td = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+    )
+    d = td.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    return (
+        td.join(d, "term")
+        .where(F.col("df") >= 2)
+        .select("term", "doc_id", "tf", "first_pos", "df")
+    )
+
+
+# per-column fixed-point scales: chosen so every per-row product of two
+# quantized values fits bigint (max |xq| ~5e7) while keeping full input
+# precision (prices have 2 decimals; qty is integral; discount/tax have
+# <= 2; the det-round makes the quantization identical cross-engine)
+_CORR_COLS = [
+    ("l_quantity", 1_000_000),
+    ("l_extendedprice", 100),
+    ("l_discount", 1_000_000),
+    ("l_tax", 1_000_000),
+]
+
+
+def _corr_oracle() -> str:
+    qcols = ", ".join(
+        f"CAST(floor({c} * {s} + 0.5) AS BIGINT) AS {c}_q"
+        for c, s in _CORR_COLS
+    )
+    aggs = ["count(*) AS n_h"]
+    for c, _ in _CORR_COLS:
+        aggs.append(f"sum(CAST({c}_q AS HUGEINT)) AS s_{c}")
+        aggs.append(
+            f"sum(CAST({c}_q AS HUGEINT) * {c}_q) AS ss_{c}"
+        )
+    pairs = []
+    names = [c for c, _ in _CORR_COLS]
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            x, y = names[i], names[j]
+            aggs.append(
+                f"sum(CAST({x}_q AS HUGEINT) * {y}_q) AS sp_{x}_{y}"
+            )
+            pairs.append(
+                f"SELECT '{x}' AS col_x, '{y}' AS col_y,"
+                f" CAST(n_h AS BIGINT) AS n,"
+                f" CAST(n_h * sp_{x}_{y} - s_{x} * s_{y} AS DOUBLE)"
+                f" / (sqrt(CAST(n_h * ss_{x} - s_{x} * s_{x} AS DOUBLE))"
+                f" * sqrt(CAST(n_h * ss_{y} - s_{y} * s_{y} AS DOUBLE)))"
+                f" AS corr FROM a"
+            )
+    return (
+        "WITH q AS (SELECT " + qcols + " FROM lineitem),\n"
+        "a AS (SELECT " + ", ".join(aggs) + " FROM q)\n"
+        + "\nUNION ALL\n".join(pairs)
+    )
+
+
+@query("lineitem_corr_matrix", oracle=_corr_oracle())
+def lineitem_corr_matrix_q(spark, sf):
+    """Exact Pearson correlation matrix over lineitem's four numeric
+    columns from integer sufficient statistics (per-column fixed-point
+    det-round quantization; Σx/Σx²/Σxy in decimal(38) — no doubles
+    until one final fixed IEEE sequence per pair, sqrt included). ONE
+    map-combined aggregate produces every pairwise statistic; the 6
+    output rows are row-local arithmetic on the single summary row."""
+    li = t(spark, sf, "lineitem")
+    q = li.select(
+        *[
+            F.expr(
+                f"CAST(floor({c} * {s} + 0.5) AS BIGINT)"
+            ).alias(f"{c}_q")
+            for c, s in _CORR_COLS
+        ]
+    )
+    names = [c for c, _ in _CORR_COLS]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_h")]
+    for c in names:
+        aggs.append(
+            F.sum(F.col(f"{c}_q").cast("decimal(20,0)")).alias(f"s_{c}")
+        )
+        aggs.append(
+            F.sum(
+                (
+                    F.col(f"{c}_q").cast("decimal(19,0)")
+                    * F.col(f"{c}_q")
+                ).cast("decimal(30,0)")
+            ).alias(f"ss_{c}")
+        )
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            x, y = names[i], names[j]
+            aggs.append(
+                F.sum(
+                    (
+                        F.col(f"{x}_q").cast("decimal(19,0)")
+                        * F.col(f"{y}_q")
+                    ).cast("decimal(30,0)")
+                ).alias(f"sp_{x}_{y}")
+            )
+    a = q.agg(*aggs)
+    outs = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            x, y = names[i], names[j]
+            num = (
+                F.col("n_h").cast("decimal(12,0)") * F.col(f"sp_{x}_{y}")
+                - F.col(f"s_{x}") * F.col(f"s_{y}")
+            ).cast("double")
+            denx = (
+                F.col("n_h").cast("decimal(12,0)") * F.col(f"ss_{x}")
+                - F.col(f"s_{x}") * F.col(f"s_{x}")
+            ).cast("double")
+            deny = (
+                F.col("n_h").cast("decimal(12,0)") * F.col(f"ss_{y}")
+                - F.col(f"s_{y}") * F.col(f"s_{y}")
+            ).cast("double")
+            outs.append(
+                a.select(
+                    F.lit(x).alias("col_x"),
+                    F.lit(y).alias("col_y"),
+                    F.col("n_h").alias("n"),
+                    (num / (F.sqrt(denx) * F.sqrt(deny))).alias("corr"),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+@query(
+    "customer_pareto_abc",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey AS key,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS value
+      FROM orders GROUP BY o_custkey
+    ), c AS (
+      SELECT key, value,
+             CAST(sum(value) OVER (ORDER BY value DESC, key
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(value) OVER () AS BIGINT) AS grand
+      FROM r
+    )
+    SELECT key, value, cum,
+           CAST((CAST(cum AS HUGEINT) * 1000000) // grand AS BIGINT)
+             AS cum_ppm,
+           CASE WHEN (CAST(cum AS HUGEINT) * 1000000) // grand <= 800000
+                THEN 'A'
+                WHEN (CAST(cum AS HUGEINT) * 1000000) // grand <= 950000
+                THEN 'B' ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def customer_pareto_abc_q(spark, sf):
+    """Pareto / ABC revenue segmentation (operators/abc.py): each
+    customer's cumulative share of total order revenue in descending
+    order, classed A/B/C at 80/95%. The global ordered cumsum uses the
+    positional-join two-level shape — range repartition + per-partition
+    sums + broadcast offsets — never a single-task global window;
+    revenue is det-rounded integer cents, the share is a decimal(38)
+    integer division. Oracle = the plain global window cumsum."""
+    from squirreling_spark.operators.abc import pareto_abc
+
+    rev = (
+        t(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            F.expr(
+                "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("__cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("__cents").cast("bigint").alias("rev_cents"))
+    )
+    return pareto_abc(rev, "o_custkey", "rev_cents")

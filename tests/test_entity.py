@@ -314,3 +314,73 @@ def test_embedding_dim_stats_known_values(spark):
     assert out[0]["mean"] == 2.0
     assert out[0]["std"] == 1.0  # population std of {1,3}
     assert out[1]["mean"] == 0.0 and out[1]["std"] == 0.0
+
+
+# ------------------------------------------------------- ordered cumsum/ABC
+
+def test_ordered_cumsum_matches_sequential(spark):
+    from squirreling_spark.operators.abc import ordered_cumsum
+    from pyspark.sql import functions as F
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = ordered_cumsum(
+        df, [F.col("v").desc(), F.col("k")], "v", "cum"
+    ).collect()
+    expected = {}
+    run = 0
+    for k, v in sorted(rows, key=lambda r: (-r[1], r[0])):
+        run += v
+        expected[k] = run
+    got = {r["k"]: r["cum"] for r in out}
+    assert got == expected
+
+
+def test_pareto_abc_classes(spark):
+    from squirreling_spark.operators.abc import pareto_abc
+
+    # values 50, 30, 15, 5 => cum ppm 500000, 800000, 950000, 1000000
+    df = spark.createDataFrame(
+        [(1, 50), (2, 30), (3, 15), (4, 5)], ["k", "v"]
+    )
+    out = {r["key"]: r for r in pareto_abc(df, "k", "v").collect()}
+    assert out[1]["abc_class"] == "A" and out[1]["cum_ppm"] == 500000
+    assert out[2]["abc_class"] == "A" and out[2]["cum_ppm"] == 800000
+    assert out[3]["abc_class"] == "B" and out[3]["cum_ppm"] == 950000
+    assert out[4]["abc_class"] == "C" and out[4]["cum_ppm"] == 1000000
+
+
+def test_corr_matrix_perfect_and_inverse(spark):
+    """corr(x, 2x) == 1, corr(x, -x + c) == -1 recovered exactly from
+    the integer sufficient statistics."""
+    import math
+    from pyspark.sql import functions as F
+
+    rows = [(float(x), float(2 * x), float(100 - x)) for x in range(50)]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    q = df.select(
+        *[
+            F.expr(f"CAST(floor({c} * 1000000 + 0.5) AS BIGINT)").alias(c)
+            for c in ("a", "b", "c")
+        ]
+    )
+    agg = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(c).alias(f"s{c}") for c in ("a", "b", "c")],
+        F.sum(F.col("a").cast("decimal(19,0)") * F.col("a")).alias("ssa"),
+        F.sum(F.col("b").cast("decimal(19,0)") * F.col("b")).alias("ssb"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("ssc"),
+        F.sum(F.col("a").cast("decimal(19,0)") * F.col("b")).alias("sab"),
+        F.sum(F.col("a").cast("decimal(19,0)") * F.col("c")).alias("sac"),
+    ).head()
+    def corr(sx, sy, ssx, ssy, sxy):
+        n = agg["n"]
+        num = float(n * sxy - sx * sy)
+        return num / (
+            math.sqrt(float(n * ssx - sx * sx))
+            * math.sqrt(float(n * ssy - sy * sy))
+        )
+    # sqrt(a)*sqrt(b) != sqrt(ab) at the last ulp — the parity gate only
+    # needs the FIXED op sequence (identical cross-engine), not exactness
+    assert abs(corr(agg["sa"], agg["sb"], agg["ssa"], agg["ssb"], agg["sab"]) - 1.0) < 1e-12
+    assert abs(corr(agg["sa"], agg["sc"], agg["ssa"], agg["ssc"], agg["sac"]) + 1.0) < 1e-12
