@@ -50,12 +50,16 @@ FAMILIES = {
         "events_trend_ols",
         "events_transition_matrix",
         "rfm_segmentation",
+        "session_path_topk",
     ],
     "documents": [
         "text_lexical_diversity",
         "sample_weighted_systematic",
         "token_cooccurrence",
+        "build_postings",
     ],
+    "lineitem2": ["lineitem_corr_matrix"],
+    "orders": ["customer_pareto_abc"],
 }
 
 
@@ -97,6 +101,17 @@ def build(spark, factor: int) -> str:
         "user_id", F.col("user_id") + F.col("__rep") * n_u
     ).drop("__rep").repartition(32).write.mode("overwrite").parquet(
         f"{dst}/events.parquet"
+    )
+
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    n_ok = orders.agg(F.max("o_orderkey")).head()[0] + 1
+    n_ck = orders.agg(F.max("o_custkey")).head()[0] + 1
+    orders.crossJoin(rep).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.col("__rep") * n_ok
+    ).withColumn(
+        "o_custkey", F.col("o_custkey") + F.col("__rep") * n_ck
+    ).drop("__rep").repartition(32).write.mode("overwrite").parquet(
+        f"{dst}/orders.parquet"
     )
 
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
