@@ -30,7 +30,18 @@ def ordered_cumsum(
 ) -> DataFrame:
     """Running SUM of ``val_col`` (integer) in the global order given by
     ``order`` (list of Columns, may be desc()) — two-level, no global
-    data window."""
+    data window.
+
+    REQUIREMENTS: ``order`` must be a TOTAL order over the rows — with
+    ties, the within-partition running sum assigns tied rows arbitrary
+    relative cum values (append a unique key column to break ties, as
+    pareto_abc does). The plan also relies on deterministic
+    re-evaluation: the monotonically_increasing_id partition tag is
+    computed on a range-repartitioned sort, and the tagged subtree is
+    referenced twice (per-partition totals + final join), so the input
+    must evaluate identically across the two traversals — true for
+    deterministic file scans, NOT for sampled/shuffled nondeterministic
+    inputs (same assumption as operators/positional_join.py)."""
     n = max(df.sparkSession.sparkContext.defaultParallelism, 2)
     part = df.repartitionByRange(n, *order).sortWithinPartitions(*order)
     tagged = part.withColumn(_MONO, F.monotonically_increasing_id())

@@ -38,10 +38,17 @@ from pyspark.sql import functions as F
 def deletion_variants(col: str | F.Column, max_len: int = 64) -> F.Column:
     """Array of deletion-neighborhood members of a string column: the
     string itself plus every single-character deletion. ``max_len`` guards
-    the explode factor on pathological inputs (longer strings only block
-    on their first ``max_len`` positions — still a valid, slightly coarser
-    blocking: a superset of candidates is never lost, extra candidates are
-    removed by the exact verify)."""
+    the explode factor on pathological inputs by only generating deletion
+    positions 1..max_len.
+
+    COMPLETENESS BOUND: the neighborhood is complete only for strings of
+    length <= ``max_len``. For longer strings, a pair whose SOLE edit lies
+    beyond position ``max_len`` shares no generated variant and is MISSED
+    (a false negative) — truncation makes the blocking coarser in the
+    lossy direction; it does not merely add candidates for the exact
+    verify to discard. Callers with long-string corpora must raise
+    ``max_len`` (explode factor grows linearly) or pre-truncate/normalize
+    the join key so the edit-relevant span fits."""
     c = F.col(col) if isinstance(col, str) else col
     # positions 1..min(len, max_len); deletion-at-i = prefix + suffix
     return F.array_union(
@@ -69,6 +76,9 @@ def fuzzy_self_join_ed1(
 
     One shuffle on the deletion variant, one distinct on the candidate
     pair, one exact levenshtein verify — no quadratic stage.
+
+    Complete only for strings <= 64 chars (deletion_variants' default
+    ``max_len``); pairs whose sole edit lies past position 64 are missed.
     """
     side = df.select(
         F.col(key_col).cast("bigint").alias("_k"),

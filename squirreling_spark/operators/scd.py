@@ -37,12 +37,20 @@ def status_intervals(
 
     ``valid_to_us`` is the next run's start (half-open interval), NULL on
     the current run; ``n_events`` counts the log rows collapsed into the
-    run."""
+    run. ``status_col`` may be NULL: change detection is null-safe, so a
+    run of NULL statuses is its own interval (``status`` NULL) rather
+    than merging into its neighbors."""
     w = W.partitionBy(key).orderBy(ts_col, tiebreak)
     us = F.unix_micros(F.col(ts_col))
+    # Null-safe change detection: "first row of the key" (lag of a
+    # non-null sentinel is NULL) is tested separately from "status
+    # changed" (null-safe inequality), so a NULL status forms its own
+    # run instead of being absorbed into the preceding one and forcing
+    # a spurious break on the next row.
+    first_row = F.lag(F.lit(1)).over(w).isNull()
     changed = F.when(
-        F.lag(F.col(status_col)).over(w).isNull()
-        | (F.lag(F.col(status_col)).over(w) != F.col(status_col)),
+        first_row
+        | ~F.col(status_col).eqNullSafe(F.lag(F.col(status_col)).over(w)),
         1,
     ).otherwise(0)
     runs = (

@@ -26,7 +26,17 @@ def embedding_dim_stats(
     """(dim, n, sxq, sxxq, mean, std): per-dimension statistics of an
     array<float> column. sxq/sxxq are exact bigint sums of the µ-unit
     quantized values; mean/std are doubles derived from them by a fixed
-    op sequence (identical in the DuckDB oracle)."""
+    op sequence (identical in the DuckDB oracle).
+
+    Overflow bounds: the variance path multiplies in decimal — n is cast
+    decimal(14,0) and sxq decimal(20,0), so n·Σx² and (Σx)² stay inside
+    decimal(38,0) up to ~1e14 values per dim / |Σx| ~ 1e19 µ-units
+    (≈1e13 rows of unit-scale embeddings). The OUTPUT columns sxq/sxxq
+    are bigint by contract, bounding them at ~9.2e18 µ(²)-units; past
+    that DuckDB's HUGEINT→BIGINT cast errors loudly while Spark's
+    non-ANSI cast (the repo default) yields NULL — a known cross-engine
+    divergence at that extreme; enable spark.sql.ansi.enabled for a loud
+    Spark-side failure instead."""
     exploded = df.select(
         F.posexplode(F.col(vec_col)).alias("dim", "__x")
     ).select(
@@ -45,9 +55,9 @@ def embedding_dim_stats(
     mean = F.col("sxq").cast("double") / F.col("n") / F.lit(1000000.0)
     var = (
         (
-            F.col("n").cast("decimal(12,0)") * F.col("sxxq_d")
-            - F.col("sxq").cast("decimal(16,0)")
-            * F.col("sxq").cast("decimal(16,0)")
+            F.col("n").cast("decimal(14,0)") * F.col("sxxq_d")
+            - F.col("sxq").cast("decimal(20,0)")
+            * F.col("sxq").cast("decimal(20,0)")
         ).cast("double")
         / (F.col("n").cast("double") * F.col("n").cast("double"))
         / F.lit(1e12)

@@ -67,11 +67,14 @@ def fuzzy_name_matches_q(spark, sf):
     WITH o AS (
       SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
              lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev_type
+                                   ORDER BY ts, event_id) AS prev_type,
+             lag(1) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS first_marker
       FROM events
     ), r AS (
       SELECT user_id, event_type, us,
-             sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+             sum(CASE WHEN first_marker IS NULL
+                      OR prev_type IS DISTINCT FROM event_type
                  THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY us, event_id
                      ROWS UNBOUNDED PRECEDING) AS run_id
@@ -656,11 +659,14 @@ _SCD_BIN_US = 90 * 86400 * 1_000_000  # 90-day bins
              o_orderkey,
              lag(o_orderstatus) OVER (PARTITION BY o_custkey
                                       ORDER BY o_orderdate, o_orderkey)
-               AS prev_s
+               AS prev_s,
+             lag(1) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS first_m
       FROM orders
     ), r AS (
       SELECT o_custkey, o_orderstatus, us,
-             sum(CASE WHEN prev_s IS NULL OR prev_s <> o_orderstatus
+             sum(CASE WHEN first_m IS NULL
+                      OR prev_s IS DISTINCT FROM o_orderstatus
                  THEN 1 ELSE 0 END)
                OVER (PARTITION BY o_custkey ORDER BY us, o_orderkey
                      ROWS UNBOUNDED PRECEDING) AS run_id

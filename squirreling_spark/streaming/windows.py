@@ -171,26 +171,32 @@ def enriched_tumbling(
     enrich_col: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    ts_col: str = "ts",
+    value_col: str = "value",
 ) -> DataFrame:
     """Stream-static dimension enrichment + tumbling rollup: the standard
     "join the click stream to the user/account dimension, aggregate by
     segment" pipeline. The dimension side is a STATIC (batch) table —
     Spark broadcasts it into every micro-batch with no state, the
     canonical stream-static join (state stays O(windows × segments),
-    never O(events) or O(dim)). Identical semantics on a batch frame."""
+    never O(events) or O(dim)). Identical semantics on a batch frame.
+
+    ``ts_col`` names the event-time column (watermark + window key) and
+    ``value_col`` the summed measure; streams with other schemas pass
+    their own names."""
     src = events
     if events.isStreaming:
-        src = events.withWatermark("ts", watermark)
+        src = events.withWatermark(ts_col, watermark)
     lk, rk = on
     joined = src.join(
         F.broadcast(dim.select(F.col(rk), F.col(enrich_col))),
         src[lk] == dim[rk],
     )
     return (
-        joined.groupBy(F.window("ts", window).alias("w"), enrich_col)
+        joined.groupBy(F.window(ts_col, window).alias("w"), enrich_col)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(27,6)"))
+            F.sum(F.col(value_col).cast("decimal(27,6)"))
             .cast("double")
             .alias("total_value"),
         )

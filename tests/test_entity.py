@@ -93,6 +93,42 @@ def test_scd2_runs_and_intervals(spark):
     assert out[(2, 1)]["is_current"] == 1
 
 
+def test_scd2_null_status_forms_own_run(spark):
+    # a, a, NULL, NULL, a → three runs: the NULL pair is its own interval,
+    # and the trailing 'a' starts a fresh run (not a continuation).
+    rows = [
+        (1, "a", 100, 10),
+        (1, "a", 200, 11),
+        (1, None, 300, 12),
+        (1, None, 400, 13),
+        (1, "a", 500, 14),
+        # key 3 starts with NULL: first row still opens run 1
+        (3, None, 100, 30),
+        (3, "z", 200, 31),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "status_v", "us_raw", "eid"]
+    ).select(
+        "user_id",
+        F.col("status_v"),
+        F.timestamp_micros(F.col("us_raw")).alias("ts"),
+        "eid",
+    )
+    out = {
+        (r["user_id"], r["run_id"]): r
+        for r in status_intervals(df, "user_id", "status_v", "ts", "eid").collect()
+    }
+    assert len(out) == 5
+    assert (out[(1, 1)]["status"], out[(1, 1)]["n_events"],
+            out[(1, 1)]["valid_to_us"]) == ("a", 2, 300)
+    assert (out[(1, 2)]["status"], out[(1, 2)]["n_events"],
+            out[(1, 2)]["valid_from_us"], out[(1, 2)]["valid_to_us"]) == (
+        None, 2, 300, 500)
+    assert (out[(1, 3)]["status"], out[(1, 3)]["is_current"]) == ("a", 1)
+    assert (out[(3, 1)]["status"], out[(3, 1)]["valid_to_us"]) == (None, 200)
+    assert (out[(3, 2)]["status"], out[(3, 2)]["is_current"]) == ("z", 1)
+
+
 # ------------------------------------------------------------- pattern match
 
 def test_session_pattern_match_gap_and_motif(spark):
@@ -194,6 +230,41 @@ def test_triangle_stats_triangle_free(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"])
     r = triangle_stats(df).head()
     assert r["n_triangles"] == 0 and r["clustering_ppm"] == 0
+
+
+def test_triangle_stats_reliable_checkpoint_dir(spark, tmp_path):
+    # checkpoint_dir routes lineage truncation to RELIABLE storage:
+    # same result, and checkpoint files land under the given dir.
+    from squirreling_spark.pipeline.graph import triangle_stats
+
+    ckpt = str(tmp_path / "ckpt")
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (6, 5), (2, 1)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    r = triangle_stats(df, checkpoint_dir=ckpt).head()
+    assert r["n_triangles"] == 4 and r["n_wedges"] == 16
+    import os
+
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "reliable checkpoint wrote no files"
+
+
+def test_pagerank_checkpoint_dir_same_ranks(spark, tmp_path):
+    from squirreling_spark.pipeline.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], ["id_a", "id_b"]
+    )
+    reg = []
+    base = {r["doc_id"]: r["pr_scaled"]
+            for r in pagerank(edges, iters=2, cache_registry=reg).collect()}
+    ck = {r["doc_id"]: r["pr_scaled"]
+          for r in pagerank(
+              edges, iters=2, checkpoint_dir=str(tmp_path / "ck")
+          ).collect()}
+    assert base == ck
+    for d in reg:
+        d.unpersist()
 
 
 # ---------------------------------------------------------------- OLS trend
