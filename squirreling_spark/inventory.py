@@ -139,7 +139,16 @@ GRADE_ORDER: list[str] = [
     # slot hosts the cross-corpus near-dup benchmark decontamination
     # (MinHash-LSH corpus×benchmark join, exact-Jaccard verify).
     "decontaminate_neardup",
-    "array_funcs",
+    # round-9 window swap (r8 verdict task 7): array_funcs out — the
+    # array scalar surface is enforced by the 100%-green arrays
+    # conformance file (73 reference cases) plus dialect_digest's
+    # bracket-literal/subscript branches; standalone stays registered
+    # after the window (parity gate + sf0.1 sweep). Freed slot promotes
+    # the round-8 warehouse family's representative: Pareto/ABC
+    # cumulative-share segmentation, showcasing the two-level ordered
+    # cumsum (range exchange + broadcast partition offsets — no global
+    # window) with exact integer/ppm arithmetic.
+    "customer_pareto_abc",
     # §2.2 window functions
     "window_pack",
     # spatial + as-of
@@ -150,7 +159,16 @@ GRADE_ORDER: list[str] = [
     "asof_join_events",
     # pipeline operators (LLM-data north star)
     "dedup_exact",
-    "dedup_minhash_lsh",
+    # round-9 window swap (r8 verdict Wrong #1 / task 1): the graded
+    # MinHash slot now carries the SCALE-DEFAULT collapsed contract
+    # (exact-fingerprint collapse before the band join: constant output
+    # AND time under identical-replication load, plan-verified one scan /
+    # zero joins on the collapse stage) instead of the pair-list contract
+    # whose output is contract-quadratic under saturated near-dup load.
+    # The pair-level variant stays registered post-window as
+    # dedup_minhash_lsh (parity gate + sf0.1 sweep) and remains graded
+    # through dedup_variants_digest's checksummed branches.
+    "dedup_minhash_collapsed",
     # round-6 window swap: SimHash + n-gram-Jaccard + embedding-LSH are
     # graded THROUGH dedup_variants_digest (full-result checksums of the
     # same oracles); their freed slots host the round-6 operators
