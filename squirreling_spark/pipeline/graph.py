@@ -19,10 +19,32 @@ for many rounds, persist each round like pipeline/cluster.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SCALE = 10**12
+
+
+def _truncate(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Materialize-and-truncate-lineage with a storage policy knob.
+
+    ``checkpoint_dir`` (or the SPARK_GRAFT_CHECKPOINT_DIR env var when the
+    argument is None) selects RELIABLE checkpointing: blocks go to that
+    fault-tolerant path (HDFS/S3/local disk), surviving executor loss and
+    freeing executor storage memory — the right policy on a real cluster
+    and for memory-tight iterative runs. Unset, falls back to
+    ``localCheckpoint`` (blocks on executor memory/disk): faster locally,
+    but blocks accumulate on executors across repeated invocations and die
+    with them."""
+    if checkpoint_dir is None:
+        checkpoint_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if checkpoint_dir:
+        sc = df.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
 
 
 def pagerank(
@@ -31,6 +53,7 @@ def pagerank(
     dst: str = "id_b",
     iters: int = 2,
     cache_registry: list | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, degree, pr_scaled) after ``iters`` damped-rank rounds over
     the undirected edge list. ``pr_scaled`` is the rank on a 1e12
@@ -42,7 +65,11 @@ def pagerank(
     before returning. Pass ``cache_registry=[]`` to receive the persisted
     DataFrame(s); after materializing the ranks, call ``.unpersist()`` on
     each to release executor storage (repeated invocations in one session
-    otherwise accumulate cached partitions for the session lifetime)."""
+    otherwise accumulate cached partitions for the session lifetime).
+    Alternatively pass ``checkpoint_dir`` (or set
+    SPARK_GRAFT_CHECKPOINT_DIR) to put the edge list on reliable storage
+    instead of executor memory — the cluster policy; cache_registry is
+    then unused."""
     # Persist the undirected edge list: it feeds the degree table AND
     # every iteration's contribution join — without the persist, a lazy
     # upstream (e.g. the minhash-LSH candidate generator) replays in
@@ -52,25 +79,33 @@ def pagerank(
     # first use of the returned (lazy) ranks. At 100 TB, persisting the
     # edge list across rounds is standard iterative-graph practice
     # (checkpoint instead if lineage depth matters).
-    wide = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .persist()
+    wide = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     )
-    # State-sized partitioning (the BPE-trainer pattern): the count that
-    # materializes the persist also sizes it — a small edge list
-    # re-persists narrow so every round's join/agg stages schedule O(1)
-    # tasks instead of 2x32 union width; a 100 TB similarity graph
-    # (~1e9+ edges) keeps full width.
-    n_edges = wide.count()
-    parts = max(1, min(32, n_edges // 200_000 + 1))
-    und = wide
-    if parts < 32:
-        und = wide.coalesce(parts).persist()
-        und.count()
-        wide.unpersist()
-    if cache_registry is not None:
-        cache_registry.append(und)
+    if checkpoint_dir or os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR"):
+        # Reliable-storage policy: the edge list's blocks go to the
+        # checkpoint dir instead of executor storage memory — nothing to
+        # unpersist, and iterations read a fault-tolerant leaf.
+        wide = _truncate(wide, checkpoint_dir)
+        n_edges = wide.count()
+        parts = max(1, min(32, n_edges // 200_000 + 1))
+        und = wide.coalesce(parts) if parts < 32 else wide
+    else:
+        wide = wide.persist()
+        # State-sized partitioning (the BPE-trainer pattern): the count
+        # that materializes the persist also sizes it — a small edge list
+        # re-persists narrow so every round's join/agg stages schedule
+        # O(1) tasks instead of 2x32 union width; a 100 TB similarity
+        # graph (~1e9+ edges) keeps full width.
+        n_edges = wide.count()
+        parts = max(1, min(32, n_edges // 200_000 + 1))
+        und = wide
+        if parts < 32:
+            und = wide.coalesce(parts).persist()
+            und.count()
+            wide.unpersist()
+        if cache_registry is not None:
+            cache_registry.append(und)
     deg = und.groupBy("s").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     ).select(F.col("s").alias("node"), "deg")
@@ -107,7 +142,10 @@ def pagerank(
 
 
 def triangle_stats(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """One-row graph summary: (n_nodes, n_edges, n_wedges, n_triangles,
     clustering_ppm) over an undirected simple graph given as (src, dst)
@@ -142,9 +180,10 @@ def triangle_stats(
     # plan: Catalyst analysis alone took ~27s on the graded digest, and
     # execution recomputed the self-join per reference. Checkpointing
     # materializes edges ONCE and makes every reference a leaf — the
-    # standard iterative-graph move (same policy as pagerank's persist;
-    # on a real cluster use checkpoint() to reliable storage).
-    und = und.localCheckpoint(eager=False)
+    # standard iterative-graph move. ``checkpoint_dir`` (or
+    # SPARK_GRAFT_CHECKPOINT_DIR) selects reliable storage for the blocks
+    # — the cluster/memory-tight policy; unset keeps localCheckpoint.
+    und = _truncate(und, checkpoint_dir)
     deg = (
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b").alias("node")))
@@ -169,7 +208,7 @@ def triangle_stats(
         .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
     )
     # referenced by both wedge sides and the closure probe — truncate too
-    oriented = oriented.localCheckpoint(eager=False)
+    oriented = _truncate(oriented, checkpoint_dir)
     w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
     wedges_dir = w1.join(w2, "u").where(F.col("x") < F.col("y"))
