@@ -264,6 +264,9 @@ class Case:
     #   ("prop", i, col, v)       expect(result[i]).toHaveProperty('col', v)
     asserts: list[tuple] = field(default_factory=list)
     expect_error: bool = False
+    # the string literal inside .toThrow('...') when the reference asserts
+    # the MESSAGE, not just that a throw happened (None = throw-only)
+    expect_msg: str | None = None
 
     @property
     def expected(self) -> list[dict] | None:
@@ -543,8 +546,27 @@ def extract_file(path: str) -> Extraction:
                 for am2 in re.finditer(pat, back):
                     anchors.append((am2.start(), is_err))
             expect_error = bool(anchors) and max(anchors)[1]
+            expect_msg = None
+            if expect_error:
+                # the asserted message: the first .toThrow('...') between
+                # this query and the next (template literals / regex args
+                # are left as throw-only)
+                tm = re.search(
+                    r"\.toThrow(?:Error)?\(\s*(['\"])((?:\\.|(?!\1).)*)\1",
+                    block[qm.end(): nxt],
+                )
+                if tm:
+                    try:
+                        expect_msg = _P(
+                            block[qm.end(): nxt], tm.start(2) - 1
+                        ).string(tm.group(1))
+                    except _Unsupported:
+                        expect_msg = None
             ext.cases.append(
-                Case(fname, name, qstr, tables, asserts, expect_error)
+                Case(
+                    fname, name, qstr, tables, asserts, expect_error,
+                    expect_msg,
+                )
             )
     return ext
 
@@ -775,9 +797,18 @@ def run_conformance(
         "pass": 0,
         "run_only_ok": 0,
         "expected_errors_ok": 0,
+        # subset of expected_errors_ok where the reference asserts the
+        # MESSAGE (.toThrow('...')) and the engine's message contains it
+        # (modulo a trailing "(row N)" — the engine reports positions, not
+        # runtime row indexes)
+        "expected_errors_msg_ok": 0,
         "dynamic_skip": 0,
         "fail": [],
         "error": [],
+        # message-asserted throws outside execute.errors.test.js whose
+        # engine message does not (yet) contain the reference text —
+        # classification-level OK, message-level visible here
+        "msg_mismatch": [],
         "total": len(cases),
     }
     for c in cases:
@@ -789,7 +820,27 @@ def run_conformance(
             ).collect()
         except Exception as exc:  # noqa: BLE001 — classification, not flow
             if c.expect_error:
-                res["expected_errors_ok"] += 1
+                norm = (
+                    re.sub(r"\s*\(row \d+\)\s*$", "", c.expect_msg)
+                    if c.expect_msg else None
+                )
+                if norm and norm in str(exc):
+                    res["expected_errors_ok"] += 1
+                    res["expected_errors_msg_ok"] += 1
+                elif norm and c.file == "execute.errors.test.js":
+                    # the errors file is the message-level gate: a throw
+                    # with the wrong message is a FAIL, not an OK
+                    res["fail"].append((
+                        label, c.query,
+                        f"error message mismatch: expected {norm!r}, "
+                        f"got {str(exc)[:300]!r}",
+                    ))
+                else:
+                    res["expected_errors_ok"] += 1
+                    if norm:
+                        res["msg_mismatch"].append(
+                            (label, norm, str(exc)[:200])
+                        )
             elif "mixed dynamic column types" in str(exc):
                 # JS rows can mix e.g. int and bool in one column; no
                 # Spark column type can represent that fixture

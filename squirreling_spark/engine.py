@@ -561,28 +561,160 @@ def execute_sql(
                             pass
         first = msg.splitlines()[0]
         pos = _position_of(exc, query)
+        # Reference-shaped structured errors (validation/tables.js:166-211,
+        # validation/parseErrors.js:105-178): Table/Column not found carry
+        # the available-name lists; unknown functions carry did-you-mean
+        # suggestions ranked by prefix + edit distance.
         if "TABLE_OR_VIEW_NOT_FOUND" in msg:
-            available = sorted(
-                t.name for t in spark.catalog.listTables() if t.isTemporary
-            )
+            import re as _re
+
+            tm = _re.search(r"`([^`\s]+)`(?:\s*,)?\s+cannot be found", msg)
+            bad = tm.group(1).split("`.`")[-1] if tm else "?"
+            if orig_tables:
+                available = list(orig_tables)
+            else:
+                available = sorted(
+                    t.name for t in spark.catalog.listTables()
+                    if t.isTemporary
+                )
             raise TableNotFoundError(
-                f"{first} — available tables: {available}", pos
+                f'Table "{bad}" not found. Available tables: '
+                + ", ".join(available),
+                pos,
             ) from exc
         if "UNRESOLVED_COLUMN" in msg:
+            import re as _re
+
+            def _cols_of(v) -> list[str]:
+                if hasattr(v, "columns"):
+                    return list(v.columns)
+                if isinstance(v, list) and v:
+                    return list(v[0].keys())
+                return []
+
+            cm = _re.search(r"name `((?:[^`]+`\.`)*[^`]+)` cannot", msg)
+            bad = cm.group(1).replace("`.`", ".") if cm else "?"
+            # a column reference inside FROM/JOIN UNNEST(...) is a
+            # correlation the reference rejects with guidance
+            # (execute.unnest tests, verbatim)
+            for um in _re.finditer(
+                r"\b(?:FROM|JOIN|,)\s*UNNEST\s*\(", orig_query, _re.I
+            ):
+                open_idx = orig_query.index("(", um.end() - 1)
+                depth, j = 0, open_idx
+                while j < len(orig_query):
+                    if orig_query[j] == "(":
+                        depth += 1
+                    elif orig_query[j] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                span = orig_query[open_idx: j + 1]
+                if _re.search(
+                    r"(?<![\w.])" + _re.escape(bad) + r"(?![\w.])", span
+                ):
+                    raise ColumnNotFoundError(
+                        f'UNNEST argument cannot reference column "{bad}"'
+                        " — use JOIN UNNEST(...) to reference columns "
+                        "from another table",
+                        pos,
+                    ) from exc
+            available: list[str] = []
+            if orig_tables:
+                if "." in bad:
+                    # reference resolves a qualified ref against ITS
+                    # table (alias or name) and lists that table's
+                    # columns; the message carries the bare column
+                    qual, bare = bad.rsplit(".", 1)
+                    target = None
+                    if qual in orig_tables:
+                        target = qual
+                    else:
+                        am = _re.search(
+                            r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)\s+"
+                            r"(?:AS\s+)?" + _re.escape(qual) + r"\b",
+                            orig_query, _re.I,
+                        )
+                        if am and am.group(1) in orig_tables:
+                            target = am.group(1)
+                    if target is not None:
+                        available = _cols_of(orig_tables[target])
+                        bad = bare
+                if not available:
+                    scoped = [
+                        t for t in orig_tables
+                        if _re.search(
+                            r"\b(?:FROM|JOIN)\s+[\"`]?" + _re.escape(t)
+                            + r"[\"`]?(?![\w.])",
+                            orig_query, _re.I,
+                        )
+                    ] or list(orig_tables)
+                    for t in scoped:
+                        for c in _cols_of(orig_tables[t]):
+                            if c not in available:
+                                available.append(c)
+            if available:
+                raise ColumnNotFoundError(
+                    f'Column "{bad}" not found. Available columns: '
+                    + ", ".join(available),
+                    pos,
+                ) from exc
+            if orig_tables is not None:
+                raise ColumnNotFoundError(
+                    f'Column "{bad}" not found', pos
+                ) from exc
             raise ColumnNotFoundError(first, pos) from exc
+        if "CANNOT_RESOLVE_STAR_EXPAND" in msg:
+            import re as _re
+
+            from squirreling_spark.functions.sqlstrict import (
+                _visible_tables,
+            )
+
+            sm = _re.search(r"Cannot resolve `([^`]+)`\.?\*", msg)
+            star = sm.group(1).replace("`.`", ".") if sm else "?"
+            vis = ", ".join(_visible_tables(orig_query, orig_tables))
+            raise TableNotFoundError(
+                f'Table "{star}" not found in "{star}.*". '
+                f"Available tables: {vis}",
+                pos,
+            ) from exc
         if "UNRESOLVED_ROUTINE" in msg:
             import re
 
+            from squirreling_spark.functions.sqlstrict import (
+                suggest_functions,
+            )
+
             m = re.search(r"routine `?(\w+)`?", msg)
-            bad = (m.group(1) if m else "").lower()
-            known = [r.name for r in spark.catalog.listFunctions()]
-            if bad and known:
-                best = min(known, key=lambda k: _edit_distance(bad, k.lower()))
-                if _edit_distance(bad, best.lower()) <= 3:
-                    raise UnknownFunctionError(
-                        f"{first} — did you mean {best.upper()}?", pos
-                    ) from exc
-            raise UnknownFunctionError(first, pos) from exc
+            bad = m.group(1) if m else "?"
+            qpos = orig_query.upper().find(bad.upper())
+            at = f" at position {qpos}" if qpos >= 0 else ""
+            extra = [r.name for r in spark.catalog.listFunctions()]
+            sugg = suggest_functions(bad, extra=extra)
+            if sugg:
+                raise UnknownFunctionError(
+                    f'Unknown function "{bad}"{at}. Did you mean '
+                    + ", ".join(sugg) + "?",
+                    pos,
+                ) from exc
+            raise UnknownFunctionError(
+                f'Unknown function "{bad}"{at}.', pos
+            ) from exc
+        if "DATATYPE_MISMATCH" in msg and "cannot cast" in msg:
+            import re as _re
+
+            cast_m = _re.search(
+                r'cannot cast "([A-Z_]+)[^"]*" to "([A-Z_]+)', msg
+            )
+            if cast_m and cast_m.group(1) in ("STRUCT", "MAP"):
+                tgt = {"INT": "INTEGER", "BOOLEAN": "BOOL"}.get(
+                    cast_m.group(2), cast_m.group(2)
+                )
+                raise QueryError(
+                    f"Cannot CAST object to {tgt}", pos
+                ) from exc
         raise
     return QueryResult(df=df, job_group=job_group, _spark=spark)
 

@@ -86,15 +86,34 @@ def _navigate(current: Any, path: str) -> Any:
     return current
 
 
+_REF_TYPE_NAMES = {
+    "int": "number",
+    "float": "number",
+    "bool": "boolean",
+    "str": "string",
+    "list": "array",
+    "dict": "object",
+}
+
+
 def _json_value(j: Any, path: Any) -> str | None:
     if j is None or path is None:
         return None
-    v = _parse_json_arg(j)
-    if not isinstance(v, (dict, list)):
-        # reference: first argument must be JSON string or object
-        # (evaluate.js:653-659)
+    # reference message shapes: evaluate.js:540-549 (invalid JSON) and
+    # :653-659 (non-object first arg) — asserted verbatim by
+    # test/execute/execute.errors.test.js
+    try:
+        v = _parse_json_arg(j)
+    except (ValueError, TypeError) as exc:
         raise ValueError(
-            f"first argument must be JSON string or object, got {type(j).__name__}"
+            "JSON_VALUE(expression, path): invalid JSON string. "
+            "First argument must be valid JSON."
+        ) from exc
+    if not isinstance(v, (dict, list)):
+        tname = _REF_TYPE_NAMES.get(type(j).__name__, type(j).__name__)
+        raise ValueError(
+            "JSON_VALUE(expression, path): first argument must be JSON "
+            f"string or object, got {tname}"
         )
     return _encode(_navigate(v, str(path)))
 
@@ -102,7 +121,13 @@ def _json_value(j: Any, path: Any) -> str | None:
 def _json_type(j: Any) -> str | None:
     if j is None:
         return None
-    v = _parse_json_arg(j)
+    try:
+        v = _parse_json_arg(j)
+    except (ValueError, TypeError) as exc:
+        raise ValueError(
+            "JSON_TYPE(value): invalid JSON string. Argument must be "
+            "valid JSON."
+        ) from exc
     if v is None:
         return "null"
     if isinstance(v, bool):
@@ -131,7 +156,13 @@ def _json_valid(j: Any) -> bool | None:
 def _json_keys(j: Any):
     if j is None:
         return None
-    v = _parse_json_arg(j)
+    try:
+        v = _parse_json_arg(j)
+    except (ValueError, TypeError) as exc:
+        raise ValueError(
+            "JSON_KEYS(value): invalid JSON string. Argument must be "
+            "valid JSON."
+        ) from exc
     if not isinstance(v, dict):
         return None
     return list(v.keys())
@@ -140,22 +171,31 @@ def _json_keys(j: Any):
 def _json_array_length(j: Any):
     if j is None:
         return None
-    v = _parse_json_arg(j)
+    try:
+        v = _parse_json_arg(j)
+    except (ValueError, TypeError) as exc:
+        raise ValueError(
+            "JSON_ARRAY_LENGTH(array): invalid JSON string"
+        ) from exc
     if not isinstance(v, list):
         return None
     return len(v)
 
 
 def _json_object(*args: Any) -> str:
+    # reference message shapes (execute.errors.test.js asserts verbatim)
     if len(args) % 2 != 0:
         raise ValueError(
-            "JSON_OBJECT requires an even number of arguments (key-value"
-            " pairs)"
+            "JSON_OBJECT(key1, value1[, ...]): requires an even number of"
+            " arguments (key-value pairs)"
         )
     out = {}
     for i in range(0, len(args), 2):
         if args[i] is None:
-            raise ValueError("JSON_OBJECT key cannot be null")
+            raise ValueError(
+                "JSON_OBJECT(key1, value1[, ...]): key cannot be null. All"
+                " keys must be non-null values."
+            )
         out[str(args[i])] = _jsonable(args[i + 1])
     return json.dumps(out)
 

@@ -175,6 +175,113 @@ _CALL_RE = re.compile(r"\b([A-Za-z_]\w*)\s*\(")
 _NUM_LIT_RE = re.compile(r"\s*-?\d+\s*$")
 
 
+def _edit_distance(a: str, b: str) -> int:
+    """Levenshtein distance (reference parseErrors.js:160-178)."""
+    m, n = len(a), len(b)
+    dp = list(range(m + 1))
+    for j in range(1, n + 1):
+        prev = dp[0]
+        dp[0] = j
+        for i in range(1, m + 1):
+            tmp = dp[i]
+            dp[i] = prev if a[i - 1] == b[j - 1] else 1 + min(
+                prev, dp[i], dp[i - 1]
+            )
+            prev = tmp
+    return dp[m]
+
+
+def suggest_functions(
+    name: str, extra: list[str] | None = None
+) -> list[str]:
+    """Did-you-mean candidates for an unknown function name — the
+    reference's suggestFunctions (validation/parseErrors.js:128-154):
+    names sharing the underscore prefix (JSON_, ST_) plus names within
+    edit distance max(3, len/2), ranked by distance, top 4. ``extra``
+    adds session-registered names (UDFs) to the candidate pool."""
+    upper = name.upper()
+    pool: list[str] = list(FUNCTION_SIGNATURES)
+    for e in extra or []:
+        eu = e.upper()
+        if eu not in pool and not eu.startswith("_"):
+            pool.append(eu)
+    idx = upper.find("_")
+    prefix = upper[: idx + 1] if idx > 0 else ""
+    max_dist = max(3, len(upper) // 2)
+    scored = []
+    for n in pool:
+        d = _edit_distance(upper, n)
+        if d <= max_dist or (prefix and n.startswith(prefix)):
+            scored.append((d, n))
+    scored.sort(key=lambda t: t[0])
+    return [n for _, n in scored[:4]]
+
+
+_TABLE_FUNCS = {
+    "UNNEST", "JSON_EACH", "VALUES", "LATERAL", "GENERATE_SERIES", "RANGE",
+}
+
+
+def _cte_names(q: str, mask) -> set[str]:
+    names: set[str] = set()
+    for pat in (
+        r"\bWITH\s+(?:RECURSIVE\s+)?([A-Za-z_]\w*)\s*(?:\([^)]*\))?\s*AS\s*\(",
+        r",\s*([A-Za-z_]\w*)\s*(?:\([^)]*\))?\s*AS\s*\(",
+    ):
+        for m in re.finditer(pat, q, re.I):
+            if not mask[m.start()]:
+                names.add(m.group(1).lower())
+    return names
+
+
+def _validate_known_tables(q: str, tables) -> None:
+    """Reference TableNotFoundError (validation/tables.js:166-211): a bare
+    FROM/JOIN table name absent from the table map raises with the
+    available-table list. Only enforced when a table map is given —
+    catalog-backed sessions resolve names Spark-side."""
+    if not tables:
+        return
+    mask = _string_mask(q)
+    known = {t.lower() for t in tables}
+    known |= _cte_names(q, mask)
+    # FROM is also a keyword inside EXTRACT/TRIM/SUBSTRING/POSITION/
+    # OVERLAY calls — mask those call spans out (a subquery nested inside
+    # one would only be under-checked, never falsely rejected)
+    call_mask = bytearray(len(q))
+    for cm in re.finditer(
+        r"\b(?:EXTRACT|TRIM|SUBSTRING|SUBSTR|POSITION|OVERLAY)\s*\(",
+        q, re.I,
+    ):
+        if mask[cm.start()]:
+            continue
+        open_idx = q.index("(", cm.end() - 1)
+        try:
+            end = _balanced_arg(q, open_idx)
+        except Exception:  # noqa: BLE001 — unbalanced: Spark will error
+            continue
+        for i in range(cm.start(), end):
+            call_mask[i] = 1
+    for m in re.finditer(
+        r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)(?![\w.])", q, re.I
+    ):
+        if mask[m.start()] or call_mask[m.start()]:
+            continue
+        # IS [NOT] DISTINCT FROM x — comparison operator, not a table ref
+        before = q[: m.start()].rstrip()
+        if re.search(r"\bDISTINCT$", before, re.I):
+            continue
+        name = m.group(1)
+        if name.upper() in _TABLE_FUNCS:
+            continue
+        if re.match(r"\s*\(", q[m.end():]):
+            continue  # table function / callable — not a table-map lookup
+        if name.lower() not in known:
+            raise StrictDialectError(
+                f'Table "{name}" not found. Available tables: '
+                + ", ".join(tables)
+            )
+
+
 def _literal_int(arg: str) -> int | None:
     m = re.fullmatch(r"\s*(-?\d+)\s*", arg)
     return int(m.group(1)) if m else None
@@ -244,33 +351,78 @@ def _validate_literal_args(q: str) -> None:
     """Statically-visible invalid literal arguments (strings.js checks)."""
     for name, pos, args in _iter_calls(q):
         if name in ("SUBSTRING", "SUBSTR") and len(args) >= 2:
+            # reference message shapes: strings.js, asserted verbatim by
+            # execute.errors.test.js
             s = _literal_int(args[1])
             if s is not None and s < 1:
                 raise StrictDialectError(
-                    f"SUBSTRING start position must be >= 1, got {s} "
-                    f"at position {pos}"
+                    "SUBSTRING(string, start[, length]): start position "
+                    f"must be a positive integer, got {s}. SQL uses "
+                    f"1-based indexing. (at position {pos})"
                 )
             if len(args) == 3:
                 ln = _literal_int(args[2])
                 if ln is not None and ln < 0:
                     raise StrictDialectError(
-                        f"SUBSTRING length must be >= 0, got {ln} "
-                        f"at position {pos}"
+                        "SUBSTRING(string, start[, length]): length must "
+                        f"be a non-negative integer, got {ln} "
+                        f"(at position {pos})"
                     )
         if name in ("LEFT", "RIGHT") and len(args) == 2:
             ln = _literal_int(args[1])
             if ln is not None and ln < 0:
                 raise StrictDialectError(
-                    f"{name} length must be >= 0, got {ln} "
-                    f"at position {pos}"
+                    f"{name}(string, length): length must be a "
+                    f"non-negative integer, got {ln} (at position {pos})"
+                )
+        if name == "SPLIT_PART" and len(args) == 3:
+            ix = _literal_int(args[2])
+            if ix == 0:
+                raise StrictDialectError(
+                    "SPLIT_PART(string, delimiter, index): index must be "
+                    "a non-zero integer, got 0. Field indexes are "
+                    f"1-based. (at position {pos})"
                 )
         if name in ("REGEXP_SUBSTR", "REGEXP_EXTRACT") and len(args) >= 3:
             p = _literal_int(args[2])
             if p is not None and p < 1:
                 raise StrictDialectError(
-                    f"{name} position must be >= 1, got {p} "
-                    f"at position {pos}"
+                    f"{name}: position must be a positive integer, "
+                    f"got {p} (at position {pos})"
                 )
+            if len(args) >= 4:
+                occ = _literal_int(args[3])
+                if occ is not None and occ < 1:
+                    raise StrictDialectError(
+                        f"{name}: occurrence must be a positive integer, "
+                        f"got {occ} (at position {pos})"
+                    )
+        if name == "REGEXP_REPLACE" and len(args) >= 4:
+            p = _literal_int(args[3])
+            if p is not None and p < 1:
+                raise StrictDialectError(
+                    f"{name}: position must be a positive integer, "
+                    f"got {p} (at position {pos})"
+                )
+            if len(args) >= 5:
+                occ = _literal_int(args[4])
+                if occ is not None and occ < 0:
+                    raise StrictDialectError(
+                        f"{name}: occurrence must be a non-negative "
+                        f"integer, got {occ} (at position {pos})"
+                    )
+        if name.startswith("REGEXP_") and len(args) >= 2:
+            # statically-invalid literal regex pattern (reference throws
+            # 'invalid regex pattern' per row; strict throws up front)
+            pat = args[1].strip()
+            if len(pat) >= 2 and pat[0] == "'" and pat[-1] == "'":
+                try:
+                    re.compile(pat[1:-1].replace("''", "'"))
+                except re.error:
+                    raise StrictDialectError(
+                        f"{name}: invalid regex pattern {pat} "
+                        f"(at position {pos})"
+                    ) from None
         if name == "JSON_EACH" and len(args) >= 1:
             a = args[0].strip()
             if len(a) >= 2 and a[0] == "'" and a[-1] == "'":
@@ -280,12 +432,13 @@ def _validate_literal_args(q: str) -> None:
                     v = _json.loads(a[1:-1].replace("''", "'"))
                 except ValueError:
                     raise StrictDialectError(
-                        f"Invalid JSON in JSON_EACH at position {pos}"
+                        f"JSON_EACH(value): invalid JSON string "
+                        f"(at position {pos})"
                     ) from None
                 if not isinstance(v, (list, dict)):
                     raise StrictDialectError(
-                        f"JSON_EACH requires a JSON object or array, got "
-                        f"{a} at position {pos}"
+                        f"JSON_EACH(value): argument must be a JSON "
+                        f"object or array, got {a} (at position {pos})"
                     )
 
 
@@ -312,15 +465,19 @@ def _validate_string_arg_types(q: str, spark) -> None:
             "date" if isinstance(dt, (T.DateType, T.TimestampType))
             else "number" if isinstance(dt, bad_len) else None
         )
-        if name == "OCTET_LENGTH" and isinstance(
-            dt, (T.ArrayType, T.StructType, T.MapType)
-        ):
+        if isinstance(dt, (T.StructType, T.MapType)):
+            kind = "object"
+        elif name == "OCTET_LENGTH" and isinstance(dt, T.ArrayType):
             kind = "object"
         if kind:
-            want = "string" if name == "OCTET_LENGTH" else "string or array"
+            # reference message shape (strings.js, asserted verbatim)
+            if name == "OCTET_LENGTH":
+                sig, want = "OCTET_LENGTH(string)", "string"
+            else:
+                sig, want = "LENGTH(string)", "string or array"
             raise StrictDialectError(
-                f"{name} expected {want}, got {kind} at position {pos}. "
-                f"Use CAST to convert to a string first."
+                f"{sig}: expected {want}, got {kind}. Use CAST to convert"
+                f" to a string first. (at position {pos})"
             )
 
 
@@ -351,9 +508,11 @@ def _validate_intervals(q: str) -> None:
             if unit.endswith("S") and unit[:-1] in _INTERVAL_UNITS:
                 unit = unit[:-1]
             if unit not in _INTERVAL_UNITS:
+                # position = offset of the UNIT token in the original
+                # query (reference parse-layer convention)
                 raise StrictDialectError(
                     f"Invalid interval unit {um.group(1)} at position "
-                    f"{m.end() - m.start() + m.start()}. Valid values: "
+                    f"{m.end() + um.start(1)}. Valid values: "
                     "DAY, MONTH, YEAR, HOUR, MINUTE, SECOND"
                 )
         # standalone INTERVAL: only valid directly after + or - (date
@@ -361,8 +520,8 @@ def _validate_intervals(q: str) -> None:
         before = q[: m.start()].rstrip()
         if not before or before[-1] not in "+-":
             raise StrictDialectError(
-                f"INTERVAL is only supported in date arithmetic "
-                f"(expr + INTERVAL n unit) at position {m.start()}"
+                f"INTERVAL can only be used with date arithmetic (+ or -) "
+                f"— standalone INTERVAL at position {m.start()}"
             )
 
 
@@ -393,25 +552,60 @@ def _validate_order_by_star(q: str) -> None:
                 )
 
 
-def _from_scope(q: str, tables) -> set[str]:
-    """Table names and aliases visible to dotted references."""
-    scope = {t for t in (tables or {})}
+_NOT_ALIAS = (
+    "ON", "WHERE", "GROUP", "ORDER", "LEFT", "RIGHT", "FULL",
+    "INNER", "CROSS", "JOIN", "POSITIONAL", "LIMIT", "HAVING",
+    "UNION", "EXCEPT", "INTERSECT", "LATERAL", "USING", "OFFSET",
+    "NATURAL", "SEMI", "ANTI",
+)
+
+# FROM/JOIN item with optional alias; the alias alternative is a negative
+# lookahead over clause keywords so a following keyword is NOT consumed
+# (a consuming match would swallow the next JOIN and skip its table)
+_FROM_ITEM_RE = re.compile(
+    r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)"
+    r"(?:\s+(?:AS\s+)?(?!(?:"
+    + "|".join(_NOT_ALIAS)
+    + r")\b)([A-Za-z_]\w*))?",
+    re.I,
+)
+
+
+def _visible_tables(q: str, tables) -> list[str]:
+    """FROM/JOIN names as the query sees them — an alias REPLACES its
+    base name (reference + Spark both hide the original). Falls back to
+    the table-map keys when no FROM target parses."""
     mask = _string_mask(q)
-    for m in re.finditer(
-        r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)"
-        r"(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?",
-        q, re.I,
-    ):
+    vis: list[str] = []
+    for m in _FROM_ITEM_RE.finditer(q):
         if mask[m.start()]:
             continue
-        scope.add(m.group(1))
+        if q[m.end(1): m.end(1) + 1] == "(":
+            continue  # table function (UNNEST/JSON_EACH), not a table
+        name = m.group(2) or m.group(1)
+        if name not in vis:
+            vis.append(name)
+    return vis or list(tables or {})
+
+
+def _from_scope(q: str, tables) -> set[str]:
+    """Table names and aliases visible to dotted references. A base name
+    with an alias is HIDDEN (both the reference and Spark reject
+    ``FROM users u ... users.id``)."""
+    scope = {t for t in (tables or {})}
+    mask = _string_mask(q)
+    aliased_bases: set[str] = set()
+    unaliased: set[str] = set()
+    for m in _FROM_ITEM_RE.finditer(q):
+        if mask[m.start()]:
+            continue
         alias = m.group(2)
-        if alias and alias.upper() not in (
-            "ON", "WHERE", "GROUP", "ORDER", "LEFT", "RIGHT", "FULL",
-            "INNER", "CROSS", "JOIN", "POSITIONAL", "LIMIT", "HAVING",
-            "UNION", "EXCEPT", "INTERSECT", "LATERAL", "USING", "OFFSET",
-        ):
+        if alias:
             scope.add(alias)
+            aliased_bases.add(m.group(1))
+        else:
+            scope.add(m.group(1))
+            unaliased.add(m.group(1))
     # table-function / subquery aliases: ") AS j", ") j", "UNNEST(..) AS
     # u(x)", LATERAL VIEW ... v AS c
     for m in re.finditer(r"\)\s*(?:AS\s+)?([A-Za-z_]\w*)", q, re.I):
@@ -447,7 +641,9 @@ def _from_scope(q: str, tables) -> set[str]:
     for m in re.finditer(r",\s*([A-Za-z_]\w*)\s+AS\s*\(", q, re.I):
         if not mask[m.start()]:
             scope.add(m.group(1))
-    return scope
+    # an aliased base name is hidden even when it is a table-map key —
+    # unless the same table is ALSO referenced unaliased elsewhere
+    return scope - (aliased_bases - unaliased)
 
 
 def _validate_dotted_from(q: str) -> None:
@@ -460,9 +656,11 @@ def _validate_dotted_from(q: str) -> None:
         r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*\.[A-Za-z_]\w*)", q, re.I
     ):
         if not mask[m.start()]:
+            # reference parse-layer text (execute.dot tests, verbatim)
             raise StrictDialectError(
-                f'Unknown table "{m.group(1)}" — quote dotted table '
-                f'names ("{m.group(1)}") at position {m.start()}'
+                f'Unexpected "." in "{m.group(1)}". If this is an '
+                f'identifier, use double quotes: "{m.group(1)}" '
+                f"(at position {m.start()})"
             )
 
 
@@ -476,6 +674,24 @@ def _validate_dotted_refs(q: str, spark, tables) -> None:
 
     mask = _string_mask(q)
     scope = _from_scope(q, tables)
+    # double-dotted chains a.b.c: the reference parser stops at the second
+    # dot — 'Unexpected "." in "b.c"' (execute.dot tests) — unless the
+    # head is a struct-typed column or in-scope table (chained access)
+    for m in re.finditer(
+        r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", q
+    ):
+        if mask[m.start()] or q[max(0, m.start() - 1)] in ".]'\"`":
+            continue
+        head = m.group(1)
+        if head in scope or isinstance(
+            _ref_dtype(spark, head), T.StructType
+        ):
+            continue
+        raise StrictDialectError(
+            f'Unexpected "." in "{m.group(2)}.{m.group(3)}". If this is '
+            f'an identifier, use double quotes: '
+            f'"{m.group(2)}.{m.group(3)}" (at position {m.start()})'
+        )
     for m in re.finditer(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", q):
         if mask[m.start()]:
             continue
@@ -487,10 +703,12 @@ def _validate_dotted_refs(q: str, spark, tables) -> None:
         dt = _ref_dtype(spark, qual)
         if isinstance(dt, (T.StructType,)):
             continue  # struct field access
+        # reference TableNotFoundError with qualified usage
+        # (validation/tables.js:166-211, asserted by execute.dot tests)
+        avail = ", ".join(_visible_tables(q, tables))
         raise StrictDialectError(
-            f'Column "{qual}.{m.group(2)}" not found — unquoted dotted '
-            f"references require a table alias in scope at position "
-            f"{m.start()}"
+            f'Table "{qual}" not found in "{qual}.{m.group(2)}". '
+            f"Available tables: {avail} (at position {m.start()})"
         )
 
 
@@ -523,10 +741,25 @@ def _validate_lateral(q: str) -> None:
         # only the bare `t LATERAL fn(..)` shape requires VIEW.
         if re.search(r"\bJOIN\s*$", q[: m.start()], re.I):
             continue
+        # position = offset of the FOUND token (reference parse-layer
+        # convention, asserted by execute.unnest tests)
         raise StrictDialectError(
             f'Expected VIEW after "LATERAL" but found "{m.group(1)}" '
-            f"at position {m.start()}"
+            f"at position {m.start(1)}"
         )
+    for m in re.finditer(r"\bLATERAL\s+VIEW\s+(?:OUTER\s+)?(\w+)\s*\(",
+                         q, re.I):
+        if mask[m.start()]:
+            continue
+        if m.group(1).upper() not in (
+            "EXPLODE", "POSEXPLODE", "EXPLODE_OUTER", "POSEXPLODE_OUTER",
+            "INLINE", "INLINE_OUTER", "JSON_TUPLE", "STACK", "UNNEST",
+            "JSON_EACH",
+        ):
+            raise StrictDialectError(
+                "LATERAL VIEW requires a table function like EXPLODE, "
+                f'got "{m.group(1)}" at position {m.start(1)}'
+            )
     for m in re.finditer(r"\bLATERAL\s+VIEW\s+\w+\s*\(", q, re.I):
         if mask[m.start()]:
             continue
@@ -563,12 +796,41 @@ def _validate_table_functions(q: str) -> None:
             f"{m.group(1).upper()} is a table function and can only be "
             f"used in FROM clauses at position {m.start()}"
         )
+    # column-alias-list arity: UNNEST exposes ONE column, JSON_EACH two
+    # (key, value) — reference parse errors, asserted verbatim
+    for m in re.finditer(
+        r"\b(UNNEST|JSON_EACH)\s*\(", q, re.I
+    ):
+        if mask[m.start()]:
+            continue
+        open_idx = q.index("(", m.end() - 1)
+        try:
+            end = _balanced_arg(q, open_idx)
+        except Exception:  # noqa: BLE001 — unbalanced: Spark will error
+            continue
+        am = re.match(
+            r"\s*(?:AS\s+)?[A-Za-z_]\w*\s*\(([^)]*)\)", q[end:], re.I
+        )
+        if not am:
+            continue
+        n_alias = len([c for c in am.group(1).split(",") if c.strip()])
+        if m.group(1).upper() == "UNNEST" and n_alias > 1:
+            raise StrictDialectError(
+                "UNNEST produces a single column; only one column alias "
+                f"is allowed (at position {m.start()})"
+            )
+        if m.group(1).upper() == "JSON_EACH" and n_alias > 2:
+            raise StrictDialectError(
+                "JSON_EACH produces at most 2 columns (key, value); too "
+                f"many column aliases (at position {m.start()})"
+            )
 
 
-def _validate_unnest_alias_select(q: str) -> None:
+def _validate_unnest_alias_select(q: str, tables=None) -> None:
     """``UNNEST(x) AS u`` exposes the column as ``u.unnest`` — selecting
     bare ``u`` is an unknown column in the reference
-    (execute.unnest.test.js:402-411)."""
+    (execute.unnest.test.js:402-411); the error lists the qualified
+    columns in scope."""
     mask = _string_mask(q)
     aliases = []
     for m in re.finditer(
@@ -586,35 +848,142 @@ def _validate_unnest_alias_select(q: str) -> None:
         return
     for item in _split_top_args(sel.group(2)):
         bare = item.strip()
-        if bare in aliases:
+        if bare not in aliases:
+            continue
+        avail: list[str] = []
+        for v in _visible_tables(q, tables):
+            tv = (tables or {}).get(v)
+            cols = (
+                list(tv.columns) if hasattr(tv, "columns")
+                else list(tv[0].keys())
+                if isinstance(tv, list) and tv else []
+            )
+            avail += [f"{v}.{c}" for c in cols]
+        avail += [f"{a}.unnest" for a in aliases]
+        raise StrictDialectError(
+            f'Column "{bare}" not found. Available columns: '
+            + ", ".join(avail)
+        )
+
+
+_WINDOW_ONLY_FUNCS = (
+    "ROW_NUMBER", "RANK", "DENSE_RANK", "LAG", "LEAD", "NTILE",
+    "PERCENT_RANK", "CUME_DIST", "FIRST_VALUE", "LAST_VALUE", "NTH_VALUE",
+)
+
+
+_AGGREGATE_FUNCS = {
+    "COUNT", "SUM", "AVG", "MIN", "MAX", "COUNTIF", "COUNT_IF",
+    "ARRAY_AGG", "STRING_AGG", "GROUP_CONCAT", "LISTAGG", "STDDEV",
+    "STDDEV_SAMP", "STDDEV_POP", "VARIANCE", "VAR_SAMP", "VAR_POP",
+    "MEDIAN", "PERCENTILE_CONT", "PERCENTILE_DISC", "APPROX_QUANTILE",
+    "JSON_GROUP_ARRAY", "JSON_GROUP_OBJECT", "JSON_ARRAYAGG",
+    "JSON_OBJECTAGG", "BOOL_AND", "BOOL_OR",
+    "ANY_VALUE", "FIRST", "LAST", "MODE", "CORR", "COVAR_SAMP",
+    "COVAR_POP", "BIT_AND", "BIT_OR", "BIT_XOR", "EVERY", "SOME", "ANY",
+}
+
+
+def _iter_calls_span(q: str):
+    """Like _iter_calls but also yields the index just past the closing
+    paren, for validating call SUFFIXES (WITHIN GROUP / FILTER)."""
+    mask = _string_mask(q)
+    for m in _CALL_RE.finditer(q):
+        if mask[m.start()]:
+            continue
+        open_idx = q.index("(", m.end() - 1)
+        try:
+            arg_end = _balanced_arg(q, open_idx)
+        except Exception:  # noqa: BLE001 — unbalanced: Spark will error
+            continue
+        args = _split_top_args(q[open_idx + 1 : arg_end - 1])
+        if args == [""]:
+            args = []
+        yield m.group(1).upper(), m.start(), args, arg_end
+
+
+def _validate_aggregate_modifiers(q: str) -> None:
+    """WITHIN GROUP is PERCENTILE_CONT-only (and excludes the positional
+    value-argument form); FILTER attaches to aggregates only — reference
+    validation messages asserted verbatim by execute.aggregate tests."""
+    for name, pos, args, end in _iter_calls_span(q):
+        tail = q[end:]
+        if re.match(r"\s*WITHIN\s+GROUP\b", tail, re.I):
+            if name != "PERCENTILE_CONT":
+                raise StrictDialectError(
+                    "WITHIN GROUP is only supported for PERCENTILE_CONT, "
+                    f'not "{name}" (at position {pos})'
+                )
+            if len(args) >= 2:
+                raise StrictDialectError(
+                    "PERCENTILE_CONT: cannot combine WITHIN GROUP with a "
+                    f"value argument (at position {pos})"
+                )
+        if (
+            re.match(r"\s*FILTER\s*\(", tail, re.I)
+            and name not in _AGGREGATE_FUNCS
+        ):
             raise StrictDialectError(
-                f'Column "{bare}" not found. Available columns include '
-                f'"{bare}.unnest"'
+                "FILTER cannot be applied to non-aggregate function "
+                f'"{name}" (at position {pos})'
             )
 
 
 def _validate_window_groupby(q: str) -> None:
     mask = _string_mask(q)
 
+    def depth_at(idx: int) -> int:
+        d = 0
+        for i in range(idx):
+            if not mask[i]:
+                if q[i] == "(":
+                    d += 1
+                elif q[i] == ")":
+                    d -= 1
+        return d
+
     def depth0(pat):
         for m in re.finditer(pat, q, re.I):
-            if mask[m.start()]:
-                continue
-            d = 0
-            for i in range(m.start()):
-                if not mask[i]:
-                    if q[i] == "(":
-                        d += 1
-                    elif q[i] == ")":
-                        d -= 1
-            if d == 0:
+            if not mask[m.start()] and depth_at(m.start()) == 0:
                 return True
         return False
 
+    # window-only functions need OVER (reference parse error, verbatim)
+    for m in re.finditer(
+        r"\b(" + "|".join(_WINDOW_ONLY_FUNCS) + r")\s*\(", q, re.I
+    ):
+        if mask[m.start()]:
+            continue
+        open_idx = q.index("(", m.end() - 1)
+        try:
+            end = _balanced_arg(q, open_idx)
+        except Exception:  # noqa: BLE001
+            continue
+        if not re.match(r"\s*OVER\b", q[end:], re.I):
+            raise StrictDialectError(
+                f"{m.group(1).upper()}() requires an OVER clause at "
+                f"position {m.start()}"
+            )
+        # window functions are select-list/ORDER BY only — a WHERE-clause
+        # window call is rejected with the function named (reference)
+        wm = None
+        for w in re.finditer(r"\bWHERE\b", q[: m.start()], re.I):
+            if not mask[w.start()] and depth_at(w.start()) == depth_at(
+                m.start()
+            ):
+                wm = w
+        if wm is not None and not re.search(
+            r"\b(?:GROUP\s+BY|ORDER\s+BY|HAVING|SELECT)\b",
+            q[wm.end(): m.start()], re.I,
+        ):
+            raise StrictDialectError(
+                f"Window function {m.group(1).upper()} is not allowed in "
+                "WHERE clause"
+            )
     if depth0(r"\bOVER\s*\(") and depth0(r"\bGROUP\s+BY\b"):
         raise StrictDialectError(
-            "Window functions cannot be combined with GROUP BY in the "
-            "same query"
+            "Window functions are not supported in queries with "
+            "aggregation (GROUP BY)"
         )
 
 
@@ -668,7 +1037,7 @@ def _validate_setop_names(q: str) -> None:
     for other in derived[1:]:
         if other != first:
             raise StrictDialectError(
-                f"Set operation column names must match: "
+                f"Set operation operands must have identical columns: "
                 f"{first} vs {other}"
             )
 
@@ -707,7 +1076,7 @@ def _validate_array_literals(q: str) -> None:
         for idm in re.finditer(r"[A-Za-z_]\w*", stripped):
             if idm.group(0).upper() not in ("TRUE", "FALSE", "NULL"):
                 raise StrictDialectError(
-                    f"Array literals support literal elements only, "
+                    f"Array literal elements must be constant literals — "
                     f'found "{idm.group(0)}" at position {i}'
                 )
 
@@ -723,6 +1092,7 @@ def validate_reference_sql(
     fixture tables are registered (dtype checks), before rewrites."""
     _validate_arity(query, functions)
     _validate_dotted_from(query)
+    _validate_known_tables(query, tables)
     _validate_literal_args(query)
     _validate_cast_targets(query)
     _validate_intervals(query)
@@ -730,8 +1100,9 @@ def validate_reference_sql(
     _validate_joins(query, tables)
     _validate_lateral(query)
     _validate_table_functions(query)
-    _validate_unnest_alias_select(query)
+    _validate_unnest_alias_select(query, tables)
     _validate_window_groupby(query)
+    _validate_aggregate_modifiers(query)
     _validate_setop_names(query)
     _validate_array_literals(query)
     if spark is not None:
@@ -751,13 +1122,18 @@ def strict_guards(q: str) -> str:
         if len(args) not in (2, 3):
             return None
         x, s = args[0], args[1]
+        start_msg = (
+            "'SUBSTRING(string, start[, length]): start position must be"
+            " a positive integer, got '"
+        )
+        start_tail = "'. SQL uses 1-based indexing.'"
         if len(args) == 2:
             if _literal_int(s) is not None:
                 return None  # statically validated
             return (
                 f"(CASE WHEN ({s}) IS NOT NULL AND ({s}) < 1 THEN "
-                f"raise_error(concat('SUBSTRING start position must be "
-                f">= 1, got ', CAST(({s}) AS STRING))) "
+                f"raise_error(concat({start_msg}, "
+                f"CAST(({s}) AS STRING), {start_tail})) "
                 f"ELSE substring(({x}), ({s})) END)"
             )
         ln = args[2]
@@ -765,10 +1141,11 @@ def strict_guards(q: str) -> str:
             return None
         return (
             f"(CASE WHEN ({s}) IS NOT NULL AND ({s}) < 1 THEN "
-            f"raise_error(concat('SUBSTRING start position must be >= 1,"
-            f" got ', CAST(({s}) AS STRING))) "
+            f"raise_error(concat({start_msg}, "
+            f"CAST(({s}) AS STRING), {start_tail})) "
             f"WHEN ({ln}) IS NOT NULL AND ({ln}) < 0 THEN "
-            f"raise_error(concat('SUBSTRING length must be >= 0, got ', "
+            f"raise_error(concat('SUBSTRING(string, start[, length]): "
+            f"length must be a non-negative integer, got ', "
             f"CAST(({ln}) AS STRING))) "
             f"ELSE substring(({x}), ({s}), ({ln})) END)"
         )

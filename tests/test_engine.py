@@ -82,7 +82,7 @@ def test_column_not_found(spark):
 
 
 def test_unknown_function_suggestion(spark):
-    with pytest.raises(UnknownFunctionError, match="did you mean"):
+    with pytest.raises(UnknownFunctionError, match="Did you mean LOWER"):
         execute_sql(spark, "SELECT lowerr(a) FROM ft", tables={"ft": [{"a": "x"}]})
 
 
@@ -102,7 +102,7 @@ def test_errors_carry_query_positions(spark):
     with pytest.raises(UnknownFunctionError) as e:
         execute_sql(spark, "SELECT uppre(a) FROM pt", tables={"pt": [{"a": "x"}]})
     assert e.value.position and e.value.position["line"] == 1
-    assert "did you mean" in str(e.value)
+    assert "Did you mean UPPER" in str(e.value)
 
 
 def test_cache_tables(spark):
@@ -314,3 +314,91 @@ def test_dynamic_array_elements_still_raise():
 
     with _pytest.raises(TypeError, match="mixed dynamic ARRAY"):
         _infer_memory_schema([{"v": [1, "a"]}])
+
+
+# ---------------------------------------------------- structured error surface
+# Reference error-message shapes (validation/parseErrors.js:105-178,
+# validation/tables.js:166-211): did-you-mean suggestions, available-name
+# lists — round-9 message-level upgrade.
+
+def test_suggest_functions_prefix_and_distance():
+    from squirreling_spark.functions.sqlstrict import suggest_functions
+
+    s = suggest_functions("UPPERX")
+    assert s and s[0] == "UPPER"  # distance 1 ranks first
+    s = suggest_functions("JSON_VALU")
+    assert s and s[0] == "JSON_VALUE"
+    # shared-prefix candidates survive even past the distance cutoff
+    s = suggest_functions("JSON_NONEXISTENT_THING")
+    assert s and all(n.startswith("JSON_") for n in s)
+    assert len(s) <= 4
+
+
+def test_unknown_function_did_you_mean(spark):
+    import pytest as _pytest
+
+    from squirreling_spark.engine import UnknownFunctionError, execute_sql
+
+    with _pytest.raises(UnknownFunctionError) as ei:
+        execute_sql(
+            spark, "SELECT UPPERX(name) FROM data",
+            tables={"data": [{"id": 1, "name": "a"}]},
+        ).collect()
+    msg = str(ei.value)
+    assert 'Unknown function "UPPERX"' in msg
+    assert "Did you mean UPPER" in msg
+
+
+def test_table_not_found_lists_available(spark):
+    import pytest as _pytest
+
+    from squirreling_spark.engine import TableNotFoundError, execute_sql
+
+    with _pytest.raises(
+        (TableNotFoundError, Exception)
+    ) as ei:
+        execute_sql(
+            spark, "SELECT * FROM nope",
+            tables={"users": [{"id": 1}], "orders": [{"id": 2}]},
+            strict=True,
+        ).collect()
+    msg = str(ei.value)
+    assert 'Table "nope" not found' in msg
+    assert "Available tables: users, orders" in msg
+
+
+def test_column_not_found_lists_available_in_fixture_order(spark):
+    import pytest as _pytest
+
+    from squirreling_spark.engine import ColumnNotFoundError, execute_sql
+
+    with _pytest.raises(ColumnNotFoundError) as ei:
+        execute_sql(
+            spark, "SELECT nonexistent FROM users",
+            tables={"users": [{"id": 1, "name": "a", "age": 30}]},
+        ).collect()
+    msg = str(ei.value)
+    assert 'Column "nonexistent" not found' in msg
+    assert "Available columns: id, name, age" in msg
+
+
+def test_qualified_column_not_found_lists_its_table_only(spark):
+    import pytest as _pytest
+
+    from squirreling_spark.engine import ColumnNotFoundError, execute_sql
+
+    with _pytest.raises(ColumnNotFoundError) as ei:
+        execute_sql(
+            spark,
+            "SELECT users.bogus FROM users JOIN orders"
+            " ON users.id = orders.uid",
+            tables={
+                "users": [{"id": 1, "name": "a"}],
+                "orders": [{"id": 9, "uid": 1, "amount": 5}],
+            },
+        ).collect()
+    msg = str(ei.value)
+    # bare column name + only the qualified table's columns
+    assert 'Column "bogus" not found' in msg
+    assert "Available columns: id, name" in msg
+    assert "amount" not in msg

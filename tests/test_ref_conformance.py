@@ -97,3 +97,14 @@ def test_reference_file_conformance(conf_spark, cases_by_file, fname):
     assert res["pass"] >= min_checked, (
         f"{fname}: checked {res['pass']} < floor {min_checked} — {detail}"
     )
+    # round-9 message-level gate: every .toThrow('...') assertion in the
+    # reference must be matched by engine message CONTENT (modulo a
+    # trailing "(row N)"), not just by the fact of a throw
+    n_msg = sum(1 for c in cases_by_file[fname]
+                if c.expect_error and c.expect_msg)
+    mm = "; ".join(f"{t[0]}: wanted {t[1][:80]!r}"
+                   for t in res["msg_mismatch"][:5])
+    assert res["expected_errors_msg_ok"] >= n_msg - len(
+        res["fail"]
+    ) - len(res["error"]), f"{fname}: message mismatches — {mm}"
+    assert not res["msg_mismatch"], f"{fname}: {mm}"

@@ -178,7 +178,8 @@ def test_dotted_from_table_requires_quotes():
 def test_strict_guards_wraps_column_start():
     out = strict_guards("SELECT SUBSTRING('hello', val, 2) FROM data")
     assert "raise_error" in out
-    assert "SUBSTRING start position must be >= 1" in out
+    assert "start position must be a positive integer" in out
+    assert "SQL uses 1-based indexing" in out
 
 
 def test_strict_guards_leaves_literal_calls_alone():
