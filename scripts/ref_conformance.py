@@ -45,6 +45,9 @@ def main() -> int:
     for fname in sorted(byfile):
         res = run_conformance(spark, byfile[fname])
         ok = res["pass"] + res["run_only_ok"] + res["expected_errors_ok"]
+        n_msg = sum(
+            1 for c in byfile[fname] if c.expect_error and c.expect_msg
+        )
         per_file[fname] = {
             "ok": ok,
             "total": res["total"],
@@ -52,6 +55,10 @@ def main() -> int:
             "fail": len(res["fail"]),
             "error": len(res["error"]),
             "dynamic_skip": res["dynamic_skip"],
+            # round 9: .toThrow('...') message assertions verified by
+            # content (substring, modulo trailing "(row N)")
+            "msg_asserted": n_msg,
+            "msg_ok": res["expected_errors_msg_ok"],
         }
         print(
             f"{fname}: {ok}/{res['total']} ok ({res['pass']} checked)",
@@ -67,6 +74,8 @@ def main() -> int:
         "checked": sum(f["checked"] for f in per_file.values()),
         "fail": sum(f["fail"] for f in per_file.values()),
         "error": sum(f["error"] for f in per_file.values()),
+        "msg_asserted": sum(f["msg_asserted"] for f in per_file.values()),
+        "msg_ok": sum(f["msg_ok"] for f in per_file.values()),
         "seconds": round(time.time() - t0, 1),
     }
     out = {"totals": totals, "per_file": per_file, "issues": issues}
