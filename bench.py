@@ -172,6 +172,12 @@ HEADLINE = [
     "build_postings",
     "lineitem_corr_matrix",
     "customer_pareto_abc",
+    # round 9: debounce/throttle, 5-gram novelty scoring, deterministic
+    # stratified split, association-rule lift collocations
+    "events_debounce",
+    "docs_ngram_novelty",
+    "docs_split_assign",
+    "token_pair_lift",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

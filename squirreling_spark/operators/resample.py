@@ -189,3 +189,41 @@ def mad_anomalies(
         .cast("bigint")
         .alias("anom_ord_sum"),
     )
+
+
+def throttle(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak: str,
+    min_gap_us: int,
+) -> DataFrame:
+    """Debounce/throttle filter over an event log: per key, flag each
+    event as kept (1) iff it is the key's first event or arrives at
+    least ``min_gap_us`` after the IMMEDIATELY PRECEDING event — the
+    standard log-dedup / rate-limit transform (double-click suppression,
+    retry collapse, sensor chatter).
+
+    Contract: the gap is measured from the previous event kept-or-not
+    (the one-window form). The "gap from the last KEPT event" variant is
+    inherently iterative per key (each keep decision feeds the next) and
+    belongs to applyInPandasWithState streaming, not a batch window.
+
+    Scale shape: ONE window shuffle partitioned by the key columns —
+    never a global order; gap arithmetic is integer microseconds, exact
+    in any engine. Output: input columns' keys + (ord value, ts_us,
+    gap_us, kept) with gap_us NULL on each key's first event.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak)
+    us = F.unix_micros(F.col(ts_col))
+    gap = us - F.lag(us).over(w)
+    return df.select(
+        *key_cols,
+        F.col(tiebreak),
+        us.cast("bigint").alias("ts_us"),
+        gap.cast("bigint").alias("gap_us"),
+        F.when(gap.isNull() | (gap >= min_gap_us), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("kept"),
+    )

@@ -1162,3 +1162,79 @@ def source_drift_tv(
             "top_gap_ppm",
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """Per-document n-gram novelty score: the fraction of a document's
+    DISTINCT word n-grams whose corpus-wide first occurrence (minimum
+    ``id_col``) is this document. High-novelty documents contribute new
+    text; near-zero novelty marks mirrors, quotes, and boilerplate — the
+    corpus-level complement of pairwise near-dup detection, and a
+    standard training-data curation signal.
+
+    Scale shape: two gram-keyed map-combined aggregates (distinct per
+    doc, then min(doc) per gram) plus ONE hash join back on the gram —
+    high-cardinality keys, evenly partitioned, no pair explosion at any
+    scale. "First" is defined by the id order: ids must be stable
+    (ingest order / snapshot ids), making the score deterministic.
+
+    Output: (id, n_grams, n_novel, novelty_ppm) for documents with at
+    least one n-gram (>= n tokens)."""
+    grams = word_ngrams(df, text_col, id_col, n).distinct()
+    first = grams.groupBy("ng").agg(
+        F.min(F.col(id_col)).alias("__first")
+    )
+    return (
+        grams.join(first, "ng")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col(id_col) == F.col("__first"), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr("(n_novel * 1000000) div n_grams").cast("bigint"),
+        )
+    )
+
+
+# Knuth multiplicative hash constant (2^32 / phi) — public-domain
+# arithmetic reproducible in ANY engine with 64-bit integers; the id is
+# folded to 31 bits first so the product stays far inside bigint
+# (2^31 * 2654435761 < 2^63).
+_SPLIT_PRIME = 2654435761
+_SPLIT_FOLD = 2_147_483_648  # 2^31
+_SPLIT_MOD = 4_294_967_296  # 2^32
+
+
+def stratified_hash_split(
+    df: DataFrame,
+    id_col: str,
+    test_pm: int = 50,
+    valid_pm: int = 50,
+) -> DataFrame:
+    """Deterministic train/valid/test assignment by integer hash of the
+    id — the reproducible split every training pipeline needs: stable
+    under reshuffling, re-ingestion, and engine changes (no RNG, no
+    row order dependence), and disjoint by construction.
+
+    bucket = ((id mod 2^31) * 2654435761 mod 2^32) mod 1000; the first
+    ``test_pm`` buckets are test, the next ``valid_pm`` valid, the rest
+    train. Pure row-local arithmetic — zero shuffle, exact in any
+    engine with 64-bit integers (DuckDB oracle replays it verbatim).
+
+    Output: input rows + (bucket, split)."""
+    bucket = F.expr(
+        f"((({id_col} % {_SPLIT_FOLD}) * {_SPLIT_PRIME})"
+        f" % {_SPLIT_MOD}) % 1000"
+    ).cast("bigint")
+    return df.withColumn("bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < test_pm, "test")
+        .when(F.col("bucket") < test_pm + valid_pm, "valid")
+        .otherwise("train"),
+    )

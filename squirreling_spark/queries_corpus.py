@@ -1925,3 +1925,93 @@ def robots_filter_q(spark, sf):
         ),
     )
     return robots_filter(urls, robots, "url", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round 9: n-gram novelty scoring + deterministic stratified split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_ngram_novelty",
+    oracle=f"""
+    WITH tk AS ({_TK}),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS ng
+      FROM tk, unnest(generate_series(1, len(t) - 4)) AS u(i)
+    ),
+    first_seen AS (
+      SELECT ng, min(doc_id) AS first_doc FROM g GROUP BY ng
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                 * 1000000) // count(*) AS BIGINT) AS novelty_ppm
+    FROM g JOIN first_seen f USING (ng)
+    GROUP BY g.doc_id
+    """,
+)
+def docs_ngram_novelty_q(spark, sf):
+    """Per-document 5-gram novelty (pipeline/corpus.py::ngram_novelty):
+    fraction of a document's distinct word 5-grams first seen (min
+    doc_id) in that document — the corpus-curation complement of
+    pairwise near-dup detection (mirrors/quotes score near zero). Two
+    gram-keyed map-combined aggregates + one hash join; no pair
+    explosion at any scale."""
+    from squirreling_spark.pipeline.corpus import ngram_novelty
+
+    return ngram_novelty(t(spark, sf, "documents"), "text", "doc_id", 5)
+
+
+@query(
+    "docs_split_assign",
+    oracle="""
+    WITH a AS (
+      SELECT source,
+             ((doc_id % 2147483648) * 2654435761 % 4294967296) % 1000
+               AS bucket
+      FROM documents
+    ), s AS (
+      SELECT source,
+             CASE WHEN bucket < 50 THEN 'test'
+                  WHEN bucket < 100 THEN 'valid'
+                  ELSE 'train' END AS split
+      FROM a
+    ), c AS (
+      SELECT source, split, CAST(count(*) AS BIGINT) AS n FROM s
+      GROUP BY source, split
+    ), tot AS (
+      SELECT source, sum(n) AS n_src FROM c GROUP BY source
+    )
+    SELECT c.source, c.split, c.n,
+           CAST(c.n * 1000000 // t.n_src AS BIGINT) AS share_ppm
+    FROM c JOIN tot t USING (source)
+    """,
+)
+def docs_split_assign_q(spark, sf):
+    """Deterministic stratified train/valid/test split
+    (pipeline/corpus.py::stratified_hash_split): Knuth multiplicative
+    hash of doc_id -> 1000 buckets -> 5%/5%/90% split, summarized per
+    source stratum as (source, split, n, share_ppm). Assignment is pure
+    row-local integer arithmetic (zero shuffle, reproducible in any
+    engine); the summary is one map-combined count + a broadcast-sized
+    per-source total join."""
+    from squirreling_spark.pipeline.corpus import stratified_hash_split
+
+    assigned = stratified_hash_split(
+        t(spark, sf, "documents"), "doc_id"
+    )
+    counts = assigned.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = counts.groupBy("source").agg(F.sum("n").alias("n_src"))
+    return counts.join(F.broadcast(totals), "source").select(
+        "source",
+        "split",
+        "n",
+        F.expr("(n * 1000000) div n_src").cast("bigint").alias(
+            "share_ppm"
+        ),
+    )

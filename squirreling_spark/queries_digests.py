@@ -420,6 +420,12 @@ _EVENTS_CK = {
         "user_id * 7 + r_s % 1000003 + f * 3"
         " + CAST(floor(m * 1000) AS BIGINT) % 1000033 + rfm_code * 13"
     ),
+    # round 9: debounce/throttle (operators/resample.py::throttle) —
+    # lag-gap keep flags, integer microseconds
+    "events_debounce": (
+        "user_id * 7 + event_id * 3 + ts_us % 1000003"
+        " + coalesce(gap_us % 999983, 5) * 11 + kept * 13"
+    ),
 }
 
 
@@ -1066,6 +1072,19 @@ _MIX_CK = {
     "token_cooccurrence": (
         "n_docs * 31 + length(t1) * 7 + ascii(t1) * 3"
         " + length(t2) * 5 + ascii(t2)"
+    ),
+    # round 9: association-rule lift collocations, 5-gram novelty
+    # scoring, deterministic stratified split (pipeline/corpus.py)
+    "token_pair_lift": (
+        "n_pair * 31 + df1 * 7 + df2 * 3 + lift_ppm % 1000003"
+        " + length(t1) * 5 + ascii(t1) + length(t2) * 11 + ascii(t2)"
+    ),
+    "docs_ngram_novelty": (
+        "doc_id * 7 + n_grams * 3 + n_novel * 5 + novelty_ppm"
+    ),
+    "docs_split_assign": (
+        "length(source) * 31 + ascii(substring(source, 4, 1))"
+        " + n * 7 + share_ppm + length(split) * 13"
     ),
 }
 

@@ -1077,3 +1077,130 @@ def customer_pareto_abc_q(spark, sf):
         .agg(F.sum("__cents").cast("bigint").alias("rev_cents"))
     )
     return pareto_abc(rev, "o_custkey", "rev_cents")
+
+
+# ---------------------------------------------------------------------------
+# Round 9: event debounce/throttle + token-pair lift (collocations)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_debounce",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             CAST(epoch_us(ts) - lag(epoch_us(ts))
+                  OVER (PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) AS BIGINT) AS gap_us
+      FROM events
+    )
+    SELECT user_id, event_type, event_id, ts_us, gap_us,
+           CAST(CASE WHEN gap_us IS NULL OR gap_us >= 30000000
+                THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM o
+    """,
+)
+def events_debounce_q(spark, sf):
+    """Debounce/throttle filter (operators/resample.py::throttle): per
+    (user, event_type), an event is kept iff it is the first or arrives
+    >= 30s after the immediately preceding event — log dedup for double
+    clicks / retries / sensor chatter. ONE key-partitioned window
+    shuffle; integer-microsecond arithmetic, exact cross-engine."""
+    from squirreling_spark.operators.resample import throttle
+
+    return throttle(
+        t(spark, sf, "events"),
+        ["user_id", "event_type"],
+        "ts",
+        "event_id",
+        30_000_000,
+    )
+
+
+@query(
+    "token_pair_lift",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(list_filter(
+               list_distinct(string_split(text, ' ')),
+               x -> length(x) >= 4)) AS tk
+      FROM documents
+    ), df AS (
+      SELECT tk, CAST(count(*) AS BIGINT) AS n_df FROM dt GROUP BY tk
+    ), tot AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_total
+      FROM documents
+    ), p AS (
+      SELECT a.tk AS t1, b.tk AS t2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tk < b.tk
+      GROUP BY 1, 2
+    )
+    SELECT p.t1, p.t2, p.n_pair, d1.n_df AS df1, d2.n_df AS df2,
+           CAST(CAST(p.n_pair AS HUGEINT) * n_total * 1000000
+                // (CAST(d1.n_df AS HUGEINT) * d2.n_df) AS BIGINT)
+             AS lift_ppm
+    FROM p
+    JOIN df d1 ON p.t1 = d1.tk
+    JOIN df d2 ON p.t2 = d2.tk
+    CROSS JOIN tot
+    WHERE p.n_pair >= 3
+    ORDER BY lift_ppm DESC, p.t1, p.t2 LIMIT 50
+    """,
+)
+def token_pair_lift_q(spark, sf):
+    """Collocation extraction by association-rule LIFT: top-50 content
+    token pairs (length >= 4, co-occurring in >= 3 documents) by
+    lift_ppm = 1e6 * P(t1,t2) / (P(t1) P(t2)) over document
+    frequencies — integer-exact (the log of lift is PMI; staying in
+    ppm-ratio space keeps the score bit-identical cross-engine).
+    Same bounded within-doc pair join as token_cooccurrence, plus two
+    hash joins onto the map-combined document-frequency table and a
+    broadcast 1-row total."""
+    docs = t(spark, sf, "documents")
+    dt = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.array_distinct(F.split(F.col("text"), " ")),
+                lambda x: F.length(x) >= 4,
+            )
+        ).alias("tk"),
+    ).distinct()
+    dfreq = dt.groupBy("tk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_df")
+    )
+    total = docs.agg(
+        F.count_distinct(F.col("doc_id")).cast("bigint").alias("n_total")
+    )
+    a, b = dt.alias("a"), dt.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("a.tk") < F.col("b.tk"))
+        .groupBy(F.col("a.tk").alias("t1"), F.col("b.tk").alias("t2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .where(F.col("n_pair") >= 3)
+    )
+    out = (
+        pairs.join(
+            dfreq.select(F.col("tk").alias("t1"), F.col("n_df").alias("df1")),
+            "t1",
+        )
+        .join(
+            dfreq.select(F.col("tk").alias("t2"), F.col("n_df").alias("df2")),
+            "t2",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "t1",
+            "t2",
+            "n_pair",
+            "df1",
+            "df2",
+            F.expr(
+                "CAST((CAST(n_pair AS DECIMAL(20,0)) * n_total * 1000000)"
+                " div (CAST(df1 AS DECIMAL(20,0)) * df2) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return out.orderBy(F.col("lift_ppm").desc(), "t1", "t2").limit(50)

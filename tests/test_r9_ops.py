@@ -1,0 +1,118 @@
+"""Round-9 operator batch: debounce/throttle, n-gram novelty,
+deterministic stratified split, token-pair lift."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+
+def test_throttle_keeps_first_and_gaps(spark):
+    from squirreling_spark.operators.resample import throttle
+
+    m = 1_000_000
+    rows = [
+        # user 1, type c: 0s, 10s (drop), 45s (keep: 35s after previous),
+        # 60s (drop: 15s after previous EVENT, kept or not)
+        (1, "c", 1, 0),
+        (1, "c", 2, 10 * m),
+        (1, "c", 3, 45 * m),
+        (1, "c", 4, 60 * m),
+        # different type: independent stream
+        (1, "v", 5, 1 * m),
+        # different user: first always kept
+        (2, "c", 6, 2 * m),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_type", "event_id", "us"]
+    ).select(
+        "user_id", "event_type", "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+    )
+    out = {
+        r["event_id"]: r
+        for r in throttle(
+            df, ["user_id", "event_type"], "ts", "event_id", 30 * m
+        ).collect()
+    }
+    assert [out[i]["kept"] for i in (1, 2, 3, 4, 5, 6)] == [1, 0, 1, 0, 1, 1]
+    assert out[1]["gap_us"] is None
+    assert out[3]["gap_us"] == 35 * m
+
+
+def test_ngram_novelty_first_occurrence_owns_grams(spark):
+    from squirreling_spark.pipeline.corpus import ngram_novelty
+
+    rows = [
+        (1, "a b c d e f"),          # grams: "a b c d e", "b c d e f" — both novel
+        (2, "a b c d e f"),          # exact dup: 0 novel
+        (3, "x y z w v"),            # 1 gram, novel
+        (4, "too short"),            # < 5 tokens: absent from output
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           ngram_novelty(df, "text", "doc_id", 5).collect()}
+    assert 4 not in out
+    assert (out[1]["n_grams"], out[1]["n_novel"], out[1]["novelty_ppm"]) == (
+        2, 2, 1_000_000)
+    assert (out[2]["n_grams"], out[2]["n_novel"], out[2]["novelty_ppm"]) == (
+        2, 0, 0)
+    assert (out[3]["n_grams"], out[3]["n_novel"]) == (1, 1)
+
+
+def test_stratified_hash_split_deterministic_and_complete(spark):
+    from squirreling_spark.pipeline.corpus import stratified_hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = stratified_hash_split(df, "doc_id")
+    rows = out.collect()
+    assert len(rows) == 2000
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r["split"], 0)
+        by_split[r["split"]] += 1
+        # split is a pure function of the bucket
+        if r["bucket"] < 50:
+            assert r["split"] == "test"
+        elif r["bucket"] < 100:
+            assert r["split"] == "valid"
+        else:
+            assert r["split"] == "train"
+    # roughly 5/5/90 (multiplicative hash scatters uniformly)
+    assert 40 <= by_split["test"] <= 180
+    assert 40 <= by_split["valid"] <= 180
+    assert by_split["train"] >= 1600
+    # deterministic: a second evaluation assigns identically
+    again = {r["doc_id"]: r["split"]
+             for r in stratified_hash_split(df, "doc_id").collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in rows)
+
+
+def test_token_pair_lift_values(spark):
+    # 4 docs; tokens "aaaa","bbbb" co-occur in 3 of 4 docs;
+    # df(aaaa)=4, df(bbbb)=3 -> lift = 3*4/(4*3) = 1.0 -> 1_000_000 ppm
+    from squirreling_spark import inventory
+
+    inventory.load_all()
+    import tempfile
+
+    rows = [
+        (1, "aaaa bbbb"), (2, "aaaa bbbb"), (3, "aaaa bbbb"), (4, "aaaa cccc"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, ["doc_id", "text"]
+        ).withColumn("lang", F.lit("en")).withColumn(
+            "source", F.lit("src0")
+        ).withColumn("n_chars", F.length("text").cast("bigint")).write.parquet(
+            f"{d}/documents.parquet"
+        )
+        out = inventory.QUERIES["token_pair_lift"](spark, d).collect()
+    got = {(r["t1"], r["t2"]): r for r in out}
+    r = got[("aaaa", "bbbb")]
+    assert (r["n_pair"], r["df1"], r["df2"]) == (3, 4, 3)
+    assert r["lift_ppm"] == 1_000_000
+    # cccc pair appears in only 1 doc -> filtered by n_pair >= 3
+    assert ("aaaa", "cccc") not in got
