@@ -483,3 +483,26 @@ def test_resample_windows_are_key_partitioned(spark):
     for line in ex.splitlines():
         if "Window " in line:
             assert "user_id" in line, line
+
+
+def test_r9_batch_plan_shapes(spark):
+    # debounce: exactly ONE exchange (the key-partitioned window shuffle)
+    plan = plan_of("events_debounce", spark)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+    # split assignment summary: row-local hash (no window), no cartesian;
+    # the per-source total joins back via broadcast
+    plan = plan_of("docs_split_assign", spark)
+    assert "WindowExec" not in plan and "Window\n" not in plan
+    assert "BroadcastHashJoin" in plan
+    # novelty: gram hash joins only — never any nested-loop shape
+    plan = plan_of("docs_ngram_novelty", spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # lift: the only nested-loop is the broadcast of the 1-ROW total
+    # (crossJoin(broadcast(total)) — constant-size by construction); the
+    # data-sized joins are hash joins and the top-50 is bounded two-stage
+    plan = plan_of("token_pair_lift", spark)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "TakeOrderedAndProject" in plan
