@@ -207,3 +207,62 @@ def enriched_tumbling(
             "total_value",
         )
     )
+
+
+_DEBOUNCE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+    ]
+)
+_DEBOUNCE_STATE = StructType([StructField("last_kept_us", LongType())])
+
+
+def debounce_stream(
+    events: DataFrame, min_gap_us: int = 30_000_000
+) -> DataFrame:
+    """TRUE chained debounce over a stream: keep an event iff it arrives
+    at least ``min_gap_us`` after the last KEPT event of its
+    (user_id, event_type) key.
+
+    This is the iterative contract ``operators/resample.py::throttle``
+    documents as streaming-only: every keep decision feeds the next one,
+    so a single batch window (one lag) cannot express it — the decision
+    chain IS the keyed state, and here that state is ONE bigint per key
+    (the last kept event-time), bounded regardless of stream length.
+
+    Each micro-batch's rows for a key are processed in (ts, event_id)
+    order; an event older than the last kept timestamp is dropped by
+    contract (a debouncer suppresses bursts — replaying the past must
+    not re-trigger it). Output mode: append (kept events only)."""
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        last = state.get[0] if state.exists else None
+        kept: dict[str, list] = {
+            "user_id": [], "event_type": [], "event_id": [], "ts_us": [],
+        }
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, eid in zip(pdf["ts"], pdf["event_id"]):
+                us = pd.Timestamp(ts).value // 1000
+                if last is None or us - last >= min_gap_us:
+                    kept["user_id"].append(int(key[0]))
+                    kept["event_type"].append(key[1])
+                    kept["event_id"].append(int(eid))
+                    kept["ts_us"].append(int(us))
+                    last = us
+        if last is not None:
+            state.update((int(last),))
+        yield pd.DataFrame(kept)
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=_DEBOUNCE_SCHEMA,
+        stateStructType=_DEBOUNCE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -349,3 +349,36 @@ def test_session_window_exact_gap_merges(spark):
     )
     assert [r["n"] for r in out] == [2, 1]
     assert out[0]["s"]["end"] == t0 + dt.timedelta(minutes=60)
+
+
+def test_debounce_stream_chained_semantics(spark, events_dir):
+    """Chained (gap-from-last-KEPT) debounce: stream drain must equal a
+    Python replay of the iterative contract — which differs from the
+    batch lag-throttle whenever a dropped event would have reset the
+    one-lag gap."""
+    from squirreling_spark.streaming.windows import debounce_stream
+
+    gap = 4 * 3600 * 1_000_000  # 4h: dense enough at sf0.001 to drop rows
+    batch_df = spark.read.parquet(events_dir)
+    rows = batch_df.select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("ts").alias("us"),
+    ).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r["user_id"], r["event_type"]), []).append(
+            (r["us"], r["event_id"])
+        )
+    expected = set()
+    for evs in by_key.values():
+        last = None
+        for us, eid in sorted(evs):
+            if last is None or us - last >= gap:
+                expected.add(eid)
+                last = us
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    got_df = _run_stream(
+        spark, debounce_stream(stream, gap), "debounce_sink", mode="append"
+    )
+    got = {r["event_id"] for r in got_df.collect()}
+    assert got == expected and 0 < len(got) < len(rows)
