@@ -109,6 +109,11 @@ SHOW = [
     ("rfm_segmentation", "RFM: 1-row quantile aggregate broadcast back, row-local bucket comparisons — no global ntile sort"),
     ("embedding_dim_stats", "dim stats: posexplode + ONE map-combined groupBy(dim) — exchange carries O(partitions x dims)"),
     ("fact_scd2_lookup", "SCD2 lookup: interval build on the customer shuffle, (customer, 90d-bin) equi-join + residual BETWEEN, bounded open-interval cap"),
+    # round 9
+    ("events_debounce", "debounce/throttle: ONE key-partitioned lag window, row-local keep flags — no global order"),
+    ("docs_ngram_novelty", "5-gram novelty: gram-keyed map-combined aggregates + one hash join back — no pair explosion"),
+    ("docs_split_assign", "stratified hash split: row-local Knuth-hash assignment, map-combined counts, broadcast per-source totals"),
+    ("token_pair_lift", "pair lift: bounded within-doc pair join, DF hash joins, 1-row broadcast total, TakeOrderedAndProject top-50"),
 ]
 
 
