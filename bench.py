@@ -178,6 +178,7 @@ HEADLINE = [
     "docs_ngram_novelty",
     "docs_split_assign",
     "token_pair_lift",
+    "docs_communities",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -241,3 +241,73 @@ def triangle_stats(
             " (1000000 * 3 * n_triangles) div n_wedges END AS BIGINT)"
         ).alias("clustering_ppm"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 2,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, label, comm_size) after ``iters`` rounds of synchronous
+    label propagation (Raghavan et al. 2007) over the undirected simple
+    graph — community detection for near-dup neighborhoods, the
+    mode-based sibling of dedup_clusters' min-id connected components.
+
+    Deterministic variant: labels initialize to the node id; each round
+    every node adopts the most frequent label among its NEIGHBORS, ties
+    broken by smallest label — (count desc, label asc) is a total order,
+    so the run replays bit-identically anywhere and a SQL oracle can
+    unroll it round by round. (From singleton initialization, round 1
+    degenerates to min-neighbor-id — all neighbor labels are distinct —
+    and becomes mode-driven from round 2.)
+
+    Scale shape per round: one edge->label hash join (edge-sized, keyed
+    on node id) + one map-combined (node, label) count + one per-node
+    argmax window whose partition is bounded by the node's DEGREE (never
+    a global window). The canonical edge list is lineage-truncated once
+    (``checkpoint_dir`` / SPARK_GRAFT_CHECKPOINT_DIR selects reliable
+    storage, as in triangle_stats); the per-round label table is
+    node-sized. comm_size joins back via a label-sized aggregate.
+    """
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = _truncate(und, checkpoint_dir)
+    wide = und.select(F.col("a").alias("s"), F.col("b").alias("d")).union(
+        und.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    labels = wide.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    w = Window.partitionBy("n").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(iters):
+        neigh = wide.join(labels, wide["d"] == labels["node"]).select(
+            wide["s"].alias("n"), "label"
+        )
+        cnt = neigh.groupBy("n", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("n").alias("node"), "label")
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("comm_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("label").cast("bigint").alias("label"),
+        "comm_size",
+    )

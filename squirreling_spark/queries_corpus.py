@@ -2015,3 +2015,64 @@ def docs_split_assign_q(spark, sf):
             "share_ppm"
         ),
     )
+
+
+@query(
+    "docs_communities",
+    # 2 rounds of deterministic synchronous label propagation, unrolled —
+    # ties on neighbor-label frequency break to the SMALLEST label, so
+    # each round is a total-order argmax both engines replay exactly.
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    e AS MATERIALIZED (
+      SELECT DISTINCT least(id_a, id_b) AS x, greatest(id_a, id_b) AS y
+      FROM pairs WHERE id_a <> id_b
+    ),
+    und AS (
+      SELECT x AS s, y AS d FROM e UNION ALL SELECT y, x FROM e
+    ),
+    l0 AS (SELECT DISTINCT s AS node, s AS label FROM und),
+    c1 AS (
+      SELECT u.s AS n, l.label, count(*) AS c
+      FROM und u JOIN l0 l ON u.d = l.node GROUP BY 1, 2
+    ),
+    l1 AS (
+      SELECT n AS node, label FROM (
+        SELECT n, label, row_number() OVER (
+          PARTITION BY n ORDER BY c DESC, label) AS rn
+        FROM c1) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT u.s AS n, l.label, count(*) AS c
+      FROM und u JOIN l1 l ON u.d = l.node GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT n AS node, label FROM (
+        SELECT n, label, row_number() OVER (
+          PARTITION BY n ORDER BY c DESC, label) AS rn
+        FROM c2) WHERE rn = 1
+    ),
+    sz AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS comm_size
+      FROM l2 GROUP BY label
+    )
+    SELECT CAST(l2.node AS BIGINT) AS node,
+           CAST(l2.label AS BIGINT) AS label, sz.comm_size
+    FROM l2 JOIN sz USING (label)
+    """,
+)
+def docs_communities_q(spark, sf):
+    """Community detection over the MinHash-LSH similarity graph
+    (pipeline/graph.py::label_propagation, 2 synchronous rounds,
+    min-label tie-break): groups near-dup neighborhoods into communities
+    — the mode-based sibling of dedup_clusters' connected components
+    (CC merges everything reachable; LPA keeps densely-linked cores
+    together). Per round: one edge-keyed hash join + map-combined
+    (node, label) count + a DEGREE-bounded per-node argmax window."""
+    from squirreling_spark.pipeline.dedup import minhash_lsh_candidates
+    from squirreling_spark.pipeline.graph import label_propagation
+
+    pairs = minhash_lsh_candidates(
+        t(spark, sf, "documents"), "text", "doc_id", 32, 8
+    )
+    return label_propagation(pairs, "id_a", "id_b", iters=2)

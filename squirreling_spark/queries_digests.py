@@ -621,6 +621,8 @@ _CLEAN_CK = {
     "contamination_check": "doc_id * 100 + n_hits",
     "dedup_clusters": "doc_id + cluster_id * 7 + cluster_size * 31",
     "pagerank_docs": "doc_id * 3 + degree * 7 + pr_scaled",
+    # round 9: label-propagation communities (pipeline/graph.py)
+    "docs_communities": "node * 3 + label * 7 + comm_size * 13",
     # Cross-doc duplicated-substring profile (Lee et al. window-hash form;
     # round 4)
     "dedup_substrings": (

@@ -116,3 +116,24 @@ def test_token_pair_lift_values(spark):
     assert r["lift_ppm"] == 1_000_000
     # cccc pair appears in only 1 doc -> filtered by n_pair >= 3
     assert ("aaaa", "cccc") not in got
+
+
+def test_label_propagation_barbell(spark):
+    # two triangles {1,2,3}, {4,5,6} bridged by 3-4. Hand-unrolled:
+    # round 1 (singleton init => min neighbor id):
+    #   1->2, 2->1, 3->1, 4->3, 5->4, 6->4
+    # round 2 (mode of neighbor labels, ties -> min):
+    #   1: {1,1}->1; 2: {2,1}->1; 3: {2,1,3}->1
+    #   4: {1,4,4}->4; 5: {3,4}->3; 6: {3,4}->3
+    from squirreling_spark.pipeline.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        ["id_a", "id_b"],
+    )
+    out = {r["node"]: (r["label"], r["comm_size"])
+           for r in label_propagation(edges, iters=2).collect()}
+    assert out == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        4: (4, 1), 5: (3, 2), 6: (3, 2),
+    }
