@@ -689,7 +689,15 @@ def execute_sql(
 
             m = re.search(r"routine `?(\w+)`?", msg)
             bad = m.group(1) if m else "?"
-            qpos = orig_query.upper().find(bad.upper())
+            # Word-boundary + call-paren match so the position is the
+            # CALL site, not a longer identifier containing the name
+            # (e.g. "SELECT myupperx, upperx(a)" — r9 advice).
+            call = re.search(
+                r"\b" + re.escape(bad) + r"\s*\(", orig_query, re.I
+            )
+            qpos = (
+                call.start() if call else orig_query.upper().find(bad.upper())
+            )
             at = f" at position {qpos}" if qpos >= 0 else ""
             extra = [r.name for r in spark.catalog.listFunctions()]
             sugg = suggest_functions(bad, extra=extra)

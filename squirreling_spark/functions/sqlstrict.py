@@ -580,8 +580,11 @@ def _visible_tables(q: str, tables) -> list[str]:
     for m in _FROM_ITEM_RE.finditer(q):
         if mask[m.start()]:
             continue
-        if q[m.end(1): m.end(1) + 1] == "(":
-            continue  # table function (UNNEST/JSON_EACH), not a table
+        # table function (UNNEST/JSON_EACH), not a table; whitespace is
+        # tolerated before the paren ("FROM UNNEST (x)"), matching
+        # _validate_known_tables (r9 advice)
+        if re.match(r"\s*\(", q[m.end(1):]):
+            continue
         name = m.group(2) or m.group(1)
         if name not in vis:
             vis.append(name)

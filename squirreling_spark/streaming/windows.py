@@ -221,7 +221,9 @@ _DEBOUNCE_STATE = StructType([StructField("last_kept_us", LongType())])
 
 
 def debounce_stream(
-    events: DataFrame, min_gap_us: int = 30_000_000
+    events: DataFrame,
+    min_gap_us: int = 30_000_000,
+    watermark: str = "2 hours",
 ) -> DataFrame:
     """TRUE chained debounce over a stream: keep an event iff it arrives
     at least ``min_gap_us`` after the last KEPT event of its
@@ -231,7 +233,17 @@ def debounce_stream(
     documents as streaming-only: every keep decision feeds the next one,
     so a single batch window (one lag) cannot express it — the decision
     chain IS the keyed state, and here that state is ONE bigint per key
-    (the last kept event-time), bounded regardless of stream length.
+    (the last kept event-time).
+
+    State bound: O(ACTIVE keys), not lifetime keys — each key arms an
+    event-time timeout at ``last_kept + min_gap_us``; once the watermark
+    (``watermark`` behind max event time) passes it, the key's state is
+    REMOVED. Eviction is semantics-preserving for watermark-ordered
+    input: a key expires only when every future in-watermark event is
+    already >= min_gap_us past the last kept one, i.e. would be kept by
+    definition — exactly what empty state does. (Events later than the
+    watermark allows are the standard Structured Streaming late-data
+    trade, as in stream_dedup.)
 
     Each micro-batch's rows for a key are processed in (ts, event_id)
     order; an event older than the last kept timestamp is dropped by
@@ -241,11 +253,24 @@ def debounce_stream(
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # Watermark passed last_kept + min_gap: every future
+            # in-watermark event would be kept regardless of this state,
+            # so dropping it changes nothing — the eviction that bounds
+            # the store to ACTIVE keys.
+            state.remove()
+            return
         last = state.get[0] if state.exists else None
         kept: dict[str, list] = {
             "user_id": [], "event_type": [], "event_id": [], "ts_us": [],
         }
-        for pdf in pdfs:
+        # Concatenate ALL Arrow chunks before sorting: a key whose
+        # micro-batch exceeds the Arrow batch size arrives as several
+        # chunks, and per-chunk sorts would feed the chained keep/drop
+        # decision out of (ts, event_id) order (r9 advice).
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(["ts", "event_id"])
             for ts, eid in zip(pdf["ts"], pdf["event_id"]):
                 us = pd.Timestamp(ts).value // 1000
@@ -257,12 +282,23 @@ def debounce_stream(
                     last = us
         if last is not None:
             state.update((int(last),))
+            # Arm the eviction timer: fires when the watermark reaches
+            # last_kept + min_gap (ms resolution, rounded up; clamped a
+            # tick past the current watermark — Spark rejects timestamps
+            # at or before it).
+            fire_ms = (int(last) + min_gap_us + 999) // 1000
+            state.setTimeoutTimestamp(
+                max(fire_ms, state.getCurrentWatermarkMs() + 1)
+            )
         yield pd.DataFrame(kept)
 
-    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return src.groupBy("user_id", "event_type").applyInPandasWithState(
         update,
         outputStructType=_DEBOUNCE_SCHEMA,
         stateStructType=_DEBOUNCE_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

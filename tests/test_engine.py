@@ -105,6 +105,18 @@ def test_errors_carry_query_positions(spark):
     assert "Did you mean UPPER" in str(e.value)
 
 
+def test_unknown_function_position_is_call_site(spark):
+    """The reported position is the CALL site (word-boundary + paren),
+    not the first substring hit inside a longer identifier (r9 advice:
+    'SELECT myupperx, upperx(a)' must point at upperx(, not myupperx)."""
+    q = "SELECT myupperx, upperx(a) FROM ft2"
+    with pytest.raises(UnknownFunctionError) as e:
+        execute_sql(
+            spark, q, tables={"ft2": [{"myupperx": 1, "a": "x"}]}
+        )
+    assert f"at position {q.index('upperx(')}" in str(e.value)
+
+
 def test_cache_tables(spark):
     res = execute_sql(
         spark,

@@ -138,6 +138,19 @@ def test_unnest_alias_is_not_a_column():
     _rejects("SELECT tc_item FROM t CROSS JOIN UNNEST(t.arr) AS tc_item")
 
 
+def test_visible_tables_skips_spaced_table_function():
+    """'FROM UNNEST (x)' — whitespace before the call paren — is a table
+    function, not a table, so it must not appear in TableNotFound
+    'Available tables' lists (r9 advice)."""
+    from squirreling_spark.functions.sqlstrict import _visible_tables
+
+    vis = _visible_tables(
+        "SELECT * FROM UNNEST ([1, 2]) AS u", {"users": []}
+    )
+    assert "UNNEST" not in vis
+    assert vis == ["users"]  # falls back to the table map
+
+
 def test_window_groupby_exclusion():
     _rejects(
         "SELECT region, ROW_NUMBER() OVER (ORDER BY region) AS rn "

@@ -382,3 +382,108 @@ def test_debounce_stream_chained_semantics(spark, events_dir):
     )
     got = {r["event_id"] for r in got_df.collect()}
     assert got == expected and 0 < len(got) < len(rows)
+
+
+def test_debounce_stream_multi_chunk_group_order(spark, tmp_path_factory):
+    """A key whose micro-batch exceeds the Arrow batch size arrives at
+    the state function as SEVERAL pandas chunks; the chained decision
+    must still run in global (ts, event_id) order (r9 advice: per-chunk
+    sorts silently dropped events that sorted before an already-kept
+    later chunk). 64 events 1h apart, written ts-DESCENDING, Arrow
+    batches of 16: every event is >= 30s from its predecessor, so the
+    correct debounce keeps ALL of them."""
+    import datetime as dt
+
+    from squirreling_spark.streaming.windows import debounce_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "click", i, t0 + dt.timedelta(hours=63 - i)) for i in range(64)
+    ]
+    schema = "user_id long, event_type string, event_id long, ts timestamp"
+    path = str(tmp_path_factory.mktemp("debounce_chunks") / "events")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        stream = spark.readStream.schema(schema).parquet(path)
+        out = _run_stream(
+            spark,
+            debounce_stream(stream, 30_000_000),
+            "debounce_chunks_sink",
+            mode="append",
+        )
+        assert {r["event_id"] for r in out.collect()} == set(range(64))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_debounce_stream_evicts_idle_keys(spark, tmp_path_factory):
+    """Keyed debounce state is bounded by ACTIVE keys: once the
+    watermark passes a key's last_kept + min_gap the event-time timeout
+    removes its row. Three ordered micro-batches; key A goes idle after
+    batch 1 and must be GONE from the state store by the final batch,
+    while the kept set still matches the Python replay of the chained
+    contract over the full event sequence."""
+    import datetime as dt
+    import json
+
+    from squirreling_spark.streaming.windows import debounce_stream
+
+    gap_us = 3_600_000_000  # 1h
+    t0 = dt.datetime(2024, 1, 1)
+    hours = dt.timedelta(hours=1)
+    schema = "user_id long, event_type string, event_id long, ts timestamp"
+    # (user A=1, B=2, C=3); A's 2nd event is 20min after its 1st -> drop
+    stages = [
+        [(1, "click", 10, t0), (1, "click", 11, t0 + dt.timedelta(minutes=20)),
+         (2, "click", 20, t0)],
+        [(2, "click", 21, t0 + 3 * hours)],
+        [(3, "click", 30, t0 + 4 * hours)],
+    ]
+    base = tmp_path_factory.mktemp("debounce_evict")
+    for i, batch_rows in enumerate(stages):
+        spark.createDataFrame(batch_rows, schema).coalesce(1).write.parquet(
+            str(base / f"s{i}")
+        )
+    replay_kept = set()
+    for key in {(r[0], r[1]) for st in stages for r in st}:
+        last = None
+        evs = sorted(
+            (r[3], r[2]) for st in stages for r in st if (r[0], r[1]) == key
+        )
+        for ts, eid in evs:
+            us = int(ts.timestamp() * 1_000_000)
+            if last is None or us - last >= gap_us:
+                replay_kept.add(eid)
+                last = us
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(base) + "/*")
+    )
+    q = (
+        debounce_stream(stream, gap_us, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("debounce_evict_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), q.exception()
+    progresses = [json.loads(p.json) for p in q.recentProgress]
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progresses
+        if p.get("stateOperators")
+    ]
+    got = {
+        r["event_id"]
+        for r in spark.sql("SELECT * FROM debounce_evict_sink").collect()
+    }
+    assert got == replay_kept, (got, replay_kept)
+    # 3 keys existed over the stream's lifetime; A (timeout t0+1h) is
+    # evicted once the watermark (t0+3h - 10min after batch 2) passes it,
+    # so the final state holds only B and C.
+    assert state_rows and state_rows[-1] == 2, state_rows
