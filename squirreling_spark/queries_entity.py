@@ -10,6 +10,8 @@ blocks, plain window cumsums, IEJoin-able inequality joins).
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -453,6 +455,75 @@ def events_trend_ols_q(spark, sf):
     )
 
 
+# --- per-document token cap for the within-doc pair joins -----------------
+# token_cooccurrence / token_pair_lift build candidate pairs by self-joining
+# the per-document distinct-token table on doc_id: the pair stage is
+# QUADRATIC IN DISTINCT TOKENS PER DOCUMENT. Bounded for normal corpora
+# (fixture max ~100 tokens/doc), but a single pathological 100k-token
+# document would emit 5e9 intermediate pairs inside one task (r9 verdict
+# Wrong #3). Same guard discipline as pipeline/dedup.DEFAULT_BUCKET_CAP:
+# keep the lexicographically-first ``cap`` distinct tokens per document
+# (deterministic, row-local — an array slice, no extra shuffle), opt out
+# with ``max_tokens_per_doc=None``, and make the trade OBSERVABLE via
+# df.observe (capped_docs / max_doc_tokens).
+DEFAULT_DOC_TOKEN_CAP = 5000
+USE_DEFAULT_DOC_CAP: object = object()
+_OBS_SEQ = itertools.count()
+
+
+def doc_distinct_tokens(
+    docs,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    min_len: int = 4,
+    max_tokens_per_doc=USE_DEFAULT_DOC_CAP,
+    observe_name: str | None = None,
+):
+    """(doc_col, tk): per-document DISTINCT whitespace tokens of length
+    >= ``min_len``, at most ``max_tokens_per_doc`` per document (the
+    lexicographically smallest — array_sort + slice keeps the selection
+    deterministic and engine-independent). ``None`` disables the cap;
+    under the cap the token SET is unchanged (sorting is order-neutral
+    for the downstream groupBys), so capped and uncapped runs agree on
+    every corpus whose documents fit the cap."""
+    cap = (
+        DEFAULT_DOC_TOKEN_CAP
+        if max_tokens_per_doc is USE_DEFAULT_DOC_CAP
+        else max_tokens_per_doc
+    )
+    toks = F.filter(
+        F.array_distinct(F.split(F.col(text_col), " ")),
+        lambda x: F.length(x) >= min_len,
+    )
+    if cap is None:
+        return docs.select(
+            F.col(doc_col), F.explode(toks).alias("tk")
+        )
+    sel = docs.select(
+        F.col(doc_col),
+        F.slice(F.array_sort(toks), 1, cap).alias("_tks"),
+        F.size(toks).alias("_ntk"),
+    )
+    if observe_name is not None:
+        # str names get a driver-side sequence suffix (metric names must
+        # be unique within one plan — the digest runs several capped
+        # operators in one union); a pyspark.sql.Observation passes
+        # through for direct .get retrieval in tests.
+        obs = (
+            f"{observe_name}_{next(_OBS_SEQ)}"
+            if isinstance(observe_name, str)
+            else observe_name
+        )
+        sel = sel.observe(
+            obs,
+            F.sum(
+                F.when(F.col("_ntk") > cap, 1).otherwise(0)
+            ).alias("capped_docs"),
+            F.max(F.col("_ntk")).alias("max_doc_tokens"),
+        )
+    return sel.select(F.col(doc_col), F.explode("_tks").alias("tk"))
+
+
 @query(
     "token_cooccurrence",
     oracle="""
@@ -476,17 +547,12 @@ def token_cooccurrence_q(spark, sf):
     feature-co-occurrence staple. Per-document distinct-token explode,
     within-doc pair join (bounded by document size), map-combined pair
     count, TakeOrderedAndProject top-k with a total (count, t1, t2)
-    order."""
+    order. Per-doc distinct tokens are capped at DEFAULT_DOC_TOKEN_CAP
+    (doc_distinct_tokens) so one pathological document can't go
+    quadratic; the fixture sits far below the cap, so results equal the
+    uncapped oracle."""
     docs = t(spark, sf, "documents")
-    dt = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.array_distinct(F.split(F.col("text"), " ")),
-                lambda x: F.length(x) >= 4,
-            )
-        ).alias("tk"),
-    )
+    dt = doc_distinct_tokens(docs, observe_name="token_cooc_cap")
     a = dt.alias("a")
     b = dt.alias("b")
     pairs = (
@@ -1154,19 +1220,12 @@ def token_pair_lift_q(spark, sf):
     lift_ppm = 1e6 * P(t1,t2) / (P(t1) P(t2)) over document
     frequencies — integer-exact (the log of lift is PMI; staying in
     ppm-ratio space keeps the score bit-identical cross-engine).
-    Same bounded within-doc pair join as token_cooccurrence, plus two
-    hash joins onto the map-combined document-frequency table and a
+    Same capped within-doc pair join as token_cooccurrence
+    (doc_distinct_tokens: per-doc token cap, fixture far below it), plus
+    two hash joins onto the map-combined document-frequency table and a
     broadcast 1-row total."""
     docs = t(spark, sf, "documents")
-    dt = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.array_distinct(F.split(F.col("text"), " ")),
-                lambda x: F.length(x) >= 4,
-            )
-        ).alias("tk"),
-    ).distinct()
+    dt = doc_distinct_tokens(docs, observe_name="token_lift_cap")
     dfreq = dt.groupBy("tk").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_df")
     )

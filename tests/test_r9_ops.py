@@ -137,3 +137,55 @@ def test_label_propagation_barbell(spark):
         1: (1, 3), 2: (1, 3), 3: (1, 3),
         4: (4, 1), 5: (3, 2), 6: (3, 2),
     }
+
+
+def test_label_propagation_converges_and_stops(spark):
+    """stop_on_converge halts at the fixed point: on two disjoint
+    triangles every node settles on its triangle's min id after round 2
+    and stays there, so iters=10 with the stop returns exactly the
+    iters=2 labels (bit-identical, and the loop exits early instead of
+    re-deriving the same table 8 more times)."""
+    from squirreling_spark.pipeline.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9)],
+        ["id_a", "id_b"],
+    )
+    fixed = {
+        r["node"]: (r["label"], r["comm_size"])
+        for r in label_propagation(edges, iters=2).collect()
+    }
+    assert fixed == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        7: (7, 3), 8: (7, 3), 9: (7, 3),
+    }
+    got = {
+        r["node"]: (r["label"], r["comm_size"])
+        for r in label_propagation(
+            edges, iters=10, stop_on_converge=True
+        ).collect()
+    }
+    assert got == fixed
+
+
+def test_label_propagation_deep_iters_flat_plan(spark):
+    """Per-round lineage truncation (r9 verdict Wrong #2): at iters=8 the
+    final plan must NOT nest eight join+window subtrees — each round's
+    label table is a checkpointed leaf, so the analyzed plan stays small
+    and analysis cost flat in the round count."""
+    from squirreling_spark.pipeline.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        ["id_a", "id_b"],
+    )
+    out = label_propagation(edges, iters=8)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    # one live round above the last checkpoint: a handful of joins, not 8
+    assert plan.count("Join") <= 4, plan.count("Join")
+    # and the deep run still computes. Hand-unrolled past round 2:
+    # round 3: 4's neighbors carry {1,3,3} -> 3 (the bridge node joins
+    # the right triangle's community); round 4 reproduces round 3 — the
+    # fixed point every later round keeps.
+    got = {r["node"]: r["label"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
