@@ -118,7 +118,15 @@ GRADE_ORDER: list[str] = [
     "pii_scrub",
     "conditional_case",
     "median_percentile",
-    "stddev_var",
+    # round-10 window swap (r9 verdict task 5): stddev_var out — the
+    # STDDEV/VAR aggregate surface is enforced by the 100%-green math/agg
+    # conformance files and the parametrized parity gate; standalone stays
+    # registered after the window (parity gate + sf0.1 sweep). Freed slot
+    # promotes round 9's representative: 5-gram cross-corpus NOVELTY
+    # scoring — two gram-keyed map-combined aggregates + ONE hash join
+    # (no pair explosion), the pure-Spark shape whose 30x/100x probes
+    # showed falling per-unit cost and replication-invariant semantics.
+    "docs_ngram_novelty",
     "string_agg_array_agg",
     "null_semantics",
     # round-7 window swap: json_pack out — the JSON scalar surface is

@@ -170,3 +170,153 @@ def logit_from_parts(bias: float = 0.05, round_digits: int = 6) -> F.Column:
         .otherwise(F.lit(0.0)),
         round_digits,
     )
+
+
+# ---------------------------------------------------------------------------
+# Char-trigram language ID — the pretraining-curation stage that buckets
+# every document by language before language-specific filters run (CCNet
+# runs fastText LID here; cf. Cavnar & Trenkle 1994, "N-Gram-Based Text
+# Categorization" for the n-gram-profile method this follows).
+#
+# Deterministic variant: a FIXED (lang, trigram, weight) profile table with
+# integer weights; a document's score for a language is
+# sum_g w_g * count(g in lower(text)), counted at every position, and the
+# prediction is the max-score language with ties broken lang-ASC — a total
+# order, so any engine replays it exactly.
+#
+# Spark-first shape: the profile is tiny (tens of rows), so scoring is
+# compiled INTO the row expression — count(g) is the classic
+# (length(t) - length(replace(t, g, ''))) / len(g) identity, the per-lang
+# weighted sums are integer arithmetic, and the argmax is an array_max
+# over (score, -lang_rank) structs. ZERO joins, ZERO explode, ZERO
+# shuffle: language ID runs at parquet scan speed, the same property as
+# linear_quality_score above — at 100 TB this is the difference between a
+# metadata pass and a multi-hour job. (The DuckDB oracle deliberately uses
+# the INDEPENDENT unpivoted-profile + group-by + window-argmax algorithm.)
+#
+# The replace-count identity counts non-overlapping occurrences, which
+# equals positional occurrences iff no profile gram self-overlaps
+# (g[0] == g[2] enables offset-2 overlaps; all-equal chars enable
+# offset-1). langid_ngram validates this so custom profiles can't
+# silently diverge from the positional-count oracle.
+# ---------------------------------------------------------------------------
+
+LANG_PROFILES: list[tuple[str, str, int]] = [
+    ("en", "the", 9), ("en", " th", 6), ("en", "he ", 6), ("en", "and", 5),
+    ("en", "ing", 5), ("en", " of", 4), ("en", "er ", 3),
+    ("de", "der", 9), ("de", "sch", 7), ("de", "ein", 6), ("de", "ich", 6),
+    ("de", "die", 5), ("de", "und", 5), ("de", "en ", 3),
+    ("fr", "le ", 7), ("fr", "les", 6), ("fr", "que", 5), ("fr", "ent", 5),
+    ("fr", "de ", 4), ("fr", "ion", 4), ("fr", " la", 3),
+    ("es", "de ", 6), ("es", "la ", 6), ("es", "os ", 5), ("es", "que", 5),
+    ("es", "ent", 4), ("es", " el", 4), ("es", "ar ", 3),
+]
+
+
+def _validate_profiles(profs) -> list[str]:
+    """Shared guard for the Spark operator and the oracle builder:
+    3-char grams, positive integer weights, no self-overlap (so the
+    replace-count identity equals positional counting)."""
+    for lang, g, w in profs:
+        if len(g) != 3:
+            raise ValueError(f"profile gram {g!r} ({lang}): must be 3 chars")
+        if g[0] == g[2]:
+            raise ValueError(
+                f"profile gram {g!r} ({lang}) self-overlaps: replace-"
+                "counting would undercount vs positional occurrences"
+            )
+        if "'" in g:
+            raise ValueError(f"profile gram {g!r}: quote not supported")
+        if not isinstance(w, int) or w <= 0:
+            raise ValueError(f"profile weight for {g!r} must be a +int")
+    return sorted({lang for lang, _, _ in profs})
+
+
+def langid_ngram(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    profiles: list[tuple[str, str, int]] | None = None,
+) -> DataFrame:
+    """(doc_col, lang_pred, score, n_grams): deterministic char-trigram
+    language ID. ``lang_pred`` is the max-score profile language (ties ->
+    lexicographically smallest), or ``'und'`` when no profile gram
+    occurs; ``score`` the winning integer score; ``n_grams`` the number
+    of trigram positions in the document (length - 2, floored at 0)."""
+    profs = list(profiles) if profiles is not None else LANG_PROFILES
+    langs = _validate_profiles(profs)
+    rank = {lang: i for i, lang in enumerate(langs)}
+
+    def cnt(g: str) -> str:
+        return f"((length(_t) - length(replace(_t, '{g}', ''))) div 3)"
+
+    per_lang = {
+        lang: " + ".join(
+            f"{w} * {cnt(g)}" for (lg, g, w) in profs if lg == lang
+        )
+        for lang in langs
+    }
+    arr = ", ".join(
+        f"named_struct('s', CAST({per_lang[lang]} AS BIGINT),"
+        f" 'nr', {-rank[lang]})"
+        for lang in langs
+    )
+    lang_lit = ", ".join(f"'{lang}'" for lang in langs)
+    return (
+        docs.select(
+            F.col(doc_col),
+            F.expr(f"lower(coalesce({text_col}, ''))").alias("_t"),
+        )
+        .select(
+            F.col(doc_col),
+            F.expr(f"array_max(array({arr}))").alias("_b"),
+            F.greatest(F.length("_t") - F.lit(2), F.lit(0))
+            .cast("bigint")
+            .alias("n_grams"),
+        )
+        .select(
+            F.col(doc_col),
+            F.when(
+                F.col("_b.s") > 0,
+                F.expr(f"element_at(array({lang_lit}), -_b.nr + 1)"),
+            )
+            .otherwise(F.lit("und"))
+            .alias("lang_pred"),
+            F.when(F.col("_b.s") > 0, F.col("_b.s"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("score"),
+            "n_grams",
+        )
+    )
+
+
+def langid_oracle_sql(table: str = "documents") -> str:
+    """The DuckDB replay of langid_ngram over ``table`` — deliberately an
+    INDEPENDENT algorithm: unpivoted profile VALUES table, cross-join
+    gram counting, group-by per-language sums, window argmax."""
+    _validate_profiles(LANG_PROFILES)
+    vals = ", ".join(f"('{l}', '{g}', {w})" for l, g, w in LANG_PROFILES)
+    return f"""
+    WITH prof(lang, g, w) AS (VALUES {vals}),
+    d AS (
+      SELECT doc_id, lower(coalesce(text, '')) AS t,
+             CAST(greatest(length(coalesce(text, '')) - 2, 0) AS BIGINT)
+               AS n_grams
+      FROM {table}
+    ), s AS (
+      SELECT d.doc_id, p.lang,
+             CAST(sum(p.w * ((length(d.t) - length(replace(d.t, p.g, '')))
+                             // 3)) AS BIGINT) AS score
+      FROM d CROSS JOIN prof p
+      GROUP BY 1, 2
+    ), b AS (
+      SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rn
+      FROM s WHERE score > 0
+    )
+    SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred,
+           CAST(coalesce(b.score, 0) AS BIGINT) AS score, d.n_grams
+    FROM d LEFT JOIN b ON d.doc_id = b.doc_id AND b.rn = 1
+    """

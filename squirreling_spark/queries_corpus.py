@@ -2076,3 +2076,27 @@ def docs_communities_q(spark, sf):
         t(spark, sf, "documents"), "text", "doc_id", 32, 8
     )
     return label_propagation(pairs, "id_a", "id_b", iters=2)
+
+
+from squirreling_spark.pipeline.classify import (  # noqa: E402
+    langid_oracle_sql,
+)
+
+
+@query("docs_langid", oracle=langid_oracle_sql("documents"))
+def docs_langid_q(spark, sf):
+    """Deterministic char-trigram language ID
+    (pipeline/classify.py::langid_ngram): every pretraining pipeline's
+    first routing stage — bucket documents by language before
+    language-specific filters run (the CCNet / fastText-LID slot,
+    following Cavnar & Trenkle's n-gram-profile method with a FIXED
+    integer profile so both engines replay it exactly).
+
+    Spark plan: the tiny profile table is compiled INTO the row
+    expression (replace-count identity + integer weighted sums +
+    array_max argmax) — zero joins, zero explode, zero shuffle; language
+    ID runs at parquet scan speed. The oracle replays it through the
+    INDEPENDENT unpivoted-profile cross-join + window-argmax algorithm."""
+    from squirreling_spark.pipeline.classify import langid_ngram
+
+    return langid_ngram(t(spark, sf, "documents"))

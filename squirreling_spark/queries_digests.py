@@ -623,6 +623,12 @@ _CLEAN_CK = {
     "pagerank_docs": "doc_id * 3 + degree * 7 + pr_scaled",
     # round 9: label-propagation communities (pipeline/graph.py)
     "docs_communities": "node * 3 + label * 7 + comm_size * 13",
+    # round 10: char-trigram language ID (pipeline/classify.py) — lang
+    # folded by BOTH chars so en/es/de/fr/und stay distinct
+    "docs_langid": (
+        "doc_id * 7 + ascii(substring(lang_pred, 1, 1)) * 5"
+        " + ascii(substring(lang_pred, 2, 1)) * 13 + score * 3 + n_grams"
+    ),
     # Cross-doc duplicated-substring profile (Lee et al. window-hash form;
     # round 4)
     "dedup_substrings": (

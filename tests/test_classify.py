@@ -121,3 +121,72 @@ def test_bloom_false_positive_still_correct(spark):
     ).collect()
     assert sorted(r["keep_id"] for r in out) == [1, 2]
     assert all(r["bloom_checked"] for r in out)  # every row was verified
+
+
+def test_langid_known_texts(spark):
+    """Hand-scored fixtures: profile trigrams at known positions give
+    exact integer scores; the argmax picks the right language; docs with
+    no profile hit fall back to 'und' with score 0."""
+    from squirreling_spark.pipeline.classify import langid_ngram
+
+    rows = [
+        (1, "the thing of the day"),     # en-heavy
+        (2, "der schein ich und die"),   # de-heavy
+        (3, "xyzq"),                     # no profile hits -> und
+        (4, ""),                         # empty -> und, 0 grams
+        (5, None),                       # null -> und, 0 grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["lang_pred"], r["score"], r["n_grams"])
+        for r in langid_ngram(docs).collect()
+    }
+    assert got[1][0] == "en" and got[1][1] > 0
+    assert got[2][0] == "de" and got[2][1] > 0
+    assert got[3] == ("und", 0, 2)
+    assert got[4] == ("und", 0, 0)
+    assert got[5] == ("und", 0, 0)
+    # exact score, hand-counted: "the thing of the day" lowercased —
+    # 'the' occurs at positions 1 and 14 (2 hits x9), ' th' at 13 and
+    # before 'thing'? no — ' th' occurs at ' thing'(4) and ' the'(13)
+    # (2 x6), 'he ' at 'the '(2) and 'he d'? 'the day' (2 x6), ' of'
+    # once (x4), 'ing' once (x5). en = 2*9+2*6+2*6+4+5 = 51.
+    assert got[1] == ("en", 51, 18)
+
+
+def test_langid_tiebreak_and_validation(spark):
+    """Equal top scores break to the lexicographically smallest language;
+    malformed profiles (self-overlapping grams, non-3-char, bad weights)
+    are rejected before any job runs."""
+    import pytest as _pytest
+
+    from squirreling_spark.pipeline.classify import langid_ngram
+
+    # 'que' carries weight 5 for BOTH fr and es -> tie -> 'es' < 'fr'
+    docs = spark.createDataFrame([(1, "que")], "doc_id long, text string")
+    [r] = langid_ngram(docs).collect()
+    assert (r["lang_pred"], r["score"]) == ("es", 5)
+
+    for bad in [
+        [("xx", "aba", 1)],   # g[0] == g[2] self-overlap
+        [("xx", "ab", 1)],    # not 3 chars
+        [("xx", "abc", 0)],   # non-positive weight
+    ]:
+        with _pytest.raises(ValueError):
+            langid_ngram(docs, profiles=bad)
+
+
+def test_langid_plan_is_row_local(spark):
+    """The 100 TB property: language ID compiles the profile INTO the row
+    expression — the physical plan has NO join, NO explode/generate, NO
+    exchange; scoring runs at scan speed inside one projection."""
+    from squirreling_spark.pipeline.classify import langid_ngram
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox")], "doc_id long, text string"
+    )
+    plan = (
+        langid_ngram(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    for op in ("Join", "Generate", "Exchange"):
+        assert op not in plan, (op, plan)
