@@ -179,6 +179,8 @@ HEADLINE = [
     "docs_split_assign",
     "token_pair_lift",
     "docs_communities",
+    # round 10: char-trigram language ID (row-local, scan-speed)
+    "docs_langid",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -114,6 +114,9 @@ SHOW = [
     ("docs_ngram_novelty", "5-gram novelty: gram-keyed map-combined aggregates + one hash join back — no pair explosion"),
     ("docs_split_assign", "stratified hash split: row-local Knuth-hash assignment, map-combined counts, broadcast per-source totals"),
     ("token_pair_lift", "pair lift: bounded within-doc pair join, DF hash joins, 1-row broadcast total, TakeOrderedAndProject top-50"),
+    # round 10
+    ("docs_communities", "label propagation: per-round label tables are checkpointed leaves (flat plan at any iters); final plan = ONE label-sized join + comm-size agg over the leaf"),
+    ("docs_langid", "char-trigram language ID: profile compiled INTO one codegen projection — no join, no explode, no exchange; scores at scan speed"),
 ]
 
 

@@ -259,6 +259,7 @@ def label_propagation(
     iters: int = 2,
     checkpoint_dir: str | None = None,
     stop_on_converge: bool = False,
+    truncate_rounds: bool = True,
 ) -> DataFrame:
     """(node, label, comm_size) after ``iters`` rounds of synchronous
     label propagation (Raghavan et al. 2007) over the undirected simple
@@ -290,7 +291,9 @@ def label_propagation(
     changes no label (a fixed point: the next round would reproduce the
     same table), at the cost of one node-sized anti-join count per round
     — the standard LPA termination; off by default so the default plan
-    stays action-free.
+    stays action-free. ``truncate_rounds=False`` disables the per-round
+    truncation (the nested-plan mode) — only for plan-shape tests that
+    pin what ONE round compiles to; never use it for deep runs.
     """
     from pyspark.sql import Window
 
@@ -320,12 +323,13 @@ def label_propagation(
             F.count(F.lit(1)).alias("c")
         )
         prev = labels
-        labels = _truncate(
+        labels = (
             cnt.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
-            .select(F.col("n").alias("node"), "label"),
-            checkpoint_dir,
+            .select(F.col("n").alias("node"), "label")
         )
+        if truncate_rounds:
+            labels = _truncate(labels, checkpoint_dir)
         if stop_on_converge:
             changed = (
                 labels.alias("new")

@@ -506,3 +506,46 @@ def test_r9_batch_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_r10_docs_communities_plan_shapes(spark):
+    """LPA plan contract, both layers (r9 verdict Missing #1):
+    1. docs_communities (default truncation): the final executed plan is
+       a checkpointed label LEAF + one comm-size aggregate + ONE
+       label-sized join — no CartesianProduct, no window, and the
+       iteration subtrees are NOT nested in the plan.
+    2. One untruncated round (truncate_rounds=False, iters=1) compiles to
+       exactly the documented shape: one edge->label hash join, one
+       (node, label) count aggregate, ONE degree-bounded argmax window —
+       and never a CartesianProduct."""
+    plan = plan_of("docs_communities", spark)
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan          # truncated label leaf
+    assert "+- Window [" not in plan           # rounds live below the leaf
+    from squirreling_spark.pipeline.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], ["id_a", "id_b"]
+    )
+    rnd = label_propagation(edges, iters=1, truncate_rounds=False)
+    rplan = rnd._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in rplan
+    # ONE argmax window per round — but the untruncated round-1 label
+    # table is referenced TWICE (output + comm-size agg), so the nested
+    # plan carries 2 copies: exactly the duplication-per-reference that
+    # makes per-round truncation mandatory for deep iters. Spark rewrites
+    # the rn=1 filter into WindowGroupLimit pushdown on each.
+    assert rplan.count("+- Window [") == 2
+    assert rplan.count("WindowGroupLimit") == 4   # partial+final per copy
+    # joins: edge->label (round) + labels->sizes (final) — hash joins only
+    assert "BroadcastNestedLoopJoin" not in rplan
+
+
+def test_r10_docs_langid_plan_row_local(spark):
+    """Language ID from the registered query (fixture parquet scan): the
+    profile is compiled into the projection — no join, no generate, no
+    exchange anywhere in the executed plan (the 100 TB scan-speed
+    contract; mirrors the unit pin in test_classify.py)."""
+    plan = plan_of("docs_langid", spark)
+    for op in ("Join", "Generate", "Exchange", "ArrowEvalPython"):
+        assert op not in plan, op
