@@ -179,8 +179,10 @@ HEADLINE = [
     "docs_split_assign",
     "token_pair_lift",
     "docs_communities",
-    # round 10: char-trigram language ID (row-local, scan-speed)
+    # round 10: char-trigram language ID (row-local, scan-speed) + HLL
+    # distinct-user sketch (bounded-state cardinality)
     "docs_langid",
+    "events_hll_users",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -82,6 +82,30 @@ def build_disjoint(spark, factor: int) -> str:
     return dst
 
 
+def build_events(spark, factor: int) -> str:
+    """Disjoint-user event replicas (the b45 recipe): user_id/event_id
+    offset per replica, so TRUE distinct-user cardinality grows by F —
+    the honest shape for a cardinality sketch (duplicated users would
+    leave registers unchanged by design; that invariance is unit-tested
+    instead)."""
+    dst = f"/tmp/sq_r10e_{factor}x"
+    if os.path.exists(f"{dst}/_done"):
+        return dst
+    rep = spark.range(factor).withColumnRenamed("id", "__rep")
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    n_e = ev.agg(F.max("event_id")).head()[0] + 1
+    n_u = ev.agg(F.max("user_id")).head()[0] + 1
+    ev.crossJoin(rep).withColumn(
+        "event_id", F.col("event_id") + F.col("__rep") * n_e
+    ).withColumn(
+        "user_id", F.col("user_id") + F.col("__rep") * n_u
+    ).drop("__rep").repartition(32).write.mode("overwrite").parquet(
+        f"{dst}/events.parquet"
+    )
+    open(f"{dst}/_done", "w").write("ok")
+    return dst
+
+
 def time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
     fn = inventory.QUERIES[name]
     best = float("inf")
@@ -124,6 +148,7 @@ def main():
     probes = {
         "docs_communities": build_disjoint,
         "docs_langid": build_plain,
+        "events_hll_users": build_events,
     }
     base = {q: time_query(spark, q, SRC) for q in probes}
     for q in probes:

@@ -135,3 +135,128 @@ def cms_top_terms(
         "cms_count",
         (F.col("cms_count") - F.col("exact_count")).alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet, Fusy, Gandouet & Meunier 2007) — bounded-state
+# DISTINCT counting, the cardinality sibling of the CMS above. At 100 TB,
+# exact count-distinct shuffles every key; the HLL register table is
+# 2^p rows per group REGARDLESS of cardinality, merges across
+# shards/days/streams by cell-wise MAX (registers are a max-lattice), and
+# the same groupBy-max runs under Structured Streaming with state bounded
+# by m x groups.
+#
+# Determinism (the repo's sketch policy): the 60-bit value of a key is an
+# md5 hex fold — no seed, bit-identical in any engine (verified: Spark
+# conv() == DuckDB instr-fold) — the high p bits select the register, and
+# rho = leading-zero count of the low (60-p)-bit field + 1 computes
+# integrally via length(bin(rem)) (both engines print minimal binary).
+# The raw estimate alpha_m * m^2 / sum(2^-M_j) is evaluated EXACTLY:
+# 2^-M_j terms are scaled to integers at 2^(w+1), alpha_m = 0.7213 /
+# (1 + 1.079/m) is carried as the rational 7213*m / (10*(1000m+1079)),
+# and the one division is a floor div of DECIMAL(38,0) products — so the
+# estimate (not just the registers) hash-matches cross-engine. No
+# small-range (linear-counting) correction: the REGISTERS are the sketch
+# and corrections are a consumer-side choice that would add nothing to
+# the engine contract; accuracy at n >> m is pinned by a property test
+# (standard error ~= 1.04/sqrt(m)).
+# ---------------------------------------------------------------------------
+
+_HLL_VAL = (
+    "CAST(conv(substring(md5(CAST({key} AS STRING)), 1, 15), 16, 10)"
+    " AS BIGINT)"
+)
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    p: int = 8,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(group..., bucket, max_rho): HLL registers over ``key_col`` with
+    2^p buckets per group. One row-local projection + ONE map-combined
+    groupBy — the exchange carries at most 2^p rows per group per task,
+    never data rows. Registers merge across runs by groupBy-max."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p={p} outside [4, 16]")
+    w = 60 - p
+    val = _HLL_VAL.format(key=key_col)
+    bucket = f"({val} div {1 << w})"
+    rem = f"({val} % {1 << w})"
+    rho = (
+        f"CAST(CASE WHEN {rem} = 0 THEN {w + 1}"
+        f" ELSE {w} - length(bin({rem})) + 1 END AS INT)"
+    )
+    return df.groupBy(
+        *group_cols, F.expr(bucket).cast("int").alias("bucket")
+    ).agg(F.max(F.expr(rho)).alias("max_rho"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    p: int = 8,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(group..., est_distinct, n_buckets): raw integer-exact HLL
+    estimate from a register table. Missing registers (buckets never
+    hit) contribute 2^-0 = 1 to the harmonic sum, folded in as
+    (m - n_buckets) at the 2^(w+1) integer scale."""
+    m = 1 << p
+    w = 60 - p
+    scale = 1 << (w + 1)  # 2^-rho terms scaled integral (rho <= w+1)
+    num = 7213 * m * m * m * scale  # alpha_num * m^2 * scale
+    den_c = 10 * (1000 * m + 1079)  # alpha denominator, rationalized
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {w + 1} - max_rho)")
+        ).cast("bigint").alias("_hit_sum"),
+    )
+    return agg.select(
+        *group_cols,
+        F.expr(
+            f"CAST(CAST({num} AS DECIMAL(38,0)) div"
+            f" (CAST({den_c} AS DECIMAL(38,0))"
+            f" * (({m} - n_buckets) * CAST({scale} AS BIGINT) + _hit_sum))"
+            " AS BIGINT)"
+        ).alias("est_distinct"),
+        "n_buckets",
+    )
+
+
+def hll_oracle_sql(
+    table: str,
+    key_col: str,
+    group_col: str,
+    p: int = 8,
+) -> str:
+    """DuckDB replay of hll_registers + hll_estimate over ``table``,
+    built from the same integer constants (single source of truth)."""
+    m = 1 << p
+    w = 60 - p
+    scale = 1 << (w + 1)
+    num = 7213 * m * m * m * scale
+    den_c = 10 * (1000 * m + 1079)
+    return f"""
+    WITH v AS (
+      SELECT {group_col},
+             list_sum(list_transform(generate_series(1, 15),
+               i -> (instr('0123456789abcdef',
+                           md5(CAST({key_col} AS VARCHAR))[i]) - 1)::BIGINT
+                    << (4 * (15 - i))))::BIGINT AS val
+      FROM {table}
+    ), r AS (
+      SELECT {group_col}, val // {1 << w} AS bucket,
+             max(CASE WHEN val % {1 << w} = 0 THEN {w + 1}
+                 ELSE {w} - length(bin(val % {1 << w})) + 1 END) AS max_rho
+      FROM v GROUP BY 1, 2
+    )
+    SELECT {group_col},
+           CAST({num}::HUGEINT // ({den_c}::HUGEINT
+                * (({m} - count(*)) * {scale}::HUGEINT
+                   + sum((1::BIGINT << ({w + 1} - max_rho))::HUGEINT)))
+             AS BIGINT) AS est_distinct,
+           CAST(count(*) AS BIGINT) AS n_buckets
+    FROM r GROUP BY 1
+    """

@@ -343,6 +343,12 @@ _EVENTS_CK = {
     "sessions_overlap": (
         "user_a * 31 + seq_a * 7 + user_b * 13 + seq_b + overlap_us % 1000000"
     ),
+    # round 10: HLL distinct-user estimate (pipeline/sketch.py) — the
+    # integer-exact estimate itself is in the fold
+    "events_hll_users": (
+        "length(event_type) * 31 + ascii(substring(event_type, 1, 1))"
+        " + est_distinct * 3 + n_buckets * 7"
+    ),
     # round 8: sliding 1h/30min windows (every event in exactly two)
     "events_sliding_window": (
         "n_events + CAST(floor(total_value) AS BIGINT)"

@@ -4223,3 +4223,33 @@ def events_anomaly_mad_q(spark, sf):
     return mad_anomalies(
         t(spark, sf, "events"), "event_type", "value", "event_id"
     )
+
+
+from squirreling_spark.pipeline.sketch import hll_oracle_sql  # noqa: E402
+
+
+@query(
+    "events_hll_users",
+    oracle=hll_oracle_sql("events", "user_id", "event_type", p=8),
+)
+def events_hll_users_q(spark, sf):
+    """HyperLogLog distinct-user estimate per event type
+    (pipeline/sketch.py, Flajolet et al. 2007): the cardinality sibling
+    of cms_top_terms — 2^8 registers per group REGARDLESS of user
+    cardinality, mergeable across shards/days/streams by register-wise
+    MAX, identical groupBy-max under Structured Streaming with state
+    bounded by m x groups. At 100 TB this replaces the full-key shuffle
+    of an exact count-distinct with a 256-row-per-group exchange.
+    Registers AND the raw estimate are integer-exact cross-engine
+    (md5-fold value, bin()-based rho, rationalized alpha, DECIMAL floor
+    division), so the driver hash-matches the ESTIMATE itself; accuracy
+    (~1.04/sqrt(256) = 6.5% standard error at n >> m) is pinned by the
+    property test in tests/test_sketch.py."""
+    from squirreling_spark.pipeline.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = t(spark, sf, "events")
+    regs = hll_registers(ev, "user_id", p=8, group_cols=("event_type",))
+    return hll_estimate(regs, p=8, group_cols=("event_type",))

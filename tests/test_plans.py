@@ -549,3 +549,16 @@ def test_r10_docs_langid_plan_row_local(spark):
     plan = plan_of("docs_langid", spark)
     for op in ("Join", "Generate", "Exchange", "ArrowEvalPython"):
         assert op not in plan, op
+
+
+def test_r10_hll_plan_two_map_combined_exchanges(spark):
+    """HLL sketch plan contract: one row-local value/bucket/rho
+    projection, then register groupBy-max and estimate groupBy-sum —
+    exactly TWO hash exchanges, both behind partial aggregation (the
+    exchange carries <= m rows per group per task, never data rows), no
+    joins, no windows, no Python."""
+    plan = plan_of("events_hll_users", spark)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_max" in plan and "partial_sum" in plan
+    for op in ("Join", "Window", "ArrowEvalPython", "CartesianProduct"):
+        assert op not in plan, op

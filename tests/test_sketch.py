@@ -90,3 +90,55 @@ def test_cms_top_terms_overcount_small_when_wide(spark):
             r["cms_count"],
             r["exact_count"],
         )
+
+
+def test_hll_estimate_accuracy_at_large_n(spark):
+    """Raw HLL with m=256 has ~6.5% standard error at n >> m: 100k
+    distinct keys must estimate within 20% (3 sigma), and the register
+    table must be exactly m rows (bounded state)."""
+    from squirreling_spark.pipeline.sketch import hll_estimate, hll_registers
+
+    df = spark.range(100_000).selectExpr("id AS k", "'g' AS grp")
+    regs = hll_registers(df, "k", p=8, group_cols=("grp",))
+    assert regs.count() == 256
+    [r] = hll_estimate(regs, p=8, group_cols=("grp",)).collect()
+    assert r["n_buckets"] == 256
+    assert abs(r["est_distinct"] - 100_000) < 20_000, r["est_distinct"]
+
+
+def test_hll_merge_by_register_max(spark):
+    """Registers are a max-lattice: sketching two halves separately and
+    merging by per-bucket MAX gives bit-identical registers — and thus
+    the identical estimate — as sketching the whole (the property that
+    makes shard/day/stream merges exact, never approximate-on-top-of-
+    approximate)."""
+    from squirreling_spark.pipeline.sketch import hll_estimate, hll_registers
+
+    lo = spark.range(0, 30_000).selectExpr("id AS k")
+    hi = spark.range(30_000, 60_000).selectExpr("id AS k")
+    both = spark.range(0, 60_000).selectExpr("id AS k")
+    merged = (
+        hll_registers(lo, "k", p=8)
+        .union(hll_registers(hi, "k", p=8))
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    full = hll_registers(both, "k", p=8)
+    assert {
+        (r["bucket"], r["max_rho"]) for r in merged.collect()
+    } == {(r["bucket"], r["max_rho"]) for r in full.collect()}
+    [em] = hll_estimate(merged, p=8).collect()
+    [ef] = hll_estimate(full, p=8).collect()
+    assert em["est_distinct"] == ef["est_distinct"]
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    """Distinct counting: replicating every key 5x leaves every register
+    — and the estimate — unchanged."""
+    from squirreling_spark.pipeline.sketch import hll_estimate, hll_registers
+
+    base = spark.range(10_000).selectExpr("id AS k")
+    dup = base.crossJoin(spark.range(5)).select("k")
+    [a] = hll_estimate(hll_registers(base, "k", p=8), p=8).collect()
+    [b] = hll_estimate(hll_registers(dup, "k", p=8), p=8).collect()
+    assert a == b

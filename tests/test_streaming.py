@@ -487,3 +487,32 @@ def test_debounce_stream_evicts_idle_keys(spark, tmp_path_factory):
     # evicted once the watermark (t0+3h - 10min after batch 2) passes it,
     # so the final state holds only B and C.
     assert state_rows and state_rows[-1] == 2, state_rows
+
+
+def test_streaming_hll_matches_batch(spark, events_dir):
+    """HLL registers are a plain groupBy-max, so the sketch builds
+    unmodified under Structured Streaming with state bounded by
+    m x groups (the whole point of sketching distincts on an unbounded
+    stream): availableNow drain must equal the batch registers
+    cell-for-cell, and thus the identical estimate."""
+    from squirreling_spark.pipeline.sketch import hll_registers
+
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        (r["event_type"], r["bucket"]): r["max_rho"]
+        for r in hll_registers(
+            batch, "user_id", p=8, group_cols=("event_type",)
+        ).collect()
+    }
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    got_df = _run_stream(
+        spark,
+        hll_registers(stream, "user_id", p=8, group_cols=("event_type",)),
+        "hll_sink",
+    )
+    got = {
+        (r["event_type"], r["bucket"]): r["max_rho"]
+        for r in got_df.collect()
+    }
+    assert got == expected
+    assert len(got) <= 256 * batch.select("event_type").distinct().count()
