@@ -183,6 +183,7 @@ HEADLINE = [
     # distinct-user sketch (bounded-state cardinality)
     "docs_langid",
     "events_hll_users",
+    "docs_hll_ngrams",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

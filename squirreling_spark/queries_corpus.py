@@ -2100,3 +2100,69 @@ def docs_langid_q(spark, sf):
     from squirreling_spark.pipeline.classify import langid_ngram
 
     return langid_ngram(t(spark, sf, "documents"))
+
+
+from squirreling_spark.pipeline.sketch import hll_oracle_sql  # noqa: E402
+
+# DuckDB 5-gram builder matching pipeline/corpus.word_ngrams: whitespace
+# tokens of the space-normalized text, overlapping windows of 5.
+_D_5GRAMS = """
+  SELECT source,
+         unnest(list_transform(generate_series(1, len(tk) - 4),
+                i -> array_to_string(tk[i:i+4], ' '))) AS ng
+  FROM (SELECT source,
+               string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                            ' ') AS tk
+        FROM documents)
+  WHERE len(tk) >= 5
+"""
+
+
+@query(
+    "docs_hll_ngrams",
+    oracle=f"""
+    WITH g AS ({_D_5GRAMS}),
+    est AS ({hll_oracle_sql("g", "ng", "source", p=8)}),
+    ex AS (
+      SELECT source, CAST(count(DISTINCT ng) AS BIGINT) AS exact_distinct
+      FROM g GROUP BY 1
+    )
+    SELECT est.source, est.est_distinct, est.n_buckets, ex.exact_distinct,
+           CAST((est.est_distinct * 1000000) // ex.exact_distinct AS BIGINT)
+             AS ratio_ppm
+    FROM est JOIN ex ON est.source = ex.source
+    """,
+)
+def docs_hll_ngrams_q(spark, sf):
+    """N-gram DIVERSITY per source: distinct 5-gram count estimated by
+    the HyperLogLog register sketch (pipeline/sketch.py) — the standard
+    corpus-curation diversity signal (low distinct-gram mass per token
+    flags template/boilerplate-heavy sources; cf. the Gopher repetition
+    rules, which measure the same thing within one document). At 100 TB
+    the HLL path replaces an exact count-distinct's full gram shuffle
+    with a 256-register-per-source exchange, and per-shard register
+    tables merge by MAX. The exact distinct count is carried alongside
+    at fixture scale to EXHIBIT the ~6.5% (1.04/sqrt(256)) error bound
+    under the gate — ratio_ppm = 1e6 * est / exact, integer-exact both
+    engines."""
+    from squirreling_spark.pipeline.corpus import word_ngrams
+    from squirreling_spark.pipeline.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    grams = word_ngrams(t(spark, sf, "documents"), "text", "source", 5)
+    regs = hll_registers(grams, "ng", p=8, group_cols=("source",))
+    est = hll_estimate(regs, p=8, group_cols=("source",))
+    exact = grams.groupBy("source").agg(
+        F.count_distinct("ng").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "source").select(
+        "source",
+        "est_distinct",
+        "n_buckets",
+        "exact_distinct",
+        F.expr(
+            "CAST((est_distinct * 1000000) div exact_distinct AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )

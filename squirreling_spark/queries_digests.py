@@ -1100,6 +1100,13 @@ _MIX_CK = {
         "length(source) * 31 + ascii(substring(source, 4, 1))"
         " + n * 7 + share_ppm + length(split) * 13"
     ),
+    # round 10: HLL n-gram diversity per source (pipeline/sketch.py) —
+    # estimate, register count, exact exhibit and ratio all in the fold
+    "docs_hll_ngrams": (
+        "length(source) * 31 + ascii(substring(source, 4, 1))"
+        " + est_distinct * 3 + n_buckets * 7 + exact_distinct * 5"
+        " + ratio_ppm % 1000003"
+    ),
 }
 
 

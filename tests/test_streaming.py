@@ -516,3 +516,32 @@ def test_streaming_hll_matches_batch(spark, events_dir):
     }
     assert got == expected
     assert len(got) <= 256 * batch.select("event_type").distinct().count()
+
+
+def test_streaming_langid_matches_batch(spark, tmp_path_factory):
+    """Language ID is one stateless codegen projection, so it routes a
+    document STREAM with zero state: availableNow drain must equal the
+    batch predictions row-for-row (the per-language routing stage of a
+    continuous-ingest pipeline)."""
+    from squirreling_spark.pipeline.classify import langid_ngram
+    from squirreling_spark.qutil import t
+
+    path = str(tmp_path_factory.mktemp("docs_lid_stream") / "docs")
+    docs = t(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    docs.write.mode("overwrite").parquet(path)
+    batch = spark.read.parquet(path)
+    expected = {
+        r["doc_id"]: (r["lang_pred"], r["score"], r["n_grams"])
+        for r in langid_ngram(batch).collect()
+    }
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    got_df = _run_stream(
+        spark, langid_ngram(stream), "langid_sink", mode="append"
+    )
+    got = {
+        r["doc_id"]: (r["lang_pred"], r["score"], r["n_grams"])
+        for r in got_df.collect()
+    }
+    assert got == expected and len(got) > 0
