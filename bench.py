@@ -184,6 +184,7 @@ HEADLINE = [
     "docs_langid",
     "events_hll_users",
     "docs_hll_ngrams",
+    "events_user_overlap",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

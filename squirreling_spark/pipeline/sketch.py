@@ -225,6 +225,46 @@ def hll_estimate(
     )
 
 
+def hll_registers_sql(table: str, key_col: str, group_col: str, p: int = 8) -> str:
+    """DuckDB SELECT producing the ({group_col}, bucket, max_rho)
+    register table of hll_registers over ``table`` — the composable
+    half of the oracle (consumers can max-merge these across groups)."""
+    w = 60 - p
+    return f"""
+      SELECT {group_col}, val // {1 << w} AS bucket,
+             max(CASE WHEN val % {1 << w} = 0 THEN {w + 1}
+                 ELSE {w} - length(bin(val % {1 << w})) + 1 END) AS max_rho
+      FROM (
+        SELECT {group_col},
+               list_sum(list_transform(generate_series(1, 15),
+                 i -> (instr('0123456789abcdef',
+                             md5(CAST({key_col} AS VARCHAR))[i]) - 1)::BIGINT
+                      << (4 * (15 - i))))::BIGINT AS val
+        FROM {table})
+      GROUP BY 1, 2
+    """
+
+
+def hll_estimate_sql(registers: str, group_col: str, p: int = 8) -> str:
+    """DuckDB SELECT replaying hll_estimate over a register relation
+    (a CTE name or parenthesized subquery) — same integer constants as
+    the Spark side (single source of truth)."""
+    m = 1 << p
+    w = 60 - p
+    scale = 1 << (w + 1)
+    num = 7213 * m * m * m * scale
+    den_c = 10 * (1000 * m + 1079)
+    return f"""
+      SELECT {group_col},
+             CAST({num}::HUGEINT // ({den_c}::HUGEINT
+                  * (({m} - count(*)) * {scale}::HUGEINT
+                     + sum((1::BIGINT << ({w + 1} - max_rho))::HUGEINT)))
+               AS BIGINT) AS est_distinct,
+             CAST(count(*) AS BIGINT) AS n_buckets
+      FROM {registers} GROUP BY 1
+    """
+
+
 def hll_oracle_sql(
     table: str,
     key_col: str,
@@ -233,30 +273,7 @@ def hll_oracle_sql(
 ) -> str:
     """DuckDB replay of hll_registers + hll_estimate over ``table``,
     built from the same integer constants (single source of truth)."""
-    m = 1 << p
-    w = 60 - p
-    scale = 1 << (w + 1)
-    num = 7213 * m * m * m * scale
-    den_c = 10 * (1000 * m + 1079)
     return f"""
-    WITH v AS (
-      SELECT {group_col},
-             list_sum(list_transform(generate_series(1, 15),
-               i -> (instr('0123456789abcdef',
-                           md5(CAST({key_col} AS VARCHAR))[i]) - 1)::BIGINT
-                    << (4 * (15 - i))))::BIGINT AS val
-      FROM {table}
-    ), r AS (
-      SELECT {group_col}, val // {1 << w} AS bucket,
-             max(CASE WHEN val % {1 << w} = 0 THEN {w + 1}
-                 ELSE {w} - length(bin(val % {1 << w})) + 1 END) AS max_rho
-      FROM v GROUP BY 1, 2
-    )
-    SELECT {group_col},
-           CAST({num}::HUGEINT // ({den_c}::HUGEINT
-                * (({m} - count(*)) * {scale}::HUGEINT
-                   + sum((1::BIGINT << ({w + 1} - max_rho))::HUGEINT)))
-             AS BIGINT) AS est_distinct,
-           CAST(count(*) AS BIGINT) AS n_buckets
-    FROM r GROUP BY 1
+    WITH r AS ({hll_registers_sql(table, key_col, group_col, p)})
+    {hll_estimate_sql("r", group_col, p)}
     """

@@ -349,6 +349,13 @@ _EVENTS_CK = {
         "length(event_type) * 31 + ascii(substring(event_type, 1, 1))"
         " + est_distinct * 3 + n_buckets * 7"
     ),
+    # round 10: HLL register-algebra pairwise overlap (pipeline/sketch.py)
+    "events_user_overlap": (
+        "length(type_a) * 31 + ascii(substring(type_a, 1, 1))"
+        " + length(type_b) * 13 + ascii(substring(type_b, 1, 1)) * 3"
+        " + est_a + est_b * 5 + est_union * 7 + est_overlap * 11"
+        " + exact_overlap * 17"
+    ),
     # round 8: sliding 1h/30min windows (every event in exactly two)
     "events_sliding_window": (
         "n_events + CAST(floor(total_value) AS BIGINT)"

@@ -4253,3 +4253,136 @@ def events_hll_users_q(spark, sf):
     ev = t(spark, sf, "events")
     regs = hll_registers(ev, "user_id", p=8, group_cols=("event_type",))
     return hll_estimate(regs, p=8, group_cols=("event_type",))
+
+
+from squirreling_spark.pipeline.sketch import (  # noqa: E402
+    hll_estimate_sql,
+    hll_registers_sql,
+)
+
+_HLL_EV_REGS = hll_registers_sql("events", "user_id", "event_type", p=8)
+
+
+@query(
+    "events_user_overlap",
+    oracle=f"""
+    WITH r AS ({_HLL_EV_REGS}),
+    t AS (SELECT DISTINCT event_type FROM events),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.event_type || '|' || b.event_type AS pair_id
+      FROM t a JOIN t b ON a.event_type < b.event_type
+    ),
+    mem AS (
+      SELECT type_a AS event_type, pair_id FROM p
+      UNION ALL SELECT type_b, pair_id FROM p
+    ),
+    ur AS (
+      SELECT pair_id, bucket, max(max_rho) AS max_rho
+      FROM r JOIN mem USING (event_type) GROUP BY 1, 2
+    ),
+    eu AS ({hll_estimate_sql("ur", "pair_id", p=8)}),
+    et AS ({hll_estimate_sql("r", "event_type", p=8)}),
+    du AS (SELECT DISTINCT event_type, user_id FROM events),
+    ex AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS exact_overlap
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           ea.est_distinct AS est_a, eb.est_distinct AS est_b,
+           eu.est_distinct AS est_union,
+           CAST(greatest(0, ea.est_distinct + eb.est_distinct
+                            - eu.est_distinct) AS BIGINT) AS est_overlap,
+           coalesce(ex.exact_overlap, 0) AS exact_overlap
+    FROM p
+    JOIN et ea ON p.type_a = ea.event_type
+    JOIN et eb ON p.type_b = eb.event_type
+    JOIN eu ON p.pair_id = eu.pair_id
+    LEFT JOIN ex ON p.type_a = ex.type_a AND p.type_b = ex.type_b
+    """,
+)
+def events_user_overlap_q(spark, sf):
+    """Distinct-user OVERLAP between every pair of event types, estimated
+    by HLL register ALGEBRA (pipeline/sketch.py): union registers are the
+    bucket-wise MAX of the two types' registers (exact, not approximate-
+    on-approximate — the max-lattice merge), and inclusion-exclusion
+    gives |A∩B| ≈ est(A) + est(B) − est(A∪B). This is the 100 TB way to
+    size a join / measure audience overlap / bound benchmark
+    contamination BEFORE running it: 256 registers per side move instead
+    of every key, and per-shard registers merge by MAX. One broadcast
+    pair-membership join + one register groupBy — never a key shuffle.
+    The exact overlap (a distinct self-join, fixture-scale only) is
+    carried alongside to exhibit the error; every estimate is
+    integer-exact cross-engine, so the driver hashes the estimates
+    themselves."""
+    from squirreling_spark.pipeline.sketch import hll_estimate, hll_registers
+
+    ev = t(spark, sf, "events")
+    regs = hll_registers(ev, "user_id", p=8, group_cols=("event_type",))
+    tl = ev.select("event_type").distinct()
+    pairs = (
+        tl.select(F.col("event_type").alias("type_a"))
+        .crossJoin(tl.select(F.col("event_type").alias("type_b")))
+        .where(F.col("type_a") < F.col("type_b"))
+        .withColumn("pair_id", F.concat_ws("|", "type_a", "type_b"))
+    )
+    # one explode, not a self-union: keeps the (tiny) pair cross-join
+    # subtree from being re-inlined once per union arm
+    mem = pairs.select(
+        F.explode(F.array("type_a", "type_b")).alias("event_type"),
+        "pair_id",
+    )
+    ur = (
+        regs.join(F.broadcast(mem), "event_type")
+        .groupBy("pair_id", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    eu = hll_estimate(ur, p=8, group_cols=("pair_id",)).select(
+        "pair_id", F.col("est_distinct").alias("est_union")
+    )
+    et = hll_estimate(regs, p=8, group_cols=("event_type",))
+    du = ev.select("event_type", "user_id").distinct()
+    ex = (
+        du.alias("a")
+        .join(du.alias("b"), "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
+    )
+    return (
+        pairs.join(
+            et.select(
+                F.col("event_type").alias("type_a"),
+                F.col("est_distinct").alias("est_a"),
+            ),
+            "type_a",
+        )
+        .join(
+            et.select(
+                F.col("event_type").alias("type_b"),
+                F.col("est_distinct").alias("est_b"),
+            ),
+            "type_b",
+        )
+        .join(eu, "pair_id")
+        .join(ex, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+            ).cast("bigint").alias("est_overlap"),
+            F.coalesce("exact_overlap", F.lit(0)).cast("bigint").alias(
+                "exact_overlap"
+            ),
+        )
+    )

@@ -562,3 +562,16 @@ def test_r10_hll_plan_two_map_combined_exchanges(spark):
     assert "partial_max" in plan and "partial_sum" in plan
     for op in ("Join", "Window", "ArrowEvalPython", "CartesianProduct"):
         assert op not in plan, op
+
+
+def test_r10_user_overlap_no_key_shuffle_products(spark):
+    """Overlap estimation must move REGISTERS, not keys: the only
+    nested-loop join allowed is the constant-size event-type pair cross
+    (|types|^2 rows); everything data-sized is hash join / map-combined
+    aggregate, and no CartesianProduct anywhere."""
+    plan = plan_of("events_user_overlap", spark)
+    assert "CartesianProduct" not in plan
+    # the |types|^2 pair cross appears twice (membership + output join) —
+    # both constant-size; nothing data-sized may nested-loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "partial_max" in plan  # register merges map-side

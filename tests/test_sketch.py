@@ -142,3 +142,30 @@ def test_hll_duplicates_do_not_move_registers(spark):
     [a] = hll_estimate(hll_registers(base, "k", p=8), p=8).collect()
     [b] = hll_estimate(hll_registers(dup, "k", p=8), p=8).collect()
     assert a == b
+
+
+def test_hll_overlap_algebra_on_planted_sets(spark):
+    """Register algebra: union registers = bucket-wise MAX, overlap by
+    inclusion-exclusion. Planted sets A = [0, 40k), B = [20k, 60k)
+    (true overlap 20k, union 60k): the union estimate from max-merged
+    registers must EQUAL the direct estimate of A∪B (exact merge), and
+    the inclusion-exclusion overlap must land within the compounded
+    error bound (3 terms x 3 sigma x 6.5% of the union)."""
+    from squirreling_spark.pipeline.sketch import hll_estimate, hll_registers
+
+    a = spark.range(0, 40_000).selectExpr("id AS k")
+    b = spark.range(20_000, 60_000).selectExpr("id AS k")
+    ra = hll_registers(a, "k", p=8)
+    rb = hll_registers(b, "k", p=8)
+    merged = ra.union(rb).groupBy("bucket").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    [eu] = hll_estimate(merged, p=8).collect()
+    [direct] = hll_estimate(
+        hll_registers(a.union(b), "k", p=8), p=8
+    ).collect()
+    assert eu["est_distinct"] == direct["est_distinct"]
+    [ea] = hll_estimate(ra, p=8).collect()
+    [eb] = hll_estimate(rb, p=8).collect()
+    overlap = ea["est_distinct"] + eb["est_distinct"] - eu["est_distinct"]
+    assert abs(overlap - 20_000) < 0.2 * 60_000, overlap
