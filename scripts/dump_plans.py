@@ -117,6 +117,9 @@ SHOW = [
     # round 10
     ("docs_communities", "label propagation: per-round label tables are checkpointed leaves (flat plan at any iters); final plan = ONE label-sized join + comm-size agg over the leaf"),
     ("docs_langid", "char-trigram language ID: profile compiled INTO one codegen projection — no join, no explode, no exchange; scores at scan speed"),
+    ("events_hll_users", "HLL distinct sketch: row-local value/bucket/rho projection, register groupBy-max + estimate groupBy-sum — two map-combined exchanges, registers move instead of keys"),
+    ("docs_hll_ngrams", "HLL n-gram diversity: gram explode feeds the register sketch; exchange carries <=256 registers/source, exact exhibit alongside"),
+    ("events_user_overlap", "HLL register algebra: broadcast pair membership, bucket-wise MAX union merge, inclusion-exclusion — only the constant type-pair cross nested-loops"),
 ]
 
 
