@@ -90,25 +90,45 @@ _COUNTER_SCHEMA = StructType(
 _STATE_SCHEMA = StructType([StructField("count", LongType())])
 
 
-def stateful_user_counter(events: DataFrame) -> DataFrame:
+def stateful_user_counter(
+    events: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
     """Custom stateful streaming operator: running per-user event count via
-    applyInPandasWithState (arbitrary state semantics beyond built-ins)."""
+    applyInPandasWithState (arbitrary state semantics beyond built-ins).
+
+    State is one bigint per user. A LIFETIME counter is exact only with
+    lifetime state, so the default keeps every key (``NoTimeout``);
+    ``ttl_ms`` opts into the bounded-state trade for unbounded streams —
+    a user idle past the ttl is dropped and RESTARTS at 0 on return
+    (idle-horizon counts, the neardup ttl_ms pattern; same caveat:
+    ProcessingTimeTimeout streams never self-terminate under
+    availableNow, so use ttl on continuous triggers only)."""
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         count = state.get[0] if state.exists else 0
         for pdf in pdfs:
             count += len(pdf)
         state.update((count,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame({"user_id": [key[0]], "total_events": [count]})
 
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=_COUNTER_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 

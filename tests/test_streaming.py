@@ -545,3 +545,58 @@ def test_streaming_langid_matches_batch(spark, tmp_path_factory):
         for r in got_df.collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_stateful_counter_ttl_restarts_idle_users(spark, tmp_path_factory):
+    """ttl_ms bounds counter state: a user idle past the ttl is dropped,
+    so their next event restarts the count at 1 instead of resuming —
+    the explicit bounded-state trade (default NoTimeout stays exact).
+    Mirrors the neardup ttl test: ProcessingTimeTimeout streams never
+    self-terminate under availableNow, so poll the sink."""
+    import time as _time
+
+    from squirreling_spark.streaming.windows import stateful_user_counter
+
+    base = tmp_path_factory.mktemp("counter_ttl")
+    schema = "user_id long, event_type string, event_id long, ts timestamp"
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    stages = [
+        [(1, "click", 10, t0), (1, "click", 11, t0)],  # A count -> 2
+        [(2, "click", 20, t0)],                        # trips timeout sweep
+        [(1, "click", 12, t0)],                        # A returns
+    ]
+    for i, rows in enumerate(stages):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(base / f"s{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(base) + "/*")
+    )
+    q = (
+        stateful_user_counter(stream, ttl_ms=1)
+        .writeStream.format("memory")
+        .queryName("counter_ttl_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+    def rows():
+        return [
+            (r["user_id"], r["total_events"])
+            for r in spark.sql("SELECT * FROM counter_ttl_sink").collect()
+        ]
+
+    deadline = _time.time() + 300
+    while rows().count((1, 1)) == 0 and _time.time() < deadline:
+        assert q.exception() is None, q.exception()
+        _time.sleep(2)
+    got = rows()
+    q.stop()
+    # A's state expired between batches 1 and 3: the return emits a
+    # RESTARTED count of 1 (never 3); the pre-expiry count of 2 stands.
+    assert (1, 2) in got and (1, 1) in got and (1, 3) not in got, got
