@@ -227,6 +227,14 @@ def _validate_profiles(profs) -> list[str]:
             )
         if "'" in g:
             raise ValueError(f"profile gram {g!r}: quote not supported")
+        # Grams are interpolated into SQL string literals on BOTH engines;
+        # Spark SQL treats backslash as an escape while DuckDB does not,
+        # so a '\\' gram would silently score differently (r10 advice).
+        # Control chars are rejected for the same literal-fidelity reason.
+        if "\\" in g:
+            raise ValueError(f"profile gram {g!r}: backslash not supported")
+        if any(ord(c) < 32 or ord(c) == 127 for c in g):
+            raise ValueError(f"profile gram {g!r}: control char not supported")
         if not isinstance(w, int) or w <= 0:
             raise ValueError(f"profile weight for {g!r} must be a +int")
     return sorted({lang for lang, _, _ in profs})
@@ -247,6 +255,14 @@ def langid_ngram(
     langs = _validate_profiles(profs)
     rank = {lang: i for i, lang in enumerate(langs)}
 
+    # n_grams counts trigram positions of the RAW text (not the lowered
+    # copy): lower() can change string length for a handful of Unicode
+    # code points (e.g. U+0130 -> "i" + combining dot), and Spark vs
+    # DuckDB lower() may disagree outside ASCII — the oracle counts raw
+    # length, so the Spark side must too (r10 advice). Scoring still
+    # runs over lower(text); profile matching assumes simple 1:1 case
+    # mapping (ASCII and most alphabetic scripts) — documented contract.
+
     def cnt(g: str) -> str:
         return f"((length(_t) - length(replace(_t, '{g}', ''))) div 3)"
 
@@ -266,13 +282,17 @@ def langid_ngram(
         docs.select(
             F.col(doc_col),
             F.expr(f"lower(coalesce({text_col}, ''))").alias("_t"),
+            F.greatest(
+                F.length(F.expr(f"coalesce({text_col}, '')")) - F.lit(2),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_grams"),
         )
         .select(
             F.col(doc_col),
             F.expr(f"array_max(array({arr}))").alias("_b"),
-            F.greatest(F.length("_t") - F.lit(2), F.lit(0))
-            .cast("bigint")
-            .alias("n_grams"),
+            "n_grams",
         )
         .select(
             F.col(doc_col),

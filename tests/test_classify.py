@@ -190,3 +190,30 @@ def test_langid_plan_is_row_local(spark):
     )
     for op in ("Join", "Generate", "Exchange"):
         assert op not in plan, (op, plan)
+
+
+def test_langid_n_grams_counts_raw_text(spark):
+    """n_grams is defined over the RAW text, not the lowered copy (r10
+    advice): U+0130 lowercases to 2 code points on the JVM, which must
+    not inflate the gram-position count."""
+    from squirreling_spark.pipeline.classify import langid_ngram
+
+    docs = spark.createDataFrame(
+        [(1, "İİİİ")], "doc_id long, text string"
+    )
+    [r] = langid_ngram(docs).collect()
+    assert r["n_grams"] == 2  # len(raw)=4 -> 2 trigram positions
+
+
+def test_langid_profile_literal_fidelity(spark):
+    """Grams that would break SQL string-literal fidelity across engines
+    (backslashes — Spark escapes them, DuckDB doesn't — quotes, control
+    chars) are rejected up front (r10 advice)."""
+    import pytest as _pytest
+
+    from squirreling_spark.pipeline.classify import langid_ngram
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    for bad_gram in ["a\\b", "a'b", "a\tb", "a\x7fb"]:
+        with _pytest.raises(ValueError):
+            langid_ngram(docs, profiles=[("xx", bad_gram, 1)])

@@ -189,3 +189,27 @@ def test_label_propagation_deep_iters_flat_plan(spark):
     # fixed point every later round keeps.
     got = {r["node"]: r["label"] for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_lpa_reliable_checkpoints_bounded_on_disk(spark, tmp_path):
+    """Reliable per-round checkpoints must not accumulate unboundedly
+    (r10 advice): with iters=6 the checkpoint dir holds at most the
+    canonical-edge checkpoint plus the last TWO label generations (one
+    superseded generation is kept because convergence compares can still
+    reference it) — not one dir per round."""
+    import pathlib
+
+    from squirreling_spark.pipeline.graph import label_propagation
+
+    ck = str(tmp_path / "ck")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)],
+        "id_a long, id_b long",
+    )
+    out = label_propagation(edges, iters=6, checkpoint_dir=ck)
+    assert out.count() == 6
+    rdd_dirs = list(pathlib.Path(ck).glob("*/rdd-*"))
+    # 1 (und) + 2 label generations; without eviction this would be 7
+    assert len(rdd_dirs) <= 3, rdd_dirs
+    # and the surviving checkpoints still serve the result
+    assert out.count() == 6

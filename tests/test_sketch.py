@@ -169,3 +169,44 @@ def test_hll_overlap_algebra_on_planted_sets(spark):
     [eb] = hll_estimate(rb, p=8).collect()
     overlap = ea["est_distinct"] + eb["est_distinct"] - eu["est_distinct"]
     assert abs(overlap - 20_000) < 0.2 * 60_000, overlap
+
+
+def test_hll_null_keys_are_ignored(spark):
+    """NULL keys must not register (COUNT(DISTINCT) semantics — r10
+    advice): a frame with NULLs mixed in yields bit-identical registers
+    and estimate to the non-null subset, and no NULL-bucket row."""
+    from squirreling_spark.pipeline.sketch import hll_estimate, hll_registers
+
+    clean = spark.range(1000).selectExpr("CAST(id AS STRING) AS k")
+    dirty = clean.union(
+        spark.range(50).selectExpr("CAST(NULL AS STRING) AS k")
+    )
+    rc = hll_registers(clean, "k", p=8)
+    rd = hll_registers(dirty, "k", p=8)
+    assert rd.where(F.col("bucket").isNull()).count() == 0
+    assert {
+        (r["bucket"], r["max_rho"]) for r in rd.collect()
+    } == {(r["bucket"], r["max_rho"]) for r in rc.collect()}
+    [ec] = hll_estimate(rc, p=8).collect()
+    [ed] = hll_estimate(rd, p=8).collect()
+    assert ec == ed
+
+
+def test_hll_small_range_correction(spark):
+    """corrected=True switches to linear counting below 5m/2 where the
+    raw harmonic estimate is biased: at n = 30 << m = 256 the corrected
+    estimate must land within 20% of truth AND strictly closer than the
+    raw one; at n >> 5m/2 corrected == raw (branch not taken)."""
+    from squirreling_spark.pipeline.sketch import hll_estimate, hll_registers
+
+    small = spark.range(30).selectExpr("CAST(id AS STRING) AS k")
+    regs = hll_registers(small, "k", p=8)
+    [raw] = hll_estimate(regs, p=8).collect()
+    [cor] = hll_estimate(regs, p=8, corrected=True).collect()
+    assert abs(cor["est_distinct"] - 30) <= 6, cor["est_distinct"]
+    assert abs(cor["est_distinct"] - 30) < abs(raw["est_distinct"] - 30)
+    big = spark.range(100_000).selectExpr("CAST(id AS STRING) AS k")
+    regs_b = hll_registers(big, "k", p=8)
+    [raw_b] = hll_estimate(regs_b, p=8).collect()
+    [cor_b] = hll_estimate(regs_b, p=8, corrected=True).collect()
+    assert raw_b["est_distinct"] == cor_b["est_distinct"]
