@@ -185,6 +185,12 @@ HEADLINE = [
     "events_hll_users",
     "docs_hll_ngrams",
     "events_user_overlap",
+    # round 11: pure-sketch defaults (r10 verdict task 1) — the exact
+    # exhibits now live in _vs_exact variants, benched separately so the
+    # default-vs-exhibit cost gap stays measured
+    "cms_top_terms_vs_exact",
+    "docs_hll_ngrams_vs_exact",
+    "events_user_overlap_vs_exact",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -109,31 +109,86 @@ def cms_top_terms(
     k: int = 20,
     width: int = 8192,
     depth: int = 5,
+    exhibit: bool = False,
+    phi_ppm: int = 500,
 ) -> DataFrame:
-    """Heavy-hitter terms with sketched counts: (term, exact_count,
-    cms_count, overcount) for the exact top-``k`` tokens. The exact side
-    exists to EXHIBIT the CMS guarantee under the correctness gate
-    (cms_count ≥ exact_count always; equality when width ≫ distinct); a
-    pure-sketch pipeline would keep only the broadcast sketch and
-    estimate whatever candidate terms arrive later."""
+    """Heavy-hitter terms from the sketch alone (default): (term,
+    cms_count) for the top-``k`` terms among those whose sketched count
+    clears ``phi_ppm`` parts-per-million of the total token count — the
+    classic CMS φ-heavy-hitter contract. The CMS one-sided guarantee
+    (estimate ≥ true count) means no true φ-heavy term can be filtered
+    out. This is the scale-default plan (r10 verdict): the only
+    term-keyed shuffle is over the φ-survivors — every token is scored
+    against the BROADCAST sketch (width-row wide form, one broadcast
+    hash join per hash row, all row-local), so no full-keyspace
+    count/distinct ever runs.
+
+    ``exhibit=True`` restores the gate-exhibit form: exact top-``k`` by
+    full count (a full term-keyed shuffle — fixture-scale only) with
+    (term, exact_count, cms_count, overcount) columns demonstrating the
+    guarantee (cms_count ≥ exact_count; equality when width ≫ distinct)."""
     from squirreling_spark.pipeline.text import tokens
 
     toks = df.select(
         F.explode(tokens(text_col)).alias("term")
     ).filter(F.col("term") != "")
     sketch = cms_build(toks, "term", width=width, depth=depth)
-    top = (
-        toks.groupBy("term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
-        .orderBy(F.desc("exact_count"), "term")
-        .limit(k)
+    if exhibit:
+        top = (
+            toks.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+            .orderBy(F.desc("exact_count"), "term")
+            .limit(k)
+        )
+        est = cms_estimate(top, sketch, "term", width=width, depth=depth)
+        return est.select(
+            "term",
+            "exact_count",
+            "cms_count",
+            (F.col("cms_count") - F.col("exact_count")).alias("overcount"),
+        )
+    # width-row wide form of the sketch: (bucket, c0..c{d-1}); missing
+    # cells mean no key hashed there -> 0. The wide table is referenced
+    # depth+1 times (one broadcast per hash row + the total) — truncate
+    # its lineage so the corpus-scan/sketch subtree is computed ONCE, not
+    # re-inlined per reference (<= width rows, trivially materializable).
+    wide = sketch.groupBy("bucket").agg(
+        *[
+            F.max(F.when(F.col("row") == i, F.col("cnt"))).alias(f"_c{i}")
+            for i in range(depth)
+        ]
+    ).localCheckpoint(eager=False)
+    # row-0 cells partition the token stream, so their sum is the total
+    total = wide.agg(
+        F.sum(F.coalesce("_c0", F.lit(0))).cast("bigint").alias("_n_total")
     )
-    est = cms_estimate(top, sketch, "term", width=width, depth=depth)
-    return est.select(
+    scored = toks.select(
         "term",
-        "exact_count",
-        "cms_count",
-        (F.col("cms_count") - F.col("exact_count")).alias("overcount"),
+        *[
+            F.expr(_BUCKET.format(i=i, key="term", w=width)).alias(f"_b{i}")
+            for i in range(depth)
+        ],
+    ).crossJoin(F.broadcast(total))
+    for i in range(depth):
+        w_i = wide.select(
+            F.col("bucket").alias(f"_k{i}"), F.col(f"_c{i}")
+        )
+        scored = scored.join(
+            F.broadcast(w_i),
+            F.col(f"_b{i}") == F.col(f"_k{i}"),
+            "left",
+        )
+    est = F.least(
+        *[F.coalesce(F.col(f"_c{i}"), F.lit(0)) for i in range(depth)]
+    ).cast("bigint")
+    heavy = scored.where(
+        est >= F.expr(f"(_n_total * {phi_ppm}) div 1000000")
+    )
+    return (
+        heavy.groupBy("term")
+        .agg(F.max(est).alias("cms_count"))
+        .orderBy(F.desc("cms_count"), "term")
+        .limit(k)
     )
 
 
@@ -188,6 +243,12 @@ def hll_registers(
         f"CAST(CASE WHEN {rem} = 0 THEN {w + 1}"
         f" ELSE {w} - length(bin({rem})) + 1 END AS INT)"
     )
+    # NULL keys would register a (bucket NULL, max_rho NULL) row: F.max
+    # ignores NULLs but hll_estimate's count(*) would count the row,
+    # inflating n_buckets and dropping a 2^(w+1) term from the harmonic
+    # denominator. COUNT(DISTINCT) ignores NULLs, so the sketch must too
+    # (r10 advice; hll_registers_sql carries the same WHERE).
+    df = df.where(F.expr(f"({key_col}) IS NOT NULL"))
     return df.groupBy(
         *group_cols, F.expr(bucket).cast("int").alias("bucket")
     ).agg(F.max(F.expr(rho)).alias("max_rho"))
@@ -197,11 +258,21 @@ def hll_estimate(
     registers: DataFrame,
     p: int = 8,
     group_cols: tuple[str, ...] = (),
+    corrected: bool = False,
 ) -> DataFrame:
     """(group..., est_distinct, n_buckets): raw integer-exact HLL
     estimate from a register table. Missing registers (buckets never
     hit) contribute 2^-0 = 1 to the harmonic sum, folded in as
-    (m - n_buckets) at the 2^(w+1) integer scale."""
+    (m - n_buckets) at the 2^(w+1) integer scale.
+
+    ``corrected=True`` applies Flajolet et al. 2007's small-range
+    correction consumer-side: when the raw estimate is <= 5m/2 and some
+    buckets are empty, linear counting ``round(m * ln(m / (m -
+    n_buckets)))`` replaces it — far more accurate at n < m, where the
+    raw harmonic estimate is biased low. The corrected branch uses
+    floating-point ln so it is NOT part of the cross-engine integer hash
+    contract (the registers and the raw estimate are); accuracy is
+    pinned by tests/test_sketch.py."""
     m = 1 << p
     w = 60 - p
     scale = 1 << (w + 1)  # 2^-rho terms scaled integral (rho <= w+1)
@@ -213,14 +284,24 @@ def hll_estimate(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), {w + 1} - max_rho)")
         ).cast("bigint").alias("_hit_sum"),
     )
+    raw = (
+        f"CAST(CAST({num} AS DECIMAL(38,0)) div"
+        f" (CAST({den_c} AS DECIMAL(38,0))"
+        f" * (({m} - n_buckets) * CAST({scale} AS BIGINT) + _hit_sum))"
+        " AS BIGINT)"
+    )
+    if corrected:
+        est = (
+            f"CASE WHEN {raw} <= {5 * m} div 2 AND n_buckets < {m}"
+            f" THEN CAST(round({m} * ln({m} / CAST({m} - n_buckets"
+            f" AS DOUBLE))) AS BIGINT)"
+            f" ELSE {raw} END"
+        )
+    else:
+        est = raw
     return agg.select(
         *group_cols,
-        F.expr(
-            f"CAST(CAST({num} AS DECIMAL(38,0)) div"
-            f" (CAST({den_c} AS DECIMAL(38,0))"
-            f" * (({m} - n_buckets) * CAST({scale} AS BIGINT) + _hit_sum))"
-            " AS BIGINT)"
-        ).alias("est_distinct"),
+        F.expr(est).alias("est_distinct"),
         "n_buckets",
     )
 
@@ -240,7 +321,8 @@ def hll_registers_sql(table: str, key_col: str, group_col: str, p: int = 8) -> s
                  i -> (instr('0123456789abcdef',
                              md5(CAST({key_col} AS VARCHAR))[i]) - 1)::BIGINT
                       << (4 * (15 - i))))::BIGINT AS val
-        FROM {table})
+        FROM {table}
+        WHERE ({key_col}) IS NOT NULL)
       GROUP BY 1, 2
     """
 

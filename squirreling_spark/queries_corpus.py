@@ -2121,6 +2121,39 @@ _D_5GRAMS = """
 @query(
     "docs_hll_ngrams",
     oracle=f"""
+    WITH g AS ({_D_5GRAMS})
+    SELECT * FROM ({hll_oracle_sql("g", "ng", "source", p=8)}) est
+    """,
+)
+def docs_hll_ngrams_q(spark, sf):
+    """N-gram DIVERSITY per source: distinct 5-gram count estimated by
+    the HyperLogLog register sketch (pipeline/sketch.py) — the standard
+    corpus-curation diversity signal (low distinct-gram mass per token
+    flags template/boilerplate-heavy sources; cf. the Gopher repetition
+    rules, which measure the same thing within one document). At 100 TB
+    the HLL path replaces an exact count-distinct's full gram shuffle
+    with a 256-register-per-source exchange, and per-shard register
+    tables merge by MAX. The registered default is PURE sketch (r10
+    verdict task 1): no exact count-distinct branch — the plan is the
+    row-local gram projection plus exactly two map-combined exchanges
+    (plan pin in tests/test_plans.py); the exact-compare exhibit lives
+    in docs_hll_ngrams_vs_exact (post-window). Registers AND estimate
+    are integer-exact cross-engine, so the driver hashes the estimate
+    itself."""
+    from squirreling_spark.pipeline.corpus import word_ngrams
+    from squirreling_spark.pipeline.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    grams = word_ngrams(t(spark, sf, "documents"), "text", "source", 5)
+    regs = hll_registers(grams, "ng", p=8, group_cols=("source",))
+    return hll_estimate(regs, p=8, group_cols=("source",))
+
+
+@query(
+    "docs_hll_ngrams_vs_exact",
+    oracle=f"""
     WITH g AS ({_D_5GRAMS}),
     est AS ({hll_oracle_sql("g", "ng", "source", p=8)}),
     ex AS (
@@ -2133,16 +2166,11 @@ _D_5GRAMS = """
     FROM est JOIN ex ON est.source = ex.source
     """,
 )
-def docs_hll_ngrams_q(spark, sf):
-    """N-gram DIVERSITY per source: distinct 5-gram count estimated by
-    the HyperLogLog register sketch (pipeline/sketch.py) — the standard
-    corpus-curation diversity signal (low distinct-gram mass per token
-    flags template/boilerplate-heavy sources; cf. the Gopher repetition
-    rules, which measure the same thing within one document). At 100 TB
-    the HLL path replaces an exact count-distinct's full gram shuffle
-    with a 256-register-per-source exchange, and per-shard register
-    tables merge by MAX. The exact distinct count is carried alongside
-    at fixture scale to EXHIBIT the ~6.5% (1.04/sqrt(256)) error bound
+def docs_hll_ngrams_vs_exact_q(spark, sf):
+    """EXHIBIT variant of docs_hll_ngrams: the exact distinct-gram count
+    (a full gram-keyed count-distinct shuffle — fixture-scale only, kept
+    out of the registered default per the r10 verdict) joined alongside
+    the HLL estimate, pinning the ~6.5% (1.04/sqrt(256)) error bound
     under the gate — ratio_ppm = 1e6 * est / exact, integer-exact both
     engines."""
     from squirreling_spark.pipeline.corpus import word_ngrams

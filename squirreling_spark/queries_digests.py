@@ -350,11 +350,12 @@ _EVENTS_CK = {
         " + est_distinct * 3 + n_buckets * 7"
     ),
     # round 10: HLL register-algebra pairwise overlap (pipeline/sketch.py)
+    # (r11: pure-sketch default — exact_overlap moved to the
+    # events_user_overlap_vs_exact exhibit, post-window)
     "events_user_overlap": (
         "length(type_a) * 31 + ascii(substring(type_a, 1, 1))"
         " + length(type_b) * 13 + ascii(substring(type_b, 1, 1)) * 3"
         " + est_a + est_b * 5 + est_union * 7 + est_overlap * 11"
-        " + exact_overlap * 17"
     ),
     # round 8: sliding 1h/30min windows (every event in exactly two)
     "events_sliding_window": (
@@ -1025,9 +1026,10 @@ _MIX_CK = {
     # round 4: count-min-sketch heavy hitters (term is a string; its
     # length+first-char fold plus both counters keys the row — full
     # values are gate-checked by the standalone cms_top_terms row)
+    # (r11: pure-sketch default — exact_count/overcount moved to the
+    # cms_top_terms_vs_exact exhibit, post-window)
     "cms_top_terms": (
-        "length(term) * 1000003 + ascii(term) * 257"
-        " + exact_count * 7 + cms_count * 3 + overcount"
+        "length(term) * 1000003 + ascii(term) * 257 + cms_count * 3"
     ),
     # round 4: deterministic shuffle-shard export layout
     "dataset_shards": (
@@ -1109,10 +1111,11 @@ _MIX_CK = {
     ),
     # round 10: HLL n-gram diversity per source (pipeline/sketch.py) —
     # estimate, register count, exact exhibit and ratio all in the fold
+    # (r11: pure-sketch default — exact_distinct/ratio_ppm moved to
+    # the docs_hll_ngrams_vs_exact exhibit, post-window)
     "docs_hll_ngrams": (
         "length(source) * 31 + ascii(substring(source, 4, 1))"
-        " + est_distinct * 3 + n_buckets * 7 + exact_distinct * 5"
-        " + ratio_ppm % 1000003"
+        " + est_distinct * 3 + n_buckets * 7"
     ),
 }
 

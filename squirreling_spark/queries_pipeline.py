@@ -2166,19 +2166,82 @@ _D_CMS_BUCKET = (
 )
 
 
-@query(
-    "cms_top_terms",
-    oracle=f"""
-    WITH toks AS (
+# Shared DuckDB CTE stack for the CMS oracles: token stream + the
+# 5x8192 cell relation (MATERIALIZED: referenced by several consumers —
+# DuckDB re-inlines non-materialized CTEs per reference).
+_D_CMS_COMMON = f"""
+    toks AS (
       SELECT unnest({_D_CMS_TOKS}) AS term FROM documents
     ),
-    tk AS (SELECT term FROM toks WHERE term != ''),
-    cells AS (
+    tk AS MATERIALIZED (SELECT term FROM toks WHERE term != ''),
+    cells AS MATERIALIZED (
       SELECT i AS row, {_D_CMS_BUCKET.format(i='i')} AS bucket,
              CAST(count(*) AS BIGINT) AS cnt
       FROM tk, generate_series(0, 4) g(i)
       GROUP BY 1, 2
+    )
+"""
+
+_D_CMS_TERM_BUCKET = (
+    "('0x' || substring(md5(CAST({i} AS VARCHAR) || ':' || tk.term), 1, 12))"
+    "::BIGINT % 8192"
+)
+
+
+@query(
+    "cms_top_terms",
+    oracle=f"""
+    WITH {_D_CMS_COMMON},
+    wide AS MATERIALIZED (
+      SELECT bucket,
+             {", ".join(f"max(CASE WHEN row = {i} THEN cnt END) AS c{i}"
+                        for i in range(5))}
+      FROM cells GROUP BY bucket
     ),
+    tot AS MATERIALIZED (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cells WHERE row = 0
+    ),
+    scored AS (
+      SELECT tk.term,
+             least({", ".join(f"coalesce(w{i}.c{i}, 0)"
+                              for i in range(5))}) AS est
+      FROM tk
+      {" ".join(f"LEFT JOIN wide w{i} ON w{i}.bucket = "
+                + _D_CMS_TERM_BUCKET.format(i=i) for i in range(5))}
+    )
+    SELECT term, CAST(max(est) AS BIGINT) AS cms_count
+    FROM scored, tot
+    WHERE est >= (n_total * 500) // 1000000
+    GROUP BY term
+    ORDER BY cms_count DESC, term
+    LIMIT 20
+    """,
+)
+def cms_top_terms_q(spark, sf):
+    """Count-min-sketch φ-heavy-hitters FROM THE SKETCH ALONE
+    (pipeline/sketch.py, Cormode & Muthukrishnan 2005): corpus term
+    frequencies summarized into a 5×8192-cell sketch — bounded state
+    regardless of input size or key cardinality, mergeable across shards
+    by cell-wise addition. The registered default is the pure-sketch
+    plan (r10 verdict task 1): every token is scored row-locally against
+    the BROADCAST wide sketch and only φ-survivors (est ≥ 500 ppm of
+    total tokens) reach the term-keyed shuffle — no full-keyspace exact
+    count anywhere; the CMS one-sided guarantee means no true heavy
+    hitter is lost. Buckets are md5-derived (no seed state), so the
+    oracle replays sketch, scores, and top-k cell-for-cell. The
+    exact-compare exhibit lives in cms_top_terms_vs_exact (post-window).
+    Property tests: tests/test_sketch.py; plan pin: tests/test_plans.py."""
+    from squirreling_spark.pipeline.sketch import cms_top_terms
+
+    return cms_top_terms(
+        qspread(t(spark, sf, "documents"), by=["doc_id"]), "text", k=20
+    )
+
+
+@query(
+    "cms_top_terms_vs_exact",
+    oracle=f"""
+    WITH {_D_CMS_COMMON},
     top AS (
       SELECT term, CAST(count(*) AS BIGINT) AS exact_count
       FROM tk GROUP BY term
@@ -2202,21 +2265,19 @@ _D_CMS_BUCKET = (
     FROM est
     """,
 )
-def cms_top_terms_q(spark, sf):
-    """Count-min-sketch heavy hitters (pipeline/sketch.py, Cormode &
-    Muthukrishnan 2005): corpus term frequencies summarized into a
-    5×8192-cell sketch — bounded state regardless of input size or key
-    cardinality, mergeable across shards by cell-wise addition, and
-    broadcastable against any later candidate set without rescanning the
-    corpus. Buckets are md5-derived (no seed state), so the oracle
-    replays the sketch cell-for-cell; the exact top-20 terms are carried
-    alongside to EXHIBIT the CMS guarantee (cms_count ≥ exact_count,
-    equality when width ≫ distinct) under the gate. Property test:
-    tests/test_sketch.py."""
+def cms_top_terms_vs_exact_q(spark, sf):
+    """EXHIBIT variant of cms_top_terms: exact top-20 terms by full
+    count (a full term-keyed shuffle — fixture-scale only, kept out of
+    the registered default per the r10 verdict) with the sketched count
+    alongside, demonstrating the CMS guarantee under the gate
+    (cms_count ≥ exact_count; equality when width ≫ distinct)."""
     from squirreling_spark.pipeline.sketch import cms_top_terms
 
     return cms_top_terms(
-        qspread(t(spark, sf, "documents"), by=["doc_id"]), "text", k=20
+        qspread(t(spark, sf, "documents"), by=["doc_id"]),
+        "text",
+        k=20,
+        exhibit=True,
     ).orderBy(F.desc("exact_count"), "term")
 
 
@@ -4262,13 +4323,13 @@ from squirreling_spark.pipeline.sketch import (  # noqa: E402
 
 _HLL_EV_REGS = hll_registers_sql("events", "user_id", "event_type", p=8)
 
-
-@query(
-    "events_user_overlap",
-    oracle=f"""
-    WITH r AS ({_HLL_EV_REGS}),
+# Shared CTE stack for the overlap oracles: registers -> pairs -> union
+# registers -> union/per-type estimates (MATERIALIZED where referenced
+# more than once — DuckDB re-inlines plain CTEs per reference).
+_HLL_OVERLAP_COMMON = f"""
+    r AS MATERIALIZED ({_HLL_EV_REGS}),
     t AS (SELECT DISTINCT event_type FROM events),
-    p AS (
+    p AS MATERIALIZED (
       SELECT a.event_type AS type_a, b.event_type AS type_b,
              a.event_type || '|' || b.event_type AS pair_id
       FROM t a JOIN t b ON a.event_type < b.event_type
@@ -4282,26 +4343,23 @@ _HLL_EV_REGS = hll_registers_sql("events", "user_id", "event_type", p=8)
       FROM r JOIN mem USING (event_type) GROUP BY 1, 2
     ),
     eu AS ({hll_estimate_sql("ur", "pair_id", p=8)}),
-    et AS ({hll_estimate_sql("r", "event_type", p=8)}),
-    du AS (SELECT DISTINCT event_type, user_id FROM events),
-    ex AS (
-      SELECT a.event_type AS type_a, b.event_type AS type_b,
-             CAST(count(*) AS BIGINT) AS exact_overlap
-      FROM du a JOIN du b
-        ON a.user_id = b.user_id AND a.event_type < b.event_type
-      GROUP BY 1, 2
-    )
+    et AS MATERIALIZED ({hll_estimate_sql("r", "event_type", p=8)})
+"""
+
+
+@query(
+    "events_user_overlap",
+    oracle=f"""
+    WITH {_HLL_OVERLAP_COMMON}
     SELECT p.type_a, p.type_b,
            ea.est_distinct AS est_a, eb.est_distinct AS est_b,
            eu.est_distinct AS est_union,
            CAST(greatest(0, ea.est_distinct + eb.est_distinct
-                            - eu.est_distinct) AS BIGINT) AS est_overlap,
-           coalesce(ex.exact_overlap, 0) AS exact_overlap
+                            - eu.est_distinct) AS BIGINT) AS est_overlap
     FROM p
     JOIN et ea ON p.type_a = ea.event_type
     JOIN et eb ON p.type_b = eb.event_type
     JOIN eu ON p.pair_id = eu.pair_id
-    LEFT JOIN ex ON p.type_a = ex.type_a AND p.type_b = ex.type_b
     """,
 )
 def events_user_overlap_q(spark, sf):
@@ -4314,14 +4372,25 @@ def events_user_overlap_q(spark, sf):
     contamination BEFORE running it: 256 registers per side move instead
     of every key, and per-shard registers merge by MAX. One broadcast
     pair-membership join + one register groupBy — never a key shuffle.
-    The exact overlap (a distinct self-join, fixture-scale only) is
-    carried alongside to exhibit the error; every estimate is
+    The registered default is PURE sketch (r10 verdict task 1): no
+    distinct self-join on user_id anywhere in the plan (pin in
+    tests/test_plans.py); the exact-compare exhibit lives in
+    events_user_overlap_vs_exact (post-window). Every estimate is
     integer-exact cross-engine, so the driver hashes the estimates
     themselves."""
+    return _user_overlap(spark, sf, exhibit=False)
+
+
+def _user_overlap(spark, sf, exhibit: bool):
     from squirreling_spark.pipeline.sketch import hll_estimate, hll_registers
 
     ev = t(spark, sf, "events")
-    regs = hll_registers(ev, "user_id", p=8, group_cols=("event_type",))
+    # registers feed the union merge AND both per-type estimates —
+    # truncate lineage so the event scan + register groupBy runs ONCE
+    # (<= 256 x |types| rows, trivially materializable)
+    regs = hll_registers(
+        ev, "user_id", p=8, group_cols=("event_type",)
+    ).localCheckpoint(eager=False)
     tl = ev.select("event_type").distinct()
     pairs = (
         tl.select(F.col("event_type").alias("type_a"))
@@ -4343,7 +4412,42 @@ def events_user_overlap_q(spark, sf):
     eu = hll_estimate(ur, p=8, group_cols=("pair_id",)).select(
         "pair_id", F.col("est_distinct").alias("est_union")
     )
+    # one estimate row per type / per pair — broadcast all output joins
     et = hll_estimate(regs, p=8, group_cols=("event_type",))
+    out = (
+        pairs.join(
+            F.broadcast(
+                et.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("est_distinct").alias("est_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                et.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("est_distinct").alias("est_b"),
+                )
+            ),
+            "type_b",
+        )
+        .join(F.broadcast(eu), "pair_id")
+    )
+    est_cols = [
+        "type_a",
+        "type_b",
+        "est_a",
+        "est_b",
+        "est_union",
+        F.greatest(
+            F.lit(0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+        ).cast("bigint").alias("est_overlap"),
+    ]
+    if not exhibit:
+        return out.select(*est_cols)
+    ev = t(spark, sf, "events")
     du = ev.select("event_type", "user_id").distinct()
     ex = (
         du.alias("a")
@@ -4355,34 +4459,43 @@ def events_user_overlap_q(spark, sf):
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
     )
-    return (
-        pairs.join(
-            et.select(
-                F.col("event_type").alias("type_a"),
-                F.col("est_distinct").alias("est_a"),
-            ),
-            "type_a",
-        )
-        .join(
-            et.select(
-                F.col("event_type").alias("type_b"),
-                F.col("est_distinct").alias("est_b"),
-            ),
-            "type_b",
-        )
-        .join(eu, "pair_id")
-        .join(ex, ["type_a", "type_b"], "left")
-        .select(
-            "type_a",
-            "type_b",
-            "est_a",
-            "est_b",
-            "est_union",
-            F.greatest(
-                F.lit(0), F.col("est_a") + F.col("est_b") - F.col("est_union")
-            ).cast("bigint").alias("est_overlap"),
-            F.coalesce("exact_overlap", F.lit(0)).cast("bigint").alias(
-                "exact_overlap"
-            ),
-        )
+    return out.join(ex, ["type_a", "type_b"], "left").select(
+        *est_cols,
+        F.coalesce("exact_overlap", F.lit(0)).cast("bigint").alias(
+            "exact_overlap"
+        ),
     )
+
+
+@query(
+    "events_user_overlap_vs_exact",
+    oracle=f"""
+    WITH {_HLL_OVERLAP_COMMON},
+    du AS (SELECT DISTINCT event_type, user_id FROM events),
+    ex AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS exact_overlap
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           ea.est_distinct AS est_a, eb.est_distinct AS est_b,
+           eu.est_distinct AS est_union,
+           CAST(greatest(0, ea.est_distinct + eb.est_distinct
+                            - eu.est_distinct) AS BIGINT) AS est_overlap,
+           coalesce(ex.exact_overlap, 0) AS exact_overlap
+    FROM p
+    JOIN et ea ON p.type_a = ea.event_type
+    JOIN et eb ON p.type_b = eb.event_type
+    JOIN eu ON p.pair_id = eu.pair_id
+    LEFT JOIN ex ON p.type_a = ex.type_a AND p.type_b = ex.type_b
+    """,
+)
+def events_user_overlap_vs_exact_q(spark, sf):
+    """EXHIBIT variant of events_user_overlap: the exact pairwise
+    distinct-user overlap (a distinct self-join on user_id —
+    fixture-scale only, kept out of the registered default per the r10
+    verdict) joined alongside the register-algebra estimates to pin the
+    inclusion-exclusion error under the gate."""
+    return _user_overlap(spark, sf, exhibit=True)

@@ -575,3 +575,42 @@ def test_r10_user_overlap_no_key_shuffle_products(spark):
     # both constant-size; nothing data-sized may nested-loop
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "partial_max" in plan  # register merges map-side
+
+
+def test_r11_pure_sketch_defaults_have_no_exact_branch(spark):
+    """r10 verdict task 1: the REGISTERED sketch queries must be
+    pure-sketch — the full-shuffle exact exhibits live only in the
+    _vs_exact variants.
+
+    - cms_top_terms: tokens score against the BROADCAST wide sketch
+      (depth broadcast hash joins, all row-local) and only φ-survivors
+      shuffle — exactly 2 hash exchanges (sketch build + survivor
+      group), top-k via TakeOrderedAndProject, NO exact term count, no
+      sort-merge join, and the checkpointed wide table keeps the sketch
+      subtree from being recomputed per broadcast.
+    - docs_hll_ngrams: registers + estimate only — exactly two
+      map-combined exchanges, zero joins, no count-distinct.
+    - events_user_overlap: register algebra only — no distinct self-join
+      on user_id; registers come from a checkpointed leaf; output joins
+      all broadcast; no sort-merge join anywhere."""
+    plan = plan_of("cms_top_terms", spark)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "exact_count" not in plan
+    assert "distinct" not in plan.lower()
+
+    plan = plan_of("docs_hll_ngrams", spark)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_max" in plan and "partial_sum" in plan
+    assert "count(distinct" not in plan.lower()  # (est_distinct is a col)
+    for op in ("Join", "Window", "ArrowEvalPython"):
+        assert op not in plan, op
+
+    plan = plan_of("events_user_overlap", spark)
+    assert "SortMergeJoin" not in plan
+    assert "exact_overlap" not in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed register leaf
+    # the only distinct is the constant-size event-type list
+    assert plan.count("CartesianProduct") == 0

@@ -78,9 +78,11 @@ def test_cms_top_terms_overcount_small_when_wide(spark):
     """With width >> distinct terms, collisions among heavy hitters are
     rare: the top-20 overcount should be a tiny fraction of the exact
     count (regression guard against a broken bucket hash degrading every
-    estimate to the table total)."""
+    estimate to the table total). Uses the exhibit form, which carries
+    the exact count alongside."""
     out = cms_top_terms(
-        t(spark, SF, "documents"), "text", k=20, width=W, depth=D
+        t(spark, SF, "documents"), "text", k=20, width=W, depth=D,
+        exhibit=True,
     ).collect()
     assert len(out) == 20
     for r in out:
@@ -90,6 +92,33 @@ def test_cms_top_terms_overcount_small_when_wide(spark):
             r["cms_count"],
             r["exact_count"],
         )
+
+
+def test_cms_pure_default_matches_exhibit_top_terms(spark):
+    """The pure-sketch default (broadcast scoring + φ-survivor shuffle)
+    must return the SAME top-k as the exact exhibit when width >>
+    distinct (estimates equal exact counts), every returned term's
+    sketched count must clear the φ threshold, and the default's output
+    schema carries no exact column."""
+    docs = t(spark, SF, "documents")
+    pure = cms_top_terms(docs, "text", k=20, width=W, depth=D).collect()
+    exhib = cms_top_terms(
+        docs, "text", k=20, width=W, depth=D, exhibit=True
+    ).collect()
+    assert [r["term"] for r in pure] == [
+        r["term"] for r in sorted(
+            exhib, key=lambda r: (-r["cms_count"], r["term"])
+        )
+    ]
+    assert pure and set(pure[0].asDict()) == {"term", "cms_count"}
+    n_total = (
+        t(spark, SF, "documents")
+        .select(F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .count()
+    )
+    for r in pure:
+        assert r["cms_count"] >= (n_total * 500) // 1_000_000
 
 
 def test_hll_estimate_accuracy_at_large_n(spark):
