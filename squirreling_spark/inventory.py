@@ -117,7 +117,16 @@ GRADE_ORDER: list[str] = [
     # the Java-vs-RE2 shared regex subset).
     "pii_scrub",
     "conditional_case",
-    "median_percentile",
+    # round-11 window swap (r10 verdict task 3): median_percentile out —
+    # the MEDIAN/PERCENTILE_CONT/APPROX_QUANTILE aggregate surface stays
+    # enforced by the percentile conformance cases plus analytics_digest,
+    # and the standalone stays registered after the window (parity gate +
+    # sf0.1 sweep). Freed slot promotes round 10's representative:
+    # the HyperLogLog distinct-user sketch — a new operator class
+    # (bounded-state cardinality), exactly two map-combined exchanges,
+    # register merge by MAX, and an integer-exact estimate the driver
+    # hashes estimate-for-estimate.
+    "events_hll_users",
     # round-10 window swap (r9 verdict task 5): stddev_var out — the
     # STDDEV/VAR aggregate surface is enforced by the 100%-green math/agg
     # conformance files and the parametrized parity gate; standalone stays

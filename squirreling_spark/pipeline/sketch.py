@@ -359,3 +359,201 @@ def hll_oracle_sql(
     WITH r AS ({hll_registers_sql(table, key_col, group_col, p)})
     {hll_estimate_sql("r", group_col, p)}
     """
+
+
+# ---------------------------------------------------------------------------
+# Log-histogram quantile sketch (HdrHistogram-style exponent+linear
+# bucketing — Tene's HdrHistogram spec; same guarantee family as DDSketch,
+# Masson, Rim & Lee, VLDB 2019) — the QUANTILE leg of the sketch family:
+# CMS answers "how often", HLL answers "how many distinct", this answers
+# "how is it distributed" with bounded state and NO full sort.
+#
+# State: integer values bucket into sign x (octave, 2^b linear
+# sub-buckets) — at most ~2(64-b)·2^b buckets per group REGARDLESS of
+# input size (b=4: ≤ ~1.9k, typically a few hundred), so a corpus-wide
+# doc-length/score profile is a broadcastable relation. Sketches merge
+# across shards/days/streams by bucket-wise SUM (counters are linear),
+# and the same groupBy-sum runs under Structured Streaming.
+#
+# Determinism (the repo's sketch policy): bucket ids derive from
+# length(bin(v)) — integer-exact and bit-identical in Spark and DuckDB
+# (the proven bin() equivalence) — and quantile ranks are ceil(q·n)
+# computed as rational integer arithmetic, so the DuckDB oracle replays
+# sketch, ranks, and quantile picks value-for-value. Guarantee: the true
+# q-quantile v* lies in [q_lo, q_hi] of the reported bucket, and bucket
+# RELATIVE width is ≤ 2^-(b) (half-width 2^-(b+1) ≈ 3.1% at b=4);
+# values |v| < 2^b+1... small values bucket EXACTLY (width-1 buckets
+# below 2^(b+1)). Contract: |v| < 2^62; NULLs are ignored (aggregate
+# semantics). Property tests: tests/test_sketch.py.
+# ---------------------------------------------------------------------------
+
+
+def _qs_bid_sql(v: str, b: int, spark_dialect: bool) -> str:
+    """Bucket id of BIGINT expression ``v`` (monotonic in v): small
+    |v| < 2^(b+1) map to themselves (exact); larger |v| to
+    (octave - b)·2^b + top-(b+1)-bit mantissa, sign-mirrored."""
+    two_b = 1 << b
+    small = 1 << (b + 1)
+    shl = "shiftleft(CAST(1 AS BIGINT), {n})" if spark_dialect else "(1::BIGINT << ({n}))"
+    div = "div" if spark_dialect else "//"
+    a = f"abs({v})"
+    e = f"(length(bin({a})) - 1)"
+    # greatest(...) keeps the shift arg non-negative even if an engine
+    # evaluates the not-taken CASE branch vectorized
+    mant = f"({a} {div} {shl.format(n=f'greatest({e} - {b}, 0)')})"
+    bid_abs = (
+        f"(CASE WHEN {a} < {small} THEN {a}"
+        f" ELSE ({e} - {b}) * {two_b} + {mant} END)"
+    )
+    return f"(CASE WHEN {v} < 0 THEN -{bid_abs} ELSE {bid_abs} END)"
+
+
+def _qs_bounds_sql(bid: str, b: int, spark_dialect: bool) -> tuple[str, str]:
+    """(lo, hi) integer value bounds of bucket ``bid`` — the exact
+    inverse of _qs_bid_sql's forward map."""
+    two_b = 1 << b
+    small = 1 << (b + 1)
+    shl = "shiftleft(CAST(1 AS BIGINT), {n})" if spark_dialect else "(1::BIGINT << ({n}))"
+    div = "div" if spark_dialect else "//"
+    ab = f"abs({bid})"
+    j = f"({ab} {div} {two_b})"
+    m = f"({ab} - ({j} - 1) * {two_b})"
+    lo_abs = (
+        f"(CASE WHEN {ab} < {small} THEN {ab}"
+        f" ELSE {m} * {shl.format(n=f'greatest({j} - 1, 0)')} END)"
+    )
+    hi_abs = (
+        f"(CASE WHEN {ab} < {small} THEN {ab}"
+        f" ELSE ({m} + 1) * {shl.format(n=f'greatest({j} - 1, 0)')} - 1 END)"
+    )
+    lo = f"(CASE WHEN {bid} < 0 THEN -{hi_abs} ELSE {lo_abs} END)"
+    hi = f"(CASE WHEN {bid} < 0 THEN -{lo_abs} ELSE {hi_abs} END)"
+    return lo, hi
+
+
+def qsketch_build(
+    df: DataFrame,
+    value_col: str,
+    b: int = 4,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(group..., bid, cnt): the log-histogram sketch of BIGINT
+    expression ``value_col`` — one row-local bucket projection + ONE
+    map-combined groupBy; the exchange carries bucket cells, never data
+    rows. Merge two sketches by UNION ALL + groupBy-SUM."""
+    if not 1 <= b <= 8:
+        raise ValueError(f"b={b} outside [1, 8]")
+    v = f"CAST(({value_col}) AS BIGINT)"
+    return (
+        df.where(F.expr(f"({value_col}) IS NOT NULL"))
+        .groupBy(
+            *group_cols,
+            F.expr(_qs_bid_sql(v, b, True)).cast("bigint").alias("bid"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def qsketch_quantiles(
+    sketch: DataFrame,
+    quantiles: tuple[tuple[int, int], ...] = ((50, 100), (90, 100), (99, 100)),
+    b: int = 4,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(group..., q_ppm, n_total, q_lo, q_hi, q_est): rank-exact bucket
+    lookup per rational quantile num/den. The q-quantile is the
+    ceil(q·n)-th smallest value (discrete, lower-rank convention); its
+    bucket is the first whose cumulative count reaches that rank, so the
+    TRUE order statistic lies in [q_lo, q_hi] always; q_est is the
+    bucket midpoint lo + (hi-lo) div 2 (non-negative width, so
+    truncating and flooring division agree cross-engine). All shuffles
+    carry bucket-level rows (bounded state): one cumsum window + one
+    (group, q) min — never a data-sized key shuffle."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy("bid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*[F.col(c) for c in group_cols])
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(num).cast("bigint").alias("num"),
+                F.lit(den).cast("bigint").alias("den"),
+            )
+            for num, den in quantiles
+        ]
+    )
+    c = sketch.select(
+        *group_cols,
+        "bid",
+        F.sum("cnt").over(w_cum).alias("_cum"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("n_total"),
+    ).select(*group_cols, "bid", "_cum", "n_total", F.explode(qarr).alias("_q"))
+    hit = c.where(
+        F.col("_cum")
+        >= F.expr("(_q.num * n_total + _q.den - 1) div _q.den")
+    )
+    picked = hit.groupBy(
+        *group_cols,
+        F.expr("CAST((_q.num * 1000000) div _q.den AS BIGINT)").alias(
+            "q_ppm"
+        ),
+        "n_total",
+    ).agg(F.min("bid").alias("_bid"))
+    lo, hi = _qs_bounds_sql("_bid", b, True)
+    return picked.select(
+        *group_cols,
+        "q_ppm",
+        "n_total",
+        F.expr(lo).cast("bigint").alias("q_lo"),
+        F.expr(hi).cast("bigint").alias("q_hi"),
+        F.expr(f"{lo} + ({hi} - {lo}) div 2").cast("bigint").alias("q_est"),
+    )
+
+
+def qsketch_oracle_sql(
+    table: str,
+    value_sql: str,
+    group_col: str,
+    b: int = 4,
+    quantiles: tuple[tuple[int, int], ...] = ((50, 100), (90, 100), (99, 100)),
+) -> str:
+    """DuckDB replay of qsketch_build + qsketch_quantiles over ``table``
+    — same integer constants and bucket algebra (single source of
+    truth), independent SQL shape (CTE chain + window cumsum)."""
+    two_b = 1 << b
+    bid = _qs_bid_sql(f"CAST(({value_sql}) AS BIGINT)", b, False)
+    lo, hi = _qs_bounds_sql("_bid", b, False)
+    qvals = ", ".join(f"({num}, {den})" for num, den in quantiles)
+    return f"""
+      WITH sk AS MATERIALIZED (
+        SELECT {group_col}, {bid} AS bid, CAST(count(*) AS BIGINT) AS cnt
+        FROM {table} WHERE ({value_sql}) IS NOT NULL
+        GROUP BY 1, 2
+      ),
+      c AS (
+        SELECT {group_col}, bid,
+               sum(cnt) OVER (PARTITION BY {group_col} ORDER BY bid
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               CAST(sum(cnt) OVER (PARTITION BY {group_col}) AS BIGINT)
+                 AS n_total
+        FROM sk
+      ),
+      q(num, den) AS (SELECT * FROM (VALUES {qvals})),
+      hit AS (
+        SELECT {group_col},
+               CAST((q.num * 1000000) // q.den AS BIGINT) AS q_ppm,
+               n_total, min(bid) AS _bid
+        FROM c CROSS JOIN q
+        WHERE cum >= (q.num * n_total + q.den - 1) // q.den
+        GROUP BY 1, 2, 3
+      )
+      SELECT {group_col}, q_ppm, n_total,
+             CAST({lo} AS BIGINT) AS q_lo,
+             CAST({hi} AS BIGINT) AS q_hi,
+             CAST({lo} + ({hi} - {lo}) // 2 AS BIGINT) AS q_est
+      FROM hit
+    """

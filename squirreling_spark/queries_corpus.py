@@ -2194,3 +2194,39 @@ def docs_hll_ngrams_vs_exact_q(spark, sf):
             "CAST((est_distinct * 1000000) div exact_distinct AS BIGINT)"
         ).alias("ratio_ppm"),
     )
+
+
+from squirreling_spark.pipeline.sketch import qsketch_oracle_sql  # noqa: E402
+
+
+@query(
+    "docs_length_quantiles",
+    oracle=qsketch_oracle_sql(
+        "documents", "length(text)", "source", b=4
+    ),
+)
+def docs_length_quantiles_q(spark, sf):
+    """Per-source p50/p90/p99 document LENGTH from the log-histogram
+    quantile sketch (pipeline/sketch.py, HdrHistogram-style
+    exponent+linear bucketing; same guarantee family as DDSketch,
+    Masson et al. VLDB 2019) — the QUANTILE leg of the sketch family
+    (CMS = frequency, HLL = cardinality): length/score distributions at
+    100 TB without a full sort. State is ≤ ~1.9k buckets per source
+    REGARDLESS of corpus size; shard/day sketches merge by bucket-wise
+    SUM; every shuffle carries bucket cells, never documents
+    (plan-pinned: tests/test_plans.py). Rank math is rational-integer
+    (ceil(q·n) exact), bucket bounds invert the bit-exact bin() bucket
+    map, so the DuckDB oracle replays sketch, ranks, and picks
+    value-for-value; the true order statistic provably lies in
+    [q_lo, q_hi] (half-width ≤ 3.1% at b=4 — property-tested in
+    tests/test_sketch.py)."""
+    from squirreling_spark.pipeline.sketch import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+
+    docs = t(spark, sf, "documents").select(
+        "source", F.length("text").alias("_len")
+    )
+    sk = qsketch_build(docs, "_len", b=4, group_cols=("source",))
+    return qsketch_quantiles(sk, b=4, group_cols=("source",))

@@ -1117,6 +1117,13 @@ _MIX_CK = {
         "length(source) * 31 + ascii(substring(source, 4, 1))"
         " + est_distinct * 3 + n_buckets * 7"
     ),
+    # round 11: log-histogram quantile sketch (pipeline/sketch.py) — the
+    # rank-exact bucket pick and both bucket bounds are in the fold
+    # (engine-neutral arithmetic only: this string parses in BOTH engines)
+    "docs_length_quantiles": (
+        "length(source) * 31 + ascii(substring(source, 4, 1))"
+        " + q_ppm % 999983 + n_total * 7 + q_lo * 3 + q_hi + q_est * 5"
+    ),
 }
 
 

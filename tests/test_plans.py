@@ -614,3 +614,17 @@ def test_r11_pure_sketch_defaults_have_no_exact_branch(spark):
     assert "Scan ExistingRDD" in plan  # checkpointed register leaf
     # the only distinct is the constant-size event-type list
     assert plan.count("CartesianProduct") == 0
+
+
+def test_r11_quantile_sketch_plan_bucket_level_only(spark):
+    """Quantile sketch plan contract (r10 verdict task 5): one row-local
+    bucket projection + map-combined sketch groupBy, then cumsum windows
+    and the rank pick over BUCKET-level rows — exactly two hash
+    exchanges, no join anywhere, no data-sized sort; the quantile list
+    explodes from a literal array (Generate, row-local)."""
+    plan = plan_of("docs_length_quantiles", spark)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_count" in plan  # sketch build map-combines
+    assert "Join" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("+- Window [") == 2  # cum + total, same partitioning

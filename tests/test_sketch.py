@@ -239,3 +239,114 @@ def test_hll_small_range_correction(spark):
     [raw_b] = hll_estimate(regs_b, p=8).collect()
     [cor_b] = hll_estimate(regs_b, p=8, corrected=True).collect()
     assert raw_b["est_distinct"] == cor_b["est_distinct"]
+
+
+def _qs_exact(vals, q_num, q_den):
+    import math
+
+    xs = sorted(vals)
+    return xs[math.ceil(q_num * len(xs) / q_den) - 1]
+
+
+def test_qsketch_containment_and_relative_error(spark):
+    """Log-histogram quantile guarantee: for every group and quantile,
+    the TRUE order statistic (ceil(q·n)-th smallest) lies in
+    [q_lo, q_hi], and the bucket half-width is <= 2^-(b+1) of the value
+    (3.125% at b=4) for values beyond the exact range — across positive,
+    negative, zero, and huge magnitudes."""
+    import random
+
+    from squirreling_spark.pipeline.sketch import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+
+    random.seed(11)
+    vals = (
+        [random.randint(0, 10**7) for _ in range(4000)]
+        + [random.randint(-(10**4), 10**4) for _ in range(2000)]
+        + [0, 1, 2, 2**45, -(2**41)]
+    )
+    rows = [(f"g{i % 2}", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    sk = qsketch_build(df, "v", b=4, group_cols=("grp",))
+    out = qsketch_quantiles(
+        sk, quantiles=((10, 100), (50, 100), (99, 100)), b=4,
+        group_cols=("grp",),
+    ).collect()
+    assert len(out) == 6
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for r in out:
+        exact = _qs_exact(by_g[r["grp"]], r["q_ppm"], 10**6)
+        assert r["q_lo"] <= exact <= r["q_hi"], (r, exact)
+        assert r["q_hi"] - r["q_lo"] <= max(1, abs(exact)) * 2 ** -4 + 1, r
+
+
+def test_qsketch_small_values_exact_and_monotonic(spark):
+    """Values below 2^(b+1) occupy width-1 buckets (quantiles of small
+    integers are EXACT), and the bucket id map is monotonic so rank
+    order is preserved across the sign boundary."""
+    from squirreling_spark.pipeline.sketch import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+
+    vals = list(range(-31, 32))  # all within the exact range at b=4
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = qsketch_build(df, "v", b=4)
+    assert sk.count() == len(vals)  # one exact bucket per value
+    out = {
+        r["q_ppm"]: r
+        for r in qsketch_quantiles(
+            sk, quantiles=((25, 100), (50, 100), (75, 100)), b=4
+        ).collect()
+    }
+    for ppm, (num, den) in [(250000, (25, 100)), (500000, (50, 100)),
+                            (750000, (75, 100))]:
+        exact = _qs_exact(vals, num, den)
+        r = out[ppm]
+        assert r["q_lo"] == r["q_hi"] == r["q_est"] == exact, (r, exact)
+
+
+def test_qsketch_merge_by_bucket_sum(spark):
+    """Counters are linear: sketching two shards separately and merging
+    by bucket-wise SUM gives bit-identical cells — and quantiles — as
+    sketching the whole."""
+    from squirreling_spark.pipeline.sketch import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+
+    lo = spark.range(0, 50_000).selectExpr("id AS v")
+    hi = spark.range(50_000, 120_000).selectExpr("CAST(id * 3 AS LONG) AS v")
+    both = lo.union(hi)
+    merged = (
+        qsketch_build(lo, "v", b=4)
+        .union(qsketch_build(hi, "v", b=4))
+        .groupBy("bid")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    full = qsketch_build(both, "v", b=4)
+    assert {
+        (r["bid"], r["cnt"]) for r in merged.collect()
+    } == {(r["bid"], r["cnt"]) for r in full.collect()}
+    qm = qsketch_quantiles(merged, b=4).collect()
+    qf = qsketch_quantiles(full, b=4).collect()
+    assert sorted(map(tuple, qm)) == sorted(map(tuple, qf))
+
+
+def test_qsketch_state_is_bounded(spark):
+    """The 100 TB property: 1M distinct values over 2^40 of range still
+    produce a bounded bucket table (≤ 2·(64-b)·2^b + 2^(b+2) cells),
+    and NULLs are ignored like aggregate semantics."""
+    from squirreling_spark.pipeline.sketch import qsketch_build
+
+    df = spark.range(1_000_000).selectExpr(
+        "CASE WHEN id % 97 = 0 THEN NULL ELSE CAST(id * id AS LONG) END AS v"
+    )
+    sk = qsketch_build(df, "v", b=4)
+    n = sk.count()
+    assert n <= 2 * 60 * 16 + 64, n
+    assert sk.where(F.col("bid").isNull()).count() == 0
