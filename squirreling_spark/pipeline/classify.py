@@ -311,12 +311,19 @@ def langid_ngram(
     )
 
 
-def langid_oracle_sql(table: str = "documents") -> str:
+def langid_oracle_sql(
+    table: str = "documents",
+    profiles: list[tuple[str, str, int]] | None = None,
+) -> str:
     """The DuckDB replay of langid_ngram over ``table`` — deliberately an
     INDEPENDENT algorithm: unpivoted profile VALUES table, cross-join
-    gram counting, group-by per-language sums, window argmax."""
-    _validate_profiles(LANG_PROFILES)
-    vals = ", ".join(f"('{l}', '{g}', {w})" for l, g, w in LANG_PROFILES)
+    gram counting, group-by per-language sums, window argmax. Accepts
+    the same caller-supplied ``profiles`` as langid_ngram (any script
+    whose grams pass _validate_profiles — the literal-fidelity and
+    self-overlap guards are shared)."""
+    profs = list(profiles) if profiles is not None else LANG_PROFILES
+    _validate_profiles(profs)
+    vals = ", ".join(f"('{l}', '{g}', {w})" for l, g, w in profs)
     return f"""
     WITH prof(lang, g, w) AS (VALUES {vals}),
     d AS (

@@ -557,3 +557,93 @@ def qsketch_oracle_sql(
              CAST({lo} + ({hi} - {lo}) // 2 AS BIGINT) AS q_est
       FROM hit
     """
+
+
+# ---------------------------------------------------------------------------
+# Streaming sketch sink: the register/cell tables above are plain
+# groupBy aggregates whose values only ever GROW (max_rho is a max, cnt a
+# count), so they run unmodified under Structured Streaming with state
+# bounded by cells x groups — a continuous distinct-users (HLL) /
+# heavy-hitters (CMS) / distribution (quantile) monitor over an unbounded
+# stream. sketch_stream starts the update-mode query; because every value
+# is MONOTONE, the current register table is recoverable from the
+# append-only memory sink by groupBy-max (last-write-wins == max), which
+# sketch_stream_table implements. On a real cluster the same regs frame
+# feeds foreachBatch-MERGE into a keyed table; the memory-sink path keeps
+# the contract testable here.
+# ---------------------------------------------------------------------------
+
+
+def sketch_registers(
+    df: DataFrame,
+    kind: str,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 8,
+    width: int = 8192,
+    depth: int = 5,
+    b: int = 4,
+) -> DataFrame:
+    """The sketch state relation for ``kind`` in {'hll','cms','quantile'}
+    — batch and streaming alike (same DataFrame expression)."""
+    if kind == "hll":
+        return hll_registers(df, key_col, p=p, group_cols=group_cols)
+    if kind == "cms":
+        if group_cols:
+            raise ValueError("cms sketch_stream does not take group_cols")
+        return cms_build(
+            df.select(F.expr(key_col).alias("_k")).where(
+                F.col("_k").isNotNull()
+            ),
+            "_k",
+            width=width,
+            depth=depth,
+        )
+    if kind == "quantile":
+        return qsketch_build(df, key_col, b=b, group_cols=group_cols)
+    raise ValueError(f"unknown sketch kind {kind!r}")
+
+
+_SKETCH_VALUE_COL = {"hll": "max_rho", "cms": "cnt", "quantile": "cnt"}
+
+
+def sketch_stream(
+    stream_df: DataFrame,
+    kind: str,
+    key_col: str,
+    sink_table: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 8,
+    width: int = 8192,
+    depth: int = 5,
+    b: int = 4,
+    available_now: bool = True,
+    checkpoint_dir: str | None = None,
+):
+    """Start the streaming register maintenance query (outputMode=update:
+    each trigger emits only the register rows that changed; state is
+    bounded by cells x groups regardless of stream length). Returns the
+    StreamingQuery; read the live table with sketch_stream_table."""
+    regs = sketch_registers(
+        stream_df, kind, key_col, group_cols, p, width, depth, b
+    )
+    writer = (
+        regs.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def sketch_stream_table(spark, sink_table: str, kind: str) -> DataFrame:
+    """Current register/cell table from an update-mode sketch sink: all
+    sketch values are monotone non-decreasing, so the latest value per
+    cell is its MAX over the appended updates."""
+    vcol = _SKETCH_VALUE_COL[kind]
+    raw = spark.table(sink_table)
+    keys = [c for c in raw.columns if c != vcol]
+    return raw.groupBy(*keys).agg(F.max(vcol).alias(vcol))

@@ -217,3 +217,54 @@ def test_langid_profile_literal_fidelity(spark):
     for bad_gram in ["a\\b", "a'b", "a\tb", "a\x7fb"]:
         with _pytest.raises(ValueError):
             langid_ngram(docs, profiles=[("xx", bad_gram, 1)])
+
+
+def test_langid_custom_profile_non_latin_oracle_parity(spark):
+    """Caller-supplied profiles (r10 verdict task 8): extend the default
+    table with a Cyrillic (Russian) profile and verify (a) the non-Latin
+    script scores and wins on Russian text, (b) the Spark operator and
+    the independent DuckDB oracle algorithm agree row-for-row on a
+    5-language fixture (the cross-engine lower()/length()/replace()
+    identity holds for BMP scripts)."""
+    import duckdb
+
+    from squirreling_spark.pipeline.classify import (
+        LANG_PROFILES,
+        langid_ngram,
+        langid_oracle_sql,
+    )
+
+    ru = [
+        ("ru", "при", 7), ("ru", "ова", 6), ("ru", "ени", 6),
+        ("ru", " не", 5), ("ru", "ост", 5), ("ru", "что", 4),
+    ]
+    profs = LANG_PROFILES + ru
+    rows = [
+        (1, "the thing of the day and the morning"),
+        (2, "der schein ich und die sonne"),
+        (3, "le jour les questions de la vie"),
+        (4, "что приятного остается при всего"),
+        (5, "de la que el gato en la casa"),
+        (6, ""),
+        (7, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["lang_pred"], r["score"], r["n_grams"])
+        for r in langid_ngram(docs, profiles=profs).collect()
+    }
+    assert got[1][0] == "en"
+    assert got[2][0] == "de"
+    assert got[4][0] == "ru" and got[4][1] > 0
+    assert got[6] == ("und", 0, 0) and got[7] == ("und", 0, 0)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            langid_oracle_sql("documents", profiles=profs)
+        ).fetchall()
+    }
+    assert oracle == got, (oracle, got)

@@ -600,3 +600,68 @@ def test_stateful_counter_ttl_restarts_idle_users(spark, tmp_path_factory):
     # A's state expired between batches 1 and 3: the return emits a
     # RESTARTED count of 1 (never 3); the pre-expiry count of 2 stands.
     assert (1, 2) in got and (1, 1) in got and (1, 3) not in got, got
+
+
+def test_sketch_stream_hll_and_quantile_match_batch(spark, events_dir):
+    """sketch_stream (r10 verdict task 7): update-mode register
+    maintenance over a file stream, forced through MULTIPLE micro-batches
+    (maxFilesPerTrigger=1) so the monotone-merge contract is actually
+    exercised — sketch_stream_table must equal the batch registers
+    cell-for-cell for both the HLL and quantile kinds, and thus identical
+    estimates/quantiles."""
+    from squirreling_spark.pipeline.sketch import (
+        hll_registers,
+        qsketch_build,
+        sketch_stream,
+        sketch_stream_table,
+    )
+
+    batch = spark.read.parquet(events_dir)
+
+    def stream():
+        return (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir)
+        )
+
+    q = sketch_stream(
+        stream(), "hll", "user_id", "hll_live", group_cols=("event_type",)
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_type"], r["bucket"]): r["max_rho"]
+        for r in sketch_stream_table(spark, "hll_live", "hll").collect()
+    }
+    expected = {
+        (r["event_type"], r["bucket"]): r["max_rho"]
+        for r in hll_registers(
+            batch, "user_id", p=8, group_cols=("event_type",)
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
+
+    q2 = sketch_stream(
+        stream().selectExpr("event_type", "CAST(floor(value * 1000) AS LONG) AS mv"),
+        "quantile",
+        "mv",
+        "q_live",
+        group_cols=("event_type",),
+    )
+    q2.awaitTermination(120)
+    got_q = {
+        (r["event_type"], r["bid"]): r["cnt"]
+        for r in sketch_stream_table(spark, "q_live", "quantile").collect()
+    }
+    exp_q = {
+        (r["event_type"], r["bid"]): r["cnt"]
+        for r in qsketch_build(
+            batch.selectExpr(
+                "event_type", "CAST(floor(value * 1000) AS LONG) AS mv"
+            ),
+            "mv",
+            b=4,
+            group_cols=("event_type",),
+        ).collect()
+    }
+    assert got_q == exp_q and len(got_q) > 0
