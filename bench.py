@@ -191,6 +191,10 @@ HEADLINE = [
     "cms_top_terms_vs_exact",
     "docs_hll_ngrams_vs_exact",
     "events_user_overlap_vs_exact",
+    # round 11: log-histogram quantile sketch (third sketch leg)
+    "docs_length_quantiles",
+    "events_value_quantiles",
+    "docs_length_quantiles_vs_exact",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -2230,3 +2230,130 @@ def docs_length_quantiles_q(spark, sf):
     )
     sk = qsketch_build(docs, "_len", b=4, group_cols=("source",))
     return qsketch_quantiles(sk, b=4, group_cols=("source",))
+
+
+@query(
+    "events_value_quantiles",
+    oracle=qsketch_oracle_sql(
+        "events",
+        "CAST(floor(value * 1000) AS BIGINT)",
+        "event_type",
+        b=4,
+        quantiles=((25, 100), (50, 100), (90, 100), (99, 100)),
+    ),
+)
+def events_value_quantiles_q(spark, sf):
+    """Per-event-type p25/p50/p90/p99 of the (milli-unit fixed-point)
+    event value from the log-histogram quantile sketch — the DOUBLE
+    column path: floor(value·1000) is the deterministic cross-engine
+    fixed-point fold the digest checksums already rely on, and the
+    sketch then runs its integer contract unchanged. Continuous
+    latency/value distribution monitoring at stream scale uses exactly
+    this shape (see sketch_stream: the bucket table maintains itself
+    under Structured Streaming with bounded state)."""
+    from squirreling_spark.pipeline.sketch import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+
+    ev = t(spark, sf, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("_mv"),
+    )
+    sk = qsketch_build(ev, "_mv", b=4, group_cols=("event_type",))
+    return qsketch_quantiles(
+        sk,
+        quantiles=((25, 100), (50, 100), (90, 100), (99, 100)),
+        b=4,
+        group_cols=("event_type",),
+    )
+
+
+@query(
+    "docs_length_quantiles_vs_exact",
+    oracle=f"""
+    WITH sk AS MATERIALIZED (
+      {qsketch_oracle_sql("documents", "length(text)", "source", b=4)}
+    ),
+    r AS (
+      SELECT source, length(text) AS len,
+             row_number() OVER (PARTITION BY source ORDER BY length(text))
+               AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    q(num, den) AS (SELECT * FROM (VALUES (50, 100), (90, 100), (99, 100))),
+    ex AS (
+      SELECT r.source,
+             CAST((q.num * 1000000) // q.den AS BIGINT) AS q_ppm,
+             CAST(r.len AS BIGINT) AS exact_q
+      FROM r CROSS JOIN q
+      WHERE r.rn = (q.num * r.n + q.den - 1) // q.den
+    )
+    SELECT sk.source, sk.q_ppm, sk.n_total, ex.exact_q,
+           sk.q_lo, sk.q_hi, sk.q_est,
+           (sk.q_lo <= ex.exact_q AND ex.exact_q <= sk.q_hi) AS contained
+    FROM sk JOIN ex ON sk.source = ex.source AND sk.q_ppm = ex.q_ppm
+    """,
+)
+def docs_length_quantiles_vs_exact_q(spark, sf):
+    """EXHIBIT variant of docs_length_quantiles: the exact order
+    statistic (a full per-source sort via row_number — fixture-scale
+    only, kept out of the registered default per the sketch-family
+    policy) joined alongside the sketch answer, pinning the containment
+    guarantee (q_lo ≤ exact ≤ q_hi) under the gate. Ties in length are
+    irrelevant: the VALUE at rank ceil(q·n) is deterministic whatever
+    order equal lengths enumerate."""
+    from pyspark.sql import Window as W
+
+    from squirreling_spark.pipeline.sketch import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+
+    docs = t(spark, sf, "documents").select(
+        "source", F.length("text").alias("_len")
+    )
+    sk = qsketch_build(docs, "_len", b=4, group_cols=("source",))
+    est = qsketch_quantiles(sk, b=4, group_cols=("source",))
+    r = docs.select(
+        "source",
+        "_len",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("_len"))
+        .alias("_rn"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("_n"),
+    )
+    qs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(num).cast("bigint").alias("num"),
+                    F.lit(den).cast("bigint").alias("den"),
+                )
+                for num, den in ((50, 100), (90, 100), (99, 100))
+            ]
+        )
+    ).alias("_q")
+    ex = (
+        r.select("source", "_len", "_rn", "_n", qs)
+        .where(F.expr("_rn = (_q.num * _n + _q.den - 1) div _q.den"))
+        .select(
+            "source",
+            F.expr("CAST((_q.num * 1000000) div _q.den AS BIGINT)").alias(
+                "q_ppm"
+            ),
+            F.col("_len").cast("bigint").alias("exact_q"),
+        )
+    )
+    return est.join(ex, ["source", "q_ppm"]).select(
+        "source",
+        "q_ppm",
+        "n_total",
+        "exact_q",
+        "q_lo",
+        "q_hi",
+        "q_est",
+        ((F.col("q_lo") <= F.col("exact_q"))
+         & (F.col("exact_q") <= F.col("q_hi"))).alias("contained"),
+    )
