@@ -37,7 +37,7 @@ SHOW = [
     ("dedup_bloom_incremental", "bloom prefilter: broadcast bit-set semi join, anti join only on candidates"),
     ("knn_pq_adc", "PQ ADC: broadcast codebooks/lookup table, map-combined partial sums, two-stage top-k"),
     ("knn_ivfpq", "IVF-PQ: inverted-list restriction via broadcast probes, 3 broadcast lookup tables, one map-combined reduce"),
-    ("cms_top_terms", "CMS: inline depth pairs, map-combined cell agg, broadcast sketch join for estimates"),
+    ("cms_top_terms", "CMS pure-sketch default (r11): map-combined cell agg -> checkpointed wide sketch broadcast, per-hash-row broadcast joins, phi-survivor-only term shuffle, TakeOrdered top-k — no exact count anywhere"),
     ("dataset_shards", "shard export: md5 shard+poskey, one hash exchange, per-shard bounded window"),
     ("temperature_mix", "alpha=0.5 mixing: tiny source agg broadcast back, row-local integer-exact keep filter"),
     ("corpus_pipeline", "curate->dedup->shard composite: classifier fused into scan, dedup groupBy + shard exchange only"),
@@ -118,8 +118,11 @@ SHOW = [
     ("docs_communities", "label propagation: per-round label tables are checkpointed leaves (flat plan at any iters); final plan = ONE label-sized join + comm-size agg over the leaf"),
     ("docs_langid", "char-trigram language ID: profile compiled INTO one codegen projection — no join, no explode, no exchange; scores at scan speed"),
     ("events_hll_users", "HLL distinct sketch: row-local value/bucket/rho projection, register groupBy-max + estimate groupBy-sum — two map-combined exchanges, registers move instead of keys"),
-    ("docs_hll_ngrams", "HLL n-gram diversity: gram explode feeds the register sketch; exchange carries <=256 registers/source, exact exhibit alongside"),
-    ("events_user_overlap", "HLL register algebra: broadcast pair membership, bucket-wise MAX union merge, inclusion-exclusion — only the constant type-pair cross nested-loops"),
+    ("docs_hll_ngrams", "HLL n-gram diversity (pure default, r11): gram explode feeds the register sketch; exactly two map-combined exchanges, ZERO joins — exact exhibit lives in _vs_exact"),
+    ("events_user_overlap", "HLL register algebra (pure default, r11): checkpointed register leaf, broadcast pair membership, bucket-wise MAX union merge, inclusion-exclusion, broadcast output joins — no distinct self-join, no SortMergeJoin"),
+    # round 11
+    ("docs_length_quantiles", "quantile sketch: row-local bin(v) bucket projection, map-combined sketch groupBy, cumsum windows + rank pick over BUCKET rows — two exchanges, no joins, no data-sized sort"),
+    ("events_value_quantiles", "quantile sketch, double path: floor(value*1000) fixed-point fold then the identical integer bucket contract"),
 ]
 
 
