@@ -124,8 +124,20 @@ def main():
         "events_user_overlap": build_events,
     }
     base = {q: time_query(spark, q, SRC) for q in probes}
+
+    # Invariant projections: counts scale by F by design (n_total,
+    # cms_count), the SEMANTIC outputs must not — quantile buckets per
+    # (source, q) and the ordered heavy-hitter term list.
+    def invariant(q, sf_dir):
+        df = inventory.QUERIES[q](spark, sf_dir)
+        if q == "docs_length_quantiles":
+            df = df.select("source", "q_ppm", "q_lo", "q_hi", "q_est")
+        else:  # cms_top_terms: ordered term list
+            df = df.select("term")
+        return sorted(map(tuple, df.collect()))
+
     base_vals = {
-        q: sorted(map(tuple, inventory.QUERIES[q](spark, SRC).collect()))
+        q: invariant(q, SRC)
         for q in ("docs_length_quantiles", "cms_top_terms")
     }
     for q in probes:
@@ -141,9 +153,7 @@ def main():
                 flush=True,
             )
             if q in base_vals:
-                vals = sorted(
-                    map(tuple, inventory.QUERIES[q](spark, dst).collect())
-                )
+                vals = invariant(q, dst)
                 print(
                     f"         {q} invariant="
                     f"{'YES' if vals == base_vals[q] else 'NO'}",
