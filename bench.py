@@ -195,6 +195,9 @@ HEADLINE = [
     "docs_length_quantiles",
     "events_value_quantiles",
     "docs_length_quantiles_vs_exact",
+    # round 11, second half: weighted quantiles + cross-source overlap
+    "docs_token_mass_quantiles",
+    "sources_gram_overlap",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -122,6 +122,13 @@ def main():
         "cms_top_terms": build_plain,
         "docs_hll_ngrams": build_disjoint,
         "events_user_overlap": build_events,
+        # second half: weighted quantiles share the scale-invariance
+        # argument of the unweighted probe (weights scale by F, ranks
+        # cancel); cross-source gram overlap runs on DISJOINT replicas
+        # so per-pair union/overlap truly grow by F (jaccard_ppm stays
+        # ~invariant at the estimate level, rows constant).
+        "docs_token_mass_quantiles": build_plain,
+        "sources_gram_overlap": build_disjoint,
     }
     base = {q: time_query(spark, q, SRC) for q in probes}
 
@@ -130,7 +137,7 @@ def main():
     # (source, q) and the ordered heavy-hitter term list.
     def invariant(q, sf_dir):
         df = inventory.QUERIES[q](spark, sf_dir)
-        if q == "docs_length_quantiles":
+        if q in ("docs_length_quantiles", "docs_token_mass_quantiles"):
             df = df.select("source", "q_ppm", "q_lo", "q_hi", "q_est")
         else:  # cms_top_terms: ordered term list
             df = df.select("term")
@@ -138,7 +145,11 @@ def main():
 
     base_vals = {
         q: invariant(q, SRC)
-        for q in ("docs_length_quantiles", "cms_top_terms")
+        for q in (
+            "docs_length_quantiles",
+            "docs_token_mass_quantiles",
+            "cms_top_terms",
+        )
     }
     for q in probes:
         print(f"  [1x] {q}: {base[q][0]:.2f}s rows={base[q][1]}", flush=True)

@@ -436,21 +436,35 @@ def qsketch_build(
     value_col: str,
     b: int = 4,
     group_cols: tuple[str, ...] = (),
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(group..., bid, cnt): the log-histogram sketch of BIGINT
     expression ``value_col`` — one row-local bucket projection + ONE
     map-combined groupBy; the exchange carries bucket cells, never data
-    rows. Merge two sketches by UNION ALL + groupBy-SUM."""
+    rows. Merge two sketches by UNION ALL + groupBy-SUM.
+
+    ``weight_col`` (a non-negative BIGINT expression) switches to the
+    WEIGHTED sketch: cnt sums weights instead of counting rows, so
+    qsketch_quantiles then answers weighted quantiles — e.g. doc-length
+    sketches weighted by token count give "the doc length at/below
+    which half the corpus's TOKEN MASS lives", the curation quantity
+    behind length-based mixing decisions. All integer arithmetic, same
+    merge and rank contracts."""
     if not 1 <= b <= 8:
         raise ValueError(f"b={b} outside [1, 8]")
     v = f"CAST(({value_col}) AS BIGINT)"
+    cnt = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(F.expr(f"CAST(({weight_col}) AS BIGINT)"))
+    )
     return (
         df.where(F.expr(f"({value_col}) IS NOT NULL"))
         .groupBy(
             *group_cols,
             F.expr(_qs_bid_sql(v, b, True)).cast("bigint").alias("bid"),
         )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .agg(cnt.cast("bigint").alias("cnt"))
     )
 
 
@@ -520,17 +534,24 @@ def qsketch_oracle_sql(
     group_col: str,
     b: int = 4,
     quantiles: tuple[tuple[int, int], ...] = ((50, 100), (90, 100), (99, 100)),
+    weight_sql: str | None = None,
 ) -> str:
     """DuckDB replay of qsketch_build + qsketch_quantiles over ``table``
     — same integer constants and bucket algebra (single source of
-    truth), independent SQL shape (CTE chain + window cumsum)."""
+    truth), independent SQL shape (CTE chain + window cumsum).
+    ``weight_sql`` mirrors qsketch_build's weighted mode."""
     two_b = 1 << b
     bid = _qs_bid_sql(f"CAST(({value_sql}) AS BIGINT)", b, False)
     lo, hi = _qs_bounds_sql("_bid", b, False)
     qvals = ", ".join(f"({num}, {den})" for num, den in quantiles)
+    cnt = (
+        "count(*)"
+        if weight_sql is None
+        else f"sum(CAST(({weight_sql}) AS BIGINT))"
+    )
     return f"""
       WITH sk AS MATERIALIZED (
-        SELECT {group_col}, {bid} AS bid, CAST(count(*) AS BIGINT) AS cnt
+        SELECT {group_col}, {bid} AS bid, CAST({cnt} AS BIGINT) AS cnt
         FROM {table} WHERE ({value_sql}) IS NOT NULL
         GROUP BY 1, 2
       ),

@@ -2357,3 +2357,166 @@ def docs_length_quantiles_vs_exact_q(spark, sf):
         ((F.col("q_lo") <= F.col("exact_q"))
          & (F.col("exact_q") <= F.col("q_hi"))).alias("contained"),
     )
+
+
+# Cross-engine whitespace token count (the _D_5GRAMS tokenization).
+_D_NTOK = (
+    "len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))"
+)
+_S_NTOK = (
+    "size(split(trim(regexp_replace(text, '\\\\s+', ' ')), ' '))"
+)
+
+
+@query(
+    "docs_token_mass_quantiles",
+    oracle=qsketch_oracle_sql(
+        "documents",
+        "length(text)",
+        "source",
+        b=4,
+        weight_sql=_D_NTOK,
+    ),
+)
+def docs_token_mass_quantiles_q(spark, sf):
+    """WEIGHTED quantile sketch: per-source doc-length quantiles
+    weighted by TOKEN COUNT — "the doc length at/below which p50/p90/p99
+    of this source's token mass lives", the curation quantity behind
+    length-based mixing and packing decisions (token mass, not doc
+    count, is what a training run consumes). Same integer contract as
+    docs_length_quantiles with cnt = sum(weight); bucket tables still
+    bounded, still bucket-SUM mergeable, rank arithmetic still rational
+    (ceil of q x total token mass)."""
+    from squirreling_spark.pipeline.sketch import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+
+    docs = t(spark, sf, "documents").select(
+        "source",
+        F.length("text").alias("_len"),
+        F.expr(_S_NTOK).cast("bigint").alias("_ntok"),
+    )
+    sk = qsketch_build(
+        docs, "_len", b=4, group_cols=("source",), weight_col="_ntok"
+    )
+    return qsketch_quantiles(sk, b=4, group_cols=("source",))
+
+
+from squirreling_spark.pipeline.sketch import (  # noqa: E402
+    hll_estimate_sql,
+    hll_registers_sql,
+)
+
+_HLL_SRC_REGS = hll_registers_sql("g", "ng", "source", p=8)
+
+
+@query(
+    "sources_gram_overlap",
+    oracle=f"""
+    WITH g AS ({_D_5GRAMS}),
+    r AS MATERIALIZED ({_HLL_SRC_REGS}),
+    t AS (SELECT DISTINCT source FROM documents),
+    p AS MATERIALIZED (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.source || '|' || b.source AS pair_id
+      FROM t a JOIN t b ON a.source < b.source
+    ),
+    mem AS (
+      SELECT source_a AS source, pair_id FROM p
+      UNION ALL SELECT source_b, pair_id FROM p
+    ),
+    ur AS (
+      SELECT pair_id, bucket, max(max_rho) AS max_rho
+      FROM r JOIN mem USING (source) GROUP BY 1, 2
+    ),
+    eu AS ({hll_estimate_sql("ur", "pair_id", p=8)}),
+    et AS MATERIALIZED ({hll_estimate_sql("r", "source", p=8)})
+    SELECT p.source_a, p.source_b,
+           ea.est_distinct AS est_a, eb.est_distinct AS est_b,
+           eu.est_distinct AS est_union,
+           CAST(greatest(0, ea.est_distinct + eb.est_distinct
+                            - eu.est_distinct) AS BIGINT) AS est_overlap,
+           CAST((greatest(0, ea.est_distinct + eb.est_distinct
+                             - eu.est_distinct) * 1000000)
+                // eu.est_distinct AS BIGINT) AS jaccard_ppm
+    FROM p
+    JOIN et ea ON p.source_a = ea.source
+    JOIN et eb ON p.source_b = eb.source
+    JOIN eu ON p.pair_id = eu.pair_id
+    """,
+)
+def sources_gram_overlap_q(spark, sf):
+    """Pairwise cross-SOURCE 5-gram overlap and Jaccard estimated by HLL
+    register ALGEBRA — the events_user_overlap construction proven
+    generic on a second domain: content overlap between corpus sources
+    (shared boilerplate, mirrored sites, near-duplicate feeds) sized
+    BEFORE any pairwise dedup join runs. 256 registers per source move
+    instead of every gram; union registers are bucket-wise MAX (exact
+    lattice merge); |A∩B| by inclusion-exclusion and Jaccard =
+    overlap/union in integer ppm. Pure sketch — no exact branch; the
+    register table is a checkpointed leaf (gram explode runs once)."""
+    from squirreling_spark.pipeline.corpus import word_ngrams
+    from squirreling_spark.pipeline.sketch import hll_estimate, hll_registers
+
+    docs = t(spark, sf, "documents")
+    grams = word_ngrams(docs, "text", "source", 5)
+    regs = hll_registers(
+        grams, "ng", p=8, group_cols=("source",)
+    ).localCheckpoint(eager=False)
+    tl = docs.select("source").distinct()
+    pairs = (
+        tl.select(F.col("source").alias("source_a"))
+        .crossJoin(tl.select(F.col("source").alias("source_b")))
+        .where(F.col("source_a") < F.col("source_b"))
+        .withColumn("pair_id", F.concat_ws("|", "source_a", "source_b"))
+    )
+    mem = pairs.select(
+        F.explode(F.array("source_a", "source_b")).alias("source"),
+        "pair_id",
+    )
+    ur = (
+        regs.join(F.broadcast(mem), "source")
+        .groupBy("pair_id", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    eu = hll_estimate(ur, p=8, group_cols=("pair_id",)).select(
+        "pair_id", F.col("est_distinct").alias("est_union")
+    )
+    et = hll_estimate(regs, p=8, group_cols=("source",))
+    return (
+        pairs.join(
+            F.broadcast(
+                et.select(
+                    F.col("source").alias("source_a"),
+                    F.col("est_distinct").alias("est_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                et.select(
+                    F.col("source").alias("source_b"),
+                    F.col("est_distinct").alias("est_b"),
+                )
+            ),
+            "source_b",
+        )
+        .join(F.broadcast(eu), "pair_id")
+        .select(
+            "source_a",
+            "source_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0),
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+            ).cast("bigint").alias("est_overlap"),
+            F.expr(
+                "CAST((greatest(0, est_a + est_b - est_union) * 1000000)"
+                " div est_union AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )

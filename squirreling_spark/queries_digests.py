@@ -1124,6 +1124,19 @@ _MIX_CK = {
         "length(source) * 31 + ascii(substring(source, 4, 1))"
         " + q_ppm % 999983 + n_total * 7 + q_lo * 3 + q_hi + q_est * 5"
     ),
+    # round 11, second half: token-mass WEIGHTED quantiles + cross-source
+    # gram overlap via HLL register algebra
+    "docs_token_mass_quantiles": (
+        "length(source) * 31 + ascii(substring(source, 4, 1))"
+        " + q_ppm % 999983 + n_total % 999979 + q_lo * 3 + q_hi"
+        " + q_est * 5"
+    ),
+    "sources_gram_overlap": (
+        "length(source_a) * 31 + ascii(substring(source_a, 4, 1))"
+        " + length(source_b) * 13 + ascii(substring(source_b, 4, 1)) * 3"
+        " + est_a + est_b * 5 + est_union * 7 + est_overlap * 11"
+        " + jaccard_ppm % 999983"
+    ),
 }
 
 

@@ -628,3 +628,21 @@ def test_r11_quantile_sketch_plan_bucket_level_only(spark):
     assert "Join" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert plan.count("+- Window [") == 2  # cum + total, same partitioning
+
+
+def test_r11_second_half_sketch_plans(spark):
+    """Second-half sketch rows keep the family contracts:
+    - docs_token_mass_quantiles (weighted): identical shape to the
+      unweighted pin — two hash exchanges, no joins.
+    - sources_gram_overlap: register algebra on the documents domain —
+      checkpointed register leaf, no SortMergeJoin, no exact branch
+      (the only distinct is the constant source list)."""
+    plan = plan_of("docs_token_mass_quantiles", spark)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan
+
+    plan = plan_of("sources_gram_overlap", spark)
+    assert "SortMergeJoin" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "count(distinct" not in plan.lower()

@@ -350,3 +350,40 @@ def test_qsketch_state_is_bounded(spark):
     n = sk.count()
     assert n <= 2 * 60 * 16 + 64, n
     assert sk.where(F.col("bid").isNull()).count() == 0
+
+
+def test_qsketch_weighted_quantiles_match_exact(spark):
+    """weight_col mode: the weighted q-quantile bucket must contain the
+    exact weighted order statistic (the smallest v with cumulative
+    weight >= ceil(q * W)) — checked against a brute-force weighted rank
+    on skewed integer weights."""
+    import math
+    import random
+
+    from squirreling_spark.pipeline.sketch import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+
+    random.seed(13)
+    rows = [
+        (random.randint(1, 10**6), random.randint(1, 1000))
+        for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "v long, w long")
+    sk = qsketch_build(df, "v", b=4, weight_col="w")
+    out = qsketch_quantiles(
+        sk, quantiles=((50, 100), (90, 100)), b=4
+    ).collect()
+    total = sum(w for _, w in rows)
+    ordered = sorted(rows)
+    for r in out:
+        target = -(-r["q_ppm"] * total // 10**6)  # ceil
+        cum = 0
+        for v, w in ordered:
+            cum += w
+            if cum >= target:
+                exact = v
+                break
+        assert r["n_total"] == total
+        assert r["q_lo"] <= exact <= r["q_hi"], (r, exact)
