@@ -387,3 +387,75 @@ def test_qsketch_weighted_quantiles_match_exact(spark):
                 break
         assert r["n_total"] == total
         assert r["q_lo"] <= exact <= r["q_hi"], (r, exact)
+
+
+def test_qsketch_bid_monotonic_invertible_cross_engine(spark):
+    """Bucket-map algebra pinned at the boundaries: over an adversarial
+    value set (0, ±1, ±2^k, ±(2^k±1) for k ≤ 61, plus random), the bid
+    map is monotonic non-decreasing in v, every value lies inside its
+    own bucket's [lo, hi], and DuckDB replays bid/lo/hi bit-for-bit
+    (the abs() guards keep every div/shift operand non-negative, where
+    Spark div and DuckDB // agree)."""
+    import random
+
+    import duckdb
+
+    from squirreling_spark.pipeline.sketch import (
+        _qs_bid_sql,
+        _qs_bounds_sql,
+    )
+
+    random.seed(17)
+    vals = {0, 1, -1}
+    for k in range(1, 62):
+        for d in (-1, 0, 1):
+            vals.add((1 << k) + d)
+            vals.add(-((1 << k) + d))
+    vals |= {random.randint(-(2**61), 2**61) for _ in range(500)}
+    vals = sorted(vals)
+
+    b = 4
+    bid = _qs_bid_sql("v", b, True)
+    lo, hi = _qs_bounds_sql("_bid", b, True)
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "v long")
+        .selectExpr("v", f"{bid} AS _bid")
+        .selectExpr(
+            "v", "_bid", f"{lo} AS lo", f"{hi} AS hi"
+        )
+        .orderBy("v")
+        .collect()
+    )
+    prev_bid = None
+    for r in rows:
+        assert r["lo"] <= r["v"] <= r["hi"], r
+        if prev_bid is not None:
+            assert r["_bid"] >= prev_bid, r
+        prev_bid = r["_bid"]
+
+    dbid = _qs_bid_sql("v", b, False)
+    dlo, dhi = _qs_bounds_sql("_bid", b, False)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE vv(v BIGINT)")
+    con.executemany("INSERT INTO vv VALUES (?)", [(v,) for v in vals])
+    duck = con.execute(
+        f"SELECT v, _bid, {dlo} AS lo, {dhi} AS hi"
+        f" FROM (SELECT v, {dbid} AS _bid FROM vv) ORDER BY v"
+    ).fetchall()
+    assert [(r["v"], r["_bid"], r["lo"], r["hi"]) for r in rows] == [
+        tuple(t) for t in duck
+    ]
+
+
+def test_cms_phi_guarantee_planted_heavy_hitter(spark):
+    """The φ-heavy-hitter contract of the pure default: a planted term
+    holding >> φ of the token mass can NEVER be missing from the output
+    (CMS estimates are one-sided; the threshold filter only removes
+    terms whose TRUE share is below φ minus the sketch error, never
+    above). Planted at ~5% with φ = 0.05%."""
+    rows = [(i, "planted " * 5 + f"filler{i} noise{i % 97}") for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cms_top_terms(docs, "text", k=20, width=W, depth=D).collect()
+    assert any(r["term"] == "planted" for r in out), out
+    top = max(out, key=lambda r: r["cms_count"])
+    assert top["term"] == "planted"
