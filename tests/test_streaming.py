@@ -665,3 +665,39 @@ def test_sketch_stream_hll_and_quantile_match_batch(spark, events_dir):
         ).collect()
     }
     assert got_q == exp_q and len(got_q) > 0
+
+
+def test_sketch_stream_cms_kind_matches_batch(spark, events_dir):
+    """The CMS kind of sketch_stream: cell counts are monotone running
+    totals under update mode, so the recovered cell table must equal the
+    batch sketch cell-for-cell — and any later cms_estimate over it
+    gives identical heavy-hitter counts."""
+    from squirreling_spark.pipeline.sketch import (
+        cms_build,
+        sketch_stream,
+        sketch_stream_table,
+    )
+
+    batch = spark.read.parquet(events_dir)
+    q = sketch_stream(
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir),
+        "cms",
+        "event_type",
+        "cms_live",
+        width=1024,
+        depth=3,
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in sketch_stream_table(spark, "cms_live", "cms").collect()
+    }
+    expected = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(
+            batch.selectExpr("event_type AS _k"), "_k", width=1024, depth=3
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
