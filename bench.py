@@ -198,6 +198,9 @@ HEADLINE = [
     # round 11, second half: weighted quantiles + cross-source overlap
     "docs_token_mass_quantiles",
     "sources_gram_overlap",
+    # round 12: small-range corrected HLL (linear-counting branch pinned
+    # vs exact on the low-n region/nation slice)
+    "region_hll_corrected",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

@@ -116,7 +116,16 @@ GRADE_ORDER: list[str] = [
     # (typed-placeholder redaction, cleaned text value-checked — pins
     # the Java-vs-RE2 shared regex subset).
     "pii_scrub",
-    "conditional_case",
+    # round-12 window swap (r11 verdict task 4): conditional_case out —
+    # the CASE/COALESCE/NULLIF/GREATEST/LEAST surface stays enforced by
+    # the 100%-green conditional conformance cases plus the digest
+    # branches, and the standalone stays registered after the window
+    # (parity gate + sf0.1 sweep). Freed slot promotes round 11's
+    # representative: the log-histogram QUANTILE sketch — the third
+    # sketch leg (distribution profiles with bounded state), two
+    # map-combined exchanges, bucket-SUM merge, rank-exact integer
+    # arithmetic the driver hashes value-for-value.
+    "docs_length_quantiles",
     # round-11 window swap (r10 verdict task 3): median_percentile out —
     # the MEDIAN/PERCENTILE_CONT/APPROX_QUANTILE aggregate surface stays
     # enforced by the percentile conformance cases plus analytics_digest,

@@ -210,6 +210,12 @@ LANG_PROFILES: list[tuple[str, str, int]] = [
     ("fr", "de ", 4), ("fr", "ion", 4), ("fr", " la", 3),
     ("es", "de ", 6), ("es", "la ", 6), ("es", "os ", 5), ("es", "que", 5),
     ("es", "ent", 4), ("es", " el", 4), ("es", "ar ", 3),
+    # Non-Latin shipped default (r11 verdict task 8): Cyrillic/Russian —
+    # the custom-profile path proved BMP scripts carry the cross-engine
+    # lower()/length()/replace() identity, so a non-Latin script belongs
+    # in the default table, not just behind the profiles= knob.
+    ("ru", "при", 7), ("ru", "ова", 6), ("ru", "ени", 6),
+    ("ru", " не", 5), ("ru", "ост", 5), ("ru", "что", 4),
 ]
 
 

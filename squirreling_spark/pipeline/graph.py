@@ -27,84 +27,13 @@ from pyspark.sql import functions as F
 SCALE = 10**12
 
 
-def _ckpt_listing(spark):
-    """(fs, root, {child paths}) of the session's resolved checkpoint dir
-    (the per-SparkContext UUID subdir), via the Hadoop FS API so local
-    paths and HDFS/S3 behave identically. (None, None, set()) when no
-    checkpoint dir is set or the JVM gateway balks."""
-    try:
-        sc = spark.sparkContext
-        opt = sc._jsc.sc().getCheckpointDir()
-        if not opt.isDefined():
-            return None, None, set()
-        root = spark._jvm.org.apache.hadoop.fs.Path(opt.get())
-        fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
-        kids = {st.getPath().toString() for st in fs.listStatus(root)}
-        return fs, root, kids
-    except Exception:
-        return None, None, set()
-
-
-def _truncate(
-    df: DataFrame,
-    checkpoint_dir: str | None,
-    supersede: dict | None = None,
-) -> DataFrame:
-    """Materialize-and-truncate-lineage with a storage policy knob.
-
-    ``checkpoint_dir`` (or the SPARK_GRAFT_CHECKPOINT_DIR env var when the
-    argument is None) selects RELIABLE checkpointing: blocks go to that
-    fault-tolerant path (HDFS/S3/local disk), surviving executor loss and
-    freeing executor storage memory — the right policy on a real cluster
-    and for memory-tight iterative runs. Unset, falls back to
-    ``localCheckpoint`` (blocks on executor memory/disk): faster locally,
-    but blocks accumulate on executors across repeated invocations and die
-    with them.
-
-    ``supersede`` bounds reliable-checkpoint DISK growth across iterative
-    rounds (r10 advice: Spark's cleanCheckpoints is off by default, so
-    per-round eager checkpoints otherwise accumulate for deep ``iters``).
-    Pass the same dict at every per-round call site; each call records the
-    rdd-* dirs this checkpoint created and deletes the dirs recorded TWO
-    generations back (never anything it didn't create). One extra
-    generation is kept because the immediately superseded round can still
-    be referenced after the new checkpoint is written (e.g. a convergence
-    compare against the previous labels). The last two generations remain
-    on disk at exit — bounded residue; final removal belongs to the
-    checkpoint-dir owner or spark.cleaner.referenceTracking.cleanCheckpoints."""
-    if checkpoint_dir is None:
-        checkpoint_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
-    if checkpoint_dir:
-        spark = df.sparkSession
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
-        # Persist BEFORE the eager reliable checkpoint: RDD.checkpoint's
-        # documented caveat is that the checkpoint-file write job
-        # recomputes the subtree unless it is cached — without this the
-        # exact memory-tight runs the knob targets computed every
-        # truncated subtree twice (r9 advice). Eager so the cache can be
-        # dropped here instead of leaking into the caller.
-        fs = pre = None
-        if supersede is not None:
-            fs, _, pre = _ckpt_listing(spark)
-        df = df.persist()
-        out = df.checkpoint(eager=True)
-        df.unpersist()
-        if supersede is not None and fs is not None:
-            post = _ckpt_listing(spark)[2] or pre
-            try:
-                gens = supersede.setdefault("gens", [])
-                gens.append(sorted(post - pre))
-                while len(gens) > 2:
-                    for old in gens.pop(0):
-                        try:
-                            p = spark._jvm.org.apache.hadoop.fs.Path(old)
-                            fs.delete(p, True)
-                        except Exception:
-                            pass  # best-effort: growth bound, not a gate
-            except Exception:
-                pass
-        return out
-    return df.localCheckpoint(eager=False)
+# _truncate / the checkpoint attribution probes live in pipeline/ckpt.py
+# (shared with the sketch family's multiply-referenced intermediates —
+# r11 advice: every truncation site honors the reliable-checkpoint knob).
+from squirreling_spark.pipeline.ckpt import (  # noqa: E402
+    _ckpt_file,  # re-exported: tests patch the probe through this module
+    truncate_lineage as _truncate,
+)
 
 
 def pagerank(

@@ -2236,18 +2236,23 @@ def docs_length_quantiles_q(spark, sf):
     "events_value_quantiles",
     oracle=qsketch_oracle_sql(
         "events",
-        "CAST(floor(value * 1000) AS BIGINT)",
+        "value",
         "event_type",
         b=4,
         quantiles=((25, 100), (50, 100), (90, 100), (99, 100)),
+        value_scale=1000,
     ),
 )
 def events_value_quantiles_q(spark, sf):
     """Per-event-type p25/p50/p90/p99 of the (milli-unit fixed-point)
     event value from the log-histogram quantile sketch — the DOUBLE
-    column path: floor(value·1000) is the deterministic cross-engine
-    fixed-point fold the digest checksums already rely on, and the
-    sketch then runs its integer contract unchanged. Continuous
+    column path as a first-class contract (r11 verdict task 5):
+    ``value_scale=1000`` makes the sketch bucket floor(value·1000) on
+    both engines, every reported bound living in that scaled integer
+    domain (divide by 1000 to read milli-units back). floor() is the
+    deterministic cross-engine fixed-point fold the digest checksums
+    already rely on; the sketch then runs its integer contract
+    unchanged, including the enforced |v| < 2^62 guard. Continuous
     latency/value distribution monitoring at stream scale uses exactly
     this shape (see sketch_stream: the bucket table maintains itself
     under Structured Streaming with bounded state)."""
@@ -2256,11 +2261,10 @@ def events_value_quantiles_q(spark, sf):
         qsketch_quantiles,
     )
 
-    ev = t(spark, sf, "events").select(
-        "event_type",
-        F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("_mv"),
+    ev = t(spark, sf, "events").select("event_type", "value")
+    sk = qsketch_build(
+        ev, "value", b=4, group_cols=("event_type",), value_scale=1000
     )
-    sk = qsketch_build(ev, "_mv", b=4, group_cols=("event_type",))
     return qsketch_quantiles(
         sk,
         quantiles=((25, 100), (50, 100), (90, 100), (99, 100)),
@@ -2404,7 +2408,7 @@ def docs_token_mass_quantiles_q(spark, sf):
 
 
 from squirreling_spark.pipeline.sketch import (  # noqa: E402
-    hll_estimate_sql,
+    hll_pairwise_overlap_sql,
     hll_registers_sql,
 )
 
@@ -2417,106 +2421,34 @@ _HLL_SRC_REGS = hll_registers_sql("g", "ng", "source", p=8)
     WITH g AS ({_D_5GRAMS}),
     r AS MATERIALIZED ({_HLL_SRC_REGS}),
     t AS (SELECT DISTINCT source FROM documents),
-    p AS MATERIALIZED (
-      SELECT a.source AS source_a, b.source AS source_b,
-             a.source || '|' || b.source AS pair_id
-      FROM t a JOIN t b ON a.source < b.source
-    ),
-    mem AS (
-      SELECT source_a AS source, pair_id FROM p
-      UNION ALL SELECT source_b, pair_id FROM p
-    ),
-    ur AS (
-      SELECT pair_id, bucket, max(max_rho) AS max_rho
-      FROM r JOIN mem USING (source) GROUP BY 1, 2
-    ),
-    eu AS ({hll_estimate_sql("ur", "pair_id", p=8)}),
-    et AS MATERIALIZED ({hll_estimate_sql("r", "source", p=8)})
-    SELECT p.source_a, p.source_b,
-           ea.est_distinct AS est_a, eb.est_distinct AS est_b,
-           eu.est_distinct AS est_union,
-           CAST(greatest(0, ea.est_distinct + eb.est_distinct
-                            - eu.est_distinct) AS BIGINT) AS est_overlap,
-           CAST((greatest(0, ea.est_distinct + eb.est_distinct
-                             - eu.est_distinct) * 1000000)
-                // eu.est_distinct AS BIGINT) AS jaccard_ppm
-    FROM p
-    JOIN et ea ON p.source_a = ea.source
-    JOIN et eb ON p.source_b = eb.source
-    JOIN eu ON p.pair_id = eu.pair_id
+    {hll_pairwise_overlap_sql("r", "t", "source", "source_a", "source_b",
+                              p=8, jaccard=True)}
     """,
 )
 def sources_gram_overlap_q(spark, sf):
     """Pairwise cross-SOURCE 5-gram overlap and Jaccard estimated by HLL
-    register ALGEBRA — the events_user_overlap construction proven
+    register ALGEBRA — pipeline/sketch.py hll_pairwise_overlap, the SAME
+    helper (Spark and oracle sides) behind events_user_overlap, proven
     generic on a second domain: content overlap between corpus sources
     (shared boilerplate, mirrored sites, near-duplicate feeds) sized
     BEFORE any pairwise dedup join runs. 256 registers per source move
     instead of every gram; union registers are bucket-wise MAX (exact
     lattice merge); |A∩B| by inclusion-exclusion and Jaccard =
     overlap/union in integer ppm. Pure sketch — no exact branch; the
-    register table is a checkpointed leaf (gram explode runs once)."""
+    register table is a checkpointed leaf (gram explode runs once); the
+    O(S²) pair expansion is envelope-guarded by the helper's max_groups
+    probe (documented: right for tens-to-hundreds of groups, an LSH
+    candidate generator beyond that)."""
     from squirreling_spark.pipeline.corpus import word_ngrams
-    from squirreling_spark.pipeline.sketch import hll_estimate, hll_registers
+    from squirreling_spark.pipeline.sketch import (
+        hll_pairwise_overlap,
+        hll_registers,
+    )
 
     docs = t(spark, sf, "documents")
     grams = word_ngrams(docs, "text", "source", 5)
-    regs = hll_registers(
-        grams, "ng", p=8, group_cols=("source",)
-    ).localCheckpoint(eager=False)
+    regs = hll_registers(grams, "ng", p=8, group_cols=("source",))
     tl = docs.select("source").distinct()
-    pairs = (
-        tl.select(F.col("source").alias("source_a"))
-        .crossJoin(tl.select(F.col("source").alias("source_b")))
-        .where(F.col("source_a") < F.col("source_b"))
-        .withColumn("pair_id", F.concat_ws("|", "source_a", "source_b"))
-    )
-    mem = pairs.select(
-        F.explode(F.array("source_a", "source_b")).alias("source"),
-        "pair_id",
-    )
-    ur = (
-        regs.join(F.broadcast(mem), "source")
-        .groupBy("pair_id", "bucket")
-        .agg(F.max("max_rho").alias("max_rho"))
-    )
-    eu = hll_estimate(ur, p=8, group_cols=("pair_id",)).select(
-        "pair_id", F.col("est_distinct").alias("est_union")
-    )
-    et = hll_estimate(regs, p=8, group_cols=("source",))
-    return (
-        pairs.join(
-            F.broadcast(
-                et.select(
-                    F.col("source").alias("source_a"),
-                    F.col("est_distinct").alias("est_a"),
-                )
-            ),
-            "source_a",
-        )
-        .join(
-            F.broadcast(
-                et.select(
-                    F.col("source").alias("source_b"),
-                    F.col("est_distinct").alias("est_b"),
-                )
-            ),
-            "source_b",
-        )
-        .join(F.broadcast(eu), "pair_id")
-        .select(
-            "source_a",
-            "source_b",
-            "est_a",
-            "est_b",
-            "est_union",
-            F.greatest(
-                F.lit(0),
-                F.col("est_a") + F.col("est_b") - F.col("est_union"),
-            ).cast("bigint").alias("est_overlap"),
-            F.expr(
-                "CAST((greatest(0, est_a + est_b - est_union) * 1000000)"
-                " div est_union AS BIGINT)"
-            ).alias("jaccard_ppm"),
-        )
+    return hll_pairwise_overlap(
+        regs, tl, "source", "source_a", "source_b", p=8, jaccard=True
     )

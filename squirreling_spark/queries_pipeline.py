@@ -2211,7 +2211,7 @@ _D_CMS_TERM_BUCKET = (
     )
     SELECT term, CAST(max(est) AS BIGINT) AS cms_count
     FROM scored, tot
-    WHERE est >= (n_total * 500) // 1000000
+    WHERE est >= greatest(1, (n_total * 500) // 1000000)
     GROUP BY term
     ORDER BY cms_count DESC, term
     LIMIT 20
@@ -4317,136 +4317,147 @@ def events_hll_users_q(spark, sf):
 
 
 from squirreling_spark.pipeline.sketch import (  # noqa: E402
-    hll_estimate_sql,
+    hll_estimate_sql as _hll_est_sql,
+    hll_pairwise_overlap_sql,
     hll_registers_sql,
 )
 
+_HLL_REGION_J = (
+    "SELECT r_name, n_name FROM nation"
+    " JOIN region ON n_regionkey = r_regionkey"
+)
+
+
+@query(
+    "region_hll_corrected",
+    oracle=f"""
+    WITH j AS ({_HLL_REGION_J}),
+    r AS ({hll_registers_sql("j", "n_name", "r_name", p=8)}),
+    e AS ({_hll_est_sql("r", "r_name", p=8, corrected=True)}),
+    x AS (
+      SELECT r_name, CAST(count(DISTINCT n_name) AS BIGINT) AS exact_distinct
+      FROM j GROUP BY 1
+    )
+    SELECT e.r_name, e.est_distinct, e.n_buckets, x.exact_distinct,
+           abs(e.est_distinct - x.exact_distinct)
+             <= greatest(1, x.exact_distinct // 5) AS in_band
+    FROM e JOIN x USING (r_name)
+    """,
+)
+def region_hll_corrected_q(spark, sf):
+    """SMALL-RANGE corrected HLL (r11 verdict task 6): distinct nations
+    per region (n = 5 ≪ m = 256) is exactly the regime where the raw
+    harmonic estimate biases low and Flajolet et al. 2007's
+    linear-counting correction — ``hll_estimate(corrected=True)``,
+    round(m·ln(m/(m−n_buckets))) — takes over (raw ≤ 5m/2 with empty
+    buckets). The row pins the accuracy claim against the exact count
+    in-band (|est − exact| ≤ max(1, 20%·exact)); at these n_buckets the
+    rounded integer is ulp-robust, so the driver hashes the corrected
+    estimate itself cross-engine. The exact COUNT(DISTINCT) here is the
+    accuracy exhibit, not a scale path — the low-n slice is the point."""
+    from squirreling_spark.pipeline.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    nat = t(spark, sf, "nation")
+    reg = t(spark, sf, "region")
+    j = nat.join(
+        F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"]
+    ).select("r_name", "n_name")
+    est = hll_estimate(
+        hll_registers(j, "n_name", p=8, group_cols=("r_name",)),
+        p=8,
+        group_cols=("r_name",),
+        corrected=True,
+    )
+    ex = j.groupBy("r_name").agg(
+        F.countDistinct("n_name").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(ex, "r_name").select(
+        "r_name",
+        "est_distinct",
+        "n_buckets",
+        "exact_distinct",
+        (
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            <= F.greatest(
+                F.lit(1), F.expr("exact_distinct div 5")
+            )
+        ).alias("in_band"),
+    )
+
 _HLL_EV_REGS = hll_registers_sql("events", "user_id", "event_type", p=8)
 
-# Shared CTE stack for the overlap oracles: registers -> pairs -> union
-# registers -> union/per-type estimates (MATERIALIZED where referenced
-# more than once — DuckDB re-inlines plain CTEs per reference).
-_HLL_OVERLAP_COMMON = f"""
+# Register + group-universe CTEs shared by both overlap oracles; the
+# pair/union/estimate stack itself comes from hll_pairwise_overlap_sql —
+# ONE source of truth with the sources_gram_overlap oracle (r11 verdict
+# task 2).
+_HLL_EV_COMMON = f"""
     r AS MATERIALIZED ({_HLL_EV_REGS}),
-    t AS (SELECT DISTINCT event_type FROM events),
-    p AS MATERIALIZED (
+    t AS (SELECT DISTINCT event_type FROM events),"""
+
+_EV_EXACT_CTES = """,
+    du AS (SELECT DISTINCT event_type, user_id FROM events),
+    ex AS (
       SELECT a.event_type AS type_a, b.event_type AS type_b,
-             a.event_type || '|' || b.event_type AS pair_id
-      FROM t a JOIN t b ON a.event_type < b.event_type
-    ),
-    mem AS (
-      SELECT type_a AS event_type, pair_id FROM p
-      UNION ALL SELECT type_b, pair_id FROM p
-    ),
-    ur AS (
-      SELECT pair_id, bucket, max(max_rho) AS max_rho
-      FROM r JOIN mem USING (event_type) GROUP BY 1, 2
-    ),
-    eu AS ({hll_estimate_sql("ur", "pair_id", p=8)}),
-    et AS MATERIALIZED ({hll_estimate_sql("r", "event_type", p=8)})
-"""
+             CAST(count(*) AS BIGINT) AS exact_overlap
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )"""
+
+_EV_EXACT_SELECT = (
+    ",\n           coalesce(ex.exact_overlap, 0) AS exact_overlap"
+)
+_EV_EXACT_JOIN = (
+    "\n    LEFT JOIN ex ON p.type_a = ex.type_a AND p.type_b = ex.type_b"
+)
 
 
 @query(
     "events_user_overlap",
     oracle=f"""
-    WITH {_HLL_OVERLAP_COMMON}
-    SELECT p.type_a, p.type_b,
-           ea.est_distinct AS est_a, eb.est_distinct AS est_b,
-           eu.est_distinct AS est_union,
-           CAST(greatest(0, ea.est_distinct + eb.est_distinct
-                            - eu.est_distinct) AS BIGINT) AS est_overlap
-    FROM p
-    JOIN et ea ON p.type_a = ea.event_type
-    JOIN et eb ON p.type_b = eb.event_type
-    JOIN eu ON p.pair_id = eu.pair_id
+    WITH {_HLL_EV_COMMON}
+    {hll_pairwise_overlap_sql("r", "t", "event_type", "type_a", "type_b",
+                              p=8)}
     """,
 )
 def events_user_overlap_q(spark, sf):
     """Distinct-user OVERLAP between every pair of event types, estimated
-    by HLL register ALGEBRA (pipeline/sketch.py): union registers are the
-    bucket-wise MAX of the two types' registers (exact, not approximate-
-    on-approximate — the max-lattice merge), and inclusion-exclusion
-    gives |A∩B| ≈ est(A) + est(B) − est(A∪B). This is the 100 TB way to
-    size a join / measure audience overlap / bound benchmark
-    contamination BEFORE running it: 256 registers per side move instead
-    of every key, and per-shard registers merge by MAX. One broadcast
-    pair-membership join + one register groupBy — never a key shuffle.
-    The registered default is PURE sketch (r10 verdict task 1): no
-    distinct self-join on user_id anywhere in the plan (pin in
-    tests/test_plans.py); the exact-compare exhibit lives in
-    events_user_overlap_vs_exact (post-window). Every estimate is
-    integer-exact cross-engine, so the driver hashes the estimates
+    by HLL register ALGEBRA (pipeline/sketch.py hll_pairwise_overlap —
+    the shared helper behind this row and sources_gram_overlap): union
+    registers are the bucket-wise MAX of the two types' registers
+    (exact, not approximate-on-approximate — the max-lattice merge), and
+    inclusion-exclusion gives |A∩B| ≈ est(A) + est(B) − est(A∪B). This
+    is the 100 TB way to size a join / measure audience overlap / bound
+    benchmark contamination BEFORE running it: 256 registers per side
+    move instead of every key, and per-shard registers merge by MAX. One
+    broadcast pair-membership join + one register groupBy — never a key
+    shuffle; the O(S²) pair expansion is envelope-guarded by the
+    helper's max_groups probe. The registered default is PURE sketch
+    (r10 verdict task 1): no distinct self-join on user_id anywhere in
+    the plan (pin in tests/test_plans.py); the exact-compare exhibit
+    lives in events_user_overlap_vs_exact (post-window). Every estimate
+    is integer-exact cross-engine, so the driver hashes the estimates
     themselves."""
     return _user_overlap(spark, sf, exhibit=False)
 
 
 def _user_overlap(spark, sf, exhibit: bool):
-    from squirreling_spark.pipeline.sketch import hll_estimate, hll_registers
+    from squirreling_spark.pipeline.sketch import (
+        hll_pairwise_overlap,
+        hll_registers,
+    )
 
     ev = t(spark, sf, "events")
-    # registers feed the union merge AND both per-type estimates —
-    # truncate lineage so the event scan + register groupBy runs ONCE
-    # (<= 256 x |types| rows, trivially materializable)
-    regs = hll_registers(
-        ev, "user_id", p=8, group_cols=("event_type",)
-    ).localCheckpoint(eager=False)
+    regs = hll_registers(ev, "user_id", p=8, group_cols=("event_type",))
     tl = ev.select("event_type").distinct()
-    pairs = (
-        tl.select(F.col("event_type").alias("type_a"))
-        .crossJoin(tl.select(F.col("event_type").alias("type_b")))
-        .where(F.col("type_a") < F.col("type_b"))
-        .withColumn("pair_id", F.concat_ws("|", "type_a", "type_b"))
+    out = hll_pairwise_overlap(
+        regs, tl, "event_type", "type_a", "type_b", p=8
     )
-    # one explode, not a self-union: keeps the (tiny) pair cross-join
-    # subtree from being re-inlined once per union arm
-    mem = pairs.select(
-        F.explode(F.array("type_a", "type_b")).alias("event_type"),
-        "pair_id",
-    )
-    ur = (
-        regs.join(F.broadcast(mem), "event_type")
-        .groupBy("pair_id", "bucket")
-        .agg(F.max("max_rho").alias("max_rho"))
-    )
-    eu = hll_estimate(ur, p=8, group_cols=("pair_id",)).select(
-        "pair_id", F.col("est_distinct").alias("est_union")
-    )
-    # one estimate row per type / per pair — broadcast all output joins
-    et = hll_estimate(regs, p=8, group_cols=("event_type",))
-    out = (
-        pairs.join(
-            F.broadcast(
-                et.select(
-                    F.col("event_type").alias("type_a"),
-                    F.col("est_distinct").alias("est_a"),
-                )
-            ),
-            "type_a",
-        )
-        .join(
-            F.broadcast(
-                et.select(
-                    F.col("event_type").alias("type_b"),
-                    F.col("est_distinct").alias("est_b"),
-                )
-            ),
-            "type_b",
-        )
-        .join(F.broadcast(eu), "pair_id")
-    )
-    est_cols = [
-        "type_a",
-        "type_b",
-        "est_a",
-        "est_b",
-        "est_union",
-        F.greatest(
-            F.lit(0), F.col("est_a") + F.col("est_b") - F.col("est_union")
-        ).cast("bigint").alias("est_overlap"),
-    ]
     if not exhibit:
-        return out.select(*est_cols)
+        return out
     ev = t(spark, sf, "events")
     du = ev.select("event_type", "user_id").distinct()
     ex = (
@@ -4460,7 +4471,12 @@ def _user_overlap(spark, sf, exhibit: bool):
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
     )
     return out.join(ex, ["type_a", "type_b"], "left").select(
-        *est_cols,
+        "type_a",
+        "type_b",
+        "est_a",
+        "est_b",
+        "est_union",
+        "est_overlap",
         F.coalesce("exact_overlap", F.lit(0)).cast("bigint").alias(
             "exact_overlap"
         ),
@@ -4470,26 +4486,13 @@ def _user_overlap(spark, sf, exhibit: bool):
 @query(
     "events_user_overlap_vs_exact",
     oracle=f"""
-    WITH {_HLL_OVERLAP_COMMON},
-    du AS (SELECT DISTINCT event_type, user_id FROM events),
-    ex AS (
-      SELECT a.event_type AS type_a, b.event_type AS type_b,
-             CAST(count(*) AS BIGINT) AS exact_overlap
-      FROM du a JOIN du b
-        ON a.user_id = b.user_id AND a.event_type < b.event_type
-      GROUP BY 1, 2
-    )
-    SELECT p.type_a, p.type_b,
-           ea.est_distinct AS est_a, eb.est_distinct AS est_b,
-           eu.est_distinct AS est_union,
-           CAST(greatest(0, ea.est_distinct + eb.est_distinct
-                            - eu.est_distinct) AS BIGINT) AS est_overlap,
-           coalesce(ex.exact_overlap, 0) AS exact_overlap
-    FROM p
-    JOIN et ea ON p.type_a = ea.event_type
-    JOIN et eb ON p.type_b = eb.event_type
-    JOIN eu ON p.pair_id = eu.pair_id
-    LEFT JOIN ex ON p.type_a = ex.type_a AND p.type_b = ex.type_b
+    WITH {_HLL_EV_COMMON}
+    {hll_pairwise_overlap_sql(
+        "r", "t", "event_type", "type_a", "type_b", p=8,
+        ctes_extra=_EV_EXACT_CTES,
+        select_extra=_EV_EXACT_SELECT,
+        joins_extra=_EV_EXACT_JOIN,
+    )}
     """,
 )
 def events_user_overlap_vs_exact_q(spark, sf):

@@ -219,13 +219,36 @@ def test_langid_profile_literal_fidelity(spark):
             langid_ngram(docs, profiles=[("xx", bad_gram, 1)])
 
 
+def test_langid_russian_is_a_shipped_default(spark):
+    """r11 verdict task 8: the Cyrillic (Russian) profile is a DEFAULT —
+    no profiles= knob needed — and Latin-script predictions are
+    unchanged by its presence (Cyrillic grams can't occur in them)."""
+    from squirreling_spark.pipeline.classify import (
+        LANG_PROFILES,
+        langid_ngram,
+    )
+
+    assert "ru" in {lang for lang, _, _ in LANG_PROFILES}
+    rows = [
+        (1, "the thing of the day and the morning"),
+        (2, "что приятного остается при всего"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["lang_pred"], r["score"])
+        for r in langid_ngram(docs).collect()
+    }
+    assert got[1][0] == "en"
+    assert got[2][0] == "ru" and got[2][1] > 0
+
+
 def test_langid_custom_profile_non_latin_oracle_parity(spark):
     """Caller-supplied profiles (r10 verdict task 8): extend the default
-    table with a Cyrillic (Russian) profile and verify (a) the non-Latin
-    script scores and wins on Russian text, (b) the Spark operator and
-    the independent DuckDB oracle algorithm agree row-for-row on a
-    5-language fixture (the cross-engine lower()/length()/replace()
-    identity holds for BMP scripts)."""
+    table (which now ships Russian) with a Greek profile and verify
+    (a) the custom non-Latin script scores and wins on Greek text,
+    (b) the Spark operator and the independent DuckDB oracle algorithm
+    agree row-for-row on a 6-language fixture (the cross-engine
+    lower()/length()/replace() identity holds for BMP scripts)."""
     import duckdb
 
     from squirreling_spark.pipeline.classify import (
@@ -234,19 +257,20 @@ def test_langid_custom_profile_non_latin_oracle_parity(spark):
         langid_oracle_sql,
     )
 
-    ru = [
-        ("ru", "при", 7), ("ru", "ова", 6), ("ru", "ени", 6),
-        ("ru", " не", 5), ("ru", "ост", 5), ("ru", "что", 4),
+    el = [
+        ("el", "και", 7), ("el", " το", 6), ("el", "την", 5),
+        ("el", "της", 5), ("el", "ερα", 4),
     ]
-    profs = LANG_PROFILES + ru
+    profs = LANG_PROFILES + el
     rows = [
         (1, "the thing of the day and the morning"),
         (2, "der schein ich und die sonne"),
         (3, "le jour les questions de la vie"),
         (4, "что приятного остается при всего"),
         (5, "de la que el gato en la casa"),
-        (6, ""),
-        (7, None),
+        (6, "και το καλοκαιρι της ημερας και την θαλασσα"),
+        (7, ""),
+        (8, None),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
@@ -256,7 +280,8 @@ def test_langid_custom_profile_non_latin_oracle_parity(spark):
     assert got[1][0] == "en"
     assert got[2][0] == "de"
     assert got[4][0] == "ru" and got[4][1] > 0
-    assert got[6] == ("und", 0, 0) and got[7] == ("und", 0, 0)
+    assert got[6][0] == "el" and got[6][1] > 0
+    assert got[7] == ("und", 0, 0) and got[8] == ("und", 0, 0)
 
     con = duckdb.connect()
     con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")

@@ -701,3 +701,115 @@ def test_sketch_stream_cms_kind_matches_batch(spark, events_dir):
         ).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_sketch_stream_table_sink_all_kinds_match_batch(
+    spark, events_dir, tmp_path
+):
+    """The PRODUCTION sketch sink (r11 verdict task 1): sink="table"
+    maintains a keyed catalog table via stateless foreachBatch merge
+    (HLL: MAX, CMS/quantile: SUM) — forced through multiple micro-batches
+    (maxFilesPerTrigger=1) the drained table must equal the batch sketch
+    cell-for-cell for ALL THREE kinds, with zero streaming-state rows."""
+    from squirreling_spark.pipeline.sketch import (
+        cms_build,
+        hll_registers,
+        qsketch_build,
+        sketch_stream,
+        sketch_table,
+    )
+
+    batch = spark.read.parquet(events_dir)
+
+    def stream():
+        return (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir)
+        )
+
+    cases = {
+        "hll": dict(
+            key_col="user_id",
+            kwargs=dict(group_cols=("event_type",)),
+            expected=lambda: hll_registers(
+                batch, "user_id", p=8, group_cols=("event_type",)
+            ),
+            key=lambda r: (r["event_type"], r["bucket"]),
+            val=lambda r: r["max_rho"],
+        ),
+        "cms": dict(
+            key_col="event_type",
+            kwargs=dict(width=1024, depth=3),
+            expected=lambda: cms_build(
+                batch.selectExpr("event_type AS _k"),
+                "_k",
+                width=1024,
+                depth=3,
+            ),
+            key=lambda r: (r["row"], r["bucket"]),
+            val=lambda r: r["cnt"],
+        ),
+        "quantile": dict(
+            key_col="CAST(floor(value * 1000) AS LONG)",
+            kwargs=dict(group_cols=("event_type",)),
+            expected=lambda: qsketch_build(
+                batch, "CAST(floor(value * 1000) AS LONG)",
+                b=4, group_cols=("event_type",),
+            ),
+            key=lambda r: (r["event_type"], r["bid"]),
+            val=lambda r: r["cnt"],
+        ),
+    }
+    for kind, c in cases.items():
+        tbl = f"sketch_tbl_{kind}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        q = sketch_stream(
+            stream(),
+            kind,
+            c["key_col"],
+            tbl,
+            sink="table",
+            checkpoint_dir=str(tmp_path / f"ck_{kind}"),
+            **c["kwargs"],
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None, q.exception()
+        # stateless: the state store moved ZERO rows in every batch
+        for pr in q.recentProgress:
+            for so in pr["stateOperators"]:
+                assert so["numRowsTotal"] == 0
+        got = {c["key"](r): c["val"](r) for r in sketch_table(spark, tbl).collect()}
+        exp = {c["key"](r): c["val"](r) for r in c["expected"]().collect()}
+        assert got == exp and len(got) > 0, kind
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_sketch_stream_table_sink_skips_replayed_epochs(spark, tmp_path):
+    """Idempotence under foreachBatch's at-least-once contract: applying
+    the same epoch twice must fold it in exactly once (the SUM-merge
+    kinds would otherwise double-count)."""
+    from squirreling_spark.pipeline.sketch import (
+        _sketch_table_merge,
+        qsketch_build,
+        sketch_table,
+    )
+
+    tbl = "sketch_tbl_replay"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    merge = _sketch_table_merge("quantile", "v", tbl, (), 8, 8192, 5, 4)
+    b1 = spark.createDataFrame([(1,), (2,), (300,)], "v long")
+    b2 = spark.createDataFrame([(2,), (4000,)], "v long")
+    merge(b1, 0)
+    merge(b2, 1)
+    merge(b2, 1)  # redelivery: must be skipped whole
+    merge(b1, 0)  # stale redelivery after later epochs: also skipped
+    got = {
+        r["bid"]: r["cnt"] for r in sketch_table(spark, tbl).collect()
+    }
+    exp = {
+        r["bid"]: r["cnt"]
+        for r in qsketch_build(b1.union(b2), "v", b=4).collect()
+    }
+    assert got == exp
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
