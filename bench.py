@@ -199,8 +199,10 @@ HEADLINE = [
     "docs_token_mass_quantiles",
     "sources_gram_overlap",
     # round 12: small-range corrected HLL (linear-counting branch pinned
-    # vs exact on the low-n region/nation slice)
+    # vs exact on the low-n region/nation slice) + the CDF read of the
+    # quantile sketch
     "region_hll_corrected",
+    "docs_length_cdf",
 ]
 
 # Best-of-3: pass 1 absorbs JIT/codegen warmup; the extra pass damps

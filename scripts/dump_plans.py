@@ -122,6 +122,7 @@ SHOW = [
     ("events_user_overlap", "HLL register algebra (pure default, r11): checkpointed register leaf, broadcast pair membership, bucket-wise MAX union merge, inclusion-exclusion, broadcast output joins — no distinct self-join, no SortMergeJoin"),
     # round 11
     ("docs_length_quantiles", "quantile sketch: row-local bin(v) bucket projection, map-combined sketch groupBy, cumsum windows + rank pick over BUCKET rows — two exchanges, no joins, no data-sized sort"),
+    ("docs_length_cdf", "CDF read of the quantile sketch: literal probe array explodes row-locally (Generate, never a join) against BUCKET rows, one map-combined (source, probe) aggregation — two exchanges total"),
     ("events_value_quantiles", "quantile sketch, double path: floor(value*1000) fixed-point fold then the identical integer bucket contract"),
 ]
 

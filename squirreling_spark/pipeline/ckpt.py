@@ -58,6 +58,7 @@ def truncate_lineage(
     df: DataFrame,
     checkpoint_dir: str | None = None,
     supersede: dict | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """Materialize-and-truncate-lineage with a storage policy knob.
 
@@ -82,7 +83,12 @@ def truncate_lineage(
     be referenced after the new checkpoint is written (e.g. a convergence
     compare against the previous labels). The last two generations remain
     on disk at exit — bounded residue; final removal belongs to the
-    checkpoint-dir owner or spark.cleaner.referenceTracking.cleanCheckpoints."""
+    checkpoint-dir owner or spark.cleaner.referenceTracking.cleanCheckpoints.
+
+    ``eager`` applies to the localCheckpoint FALLBACK only (the reliable
+    path is always eager — see the persist note below): iterative loops
+    whose next step immediately materializes (convergence probes) want
+    eager=True so an upstream cache can be dropped right after."""
     if checkpoint_dir is None:
         checkpoint_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
     if checkpoint_dir:
@@ -107,4 +113,4 @@ def truncate_lineage(
                 for old in gens.pop(0):
                     _ckpt_delete(spark, old)
         return out
-    return df.localCheckpoint(eager=False)
+    return df.localCheckpoint(eager=eager)

@@ -22,6 +22,8 @@ import itertools
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from squirreling_spark.pipeline.ckpt import truncate_lineage
+
 from squirreling_spark.qutil import spread
 
 # Per-bucket membership cap for LSH band self-joins. One degenerate band
@@ -563,6 +565,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 20,
     driver_threshold: int = 5_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, label) — label = min node id in the node's connected
     component. Turns near-dup PAIRS (LSH candidates) into duplicate GROUPS,
@@ -586,10 +589,13 @@ def connected_components(
       "Connected Components in MapReduce and Beyond", SoCC'14).
 
     Scale shape per distributed round: one hash-shuffle join on node id +
-    one min aggregate (map-side combined). `localCheckpoint` truncates
-    lineage so the plan stays O(1) across rounds (on a real cluster prefer
-    `spark.sparkContext.setCheckpointDir` + `.checkpoint()` for fault
-    tolerance; localCheckpoint trades that for speed). Convergence is a
+    one min aggregate (map-side combined). Per-round lineage truncation
+    goes through pipeline/ckpt.truncate_lineage, so the plan stays O(1)
+    across rounds AND the storage policy follows the reliable-checkpoint
+    knob (``checkpoint_dir`` / SPARK_GRAFT_CHECKPOINT_DIR: fault-tolerant
+    blocks that survive executor loss — the cluster policy, with
+    superseded label generations evicted to bound disk; unset: eager
+    localCheckpoint, the fast local default). Convergence is a
     one-row scalar probe (sum of labels — strictly decreasing until
     fixpoint), not a data collect.
 
@@ -619,18 +625,26 @@ def connected_components(
                 )
             finally:
                 cached.unpersist()
-    und = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .localCheckpoint(eager=True)  # pair generation (LSH) runs once
+    und = truncate_lineage(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        ),
+        checkpoint_dir,
+        eager=True,  # pair generation (LSH) runs once
     )
     if cached is not None:
         cached.unpersist()  # `und` is materialized; the edge cache is dead
-    labels = (
+    # shared supersede registry: each round's reliable checkpoint evicts
+    # the generation two rounds back (und is NOT in the registry — it is
+    # referenced every round and must outlive all label generations)
+    gens: dict = {}
+    labels = truncate_lineage(
         und.select(F.col("s").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("label", F.col("node")),
+        checkpoint_dir,
+        supersede=gens,
+        eager=True,
     )
     prev = labels.agg(F.sum("label")).collect()[0][0]  # scalar probe
     for _ in range(max_iter):
@@ -647,11 +661,13 @@ def connected_components(
         msgs = hop.join(labels, hop["s"] == labels["node"]).select(
             F.col("d").alias("node"), F.col("label")
         )
-        labels = (
+        labels = truncate_lineage(
             labels.unionByName(msgs)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("label").alias("label")),
+            checkpoint_dir,
+            supersede=gens,
+            eager=True,
         )
         cur = labels.agg(F.sum("label")).collect()[0][0]
         if cur == prev:

@@ -777,6 +777,103 @@ def qsketch_quantiles(
     )
 
 
+def qsketch_cdf(
+    sketch: DataFrame,
+    probes: tuple[int, ...],
+    b: int = 4,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(group..., probe, n_total, cdf_lo_ppm, cdf_hi_ppm): the CDF read
+    from the log-histogram sketch at fixed probe points — the inverse
+    direction of qsketch_quantiles ("what fraction of docs are ≤ 2000
+    chars" vs "what length is p90"), the question length-cutoff curation
+    decisions actually ask. ``probes`` are integers in the sketch's
+    (possibly value_scale-d) domain.
+
+    Guarantee (integer-exact, bucket-monotonicity): the true count of
+    values ≤ probe lies in [_lt, _le] where _lt sums buckets strictly
+    below probe's bucket and _le sums through it — every value in a
+    lower bucket is < the probe bucket's lower bound ≤ probe, and any
+    value ≤ probe buckets at or below probe's bucket. Reported as ppm
+    floor-divisions, so true F(probe)·1e6 ∈ [cdf_lo_ppm, cdf_hi_ppm+1).
+    Band width ≤ the probe bucket's mass: ≤ 2^-b relative resolution
+    wherever the distribution is locally smooth.
+
+    Plan shape: probes explode from a LITERAL array against bucket-level
+    rows (Generate, row-local — never a join), then ONE map-combined
+    (group, probe) aggregation — the sketch's single hash exchange plus
+    this one, both carrying bounded bucket/probe rows."""
+    parr = F.explode(
+        F.array(*[F.lit(int(v)).cast("bigint") for v in probes])
+    ).alias("probe")
+    pb = _qs_bid_sql("probe", b, True)
+    s = sketch.select(*group_cols, "bid", "cnt", parr)
+    agg = s.groupBy(*group_cols, "probe").agg(
+        F.sum("cnt").cast("bigint").alias("n_total"),
+        F.sum(
+            F.when(F.expr(f"bid < {pb}"), F.col("cnt")).otherwise(F.lit(0))
+        ).cast("bigint").alias("_lt"),
+        F.sum(
+            F.when(F.expr(f"bid <= {pb}"), F.col("cnt")).otherwise(F.lit(0))
+        ).cast("bigint").alias("_le"),
+    )
+    return agg.select(
+        *group_cols,
+        "probe",
+        "n_total",
+        F.expr("CAST((_lt * 1000000) div n_total AS BIGINT)").alias(
+            "cdf_lo_ppm"
+        ),
+        F.expr("CAST((_le * 1000000) div n_total AS BIGINT)").alias(
+            "cdf_hi_ppm"
+        ),
+    )
+
+
+def qsketch_cdf_oracle_sql(
+    table: str,
+    value_sql: str,
+    group_col: str,
+    probes: tuple[int, ...],
+    b: int = 4,
+    weight_sql: str | None = None,
+    value_scale: int = 1,
+) -> str:
+    """DuckDB replay of qsketch_build + qsketch_cdf over ``table`` —
+    same bucket algebra and integer ppm arithmetic (single source of
+    truth), independent SQL shape."""
+    bid = _qs_bid_sql(_qs_value_sql(value_sql, value_scale, False), b, False)
+    pbid = _qs_bid_sql("probe", b, False)
+    pvals = ", ".join(f"({int(v)})" for v in probes)
+    cnt = (
+        "count(*)"
+        if weight_sql is None
+        else f"sum(CAST(({weight_sql}) AS BIGINT))"
+    )
+    return f"""
+      WITH sk AS MATERIALIZED (
+        SELECT {group_col}, {bid} AS bid, CAST({cnt} AS BIGINT) AS cnt
+        FROM {table} WHERE ({value_sql}) IS NOT NULL
+        GROUP BY 1, 2
+      ),
+      pr(probe) AS (SELECT CAST(v AS BIGINT) FROM (VALUES {pvals}) t(v)),
+      agg AS (
+        SELECT {group_col}, probe,
+               CAST(sum(cnt) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN bid < {pbid} THEN cnt ELSE 0 END)
+                    AS BIGINT) AS lt,
+               CAST(sum(CASE WHEN bid <= {pbid} THEN cnt ELSE 0 END)
+                    AS BIGINT) AS le
+        FROM sk CROSS JOIN pr
+        GROUP BY 1, 2
+      )
+      SELECT {group_col}, probe, n_total,
+             CAST((lt * 1000000) // n_total AS BIGINT) AS cdf_lo_ppm,
+             CAST((le * 1000000) // n_total AS BIGINT) AS cdf_hi_ppm
+      FROM agg
+    """
+
+
 def qsketch_oracle_sql(
     table: str,
     value_sql: str,

@@ -2273,6 +2273,42 @@ def events_value_quantiles_q(spark, sf):
     )
 
 
+from squirreling_spark.pipeline.sketch import (  # noqa: E402
+    qsketch_cdf_oracle_sql,
+)
+
+_LEN_CDF_PROBES = (200, 500, 1000, 2000, 5000)
+
+
+@query(
+    "docs_length_cdf",
+    oracle=qsketch_cdf_oracle_sql(
+        "documents", "length(text)", "source", _LEN_CDF_PROBES, b=4
+    ),
+)
+def docs_length_cdf_q(spark, sf):
+    """Per-source CDF bounds at fixed length cutoffs, read from the SAME
+    log-histogram sketch as docs_length_quantiles — the inverse
+    direction ("what fraction of this source is ≤ 2000 chars", the
+    question a length-cutoff curation decision actually asks; the
+    quantile row answers "what length is p90"). Integer-exact: the true
+    fraction provably lies in [cdf_lo_ppm, cdf_hi_ppm] (bucket
+    monotonicity — see qsketch_cdf), and both bounds hash-match the
+    DuckDB replay. Plan: probes explode from a literal array against
+    BUCKET-level rows (row-local Generate, no join), one map-combined
+    (source, probe) aggregation — two hash exchanges total, the same
+    bounded-state shape as the quantile row (pin in tests/test_plans.py)."""
+    from squirreling_spark.pipeline.sketch import qsketch_build, qsketch_cdf
+
+    docs = t(spark, sf, "documents").select(
+        "source", F.length("text").alias("_len")
+    )
+    sk = qsketch_build(docs, "_len", b=4, group_cols=("source",))
+    return qsketch_cdf(
+        sk, _LEN_CDF_PROBES, b=4, group_cols=("source",)
+    )
+
+
 @query(
     "docs_length_quantiles_vs_exact",
     oracle=f"""

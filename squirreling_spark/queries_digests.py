@@ -1131,6 +1131,12 @@ _MIX_CK = {
         " + q_ppm % 999983 + n_total % 999979 + q_lo * 3 + q_hi"
         " + q_est * 5"
     ),
+    # round 12: CDF read of the same sketch (inverse of the quantile
+    # direction) — probe point and both ppm bounds in the fold
+    "docs_length_cdf": (
+        "length(source) * 31 + ascii(substring(source, 4, 1))"
+        " + probe % 999983 + n_total * 7 + cdf_lo_ppm * 3 + cdf_hi_ppm"
+    ),
     "sources_gram_overlap": (
         "length(source_a) * 31 + ascii(substring(source_a, 4, 1))"
         " + length(source_b) * 13 + ascii(substring(source_b, 4, 1)) * 3"

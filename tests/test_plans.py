@@ -646,3 +646,17 @@ def test_r11_second_half_sketch_plans(spark):
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
     assert "count(distinct" not in plan.lower()
+
+
+def test_r12_cdf_sketch_plan_bucket_level_only(spark):
+    """qsketch_cdf keeps the quantile-sketch family contract: probes
+    explode from a literal array (Generate, row-local — never a join)
+    against bucket-level rows, one map-combined (group, probe)
+    aggregation — exactly two hash exchanges, no join, no window, no
+    data-sized sort."""
+    plan = plan_of("docs_length_cdf", spark)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_count" in plan  # sketch build map-combines
+    assert "Generate explode" in plan  # literal probe array, row-local
+    for op in ("Join", "+- Window [", "Exchange rangepartitioning"):
+        assert op not in plan, op

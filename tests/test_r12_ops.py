@@ -83,6 +83,34 @@ def test_truncate_lineage_reliable_knob_and_local_fallback(spark, tmp_path):
     assert list(pathlib.Path(ck).glob("*/rdd-*"))
 
 
+def test_connected_components_reliable_checkpoints_bounded(spark, tmp_path):
+    """connected_components now honors the reliable-checkpoint knob
+    (same contract as LPA): per-round label generations land under the
+    dir, superseded generations are evicted (bounded disk for deep
+    iterations), und outlives every round, and the labels are exact."""
+    import pathlib
+
+    from squirreling_spark.pipeline.dedup import connected_components
+
+    ck = str(tmp_path / "ck")
+    # a path graph forces several pointer-jumping rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)] + [(20, 21)],
+        "id_a long, id_b long",
+    )
+    out = connected_components(
+        edges, driver_threshold=0, checkpoint_dir=ck
+    )
+    got = {r["node"]: r["label"] for r in out.collect()}
+    assert got == {**{i: 1 for i in range(1, 10)}, 20: 20, 21: 20}
+    rdd_dirs = list(pathlib.Path(ck).glob("*/rdd-*"))
+    # und + at most 2 label generations survive
+    assert 1 <= len(rdd_dirs) <= 3, rdd_dirs
+    # local fallback still works and agrees
+    out2 = connected_components(edges, driver_threshold=0)
+    assert {r["node"]: r["label"] for r in out2.collect()} == got
+
+
 # ------------------------------------------------------------- qsketch ----
 
 
@@ -146,6 +174,50 @@ def test_qsketch_value_scale_validation():
         qsketch_oracle_sql("t", "x", "g", value_scale=0)
     with pytest.raises(ValueError, match="value_scale"):
         qsketch_oracle_sql("t", "x", "g", value_scale=1.5)
+
+
+def test_qsketch_cdf_bounds_contain_truth(spark):
+    """qsketch_cdf: for every probe, the true fraction of values <= probe
+    lies within [cdf_lo_ppm, cdf_hi_ppm] (integer ppm, floor), per
+    group; and the DuckDB oracle builder replays both bounds exactly."""
+    import duckdb
+
+    from squirreling_spark.pipeline.sketch import (
+        qsketch_cdf,
+        qsketch_cdf_oracle_sql,
+    )
+
+    vals = {
+        "a": [1, 2, 3, 17, 40, 41, 999, 1000, 65537],
+        "b": [5] * 10 + [100] * 5 + [10**7],
+    }
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    probes = (3, 40, 100, 10**6)
+    sk = qsketch_build(df, "v", b=4, group_cols=("g",))
+    got = {
+        (r["g"], r["probe"]): (r["n_total"], r["cdf_lo_ppm"], r["cdf_hi_ppm"])
+        for r in qsketch_cdf(sk, probes, b=4, group_cols=("g",)).collect()
+    }
+    for g, vs in vals.items():
+        for pr in probes:
+            n, lo, hi = got[(g, pr)]
+            assert n == len(vs)
+            truth = sum(1 for v in vs if v <= pr) * 1000000 // n
+            assert lo <= truth <= hi, (g, pr, lo, truth, hi)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE tbl AS SELECT * FROM (VALUES "
+        + ",".join(f"('{g}', {v})" for g, v in rows)
+        + ") t(g, v)"
+    )
+    oracle = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in con.execute(
+            qsketch_cdf_oracle_sql("tbl", "v", "g", probes, b=4)
+        ).fetchall()
+    }
+    assert oracle == got
 
 
 # ----------------------------------------------------------------- cms ----

@@ -813,3 +813,55 @@ def test_sketch_stream_table_sink_skips_replayed_epochs(spark, tmp_path):
     }
     assert got == exp
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_table_sink_registers_compose_with_overlap(spark, events_dir, tmp_path):
+    """End-to-end production shape: a sink="table" HLL stream maintains
+    the register table; hll_pairwise_overlap consumes THAT table (not a
+    batch rebuild) and must produce exactly the batch overlap estimates —
+    the continuous-monitoring loop (stream -> keyed register table ->
+    register algebra) with no batch rescan anywhere."""
+    from pyspark.sql import functions as F
+
+    from squirreling_spark.pipeline.sketch import (
+        hll_pairwise_overlap,
+        hll_registers,
+        sketch_stream,
+        sketch_table,
+    )
+
+    batch = spark.read.parquet(events_dir)
+    tbl = "sketch_tbl_compose"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    q = sketch_stream(
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir),
+        "hll",
+        "user_id",
+        tbl,
+        group_cols=("event_type",),
+        sink="table",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None, q.exception()
+
+    groups = batch.select("event_type").distinct()
+    from_stream = hll_pairwise_overlap(
+        sketch_table(spark, tbl), groups, "event_type", "type_a", "type_b"
+    )
+    from_batch = hll_pairwise_overlap(
+        hll_registers(batch, "user_id", p=8, group_cols=("event_type",)),
+        groups,
+        "event_type",
+        "type_a",
+        "type_b",
+    )
+    key = lambda r: (r["type_a"], r["type_b"])  # noqa: E731
+    got = {key(r): (r["est_a"], r["est_b"], r["est_union"], r["est_overlap"])
+           for r in from_stream.collect()}
+    exp = {key(r): (r["est_a"], r["est_b"], r["est_union"], r["est_overlap"])
+           for r in from_batch.collect()}
+    assert got == exp and len(got) > 0
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
