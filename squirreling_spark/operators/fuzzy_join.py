@@ -80,28 +80,42 @@ def fuzzy_self_join_ed1(
     Complete only for strings <= 64 chars (deletion_variants' default
     ``max_len``); pairs whose sole edit lies past position 64 are missed.
     """
-    side = df.select(
-        F.col(key_col).cast("bigint").alias("_k"),
-        F.col(text_col).alias("_s"),
+    from squirreling_spark.qutil import spread
+
+    # spread() before the variant explode: the deletion-neighborhood
+    # construction is row-local CPU; on a single-row-group input the scan
+    # is 1 task and the whole explode serialized (measured 4.4-6.2s
+    # single-task at sf0.1 — r12 optimization round, guide §2).
+    side = spread(
+        df.select(
+            F.col(key_col).cast("bigint").alias("_k"),
+            F.col(text_col).alias("_s"),
+        ),
+        by=["_k"],
     )
+    # Join on xxhash64(variant), not the variant string: the shuffle key
+    # drops from ~(len+8) bytes to 8. Completeness is untouched (every
+    # lev<=1 pair still shares a REAL variant, hence also its hash); a
+    # hash collision can only ADD a candidate pair, which the exact
+    # levenshtein verify below discards — same accepted-risk class as
+    # the repo's other 64-bit-hash blocking keys.
     variants = side.select(
-        "_k", "_s", F.explode(deletion_variants("_s")).alias("_v")
-    )
+        "_k", "_s", F.explode(deletion_variants("_s")).alias("_vs")
+    ).select("_k", "_s", F.xxhash64("_vs").alias("_v"))
     a = variants.alias("a")
     b = variants.alias("b")
-    cand = (
+    # levenshtein BEFORE the distinct: candidates reach the dedup
+    # exchange as three bigints instead of two (key, string) pairs —
+    # fewer bytes shuffled; the extra lev calls on duplicate candidates
+    # (pairs sharing several variants) are short-string codegen work.
+    return (
         a.join(b, on="_v")
         .where(F.col("a._k") < F.col("b._k"))
         .select(
             F.col("a._k").alias(out_a),
-            F.col("a._s").alias("_sa"),
             F.col("b._k").alias(out_b),
-            F.col("b._s").alias("_sb"),
+            F.levenshtein("a._s", "b._s").cast("bigint").alias("lev"),
         )
+        .where(F.col("lev") <= 1)
         .distinct()
     )
-    return cand.select(
-        out_a,
-        out_b,
-        F.levenshtein("_sa", "_sb").cast("bigint").alias("lev"),
-    ).where(F.col("lev") <= 1)

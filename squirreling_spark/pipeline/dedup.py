@@ -859,9 +859,17 @@ def substring_dup_profile(
     # only if a 64-bit collision merges two distinct windows, odds
     # ~n^2/2^65 ≈ 1e-6 at 10M windows — the same accepted-risk class as
     # md5 everywhere else, just with more bits there.
+    # Repartition BEFORE building the windows: the O(n·k) window-string
+    # construction is the expensive part, and computing it in the same
+    # select that feeds spread() pins it to the (often 1-task) scan stage
+    # — measured 6.7s single-task at sf0.1 (r12 optimization round,
+    # guide §2: parallelize the CPU-bound stage, shuffle the small rows).
     win = (
-        spread(df.select(F.col(id_col).alias("doc_id"), windows.alias("ws")), by=["doc_id"])
-        .select("doc_id", F.explode("ws").alias("w"))
+        spread(
+            df.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+            by=["doc_id"],
+        )
+        .select("doc_id", F.explode(windows).alias("w"))
         .select("doc_id", F.xxhash64(F.col("w")).alias("h"))
     )
     # one reduction to (doc, hash, cnt); sharedness = >1 row in the
@@ -1060,7 +1068,14 @@ def decontaminate_neardup(
         .select(F.col(f"c.{id_col}"), F.col(f"b.{bench_id_col}"))
         .distinct()
     )
-    cs = corpus.select(
+    # spread() before the shingle build: the exact-verify side's shingle
+    # construction is row-local CPU that otherwise runs inside the 1-task
+    # scan stage of a single-row-group input (measured 6.4s single-task
+    # at sf0.1); hash-partitioning on the id also pre-establishes the
+    # partitioning the candidate join needs.
+    cs = spread(
+        corpus.select(F.col(id_col), F.col(text_col)), by=[id_col]
+    ).select(
         F.col(id_col),
         F.array_distinct(shingles(text_col, shingle_k)).alias("__csh"),
     )

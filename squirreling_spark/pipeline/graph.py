@@ -196,18 +196,39 @@ def triangle_stats(
         )
         .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
     )
-    # referenced by both wedge sides and the closure probe — truncate too
+    # referenced by the adjacency build and the edge probe — truncate too
     oriented = _truncate(oriented, checkpoint_dir)
-    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
-    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
-    wedges_dir = w1.join(w2, "u").where(F.col("x") < F.col("y"))
-    closed = wedges_dir.join(
-        oriented.select(
-            F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
-        ),
-        ["x", "y"],
+    # Adjacency-intersection triangle count (r12 optimization): the first
+    # formulation materialized every directed wedge as a row and shuffled
+    # it into a (x, y)-keyed closure join — 350 MB of wedge rows at sf0.1
+    # vs the 11 MB oriented edge list, and the closure sort-merge sorted
+    # all of them (~330 s of executor CPU across the two stages). Same
+    # algorithm, wedges never materialized: group the oriented list into
+    # out-neighbor arrays (each bounded by the degree-orientation's
+    # O(sqrt(m)) out-degree, so no group blows up), then for each
+    # oriented edge (u, v) count |N+(u) ∩ N+(v)| — every triangle
+    # a→b, a→c, b→c is counted exactly once, at edge (a, b). The shuffle
+    # now carries the adjacency arrays (m node-ids total, edge-list
+    # sized) instead of the O(m^1.5) wedge set; the per-edge intersection
+    # does the same O(m^1.5) probes inside a codegen'd array op.
+    adj = oriented.groupBy("u").agg(F.collect_list("v").alias("_nbrs"))
+    tri = (
+        oriented.join(
+            adj.select(F.col("u").alias("_au"), F.col("_nbrs").alias("_nu")),
+            F.col("u") == F.col("_au"),
+        )
+        .join(
+            adj.select(F.col("u").alias("_av"), F.col("_nbrs").alias("_nv")),
+            F.col("v") == F.col("_av"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("_nu", "_nv"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_triangles")
+        )
     )
-    tri = closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     summary = (
         und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
         .crossJoin(

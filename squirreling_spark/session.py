@@ -42,6 +42,30 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # r12 optimization round (guide §3.1): raise the broadcast-join
+        # ceiling from the 10 MB default. Dimension/sketch/adjacency
+        # sides in the 10-64 MB band (e.g. part_triangle_stats' oriented
+        # edge list, 11 MB at sf0.1) otherwise sort-merge with the full
+        # payload shuffled + sorted; a 64 MB broadcast is well inside a
+        # production executor's budget (guide: "a few hundred MB is
+        # usually fine") and AQE re-checks against RUNTIME sizes, so a
+        # side that outgrows the ceiling at scale falls back to a
+        # shuffle join on its own. Override per deployment via env.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"),
+        )
+        # AQE sort-merge -> shuffled-hash conversion (guide §3.1): when
+        # every post-shuffle partition is under this bound, hashing
+        # beats sorting and cannot OOM (the bound IS the build size).
+        # 64 MB matches the broadcast ceiling; default 0 keeps the
+        # conversion off upstream, so this is opt-in by configuration
+        # and scale-safe by construction (partitions larger than the
+        # bound keep sort-merge).
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64m"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
