@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from squirreling_spark.qutil import spread
+from squirreling_spark.qutil import adaptive_off_if, local_df, spread
 
 _PAIRS = (
     "transform(sequence(0, size(__t) - 2), i ->"
@@ -113,25 +113,29 @@ def _train(df: DataFrame, text_col: str, merges: int):
     base = _collapsed_vocab(df, text_col)
     vocab = base
     rules = []
-    for rank in range(1, merges + 1):
-        best = (
-            _pair_counts(vocab)
-            .orderBy(F.desc("pair_count"), "lhs", "rhs")
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        l, r = best[0]["lhs"], best[0]["rhs"]
-        rules.append((rank, l, r, l + r, best[0]["pair_count"]))
-        vocab = vocab.select(
-            F.replace(
-                F.col("repr"),
-                F.lit(f"<{l}><{r}>"),
-                F.lit(f"<{l}{r}>"),
-            ).alias("repr"),
-            "freq",
-        )
+    # one-partition vocab -> the merge rounds run without AQE (each tiny
+    # exchange otherwise materializes as its own job; see adaptive_off_if)
+    small = base.rdd.getNumPartitions() == 1
+    with adaptive_off_if(df.sparkSession, small):
+        for rank in range(1, merges + 1):
+            best = (
+                _pair_counts(vocab)
+                .orderBy(F.desc("pair_count"), "lhs", "rhs")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            l, r = best[0]["lhs"], best[0]["rhs"]
+            rules.append((rank, l, r, l + r, best[0]["pair_count"]))
+            vocab = vocab.select(
+                F.replace(
+                    F.col("repr"),
+                    F.lit(f"<{l}><{r}>"),
+                    F.lit(f"<{l}{r}>"),
+                ).alias("repr"),
+                "freq",
+            )
     return rules, vocab, base
 
 
@@ -149,9 +153,10 @@ def bpe_train(
     spark = df.sparkSession
     rules, _vocab_final, base = _train(df, text_col, merges)
     try:
-        return spark.createDataFrame(
-            rules, "merge_rank int, lhs string, rhs string, merged string,"
-            " pair_count bigint"
+        return local_df(
+            spark, rules,
+            "merge_rank int, lhs string, rhs string, merged string,"
+            " pair_count bigint",
         )
     finally:
         base.unpersist()
@@ -431,53 +436,97 @@ def wordpiece_train(
     base = _collapsed_vocab(df, text_col)
     vocab = base
     rules = []
+    small = base.rdd.getNumPartitions() == 1
     try:
-        for rank in range(1, merges + 1):
-            pc = _pair_counts(vocab)
-            tc = _token_counts(vocab)
-            lc = tc.select(
-                F.col("tok").alias("lhs"),
-                F.col("tok_count").alias("lc"),
-            )
-            rc = tc.select(
-                F.col("tok").alias("rhs"),
-                F.col("tok_count").alias("rc"),
-            )
-            best = (
-                pc.join(F.broadcast(lc), "lhs")
-                .join(F.broadcast(rc), "rhs")
-                .select(
-                    "lhs",
-                    "rhs",
-                    "pair_count",
-                    F.expr(
-                        f"CAST((CAST(pair_count AS DECIMAL(38,0))"
-                        f" * {WP_SCALE}) div"
-                        f" (CAST(lc AS DECIMAL(38,0))"
-                        f" * CAST(rc AS DECIMAL(38,0))) AS BIGINT)"
-                    ).alias("score_key"),
+        with adaptive_off_if(spark, small):
+            for rank in range(1, merges + 1):
+                # r12: pair counts and BOTH token-count lookups come out
+                # of ONE aggregation — pair rows (lhs, rhs) union token
+                # rows tagged (tok, NULL) and (NULL, tok) — with lc/rc
+                # recovered by per-key windows instead of two broadcast
+                # joins (each broadcast exchange was its own Spark job;
+                # 3 jobs/round -> 1). Counts, quantized score and
+                # tie-break are bit-identical to the join form.
+                toks = F.split(
+                    F.expr("substring(repr, 2, length(repr) - 2)"), "><"
+                ).alias("__t")
+                tokrows = vocab.filter(F.length("repr") > 0).select(
+                    "freq", toks
                 )
-                .orderBy(F.desc("score_key"), "lhs", "rhs")
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break
-            b = best[0]
-            l, r = b["lhs"], b["rhs"]
-            rules.append(
-                (rank, l, r, l + r, b["pair_count"], b["score_key"])
-            )
-            vocab = vocab.select(
-                F.replace(
-                    F.col("repr"),
-                    F.lit(f"<{l}><{r}>"),
-                    F.lit(f"<{l}{r}>"),
-                ).alias("repr"),
-                "freq",
-            )
-        return spark.createDataFrame(
-            rules,
+                pairs = (
+                    tokrows.filter(F.size("__t") >= 2)
+                    .select("freq", F.explode(F.expr(_PAIRS)).alias("p"))
+                    .select(
+                        F.col("p.l").alias("lhs"),
+                        F.col("p.r").alias("rhs"),
+                        "freq",
+                    )
+                )
+                lhs_toks = tokrows.select(
+                    F.explode("__t").alias("lhs"),
+                    F.lit(None).cast("string").alias("rhs"),
+                    "freq",
+                )
+                rhs_toks = tokrows.select(
+                    F.lit(None).cast("string").alias("lhs"),
+                    F.explode("__t").alias("rhs"),
+                    "freq",
+                )
+                stats = (
+                    pairs.unionByName(lhs_toks)
+                    .unionByName(rhs_toks)
+                    .groupBy("lhs", "rhs")
+                    .agg(F.sum("freq").cast("bigint").alias("cnt"))
+                )
+                best = (
+                    stats.select(
+                        "lhs",
+                        "rhs",
+                        "cnt",
+                        F.expr(
+                            "max(CASE WHEN rhs IS NULL THEN cnt END)"
+                            " OVER (PARTITION BY lhs)"
+                        ).alias("lc"),
+                        F.expr(
+                            "max(CASE WHEN lhs IS NULL THEN cnt END)"
+                            " OVER (PARTITION BY rhs)"
+                        ).alias("rc"),
+                    )
+                    .filter(
+                        F.col("lhs").isNotNull() & F.col("rhs").isNotNull()
+                    )
+                    .select(
+                        "lhs",
+                        "rhs",
+                        F.col("cnt").alias("pair_count"),
+                        F.expr(
+                            f"CAST((CAST(cnt AS DECIMAL(38,0))"
+                            f" * {WP_SCALE}) div"
+                            f" (CAST(lc AS DECIMAL(38,0))"
+                            f" * CAST(rc AS DECIMAL(38,0))) AS BIGINT)"
+                        ).alias("score_key"),
+                    )
+                    .orderBy(F.desc("score_key"), "lhs", "rhs")
+                    .limit(1)
+                    .collect()
+                )
+                if not best:
+                    break
+                b = best[0]
+                l, r = b["lhs"], b["rhs"]
+                rules.append(
+                    (rank, l, r, l + r, b["pair_count"], b["score_key"])
+                )
+                vocab = vocab.select(
+                    F.replace(
+                        F.col("repr"),
+                        F.lit(f"<{l}><{r}>"),
+                        F.lit(f"<{l}{r}>"),
+                    ).alias("repr"),
+                    "freq",
+                )
+        return local_df(
+            spark, rules,
             "merge_rank int, lhs string, rhs string, merged string,"
             " pair_count bigint, score_key bigint",
         )

@@ -556,7 +556,15 @@ def _driver_union_find(spark, pdf, src: str, dst: str) -> DataFrame:
             parent[max(ra, rb)] = min(ra, rb)
     nodes = set(pdf[src].astype(int)) | set(pdf[dst].astype(int))
     rows = [(n, find(n)) for n in sorted(nodes)]
-    return spark.createDataFrame(rows, schema="node bigint, label bigint")
+    # one Arrow batch back (r12): createDataFrame on a LIST pickles the
+    # rows and schedules Python-worker tasks per downstream action; the
+    # pandas+Arrow path decodes JVM-side with no Python at execution
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["node", "label"], dtype="int64"),
+        schema="node bigint, label bigint",
+    )
 
 
 def connected_components(

@@ -71,7 +71,10 @@ def pagerank(
     wide = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     )
-    if checkpoint_dir or os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR"):
+    ckpt_mode = bool(
+        checkpoint_dir or os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    )
+    if ckpt_mode:
         # Reliable-storage policy: the edge list's blocks go to the
         # checkpoint dir instead of executor storage memory — nothing to
         # unpersist, and iterations read a fault-tolerant leaf.
@@ -82,29 +85,40 @@ def pagerank(
     else:
         wide = wide.persist()
         # State-sized partitioning (the BPE-trainer pattern): the count
-        # that materializes the persist also sizes it — a small edge list
-        # re-persists narrow so every round's join/agg stages schedule
-        # O(1) tasks instead of 2x32 union width; a 100 TB similarity
+        # that materializes the persist also sizes it. r12: a small edge
+        # list coalesces LAZILY over the persisted blocks (iteration
+        # stages schedule `parts` tasks either way) instead of paying a
+        # second materialization pass + cache copy; a 100 TB similarity
         # graph (~1e9+ edges) keeps full width.
         n_edges = wide.count()
         parts = max(1, min(32, n_edges // 200_000 + 1))
-        und = wide
-        if parts < 32:
-            und = wide.coalesce(parts).persist()
-            und.count()
-            wide.unpersist()
+        und = wide.coalesce(parts) if parts < 32 else wide
         if cache_registry is not None:
-            cache_registry.append(und)
+            cache_registry.append(wide)
     deg = und.groupBy("s").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     ).select(F.col("s").alias("node"), "deg")
-    n1 = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # Materialize the node-sized degree table once: it feeds pr0 AND
+    # every iteration's left join (each copy otherwise re-aggregates the
+    # edge list), and its count IS N — folded below into the rank
+    # literals, which removes the three crossJoin(broadcast(n1))
+    # subtrees the plan used to carry (r12; guide §2.3 — move scalars,
+    # not joined columns, through iterative plans).
+    if ckpt_mode:
+        deg = _truncate(deg, checkpoint_dir)
+    else:
+        deg = deg.persist()
+        if cache_registry is not None:
+            cache_registry.append(deg)
+    # max(1, N): an empty graph yields an empty result frame — the
+    # literal only guards Python's division, no row ever evaluates it.
+    n_nodes = max(1, deg.count())
 
     # pr0 = SCALE // N, carried with degree for the contribution step
-    pr = deg.crossJoin(F.broadcast(n1)).select(
-        "node", "deg", "n", F.expr(f"{SCALE} div n").alias("pr")
+    pr = deg.select(
+        "node", "deg", F.lit(SCALE // n_nodes).alias("pr")
     )
-    base = F.expr(f"{SCALE * 3 // 20} div n")  # (1-d)*SCALE // N, d=17/20
+    base = SCALE * 3 // 20 // n_nodes  # (1-d)*SCALE // N, d=17/20
     for _ in range(iters):
         contrib = und.join(pr, und["s"] == pr["node"]).select(
             F.col("d").alias("node"), F.expr("pr div deg").alias("c")
@@ -112,13 +126,11 @@ def pagerank(
         sums = contrib.groupBy("node").agg(F.sum("c").alias("cs"))
         pr = (
             deg.join(sums, "node", "left")
-            .crossJoin(F.broadcast(n1))
             .select(
                 "node",
                 "deg",
-                "n",
                 (
-                    base
+                    F.lit(base)
                     + F.expr("(17 * coalesce(cs, 0)) div 20").cast("bigint")
                 ).alias("pr"),
             )

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from squirreling_spark import inventory
 from squirreling_spark.inventory import query
 from squirreling_spark.pipeline.text import text_profile
-from squirreling_spark.qutil import dcol, t
+from squirreling_spark.qutil import dcol, local_df, t
 
 
 # Per-row hashed checksum: the old linear key_sum (sum of a*k1 + b*k2)
@@ -1339,9 +1339,10 @@ def dialect_digest(spark, sf):
                 rejected.append((case,))
             except Exception:  # noqa: BLE001 — wrong error ≠ rejected
                 pass
-    rej_df = spark.createDataFrame(
-        rejected or [(None,)], "reject_case string"
-    ).filter(F.col("reject_case").isNotNull())
+    # local_df (r12): pure-JVM LocalRelation — createDataFrame's
+    # Python-RDD path scheduled 32 Python-worker tasks per downstream
+    # action for this ~30-row list (guide §4)
+    rej_df = local_df(spark, rejected, "reject_case string")
     branches.append(_digest_branch(rej_df, "strict_reject", _STRICT_CK))
     return _union_all(branches)
 

@@ -1145,6 +1145,52 @@ def embedding_outliers_q(spark, sf):
     )
 
 
+# --- hex-assembly SQL-string helpers (r12 optimization) -----------------
+# The header-synthesis fixtures composed hundreds of py4j-backed Column
+# objects per query (one JVM round-trip each) — 0.7-2.7 s of driver-side
+# build per construction (guide §7.3). These compose the SAME expressions
+# as Python strings; each fixture parses ONE F.expr, producing the
+# identical analyzed tree for ~0 driver cost. Semantics mirror the old
+# Column forms exactly: `/` is double division then BIGINT truncation.
+
+
+def _le_hex_sql(col: str, nbytes: int) -> str:
+    """SQL for the little-endian ``nbytes`` hex encoding of ``col``."""
+    return (
+        "concat("
+        + ", ".join(
+            f"lpad(hex(CAST(({col}) / {256 ** i} AS BIGINT) % 256), 2, '0')"
+            for i in range(nbytes)
+        )
+        + ")"
+    )
+
+
+def _be_hex_sql(col: str, nbytes: int) -> str:
+    """SQL for the big-endian ``nbytes`` hex encoding of ``col``."""
+    return (
+        "concat("
+        + ", ".join(
+            f"lpad(hex(CAST(({col}) / {256 ** (nbytes - 1 - i)} AS BIGINT)"
+            " % 256), 2, '0')"
+            for i in range(nbytes)
+        )
+        + ")"
+    )
+
+
+def _le_hex_const(v: int, nbytes: int) -> str:
+    """Python-folded little-endian hex literal (uppercase, like hex())."""
+    return "".join(f"{(v >> (8 * i)) & 255:02X}" for i in range(nbytes))
+
+
+def _be_hex_const(v: int, nbytes: int) -> str:
+    """Python-folded big-endian hex literal."""
+    return "".join(
+        f"{(v >> (8 * (nbytes - 1 - i))) & 255:02X}" for i in range(nbytes)
+    )
+
+
 @query(
     "binary_header_parse",
     oracle="""
@@ -1172,72 +1218,51 @@ def binary_header_parse_q(spark, sf):
     from squirreling_spark.pipeline.multimodal import image_dimensions
 
     d = t(spark, sf, "documents")
-    w = (16 + F.col("doc_id") % 1024).cast("bigint")
-    h = (16 + (F.col("doc_id") * 7) % 1024).cast("bigint")
+    w = "CAST(16 + doc_id % 1024 AS BIGINT)"
+    h = "CAST(16 + (doc_id * 7) % 1024 AS BIGINT)"
+    le_hex, be_hex = _le_hex_sql, _be_hex_sql
 
-    def le_hex(col, nbytes):
-        return F.concat(
-            *[
-                F.lpad(F.hex((col / (256 ** i)).cast("bigint") % 256), 2, "0")
-                for i in range(nbytes)
-            ]
-        )
-
-    def be_hex(col, nbytes):
-        return F.concat(
-            *[
-                F.lpad(
-                    F.hex((col / (256 ** (nbytes - 1 - i))).cast("bigint") % 256),
-                    2,
-                    "0",
-                )
-                for i in range(nbytes)
-            ]
-        )
-
-    bmp_hex = F.concat(
-        F.lit("424D"),            # 'BM'
-        F.lit("00" * 12),         # file-header remainder
-        le_hex(F.lit(40), 4),     # BITMAPINFOHEADER size
+    bmp_hex = "concat(" + ", ".join((
+        "'424D'",                       # 'BM'
+        f"'{'00' * 12}'",               # file-header remainder
+        f"'{_le_hex_const(40, 4)}'",    # BITMAPINFOHEADER size
         le_hex(w, 4),
         le_hex(h, 4),
-        F.lit("00" * 8),          # pad past the read window
-    )
-    png_hex = F.concat(
-        F.lit("89504E470D0A1A0A"),  # PNG signature
-        F.lit("0000000D"),          # IHDR length (13)
-        F.lit("49484452"),          # 'IHDR'
+        f"'{'00' * 8}'",                # pad past the read window
+    )) + ")"
+    png_hex = "concat(" + ", ".join((
+        "'89504E470D0A1A0A'",  # PNG signature
+        "'0000000D'",          # IHDR length (13)
+        "'49484452'",          # 'IHDR'
         be_hex(w, 4),
         be_hex(h, 4),
-        F.lit("0806000000"),        # bit depth/color/compression/filter/interlace
-        F.lit("00000000"),          # CRC (not validated by the header read)
-    )
-    app0_pad = (F.col("doc_id") % 9 + 1).cast("bigint")  # varying APP0 size
-    jpeg_hex = F.concat(
-        F.lit("FFD8"),                        # SOI
-        F.lit("FFE0"), be_hex(app0_pad + 2, 2),
-        F.repeat(F.lit("00"), app0_pad.cast("int")),      # APP0 payload
-        F.lit("FFDB"), be_hex(F.lit(7), 2), F.lit("00" * 5),  # DQT filler
-        F.lit("FFC0"), be_hex(F.lit(17), 2),  # SOF0, len 8+3*3
-        F.lit("08"), be_hex(h, 2), be_hex(w, 2),
-        F.lit("03"), F.lit("00" * 9),         # 3 components
-        F.lit("FFD9"),                        # EOI
-    )
-    gif_hex = F.concat(
-        F.lit("474946383961"),       # 'GIF89a'
+        "'0806000000'",        # bit depth/color/compression/filter/interlace
+        "'00000000'",          # CRC (not validated by the header read)
+    )) + ")"
+    ap = "CAST(doc_id % 9 + 1 AS BIGINT)"  # varying APP0 size
+    jpeg_hex = "concat(" + ", ".join((
+        "'FFD8'",                              # SOI
+        "'FFE0'", be_hex(f"({ap}) + 2", 2),
+        f"repeat('00', CAST({ap} AS INT))",    # APP0 payload
+        f"'FFDB', '{_be_hex_const(7, 2)}', '{'00' * 5}'",  # DQT filler
+        f"'FFC0', '{_be_hex_const(17, 2)}'",   # SOF0, len 8+3*3
+        "'08'", be_hex(h, 2), be_hex(w, 2),
+        f"'03', '{'00' * 9}'",                 # 3 components
+        "'FFD9'",                              # EOI
+    )) + ")"
+    gif_hex = "concat(" + ", ".join((
+        "'474946383961'",       # 'GIF89a'
         le_hex(w, 2),
         le_hex(h, 2),
-        F.lit("00" * 3),             # GCT flags / bg color / aspect
-    )
+        f"'{'00' * 3}'",        # GCT flags / bg color / aspect
+    )) + ")"
     hexstr = (
-        F.when(F.col("doc_id") % 4 == 0, bmp_hex)
-        .when(F.col("doc_id") % 4 == 1, png_hex)
-        .when(F.col("doc_id") % 4 == 2, jpeg_hex)
-        .otherwise(gif_hex)
+        f"CASE doc_id % 4 WHEN 0 THEN {bmp_hex} WHEN 1 THEN {png_hex}"
+        f" WHEN 2 THEN {jpeg_hex} ELSE {gif_hex} END"
     )
     df = d.select(
         F.col("doc_id").cast("string").alias("media_id"),
-        F.unhex(hexstr).alias("payload"),
+        F.expr(f"unhex({hexstr})").alias("payload"),
     )
     return image_dimensions(df)
 
@@ -1268,42 +1293,35 @@ def audio_header_parse_q(spark, sf):
     from squirreling_spark.pipeline.multimodal import wav_metadata
 
     d = t(spark, sf, "documents")
-    channels = (1 + F.col("doc_id") % 2).cast("bigint")
-    rate = (8000 + (F.col("doc_id") % 5) * 8000).cast("bigint")
-    byte_rate = (rate * channels * 2).cast("bigint")
-    secs = (F.col("doc_id") % 3 + 1).cast("bigint")
-    data_sz = (byte_rate * secs).cast("bigint")
-    junk_sz = (F.col("doc_id") % 4) * 2 + 3  # odd → exercises padding
+    ch = "CAST(1 + doc_id % 2 AS BIGINT)"
+    rate = "CAST(8000 + (doc_id % 5) * 8000 AS BIGINT)"
+    byte_rate = f"CAST(({rate}) * ({ch}) * 2 AS BIGINT)"
+    secs = "CAST(doc_id % 3 + 1 AS BIGINT)"
+    data_sz = f"CAST(({byte_rate}) * ({secs}) AS BIGINT)"
+    junk_sz = "((doc_id % 4) * 2 + 3)"  # odd → exercises padding
+    le_hex = _le_hex_sql
 
-    def le_hex(col, nbytes):
-        return F.concat(
-            *[
-                F.lpad(F.hex((col / (256 ** i)).cast("bigint") % 256), 2, "0")
-                for i in range(nbytes)
-            ]
-        )
-
-    hexstr = F.concat(
-        F.lit("52494646"),            # 'RIFF'
-        le_hex(F.lit(0), 4),          # container size (not read)
-        F.lit("57415645"),            # 'WAVE'
-        F.lit("4A554E4B"),            # 'JUNK'
+    hexstr = "concat(" + ", ".join((
+        "'52494646'",                       # 'RIFF'
+        f"'{_le_hex_const(0, 4)}'",         # container size (not read)
+        "'57415645'",                       # 'WAVE'
+        "'4A554E4B'",                       # 'JUNK'
         le_hex(junk_sz, 4),
-        F.repeat(F.lit("00"), (junk_sz + junk_sz % 2).cast("int")),  # + pad
-        F.lit("666D7420"),            # 'fmt '
-        le_hex(F.lit(16), 4),         # PCM fmt chunk size
-        le_hex(F.lit(1), 2),          # audio format = PCM
-        le_hex(channels, 2),
+        f"repeat('00', CAST({junk_sz} + {junk_sz} % 2 AS INT))",  # + pad
+        "'666D7420'",                       # 'fmt '
+        f"'{_le_hex_const(16, 4)}'",        # PCM fmt chunk size
+        f"'{_le_hex_const(1, 2)}'",         # audio format = PCM
+        le_hex(ch, 2),
         le_hex(rate, 4),
         le_hex(byte_rate, 4),
-        le_hex(channels * 2, 2),      # block align
-        le_hex(F.lit(16), 2),         # bits per sample
-        F.lit("64617461"),            # 'data'
-        le_hex(data_sz, 4),           # size only; payload truncated here
-    )
+        le_hex(f"({ch}) * 2", 2),           # block align
+        f"'{_le_hex_const(16, 2)}'",        # bits per sample
+        "'64617461'",                       # 'data'
+        le_hex(data_sz, 4),    # size only; payload truncated here
+    )) + ")"
     df = d.select(
         F.col("doc_id").cast("string").alias("media_id"),
-        F.unhex(hexstr).alias("payload"),
+        F.expr(f"unhex({hexstr})").alias("payload"),
     )
     return wav_metadata(df)
 
@@ -1994,65 +2012,68 @@ def image_pixel_decode_q(spark, sf):
     tests/test_multimodal.py."""
     from squirreling_spark.pipeline.multimodal import decode_image
 
-    d = t(spark, sf, "documents")
-    w = (4 * (1 + F.col("doc_id") % 8)).cast("bigint")
-    h = (1 + F.col("doc_id") % 5).cast("bigint")
-    r = (F.col("doc_id") % 256).cast("bigint")
-    g = ((F.col("doc_id") * 7) % 256).cast("bigint")
-    b = ((F.col("doc_id") * 13) % 256).cast("bigint")
+    # r12: the whole four-codec synthesis is composed as SQL strings
+    # (guide §7.3 — the per-fragment Column composition was ~1.3 s of
+    # driver-side build per construction); the doc_id-derived scalars
+    # materialize once as columns so the fragments stay small. Values
+    # are bit-identical — `/` stays double division + BIGINT truncation.
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr("CAST(4 * (1 + doc_id % 8) AS BIGINT)").alias("_w"),
+        F.expr("CAST(1 + doc_id % 5 AS BIGINT)").alias("_h"),
+        F.expr("CAST(doc_id % 256 AS BIGINT)").alias("_r"),
+        F.expr("CAST((doc_id * 7) % 256 AS BIGINT)").alias("_g"),
+        F.expr("CAST((doc_id * 13) % 256 AS BIGINT)").alias("_b"),
+        F.expr("CAST(64 + doc_id % 64 AS BIGINT)").alias("_jv"),
+    )
+    w, h, r, g, b = "_w", "_h", "_r", "_g", "_b"
+    le_hex = _le_hex_sql
 
-    def le_hex(col, nbytes):
-        return F.concat(
-            *[
-                F.lpad(F.hex((col / (256 ** i)).cast("bigint") % 256), 2, "0")
-                for i in range(nbytes)
-            ]
-        )
-
-    def be_hex(col, nbytes):
-        return F.lpad(F.hex(col.cast("bigint")), 2 * nbytes, "0")
+    def be_hex(col: str, nbytes: int) -> str:
+        return f"lpad(hex(CAST({col} AS BIGINT)), {2 * nbytes}, '0')"
 
     def bmp_header(bpp, comp, palette_entries, off):
-        return F.concat(
-            F.lit("424D"),                 # 'BM'
-            le_hex(F.lit(0), 4),           # file size (unused by decoder)
-            le_hex(F.lit(0), 4),           # reserved
-            le_hex(F.lit(off), 4),         # pixel-data offset
-            le_hex(F.lit(40), 4),          # BITMAPINFOHEADER size
+        return "concat(" + ", ".join((
+            "'424D'",                          # 'BM'
+            f"'{_le_hex_const(0, 4)}'",        # file size (unused)
+            f"'{_le_hex_const(0, 4)}'",        # reserved
+            f"'{_le_hex_const(off, 4)}'",      # pixel-data offset
+            f"'{_le_hex_const(40, 4)}'",       # BITMAPINFOHEADER size
             le_hex(w, 4),
             le_hex(h, 4),
-            le_hex(F.lit(1), 2),           # planes
-            le_hex(F.lit(bpp), 2),
-            le_hex(F.lit(comp), 4),        # 0 = BI_RGB, 1 = BI_RLE8
-            le_hex(F.lit(0), 4),           # image size
-            F.lit("00" * 8),               # ppm
-            le_hex(F.lit(palette_entries), 4),  # biClrUsed
-            le_hex(F.lit(0), 4),           # biClrImportant
-        )
+            f"'{_le_hex_const(1, 2)}'",        # planes
+            f"'{_le_hex_const(bpp, 2)}'",
+            f"'{_le_hex_const(comp, 4)}'",     # 0 = BI_RGB, 1 = BI_RLE8
+            f"'{_le_hex_const(0, 4)}'",        # image size
+            f"'{'00' * 8}'",                   # ppm
+            f"'{_le_hex_const(palette_entries, 4)}'",  # biClrUsed
+            f"'{_le_hex_const(0, 4)}'",        # biClrImportant
+        )) + ")"
 
     # --- bmp24: raw BGR runs -------------------------------------------
-    px_hex = F.concat(le_hex(b, 1), le_hex(g, 1), le_hex(r, 1))  # BGR
-    bmp24_hex = F.concat(
-        bmp_header(24, 0, 0, 54), F.repeat(px_hex, (w * h).cast("int"))
+    px_hex = f"concat({le_hex(b, 1)}, {le_hex(g, 1)}, {le_hex(r, 1)})"
+    bmp24_hex = (
+        f"concat({bmp_header(24, 0, 0, 54)},"
+        f" repeat({px_hex}, CAST(_w * _h AS INT)))"
     )
     # --- rle8: 1-entry palette, one encoded run + EOL per row, EOF -----
-    rle_row = F.concat(le_hex(w, 1), F.lit("00"), F.lit("0000"))
-    rle8_hex = F.concat(
+    rle_row = f"concat({le_hex(w, 1)}, '00', '0000')"
+    rle8_hex = "concat(" + ", ".join((
         bmp_header(8, 1, 1, 58),
-        le_hex(b, 1), le_hex(g, 1), le_hex(r, 1), F.lit("00"),  # BGRX
-        F.repeat(rle_row, h.cast("int")),
-        F.lit("0001"),                 # end of bitmap
-    )
+        le_hex(b, 1), le_hex(g, 1), le_hex(r, 1), "'00'",  # BGRX
+        f"repeat({rle_row}, CAST(_h AS INT))",
+        "'0001'",                 # end of bitmap
+    )) + ")"
     # --- png16: stored-deflate zlib IDAT + JVM-folded adler32 ----------
-    row_len = (1 + 6 * w).cast("int")          # filter byte + w*6
-    n_raw = (h.cast("int") * row_len)
-    px16_hex = F.concat(
+    row_len = "CAST(1 + 6 * _w AS INT)"        # filter byte + w*6
+    n_raw = f"(CAST(_h AS INT) * {row_len})"
+    px16_hex = "concat(" + ", ".join((
         be_hex(r, 1), be_hex(r, 1), be_hex(g, 1),
         be_hex(g, 1), be_hex(b, 1), be_hex(b, 1),
-    )
-    raw_hex = F.repeat(
-        F.concat(F.lit("00"), F.repeat(px16_hex, w.cast("int"))),
-        h.cast("int"),
+    )) + ")"
+    raw_hex = (
+        f"repeat(concat('00', repeat({px16_hex}, CAST(_w AS INT))),"
+        " CAST(_h AS INT))"
     )
     # adler32 over the raw scanline stream, CLOSED FORM (replaces an
     # O(n_raw)-element interpreted HOF fold — HOFs don't codegen, and at
@@ -2065,45 +2086,46 @@ def image_pixel_decode_q(spark, sf):
     #   Σ_i b_i(N−i+1) = h(N·S − Σ b_k·k) − L·h(h−1)/2·S, L = 1+6w.
     # Verified against stdlib zlib.adler32 (and the png16 decode path
     # re-verifies every value: a wrong adler fails the zlib decode).
-    _S = (F.lit(2) * (r + g + b) * w).cast("bigint")
+    _S = "CAST(2 * (_r + _g + _b) * _w AS BIGINT)"
     _sum_bk_k = (
-        w * (3 * r + 7 * g + 11 * b) + F.lit(6) * (r + g + b) * w * (w - 1)
-    ).cast("bigint")
-    _N = n_raw.cast("bigint")
+        "CAST(_w * (3 * _r + 7 * _g + 11 * _b)"
+        " + 6 * (_r + _g + _b) * _w * (_w - 1) AS BIGINT)"
+    )
+    _N = f"CAST({n_raw} AS BIGINT)"
     _W = (
-        h.cast("bigint") * (_N * _S - _sum_bk_k)
-        - row_len.cast("bigint")
-        * (h * (h - 1) / 2).cast("bigint")
-        * _S
+        f"(CAST(_h AS BIGINT) * (({_N}) * ({_S}) - ({_sum_bk_k}))"
+        f" - CAST({row_len} AS BIGINT)"
+        " * CAST(_h * (_h - 1) / 2 AS BIGINT)"
+        f" * ({_S}))"
     )
-    adler = F.struct(
-        ((F.lit(1) + _S * h) % 65521).alias("s1"),
-        ((_N + _W) % 65521).alias("s2"),
-    )
+    adler_s1 = f"((1 + ({_S}) * _h) % 65521)"
+    adler_s2 = f"((({_N}) + {_W}) % 65521)"
+
     def chunk_hex(type_hex, body_hex, body_len):
         # length BE + type + body + CRC (the decoder skips CRC: zeros)
-        return F.concat(
-            be_hex(body_len, 4), F.lit(type_hex), body_hex, F.lit("00000000")
+        return (
+            f"concat({be_hex(body_len, 4)}, '{type_hex}', {body_hex},"
+            " '00000000')"
         )
 
-    ihdr_body = F.concat(
-        be_hex(w, 4), be_hex(h, 4), F.lit("10"),   # depth 16
-        F.lit("02"), F.lit("000000"),              # truecolor, no interlace
-    )
-    zlib_hex = F.concat(
-        F.lit("7801"),                 # zlib header (no preset dict)
-        F.lit("01"),                   # final STORED block
+    ihdr_body = "concat(" + ", ".join((
+        be_hex(w, 4), be_hex(h, 4), "'10'",   # depth 16
+        "'02'", "'000000'",                   # truecolor, no interlace
+    )) + ")"
+    zlib_hex = "concat(" + ", ".join((
+        "'7801'",                      # zlib header (no preset dict)
+        "'01'",                        # final STORED block
         le_hex(n_raw, 2),              # LEN
-        le_hex(65535 - n_raw, 2),      # NLEN = ~LEN
+        le_hex(f"65535 - {n_raw}", 2),  # NLEN = ~LEN
         raw_hex,
-        be_hex(adler.getField("s2") * 65536 + adler.getField("s1"), 4),
-    )
-    png16_hex = F.concat(
-        F.lit("89504E470D0A1A0A"),
-        chunk_hex("49484452", ihdr_body, F.lit(13)),         # IHDR
-        chunk_hex("49444154", zlib_hex, n_raw + 11),          # IDAT
-        chunk_hex("49454E44", F.lit(""), F.lit(0)),           # IEND
-    )
+        be_hex(f"({adler_s2}) * 65536 + {adler_s1}", 4),
+    )) + ")"
+    png16_hex = "concat(" + ", ".join((
+        "'89504E470D0A1A0A'",
+        chunk_hex("49484452", ihdr_body, "13"),          # IHDR
+        chunk_hex("49444154", zlib_hex, f"{n_raw} + 11"),  # IDAT
+        chunk_hex("49454E44", "''", "0"),                # IEND
+    )) + ")"
 
     # --- jpeg: 8×8 solid-grey baseline JPEG, DC-exact closed form ------
     # Y = 192 + doc_id%64 level-shifts to v = Y-128 ∈ [64,127]: DCT DC of
@@ -2114,7 +2136,6 @@ def image_pixel_decode_q(spark, sf):
     # 2 bytes (pad '111'), and neither byte can be 0xFF (no stuffing).
     # Decode: dequant 8v, IDCT → v exactly, +128 → Y in every pixel, so
     # the oracle states mean_r = mean_g = mean_b = Y in closed form.
-    jv = (F.lit(64) + F.col("doc_id") % 64).cast("bigint")  # Y - 128
     jpeg_static = (
         "FFD8"
         + "FFDB004300" + "08" * 64                  # DQT: all steps 8
@@ -2125,12 +2146,12 @@ def image_pixel_decode_q(spark, sf):
         + "FFC4001410" + "01" + "00" * 15 + "00"     # DHT AC: EOB = '0'
         + "FFDA0008010100003F00"                     # SOS
     )
-    jpeg_hex = F.concat(
-        F.lit(jpeg_static),
-        le_hex(F.lit(0xF0) + (jv / 16).cast("bigint"), 1),   # 11110 + v>>4
-        le_hex((jv % 16) * 16 + 7, 1),                        # v&15,0,111
-        F.lit("FFD9"),
-    )
+    jpeg_hex = "concat(" + ", ".join((
+        f"'{jpeg_static}'",
+        le_hex("240 + CAST(_jv / 16 AS BIGINT)", 1),  # 11110 + v>>4
+        le_hex("(_jv % 16) * 16 + 7", 1),             # v&15,0,111
+        "'FFD9'",
+    )) + ")"
 
     variants = [
         ("bmp24", bmp24_hex), ("rle8", rle8_hex),
@@ -2140,7 +2161,7 @@ def image_pixel_decode_q(spark, sf):
         d.select(
             F.concat(F.col("doc_id").cast("string"), F.lit(f":{tag}"))
             .alias("media_id"),
-            F.unhex(hexstr).alias("payload"),
+            F.expr(f"unhex({hexstr})").alias("payload"),
         )
         for tag, hexstr in variants
     ]
@@ -2451,40 +2472,33 @@ def audio_pcm_decode_q(spark, sf):
     from squirreling_spark.pipeline.multimodal import decode_audio
 
     d = qspread(t(spark, sf, "documents").select("doc_id"))
-    amp = (F.lit(100) + F.col("doc_id") % 1000).cast("bigint")
-    npairs = (F.lit(8) * (F.lit(1) + F.col("doc_id") % 10)).cast("bigint")
-    data_sz = npairs * 4  # 2 samples/pair * 2 bytes
+    amp = "CAST(100 + doc_id % 1000 AS BIGINT)"
+    npairs = "CAST(8 * (1 + doc_id % 10) AS BIGINT)"
+    data_sz = f"(({npairs}) * 4)"  # 2 samples/pair * 2 bytes
+    le_hex = _le_hex_sql
 
-    def le_hex(col, nbytes):
-        return F.concat(
-            *[
-                F.lpad(
-                    F.hex((col / (256 ** i)).cast("bigint") % 256), 2, "0"
-                )
-                for i in range(nbytes)
-            ]
-        )
-
-    pair_hex = F.concat(le_hex(amp, 2), le_hex(F.lit(65536) - amp, 2))
-    hexstr = F.concat(
-        F.lit("52494646"),                    # 'RIFF'
-        le_hex(data_sz + 36, 4),
-        F.lit("57415645"),                    # 'WAVE'
-        F.lit("666D7420"),                    # 'fmt '
-        le_hex(F.lit(16), 4),
-        le_hex(F.lit(1), 2),                  # PCM
-        le_hex(F.lit(1), 2),                  # mono
-        le_hex(F.lit(8000), 4),
-        le_hex(F.lit(16000), 4),              # byte rate
-        le_hex(F.lit(2), 2),                  # block align
-        le_hex(F.lit(16), 2),                 # bits
-        F.lit("64617461"),                    # 'data'
-        le_hex(data_sz, 4),
-        F.repeat(pair_hex, npairs.cast("int")),
+    pair_hex = (
+        f"concat({le_hex(amp, 2)}, {le_hex(f'65536 - ({amp})', 2)})"
     )
+    hexstr = "concat(" + ", ".join((
+        "'52494646'",                       # 'RIFF'
+        le_hex(f"({data_sz}) + 36", 4),
+        "'57415645'",                       # 'WAVE'
+        "'666D7420'",                       # 'fmt '
+        f"'{_le_hex_const(16, 4)}'",
+        f"'{_le_hex_const(1, 2)}'",         # PCM
+        f"'{_le_hex_const(1, 2)}'",         # mono
+        f"'{_le_hex_const(8000, 4)}'",
+        f"'{_le_hex_const(16000, 4)}'",     # byte rate
+        f"'{_le_hex_const(2, 2)}'",         # block align
+        f"'{_le_hex_const(16, 2)}'",        # bits
+        "'64617461'",                       # 'data'
+        le_hex(data_sz, 4),
+        f"repeat({pair_hex}, CAST({npairs} AS INT))",
+    )) + ")"
     media = d.select(
         F.col("doc_id").cast("string").alias("media_id"),
-        F.unhex(hexstr).alias("payload"),
+        F.expr(f"unhex({hexstr})").alias("payload"),
     )
     return decode_audio(media).orderBy(F.col("media_id").cast("bigint"))
 
@@ -2513,40 +2527,27 @@ def video_mp4_meta_q(spark, sf):
     from squirreling_spark.pipeline.multimodal import mp4_metadata
 
     d = qspread(t(spark, sf, "documents").select("doc_id"))
-    dur = (F.lit(100) * (F.lit(1) + F.col("doc_id") % 20)).cast("bigint")
-    n_trak = (F.lit(1) + F.col("doc_id") % 3).cast("int")
+    dur = "CAST(100 * (1 + doc_id % 20) AS BIGINT)"
+    n_trak = "CAST(1 + doc_id % 3 AS INT)"
 
-    def be_hex(col, nbytes):
-        col = col if isinstance(col, F.Column) else F.lit(col)
-        return F.concat(
-            *[
-                F.lpad(
-                    F.hex((col / (256 ** i)).cast("bigint") % 256), 2, "0"
-                )
-                for i in reversed(range(nbytes))
-            ]
-        )
-
-    moov_sz = (F.lit(8 + 108) + n_trak.cast("bigint") * 8).cast("bigint")
-    hexstr = F.concat(
-        be_hex(16, 4), F.lit("66747970"),          # ftyp
-        F.lit("69736F6D"), be_hex(0, 4),           # brand isom + minor
-        be_hex(12, 4), F.lit("66726565"),          # free box (skipped)
-        F.lit("00000000"),
-        be_hex(moov_sz, 4), F.lit("6D6F6F76"),     # moov
-        be_hex(108, 4), F.lit("6D766864"),         # mvhd, version 0
-        F.lit("00"), F.lit("000000"),              # version + flags
-        be_hex(0, 4), be_hex(0, 4),                # ctime, mtime
-        be_hex(1000, 4),                           # timescale
-        be_hex(dur, 4),                            # duration
-        F.lit("00" * 80),                          # rest of mvhd body
-        F.repeat(
-            F.concat(be_hex(8, 4), F.lit("7472616B")), n_trak
-        ),                                         # trak stubs
-    )
+    moov_sz = f"CAST({8 + 108} + CAST({n_trak} AS BIGINT) * 8 AS BIGINT)"
+    hexstr = "concat(" + ", ".join((
+        f"'{_be_hex_const(16, 4)}'", "'66747970'",   # ftyp
+        f"'69736F6D', '{_be_hex_const(0, 4)}'",      # brand isom + minor
+        f"'{_be_hex_const(12, 4)}'", "'66726565'",   # free box (skipped)
+        "'00000000'",
+        _be_hex_sql(moov_sz, 4), "'6D6F6F76'",       # moov
+        f"'{_be_hex_const(108, 4)}'", "'6D766864'",  # mvhd, version 0
+        "'00'", "'000000'",                          # version + flags
+        f"'{_be_hex_const(0, 4)}'", f"'{_be_hex_const(0, 4)}'",  # c/mtime
+        f"'{_be_hex_const(1000, 4)}'",               # timescale
+        _be_hex_sql(dur, 4),                         # duration
+        f"'{'00' * 80}'",                            # rest of mvhd body
+        f"repeat(concat('{_be_hex_const(8, 4)}', '7472616B'), {n_trak})",
+    )) + ")"                                         # ^ trak stubs
     media = d.select(
         F.col("doc_id").cast("string").alias("media_id"),
-        F.unhex(hexstr).alias("payload"),
+        F.expr(f"unhex({hexstr})").alias("payload"),
     )
     return mp4_metadata(media).orderBy(F.col("media_id").cast("bigint"))
 
@@ -3048,14 +3049,22 @@ def _dhash_media(spark, sf):
     from squirreling_spark.qutil import spread
 
     d = spread(t(spark, sf, "documents").select("doc_id"), by=["doc_id"])
-    grp = F.expr("doc_id div 3")
-    base = (grp * 37 + F.col("doc_id") % 3) % 256
-    ax = F.lit(11) + (grp % 7) * 13
+    # r12: the pixel hex assembly is composed as ONE SQL string (80+
+    # fragments) parsed by a single F.expr — the per-pixel Column
+    # composition was ~1.7 s of py4j/analysis per construction (guide
+    # §7.3); the analyzed tree and values are identical.
+    base = d.select(
+        "doc_id",
+        F.expr(
+            "((doc_id div 3) * 37 + doc_id % 3) % 256"
+        ).alias("_b"),
+        F.expr("11 + ((doc_id div 3) % 7) * 13").alias("_ax"),
+    )
 
-    def vhex(x: int, y: int):
-        v = ((base + ax * x + 29 * y) % 256).cast("bigint")
-        h1 = F.lpad(F.hex(v), 2, "0")
-        return F.concat(h1, h1, h1)  # grayscale → equal B, G, R
+    def vhex(x: int, y: int) -> str:
+        v = f"CAST((_b + _ax * {x} + {29 * y}) % 256 AS BIGINT)"
+        # grayscale → equal B, G, R
+        return f"repeat(lpad(hex({v}), 2, '0'), 3)"
 
     header = (
         "424D" + "00000000" + "00000000" + "36000000"  # BM, size, res, off
@@ -3063,14 +3072,14 @@ def _dhash_media(spark, sf):
         + "0100" + "1800" + "00000000" + "00000000"     # planes, 24bpp
         + "00" * 8 + "00000000" + "00000000"            # ppm, clr
     )
-    parts = [F.lit(header)]
+    parts = [f"'{header}'"]
     for j in range(8):          # stored bottom-up
         y = 7 - j
         parts.extend(vhex(x, y) for x in range(9))
-        parts.append(F.lit("00"))  # 27-byte row → 4-byte alignment pad
-    return d.select(
+        parts.append("'00'")  # 27-byte row → 4-byte alignment pad
+    return base.select(
         F.col("doc_id").cast("string").alias("media_id"),
-        F.unhex(F.concat(*parts)).alias("payload"),
+        F.expr(f"unhex(concat({', '.join(parts)}))").alias("payload"),
     )
 
 
@@ -3860,45 +3869,34 @@ def audio_spectral_peak_q(spark, sf):
     from squirreling_spark.pipeline.multimodal import audio_spectral
 
     d = qspread(t(spark, sf, "documents").select("doc_id"))
-    amp = (F.lit(100) + F.col("doc_id") % 1000).cast("bigint")
-    m3 = F.col("doc_id") % 3
-    k = F.when(m3 == 0, 4).when(m3 == 1, 8).otherwise(16)
-    p_half = F.when(m3 == 0, 32).when(m3 == 1, 16).otherwise(8)
-    data_sz = F.lit(512).cast("bigint")  # 256 samples * 2 bytes
+    amp = "CAST(100 + doc_id % 1000 AS BIGINT)"
+    k = "CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 16 END"
+    p_half = "CASE doc_id % 3 WHEN 0 THEN 32 WHEN 1 THEN 16 ELSE 8 END"
+    le_hex = _le_hex_sql
 
-    def le_hex(col, nbytes):
-        return F.concat(
-            *[
-                F.lpad(
-                    F.hex((col / (256 ** i)).cast("bigint") % 256), 2, "0"
-                )
-                for i in range(nbytes)
-            ]
-        )
-
-    period_hex = F.concat(
-        F.repeat(le_hex(amp, 2), p_half),
-        F.repeat(le_hex(F.lit(65536) - amp, 2), p_half),
+    period_hex = (
+        f"concat(repeat({le_hex(amp, 2)}, {p_half}),"
+        f" repeat({le_hex(f'65536 - ({amp})', 2)}, {p_half}))"
     )
-    hexstr = F.concat(
-        F.lit("52494646"),                    # 'RIFF'
-        le_hex(data_sz + 36, 4),
-        F.lit("57415645"),                    # 'WAVE'
-        F.lit("666D7420"),                    # 'fmt '
-        le_hex(F.lit(16), 4),
-        le_hex(F.lit(1), 2),                  # PCM
-        le_hex(F.lit(1), 2),                  # mono
-        le_hex(F.lit(8000), 4),
-        le_hex(F.lit(16000), 4),              # byte rate
-        le_hex(F.lit(2), 2),                  # block align
-        le_hex(F.lit(16), 2),                 # bits
-        F.lit("64617461"),                    # 'data'
-        le_hex(data_sz, 4),
-        F.repeat(period_hex, k),
-    )
+    hexstr = "concat(" + ", ".join((
+        "'52494646'",                       # 'RIFF'
+        f"'{_le_hex_const(512 + 36, 4)}'",  # data (256 samples * 2) + 36
+        "'57415645'",                       # 'WAVE'
+        "'666D7420'",                       # 'fmt '
+        f"'{_le_hex_const(16, 4)}'",
+        f"'{_le_hex_const(1, 2)}'",         # PCM
+        f"'{_le_hex_const(1, 2)}'",         # mono
+        f"'{_le_hex_const(8000, 4)}'",
+        f"'{_le_hex_const(16000, 4)}'",     # byte rate
+        f"'{_le_hex_const(2, 2)}'",         # block align
+        f"'{_le_hex_const(16, 2)}'",        # bits
+        "'64617461'",                       # 'data'
+        f"'{_le_hex_const(512, 4)}'",
+        f"repeat({period_hex}, {k})",
+    )) + ")"
     media = d.select(
         F.col("doc_id").cast("string").alias("media_id"),
-        F.unhex(hexstr).alias("payload"),
+        F.expr(f"unhex({hexstr})").alias("payload"),
     )
     return audio_spectral(media)
 

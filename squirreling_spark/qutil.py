@@ -158,3 +158,61 @@ def pinned_shuffle(spark: SparkSession, n: int = 16):
         yield
     finally:
         spark.conf.set(key, prev)
+
+
+def local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Small driver-local result set as a pure-JVM LocalRelation.
+
+    ``createDataFrame(rows)`` routes through the Python-RDD path: the
+    rows are pickled and every downstream action schedules a stage of
+    Python-worker tasks (32 tasks x ~150 ms of worker round-trip for an
+    8-row merge table — measured on the BPE/WordPiece trainers, guide
+    §4). Binding each column as ONE array parameter of a parameterized
+    ``spark.sql`` instead yields a single-partition LocalTableScan that
+    never leaves the JVM at execution time.
+
+    ``schema`` is the same ``"name type, ..."`` DDL string
+    ``createDataFrame`` takes. Intended for SMALL row sets (the
+    parameter binding is py4j-element-wise — fine at tens of rows,
+    wrong at tens of thousands); values must not be None (SQL nulls
+    don't survive the literal binding) — both invariants hold for the
+    trainer-rule and digest-case callers."""
+    fields = [f.strip().split(None, 1) for f in schema.split(",")]
+    if not rows:
+        sel = ", ".join(
+            f"CAST(NULL AS {typ}) AS {name}" for name, typ in fields
+        )
+        return spark.sql(f"SELECT {sel} WHERE false")
+    cols = list(zip(*rows))
+    args = {f"c{i}": list(c) for i, c in enumerate(cols)}
+    sel = ", ".join(
+        f"CAST(element_at(:c{i}, i) AS {typ}) AS {name}"
+        for i, (name, typ) in enumerate(fields)
+    )
+    return spark.sql(
+        f"SELECT {sel} FROM (SELECT explode(sequence(1, {len(rows)})) AS i)",
+        args=args,
+    )
+
+
+@_contextmanager
+def adaptive_off_if(spark: SparkSession, small: bool):
+    """Disable AQE inside the block when ``small`` (r12, guide §2.2).
+
+    For VOCAB-SIZED iterative rounds (BPE/WordPiece merge loops) AQE
+    materializes every tiny exchange as its own job; at ~30 jobs per
+    trained query the scheduling overhead dominates (measured 5.1 ->
+    3.6 s on wordpiece_train_merges at sf0.1). The gate is the caller's
+    own state-size signal (e.g. the collapsed vocab fit in one
+    partition): a 100 TB-scale state keeps AQE's coalescing and skew
+    handling — this is a small-state fast path, not a local[32] tune."""
+    if not small:
+        yield
+        return
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
