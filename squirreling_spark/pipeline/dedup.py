@@ -520,12 +520,27 @@ def embedding_lsh_dedup(
     (sign-LSH recall < 1) — the standard recall/cost trade; raise
     planes/bands for higher recall. Compare dedup_embedding_cosine: same
     verifier, O(n^2) candidates."""
-    from squirreling_spark.pipeline.similarity import cosine
+    from squirreling_spark.pipeline.similarity import cosine_pre, norm2d
 
     cand = hyperplane_lsh_candidates(df, vec_col, id_col, planes, bands, dim)
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__ea"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__eb"))
-    sim = F.round(cosine(F.col("__ea"), F.col("__eb")), 6)
+    # squared norms fold once per corpus row, not per candidate pair
+    # (cosine_pre — bit-identical)
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__ea"),
+        norm2d(F.col(vec_col)).alias("__na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__eb"),
+        norm2d(F.col(vec_col)).alias("__nb"),
+    )
+    sim = F.round(
+        cosine_pre(
+            F.col("__ea"), F.col("__eb"), F.col("__na"), F.col("__nb")
+        ),
+        6,
+    )
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")

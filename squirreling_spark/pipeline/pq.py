@@ -45,8 +45,10 @@ from pyspark.sql import functions as F
 from squirreling_spark.pipeline.similarity import (
     _topk_per_query,
     cosine,
+    cosine_pre,
     dot,
     norm2,
+    norm2d,
 )
 from squirreling_spark.qutil import det_round, spread
 
@@ -87,10 +89,20 @@ def _assign_codes(
     """Nearest codebook centroid per (vector, subspace): broadcast join
     on the subspace id, then a map-side-combining max_by — the corpus ×
     ksub product collapses inside each task (same shape as
-    similarity.assign_cells)."""
-    sim = F.round(cosine(F.col("subvec"), F.col("cent_vec")), 6)
+    similarity.assign_cells). Squared norms fold once per (vector, sub)
+    row / broadcast centroid, not per product row (``cosine_pre``)."""
+    sim = F.round(
+        cosine_pre(
+            F.col("subvec"), F.col("cent_vec"), F.col("__n2s"), F.col("__n2c")
+        ),
+        6,
+    )
     return (
-        frame.join(F.broadcast(cents), "sub")
+        frame.withColumn("__n2s", norm2d(F.col("subvec")))
+        .join(
+            F.broadcast(cents.withColumn("__n2c", norm2d(F.col("cent_vec")))),
+            "sub",
+        )
         .groupBy("__id", "sub")
         .agg(
             F.max_by(
@@ -359,6 +371,14 @@ def ivfpq_build(
             lambda a, b: a - b,
         ).alias("__resid"),
     )
+    # r12 (guide §5): every downstream consumer — codebook seeding, each
+    # Lloyd round, the final encode — otherwise replays the full corpus
+    # assignment + residual chain (measured 4 full recomputes per build
+    # at sf0.1). One corpus-sized MEMORY_AND_DISK persist amortizes it;
+    # at 100 TB this is the standard "materialize the training frame"
+    # step (FAISS trains on a sample for the same reason) and spills
+    # rather than OOMs.
+    resid = resid.persist()
     codebooks = pq_codebooks(
         resid, "__resid", id_col, m=m, ksub=ksub, dim=dim, iters=pq_iters,
         round_digits=round_digits,

@@ -48,6 +48,26 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(norm2(a) * norm2(b))
 
 
+def cosine_pre(a: Column, b: Column, n2a: Column, n2b: Column) -> Column:
+    """``cosine`` with the two squared norms supplied as precomputed
+    columns (r12, guide §1.2 per-task work): in a pair-producing stage
+    (corpus × centroids, candidate verify, in-cell self-join) the HOF
+    ``cosine`` re-folds ``norm2`` of BOTH sides on every output row —
+    2/3 of the stage's FLOPs recompute row-constant values. Projecting
+    each side's ``norm2`` ONCE (per corpus row / into the broadcast
+    relation) and dividing here is bit-identical: ``norm2`` is the same
+    fold expression, and ``dot / sqrt(n2a * n2b)`` is the exact IEEE
+    operation sequence of ``cosine()`` (same invariant the block-matrix
+    ε-join's numpy verifier relies on)."""
+    return dot(_to_double(a), _to_double(b)) / F.sqrt(n2a * n2b)
+
+
+def norm2d(col: Column) -> Column:
+    """``norm2`` over the double-cast vector — the precomputed-side
+    companion of ``cosine_pre``."""
+    return norm2(_to_double(col))
+
+
 def _topk_per_query(
     scored: DataFrame, k: int, q_id: str, c_id: str
 ) -> DataFrame:
@@ -89,11 +109,24 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector. Queries broadcast; the
     corpus streams through one pass; similarity rounded before ranking so
-    ordering is reproducible; ranking via the skew-safe two-stage top-k."""
-    sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), round_digits)
+    ordering is reproducible; ranking via the skew-safe two-stage top-k.
+    Squared norms precomputed per side (``cosine_pre``): the corpus norm
+    folds once per corpus row, not once per (row, query)."""
+    sim = F.round(
+        cosine_pre(
+            F.col(q_vec), F.col(c_vec), F.col("__n2q"), F.col("__n2c")
+        ),
+        round_digits,
+    )
     scored = (
         spread(corpus)  # vector math is CPU-bound: use every core
-        .join(F.broadcast(queries), F.col(q_id) != F.col(c_id))
+        .withColumn("__n2c", norm2d(F.col(c_vec)))
+        .join(
+            F.broadcast(
+                queries.withColumn("__n2q", norm2d(F.col(q_vec)))
+            ),
+            F.col(q_id) != F.col(c_id),
+        )
         .select(q_id, c_id, sim.alias("sim"))
     )
     return _topk_per_query(scored, k, q_id, c_id)
@@ -164,12 +197,26 @@ def assign_cells(
     keeps one candidate per corpus row per task, so the corpus × centroids
     product collapses before the shuffle — a row_number window here would
     sort-and-shuffle the whole product. Tie-break: highest sim, then
-    smallest centroid id (struct comparison on (sim, -cent_id))."""
-    sim = F.round(cosine(F.col(c_vec), F.col(cent_vec)), 6)
+    smallest centroid id (struct comparison on (sim, -cent_id)).
+
+    Both sides' squared norms are projected ONCE (corpus row / broadcast
+    relation) instead of re-folded per (row, centroid) — bit-identical
+    values, ~3× fewer FLOPs in the corpus × k stage (``cosine_pre``)."""
+    sim = F.round(
+        cosine_pre(
+            F.col(c_vec), F.col(cent_vec), F.col("__n2r"), F.col("__n2c")
+        ),
+        6,
+    )
     other_cols = [c for c in corpus.columns if c != c_id]
     return (
         spread(corpus)
-        .crossJoin(F.broadcast(centroids))
+        .withColumn("__n2r", norm2d(F.col(c_vec)))
+        .crossJoin(
+            F.broadcast(
+                centroids.withColumn("__n2c", norm2d(F.col(cent_vec)))
+            )
+        )
         .groupBy(c_id)
         .agg(
             F.max_by(
@@ -193,18 +240,31 @@ def ivf_topk(
     c_vec: str = "embedding",
 ) -> DataFrame:
     """IVF search: rank centroids per query, probe top-``nprobe`` cells,
-    then exact cosine inside the probed cells only."""
+    then exact cosine inside the probed cells only. The corpus-side
+    squared norm folds once per corpus row (``cosine_pre``), not once
+    per (row, probing query); the query norm rides the broadcast."""
     cent_sim = F.round(cosine(F.col(q_vec), F.col("cent_vec")), 6)
     wq = Window.partitionBy(q_id).orderBy(F.desc(cent_sim), F.col("cent_id"))
     probes = (
         queries.crossJoin(F.broadcast(centroids))
         .withColumn("__r", F.row_number().over(wq))
         .filter(F.col("__r") <= nprobe)
-        .select(q_id, q_vec, F.col("cent_id").alias("cell"))
+        .select(
+            q_id,
+            q_vec,
+            F.col("cent_id").alias("cell"),
+            norm2d(F.col(q_vec)).alias("__n2q"),
+        )
     )
-    sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), 6)
+    sim = F.round(
+        cosine_pre(
+            F.col(q_vec), F.col(c_vec), F.col("__n2q"), F.col("__n2c")
+        ),
+        6,
+    )
     scored = (
-        corpus_with_cells.join(F.broadcast(probes), "cell")
+        corpus_with_cells.withColumn("__n2c", norm2d(F.col(c_vec)))
+        .join(F.broadcast(probes), "cell")
         .filter(F.col(q_id) != F.col(c_id))
         .select(q_id, c_id, sim.alias("sim"))
     )
@@ -240,15 +300,31 @@ def knn_join_lsh(
     sym = cand.union(
         cand.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__ea"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__eb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__ea"),
+        norm2d(F.col(vec_col)).alias("__na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__eb"),
+        norm2d(F.col(vec_col)).alias("__nb"),
+    )
     scored = (
         sym.join(a, "id_a")
         .join(b, "id_b")
         .select(
             F.col("id_a").alias("q_id"),
             F.col("id_b").alias("vec_id"),
-            F.round(cosine(F.col("__ea"), F.col("__eb")), 6).alias("sim"),
+            F.round(
+                cosine_pre(
+                    F.col("__ea"),
+                    F.col("__eb"),
+                    F.col("__na"),
+                    F.col("__nb"),
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     return _topk_per_query(scored, k, "q_id", "vec_id")
@@ -389,13 +465,22 @@ def semdedup(
         F.col("cell"),
         F.col(id_col).alias("__ida"),
         F.col(vec_col).alias("__va"),
+        norm2d(F.col(vec_col)).alias("__na"),
     )
     b = assigned.select(
         F.col("cell"),
         F.col(id_col).alias("__idb"),
         F.col(vec_col).alias("__vb"),
+        norm2d(F.col(vec_col)).alias("__nb"),
     )
-    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    # norms fold once per side row; the in-cell pair product reuses them
+    # (cosine_pre — bit-identical, ~3× fewer FLOPs in the Σ|cell|² stage)
+    sim = F.round(
+        cosine_pre(
+            F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+        ),
+        6,
+    )
     close = (
         a.join(b, "cell")
         .filter(F.col("__idb") < F.col("__ida"))

@@ -3348,16 +3348,29 @@ def knn_rp_prefilter_q(spark, sf):
     candidate generation (deterministic: rounded projected sim,
     vec_id tie-break) AND the exact re-rank — not just the final list.
     Recall vs the exact baseline is pinned in tests/test_rp.py."""
-    from squirreling_spark.pipeline.similarity import _topk_per_query
+    from squirreling_spark.pipeline.similarity import (
+        _topk_per_query,
+        cosine_pre,
+        norm2d,
+    )
 
     e = t(spark, sf, "embeddings")
     P = _rp_project(e, "embedding", "vec_id")
     q = P.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("proj").alias("q_proj")
+        F.col("vec_id").alias("q_id"),
+        F.col("proj").alias("q_proj"),
+        norm2d(F.col("proj")).alias("__n2q"),
     )
-    psim = F.round(cosine(F.col("q_proj"), F.col("proj")), 6)
+    # corpus-side projected norm folds once per row, not per (row, query)
+    psim = F.round(
+        cosine_pre(
+            F.col("q_proj"), F.col("proj"), F.col("__n2q"), F.col("__n2p")
+        ),
+        6,
+    )
     scored = (
         qspread(P, by=["vec_id"])
+        .withColumn("__n2p", norm2d(F.col("proj")))
         .join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
         .select("q_id", "vec_id", psim.alias("sim"))
     )
