@@ -380,10 +380,12 @@ def ngram_lm_score(
     c2 = ref_bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c2")
     )
-    c1 = ref_bg.groupBy("w1").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c1")
-    )
-    vocab = ref_bg.agg(
+    # r12 (guide §2.3 aggregate-before-shuffle): c1 and V derive from the
+    # (w1, w2) count table — Σ_w2 c2 and countDistinct over c2's key set
+    # are the SAME integers — so the reference bigram explode feeds ONE
+    # corpus-sized aggregation instead of three.
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    vocab = c2.agg(
         F.countDistinct("w2").cast("bigint").alias("v")
     )
 
@@ -720,13 +722,16 @@ def dsir_importance_sample(
     tg = _bigrams(target, text_col, id_col)
 
     def counts(src, pre):
+        # r12 (guide §2.3): c1 and V derive from the (w1, w2) count
+        # table — Σ_w2 c2 and countDistinct over c2's keys are the SAME
+        # integers — one corpus-sized aggregation per source, not three.
         c2 = src.groupBy("w1", "w2").agg(
             F.count(F.lit(1)).cast("bigint").alias(f"{pre}c2")
         )
-        c1 = src.groupBy("w1").agg(
-            F.count(F.lit(1)).cast("bigint").alias(f"{pre}c1")
+        c1 = c2.groupBy("w1").agg(
+            F.sum(f"{pre}c2").cast("bigint").alias(f"{pre}c1")
         )
-        v = src.agg(F.countDistinct("w2").cast("bigint").alias(f"{pre}v"))
+        v = c2.agg(F.countDistinct("w2").cast("bigint").alias(f"{pre}v"))
         return c2, c1, v
 
     tc2, tc1, tv = counts(tg, "t_")
@@ -1183,17 +1188,27 @@ def ngram_novelty(
     Output: (id, n_grams, n_novel, novelty_ppm) for documents with at
     least one n-gram (>= n tokens)."""
     grams = word_ngrams(df, text_col, id_col, n).distinct()
-    first = grams.groupBy("ng").agg(
-        F.min(F.col(id_col)).alias("__first")
+    # r12 (guide §2.3/§2.4): no corpus-wide gram join — n_novel per doc
+    # is the COUNT of grams whose min(id) equals the doc, so the heavy
+    # gram-string shuffle happens once (the min aggregate) and the only
+    # join is doc-keyed over two doc-sized aggregates. Same integers:
+    # Σ_grams-in-doc [doc == first(gram)] == |{g : first(g) = doc}|.
+    per_doc = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    novel = (
+        grams.groupBy("ng")
+        .agg(F.min(F.col(id_col)).alias("__first"))
+        .groupBy("__first")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__novel"))
+        .select(F.col("__first").alias(id_col), "__novel")
     )
     return (
-        grams.join(first, "ng")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.sum(
-                F.when(F.col(id_col) == F.col("__first"), 1).otherwise(0)
-            ).cast("bigint").alias("n_novel"),
+        per_doc.join(novel, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.coalesce("__novel", F.lit(0)).cast("bigint").alias("n_novel"),
         )
         .withColumn(
             "novelty_ppm",

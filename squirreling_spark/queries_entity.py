@@ -351,16 +351,25 @@ def part_triangle_stats_q(spark, sf):
     from squirreling_spark.pipeline.graph import triangle_stats
 
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("id_a"),
-            F.col("b.l_partkey").alias("id_b"),
-        )
+    # r12 (guide §2.3/§2.4 — the dhash single-subtree pair pattern): the
+    # a<b self-join scanned lineitem twice + built a broadcast per run;
+    # per-order part SETS from ONE map-combined groupBy expand to the
+    # same ordered pairs via a sorted-array nested transform (max parts
+    # per order is single-digit — no group blowup), so edge construction
+    # is one scan + one combiner shuffle. triangle_stats' canonicalize +
+    # distinct sees the identical edge set.
+    parts = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
+    edges = parts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (a, i) -> transform("
+                "slice(ps, i + 2, size(ps)),"
+                " b -> struct(a AS id_a, b AS id_b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
     return triangle_stats(edges)
 
 
