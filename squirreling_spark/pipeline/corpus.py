@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from squirreling_spark.pipeline.ckpt import truncate_lineage
 from squirreling_spark.pipeline.text import tokens
 from squirreling_spark.qutil import spread
 
@@ -377,13 +378,19 @@ def ngram_lm_score(
     evenly (token-distributed), and the per-doc rollup is one more
     map-side-combined groupBy. No windows, no Python, no driver state."""
     ref_bg = _bigrams(reference, text_col, id_col)
-    c2 = ref_bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c2")
-    )
     # r12 (guide §2.3 aggregate-before-shuffle): c1 and V derive from the
     # (w1, w2) count table — Σ_w2 c2 and countDistinct over c2's key set
     # are the SAME integers — so the reference bigram explode feeds ONE
-    # corpus-sized aggregation instead of three.
+    # corpus-sized aggregation instead of three. The count table is
+    # lineage-truncated because three consumers (c1, V, the probe join)
+    # reference it and the branch aliases differ, so neither static nor
+    # AQE exchange reuse fires (measured: zero ReusedExchange, the
+    # reference corpus re-exploded per consumer without it).
+    c2 = truncate_lineage(
+        ref_bg.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c2")
+        )
+    )
     c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
     vocab = c2.agg(
         F.countDistinct("w2").cast("bigint").alias("v")
@@ -599,10 +606,18 @@ def domain_reweight(
         ).cast("bigint")
         % M
     )
-    scored = df.select(
-        F.col(domain_col).alias("domain"),
-        F.col(loss_col).cast("bigint").alias("loss"),
-        bucket.alias("bucket"),
+    # r12 (guide §5 persist what is reused): `scored` is referenced
+    # T+1 times (the initial aggregate + every round's sample filter);
+    # without truncation each reference re-runs the caller's loss
+    # projection (tokenize + TTR in the registered row) over the full
+    # corpus. The table is 3 narrow columns per document — exactly the
+    # "persist the scored projection" trade the docstring names.
+    scored = truncate_lineage(
+        df.select(
+            F.col(domain_col).alias("domain"),
+            F.col(loss_col).cast("bigint").alias("loss"),
+            bucket.alias("bucket"),
+        )
     )
     w_all = W.partitionBy()
     cur = (
@@ -725,8 +740,14 @@ def dsir_importance_sample(
         # r12 (guide §2.3): c1 and V derive from the (w1, w2) count
         # table — Σ_w2 c2 and countDistinct over c2's keys are the SAME
         # integers — one corpus-sized aggregation per source, not three.
-        c2 = src.groupBy("w1", "w2").agg(
-            F.count(F.lit(1)).cast("bigint").alias(f"{pre}c2")
+        # Lineage-truncated: three consumers reference each count table
+        # and exchange reuse does not fire across the differing branch
+        # aliases (measured: zero ReusedExchange, 7 scans in the
+        # executed plan — each source re-exploded per consumer).
+        c2 = truncate_lineage(
+            src.groupBy("w1", "w2").agg(
+                F.count(F.lit(1)).cast("bigint").alias(f"{pre}c2")
+            )
         )
         c1 = c2.groupBy("w1").agg(
             F.sum(f"{pre}c2").cast("bigint").alias(f"{pre}c1")
@@ -890,7 +911,15 @@ def lm_bucket_sample(
     default passes everything (exact at test scale). Everything else is
     row-local against the broadcast 1-row cutoff table."""
     rates = rates or {"head": 100, "middle": 50, "tail": 10}
-    scores = ngram_lm_score(corpus, reference, text_col, id_col)
+    # r12: the scores frame feeds BOTH the cutoff aggregate and the
+    # bucket projection; without truncation the whole scoring subtree
+    # (corpus bigram explode + model joins) executes twice (measured:
+    # 8 scans / 28 exchanges in the executed plan). The table is one
+    # row per document — the cheap side of the §8 "decide with small
+    # rows" trade.
+    scores = truncate_lineage(
+        ngram_lm_score(corpus, reference, text_col, id_col)
+    )
     cut_src = scores
     if cutoff_sample_ppm < 1_000_000:
         samp = (

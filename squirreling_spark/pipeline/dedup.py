@@ -339,19 +339,27 @@ def minhash_lsh_candidates(
         id_col,
         bucket_cap,
     )
-    left = b.alias("l")
-    right = b.alias("r")
+    # r12: SINGLE-SUBTREE pair generation (the collapsed/dHash pattern) —
+    # a band self-join re-evaluates the whole shingle+signature subtree
+    # per side (measured: two full scans/md5 aggregates in the static
+    # plan, zero exchange reuse). Instead each capped bucket aggregates
+    # to one sorted member array (≤ cap rows — bounded reducer memory by
+    # construction; the groupBy reuses the cap window's band-key
+    # exchange) and the ordered a<b pairs come from a nested-transform
+    # expression: the identical pair set, one scan, no join.
+    members = b.groupBy("band_idx", "band_key", "_sub").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("ms")
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l._sub") == F.col("r._sub"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        members.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (a, i) -> "
+                    "transform(slice(ms, i + 2, size(ms)), b -> struct(a, b))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
 

@@ -1865,7 +1865,11 @@ def dhash_near_dup(
             F.col("p.b.id").alias("id_b"),
             hamming.alias("hamming"),
         )
-    return out.distinct().filter(F.col("hamming") <= max_hamming)
+    # r12 (guide §2.3 shuffle fewer bytes): the Hamming verify is
+    # row-deterministic, so filtering BEFORE the distinct exchange drops
+    # non-candidate pairs from the shuffle instead of after it — the
+    # surviving set is identical.
+    return out.filter(F.col("hamming") <= max_hamming).distinct()
 
 
 # ---------------------------------------------------------------------------

@@ -1075,7 +1075,12 @@ def lineitem_corr_matrix_q(spark, sf):
                 ).alias(f"sp_{x}_{y}")
             )
     a = q.agg(*aggs)
-    outs = []
+    # r12 (guide §2.4/§7.2 — duplicated subtrees): the 6 output rows were
+    # a unionAll of 6 selects over `a`; column pruning makes each branch's
+    # aggregate distinct, so the plan scanned lineitem SIX times. One
+    # explode over an array of pair structs keeps the identical per-pair
+    # expressions (same IEEE sequence, same row order) over ONE aggregate.
+    pair_structs = []
     for i in range(len(names)):
         for j in range(i + 1, len(names)):
             x, y = names[i], names[j]
@@ -1091,18 +1096,17 @@ def lineitem_corr_matrix_q(spark, sf):
                 F.col("n_h").cast("decimal(12,0)") * F.col(f"ss_{y}")
                 - F.col(f"s_{y}") * F.col(f"s_{y}")
             ).cast("double")
-            outs.append(
-                a.select(
+            pair_structs.append(
+                F.struct(
                     F.lit(x).alias("col_x"),
                     F.lit(y).alias("col_y"),
                     F.col("n_h").alias("n"),
                     (num / (F.sqrt(denx) * F.sqrt(deny))).alias("corr"),
                 )
             )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+    return a.select(
+        F.explode(F.array(*pair_structs)).alias("r")
+    ).select("r.col_x", "r.col_y", "r.n", "r.corr")
 
 
 @query(

@@ -4075,10 +4075,16 @@ def ann_recall_curve_q(spark, sf):
     to 1e-6, id tie-breaks), so the measured curve itself is
     value-checked cross-engine; recall must be monotone in nprobe by
     construction (probed cells are supersets). Integer counts only."""
+    from pyspark.sql import Window
+
+    from squirreling_spark.pipeline.ckpt import truncate_lineage
     from squirreling_spark.pipeline.similarity import (
+        _topk_per_query,
         assign_cells,
+        cosine,
+        cosine_pre,
         cosine_topk_bruteforce,
-        ivf_topk,
+        norm2d,
     )
 
     e = t(spark, sf, "embeddings")
@@ -4090,11 +4096,59 @@ def ann_recall_curve_q(spark, sf):
     queries = e.filter(F.col("vec_id") < 25).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    bf = cosine_topk_bruteforce(queries, e, k=5).select("q_id", "vec_id")
+    bf = truncate_lineage(
+        cosine_topk_bruteforce(queries, e, k=5).select("q_id", "vec_id")
+    )
+    # r12 (guide §2.4/§7.2 duplicated subtrees): the three ivf_topk
+    # branches each re-ran cell assignment (corpus × centroids), the
+    # probe ranking, and the brute-force baseline — 3× the corpus work
+    # for one curve. Probed cells at nprobe ∈ {1,2,4} are rank-prefix
+    # NESTED sets, so ONE candidate pass at nprobe=4 carrying the probe
+    # rank reproduces every branch exactly: filter rank ≤ np, then the
+    # identical skew-safe top-k (same rounded sims, same tie-breaks).
+    # The candidate table (≤ 25 queries × 4 cells × cell size) and the
+    # 125-row baseline are lineage-truncated so the union's branches
+    # read materialized rows instead of replaying the corpus subtree.
+    cent_sim = F.round(cosine(F.col("q_vec"), F.col("cent_vec")), 6)
+    wq = Window.partitionBy("q_id").orderBy(
+        F.desc(cent_sim), F.col("cent_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= 4)
+        .select(
+            "q_id",
+            "q_vec",
+            F.col("cent_id").alias("cell"),
+            F.col("__r").alias("__pr"),
+            norm2d(F.col("q_vec")).alias("__n2q"),
+        )
+    )
+    sim = F.round(
+        cosine_pre(
+            F.col("q_vec"),
+            F.col("embedding"),
+            F.col("__n2q"),
+            F.col("__n2c"),
+        ),
+        6,
+    )
+    cand = truncate_lineage(
+        corpus_cells.withColumn("__n2c", norm2d(F.col("embedding")))
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", sim.alias("sim"), "__pr")
+    )
     out = None
     for np_ in (1, 2, 4):
-        iv = ivf_topk(
-            queries, corpus_cells, centroids, k=5, nprobe=np_
+        iv = _topk_per_query(
+            cand.filter(F.col("__pr") <= np_).select(
+                "q_id", "vec_id", "sim"
+            ),
+            5,
+            "q_id",
+            "vec_id",
         ).select("q_id", "vec_id")
         row = (
             iv.join(bf, ["q_id", "vec_id"])

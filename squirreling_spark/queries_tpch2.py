@@ -635,31 +635,39 @@ def q21_waiting_supplier(spark, sf):
         F.col("l_shipdate")
         > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
     )
+    # r12 (guide §2.4 — remove a whole fact pass): `lines` was evaluated
+    # twice (the per-order aggregate AND a late-line semi-join back onto
+    # it). A surviving order has n_late = 1, so ALL its late lines belong
+    # to one supplier — the aggregate itself can carry that supplier and
+    # the late-line count, and the semi-join (plus the second
+    # lineitem⋈orders evaluation) disappears: numwait per supplier is the
+    # SUM of per-order late-line counts, the identical integer.
     per_order = lines.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct(
             F.when(F.col("is_late"), F.col("l_suppkey"))
         ).alias("n_late"),
+        F.sum(
+            F.when(F.col("is_late"), 1).otherwise(0)
+        ).alias("n_late_lines"),
+        F.max(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("late_supp"),
     )
     s = t(spark, sf, "supplier")
     n = t(spark, sf, "nation")
     r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
-    waiting = (
-        lines.filter(F.col("is_late"))
-        .join(
-            per_order.filter(
-                (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
-            ).select("l_orderkey"),
-            "l_orderkey",
-            "left_semi",
-        )
-    )
+    surviving = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+    ).select("late_supp", "n_late_lines")
     return (
-        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        surviving.join(
+            F.broadcast(s), surviving.late_supp == s.s_suppkey
+        )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )

@@ -426,6 +426,20 @@ def test_minhash_collapsed_single_subtree(spark, sf001):
     assert "Join" not in ex
 
 
+def test_minhash_candidates_single_subtree(spark, sf001):
+    # r12: the PAIR-level candidate operator is single-subtree too — the
+    # band self-join it replaced evaluated the shingle+signature subtree
+    # once per side (two parquet scans, two md5 aggregates, a broadcast
+    # build); now one scan, zero joins, bucket-local collect_list pairs
+    from squirreling_spark import inventory
+
+    inventory.load_all()
+    df = inventory.QUERIES["dedup_minhash_lsh"](spark, sf001)
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert ex.count("Scan parquet") == 1
+    assert "Join" not in ex
+
+
 def test_dhash_collapsed_constant_output_groups(spark):
     # the collapsed default's output is bounded by DISTINCT hashes: a
     # duplicate-heavy input adds members, never edges
