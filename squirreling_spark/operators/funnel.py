@@ -32,11 +32,24 @@ def funnel_steps(
         F.col(ord_col).cast("bigint").alias("e"),
     )
     users = df.select(F.col(user_col)).distinct()
+    # r12 (guide §8 decide with small rows / §5): each step filtered the
+    # FULL event frame again — the executed plan ran 11 scans for a
+    # 4-step funnel. One narrow (user, type, key) projection restricted
+    # to the step types is materialized once; every step reads it.
+    # `users` stays on the full frame: users with no funnel events must
+    # keep their reached=0 row.
+    from squirreling_spark.pipeline.ckpt import truncate_lineage
+
+    base = truncate_lineage(
+        df.filter(F.col(type_col).isin(list(steps))).select(
+            F.col(user_col), F.col(type_col).alias("__t"), key.alias("__k")
+        )
+    )
     prev = None
     out = users
     for i, step in enumerate(steps, 1):
-        ev = df.filter(F.col(type_col) == step).select(
-            F.col(user_col), key.alias("__k")
+        ev = base.filter(F.col("__t") == step).select(
+            F.col(user_col), "__k"
         )
         if prev is not None:
             ev = ev.join(prev, user_col).filter(

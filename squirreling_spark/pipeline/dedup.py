@@ -979,6 +979,13 @@ def remove_dup_substrings(
             ),
         )
     )
+    # r12: measured and NOT applied — lineage-truncating `base`/`winx`
+    # (each referenced twice; 4 scans in the executed plan) read 1.49 s
+    # (recompute) vs 1.99-2.05 s (any checkpoint variant) in a
+    # same-session 4-way A/B at sf0.1: materializing corpus-sized
+    # frames costs more than replaying the page-cached scan + tokenizer.
+    # The duplicate work is scan-shaped and embarrassingly parallel, so
+    # recompute also scales; revisit only if the tokenizer dominates.
     winx = base.select(
         "doc_id", n.alias("n"), F.explode(wins).alias("s")
     ).select(

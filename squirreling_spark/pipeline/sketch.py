@@ -371,12 +371,6 @@ def hll_pairwise_overlap(
     before a quadratic plan is ever built; pass None to opt out. The
     pair count is also observable at run time via the
     ``hll_overlap_<out_a>`` observation's n_pairs metric."""
-    pairs = (
-        groups.select(F.col(group_col).alias(out_a))
-        .crossJoin(groups.select(F.col(group_col).alias(out_b)))
-        .where(F.col(out_a) < F.col(out_b))
-        .withColumn("pair_id", F.concat_ws("|", out_a, out_b))
-    )
     if max_groups is not None:
         n = groups.limit(max_groups + 1).count()
         if n > max_groups:
@@ -386,6 +380,18 @@ def hll_pairwise_overlap(
                 "pair space with a banded/LSH candidate generator first "
                 "or raise max_groups explicitly"
             )
+    # r12 (guide §5): `groups` is tiny (envelope-bounded above) but its
+    # subtree is usually a base-table DISTINCT, and it is referenced by
+    # both cross-join arms AND the output joins — measured 4 extra
+    # parquet scans per query without truncation. Materialize once,
+    # AFTER the probe so an out-of-envelope frame never materializes.
+    groups = truncate_lineage(groups)
+    pairs = (
+        groups.select(F.col(group_col).alias(out_a))
+        .crossJoin(groups.select(F.col(group_col).alias(out_b)))
+        .where(F.col(out_a) < F.col(out_b))
+        .withColumn("pair_id", F.concat_ws("|", out_a, out_b))
+    )
     pairs = pairs.observe(
         f"hll_overlap_{out_a}", F.count(F.lit(1)).alias("n_pairs")
     )

@@ -508,6 +508,28 @@ def doc_distinct_tokens(
         return docs.select(
             F.col(doc_col), F.explode(toks).alias("tk")
         )
+    sel = doc_token_arrays(
+        docs, text_col, doc_col, min_len, cap, observe_name
+    )
+    return sel.select(F.col(doc_col), F.explode("_tks").alias("tk"))
+
+
+def doc_token_arrays(
+    docs,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    min_len: int = 4,
+    cap: int = DEFAULT_DOC_TOKEN_CAP,
+    observe_name: str | None = None,
+):
+    """(doc_col, _tks): the capped SORTED distinct-token array per
+    document — the shared leaf under ``doc_distinct_tokens`` (explode)
+    and ``doc_token_pairs`` (within-doc ordered pairs). One row per
+    input document, empty arrays preserved."""
+    toks = F.filter(
+        F.array_distinct(F.split(F.col(text_col), " ")),
+        lambda x: F.length(x) >= min_len,
+    )
     sel = docs.select(
         F.col(doc_col),
         F.slice(F.array_sort(toks), 1, cap).alias("_tks"),
@@ -530,7 +552,27 @@ def doc_distinct_tokens(
             ).alias("capped_docs"),
             F.max(F.col("_ntk")).alias("max_doc_tokens"),
         )
-    return sel.select(F.col(doc_col), F.explode("_tks").alias("tk"))
+    return sel.select(F.col(doc_col), "_tks")
+
+
+def doc_token_pairs(arrays, doc_col: str = "doc_id"):
+    """(doc_col, t1, t2): every within-document ordered token pair
+    (t1 < t2) straight from the sorted ``_tks`` array — r12 (guide
+    §2.4, the single-subtree pair pattern): the dt⋈dt self-join this
+    replaces evaluated the whole tokenize subtree once per side and
+    shuffled the exploded stream twice; the array is already sorted, so
+    i < j positions ARE the t1 < t2 pairs. Pair count per doc is
+    cap-bounded by construction."""
+    return arrays.select(
+        F.col(doc_col),
+        F.explode(
+            F.expr(
+                "flatten(transform(_tks, (a, i) -> transform("
+                "slice(_tks, i + 2, size(_tks)),"
+                " b -> struct(a AS t1, b AS t2))))"
+            )
+        ).alias("p"),
+    ).select(doc_col, F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
 
 
 @query(
@@ -561,13 +603,14 @@ def token_cooccurrence_q(spark, sf):
     quadratic; the fixture sits far below the cap, so results equal the
     uncapped oracle."""
     docs = t(spark, sf, "documents")
-    dt = doc_distinct_tokens(docs, observe_name="token_cooc_cap")
-    a = dt.alias("a")
-    b = dt.alias("b")
+    # r12: within-doc ordered pairs straight from the sorted capped
+    # array (doc_token_pairs) — the dt⋈dt self-join evaluated the
+    # tokenize subtree per side and shuffled the exploded stream twice.
     pairs = (
-        a.join(b, "doc_id")
-        .where(F.col("a.tk") < F.col("b.tk"))
-        .groupBy(F.col("a.tk").alias("t1"), F.col("b.tk").alias("t2"))
+        doc_token_pairs(
+            doc_token_arrays(docs, observe_name="token_cooc_cap")
+        )
+        .groupBy("t1", "t2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
     return pairs.orderBy(
@@ -1237,19 +1280,28 @@ def token_pair_lift_q(spark, sf):
     (doc_distinct_tokens: per-doc token cap, fixture far below it), plus
     two hash joins onto the map-combined document-frequency table and a
     broadcast 1-row total."""
+    from squirreling_spark.pipeline.ckpt import truncate_lineage
+
     docs = t(spark, sf, "documents")
-    dt = doc_distinct_tokens(docs, observe_name="token_lift_cap")
+    # r12: one tokenize pass — the capped sorted-array frame is
+    # materialized once and feeds the pair expansion, the document
+    # frequencies, AND the doc total (`doc_token_arrays` keeps one row
+    # per input document, so count_distinct over it equals the base
+    # count). The dt⋈dt self-join (tokenize per side) is gone —
+    # executed plan had 5 parquet scans, now 1.
+    arrs = truncate_lineage(
+        doc_token_arrays(docs, observe_name="token_lift_cap")
+    )
+    dt = arrs.select("doc_id", F.explode("_tks").alias("tk"))
     dfreq = dt.groupBy("tk").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_df")
     )
-    total = docs.agg(
+    total = arrs.agg(
         F.count_distinct(F.col("doc_id")).cast("bigint").alias("n_total")
     )
-    a, b = dt.alias("a"), dt.alias("b")
     pairs = (
-        a.join(b, "doc_id")
-        .where(F.col("a.tk") < F.col("b.tk"))
-        .groupBy(F.col("a.tk").alias("t1"), F.col("b.tk").alias("t2"))
+        doc_token_pairs(arrs)
+        .groupBy("t1", "t2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
         .where(F.col("n_pair") >= 3)
     )
